@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four tiers, each a registered query over ``documents``:
+
+- **exact** — hash-groupBy on a normalized md5 fingerprint; one shuffle
+  on the 128-bit key, no skew (hash keys are uniform).
+- **blocked exact Jaccard** — token-set Jaccard within blocking keys; the
+  quadratic cost is bounded per block, not per corpus.
+- **MinHash + LSH** — signatures → banding → bucket equi-join; the 100 TB
+  path: candidate generation is a join on band hashes, never all-pairs.
+- **SimHash** — 32-bit signatures + Hamming-ball candidate filter.
+
+Portability note: every hash in this module is md5-derived because md5 is
+the one hash function Spark and DuckDB compute identically (xxhash64 /
+``hash()`` are engine-specific), letting the LSH pipelines be
+oracle-checked end-to-end. MinHash signature components are *hex-string
+minima* — order statistics over md5 strings — which avoids unportable
+hex→int conversion entirely. In production the same plans run with
+xxhash64 for speed; the structure is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.6
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 6
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(lower(trim(text))) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(text)))
+"""
+
+
+@register("dedup_exact", oracle=DEDUP_EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per content fingerprint.
+
+    GroupBy on md5(normalized text) — partial aggregation map-side, one
+    shuffle of (128-bit key, min-id, count) pairs. At 100 TB this is the
+    cheapest possible exact-dup pass: bytes shuffled ≈ #distinct docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+JACCARD_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT doc_id_a, doc_id_b, jaccard
+FROM (
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                 6) AS jaccard
+    FROM t a
+    JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_jaccard_blocked", oracle=JACCARD_ORACLE, tags=("dedup",))
+def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup within source blocks.
+
+    The blocking key bounds the self-join: cost is Σ_block n_b², not N².
+    This is the ground-truth oracle the approximate tiers (MinHash,
+    SimHash) are validated against in tests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def _seeded_md5(i: int):
+    # factory (not default-arg binding) — PySpark introspects lambda arity
+    return lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t))
+
+
+def _minhash_sig_cols() -> list[Column]:
+    """16 MinHash components: min over tokens of md5('s{i}:' || token)."""
+    toks = F.array_distinct(F.split("text", " "))
+    return [
+        F.array_min(F.transform(toks, _seeded_md5(i))).alias(f"s{i}")
+        for i in range(NUM_HASHES)
+    ]
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(toks, t -> md5('s{i}:' || t))) AS s{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {j} AS band_idx, md5({concat}) AS bh FROM sigs".format(
+            j=j,
+            concat=" || ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for j in range(BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), sigs AS (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM base
+), banded AS (
+{band_selects}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, est_jaccard
+FROM (
+    SELECT c.doc_id_a, c.doc_id_b,
+           ROUND(({matches}) / {NUM_HASHES}.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs x ON c.doc_id_a = x.doc_id
+    JOIN sigs y ON c.doc_id_b = y.doc_id
+)
+WHERE est_jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs.
+
+    The scale path: shingle → minhash → band → **bucket equi-join** —
+    candidate pairs come from a shuffle on band hashes (cost ∝ bucket
+    sizes), never an all-pairs product. Signature verification then
+    estimates Jaccard as the fraction of matching components. At 100 TB
+    the band join is the only wide operation and AQE's skew-join handles
+    hot buckets (boilerplate/empty docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", *_minhash_sig_cols())
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]))
+        for j in range(BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    matches = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"x.s{i}") == F.col(f"y.s{i}"), 1).otherwise(0),
+        range(1, NUM_HASHES),
+        F.when(F.col("x.s0") == F.col("y.s0"), 1).otherwise(0),
+    )
+    return (
+        cand.join(x, cand.doc_id_a == F.col("x.doc_id"))
+        .join(y, cand.doc_id_b == F.col("y.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(matches / F.lit(float(NUM_HASHES)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def _simhash_value_sql_duckdb() -> str:
+    """SimHash32 from per-token md5s, as a DuckDB expression over `hashes`."""
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        hex_pos = 1 + b // 4
+        mask = 1 << (b % 4)
+        vote = (
+            f"list_sum(list_transform(hashes, h -> CASE WHEN "
+            f"(strpos('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1) & {mask} != 0 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
+
+
+def _simhash_value_col() -> Column:
+    """Same SimHash32, as a generated Spark SQL expression over `hashes`."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        hex_pos = 1 + b // 4
+        mask = 1 << (b % 4)
+        vote = (
+            f"aggregate(hashes, 0, (acc, h) -> acc + (CASE WHEN "
+            f"(instr('0123456789abcdef', substring(h, {hex_pos}, 1)) - 1) & {mask} != 0 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+
+
+SIMHASH_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hashes
+    FROM documents
+)
+SELECT doc_id, source, {_simhash_value_sql_duckdb()} AS simhash32
+FROM h
+"""
+
+
+@register("simhash_signatures", oracle=SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (majority vote over token-hash bits).
+
+    Pure higher-order expressions over the token array — per-row, no
+    shuffle, whole-stage codegen. Pair generation on top (Hamming ≤ t)
+    is `simhash_near_dup`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.transform(F.array_distinct(F.split("text", " ")), F.md5).alias("hashes"),
+    )
+    return h.select("doc_id", "source", _simhash_value_col().alias("simhash32"))
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hashes
+    FROM documents
+), s AS (
+    SELECT doc_id, source, {_simhash_value_sql_duckdb()} AS simhash32 FROM h
+)
+SELECT a.doc_id AS doc_id_a,
+       b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INTEGER) AS hamming
+FROM s a
+JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {HAMMING_THRESHOLD}
+"""
+
+
+@register("simhash_near_dup", oracle=SIMHASH_PAIRS_ORACLE, tags=("dedup", "simhash"))
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ 6 within blocks.
+
+    Blocked self-join on the source key; at corpus scale the block key
+    would be simhash bit-prefixes (each signature probed into 4 rotated
+    prefix tables), which keeps candidate generation an equi-join exactly
+    like the MinHash band join.
+    """
+    sigs = simhash_signatures(spark, sf_dir)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )

@@ -1,0 +1,109 @@
+"""Multimodal (binary) column plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata structs; decode / feature-extract run as Arrow-batched
+``mapInPandas`` stages. The container has no image/audio libraries, so
+the decode kernel is STUBBED (``decode_media`` raises
+``NotImplementedError`` for real codecs and provides a deterministic
+fake for tests) — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real and tested.
+
+The test corpus has no binary column, so ``documents.text`` is encoded
+to UTF-8 bytes to stand in for a media payload.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(hex(encode(text)), 1, 8) AS head_hex,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+@register("multimodal_meta", oracle=MULTIMODAL_META_ORACLE, tags=("multimodal",))
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column.
+
+    Byte length and magic-prefix sniffing happen JVM-side on the binary
+    column — the pattern for routing media rows to per-codec decode
+    stages without touching Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.substring(F.hex(payload), 1, 8).alias("head_hex"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Decode kernel stub.
+
+    Real codecs (PIL / libav / soundfile) are not in this container —
+    STUB: any real media mime raises. ``text/plain`` gets a
+    deterministic fake "decode" (byte stats standing in for pixels /
+    samples) so the distributed plumbing is exercised end-to-end.
+    """
+    if mime != "text/plain":
+        raise NotImplementedError(
+            f"decode for {mime!r} requires media libraries not present in this "
+            "container; plug a real kernel into extract_media_features"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "first_byte": payload[0] if n else -1,
+        "byte_sum_mod": sum(payload[:256]) % 997,
+    }
+
+
+def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    ``mapInPandas`` keeps batches columnar through Arrow; each batch is
+    decoded in Python once per ~10k rows, not per row. Output schema is
+    fixed and typed, so downstream stages stay relational. Partitioning
+    is inherited from the scan — no shuffle is introduced.
+    """
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_media(p, m) for p, m in zip(pdf[payload_col], pdf["mime"])]
+            out = pd.DataFrame(feats)
+            out["doc_id"] = pdf["doc_id"].values
+            yield out[["doc_id", "n_bytes", "first_byte", "byte_sum_mod"]]
+
+    return df.mapInPandas(
+        extract, "doc_id long, n_bytes long, first_byte int, byte_sum_mod int"
+    )
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode features over the binary payload (rows-only check).
+
+    No SQL oracle — the decode stage is definitionally non-relational;
+    ``tests/test_multimodal.py`` pins its values instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return extract_media_features(with_payload)

@@ -1,0 +1,115 @@
+"""BaseLogTask analog — JSON parse, 3-way split, array explode (EP1).
+
+Reference semantics (``gmall-realtime/.../app/dwd/BaseLogTask.java``):
+
+- parse raw JSON log lines (``:52-57``, P1),
+- split one stream three ways with side outputs: start-logs, page-logs,
+  display records (``:109-148``, X1),
+- flatten the ``displays`` array, injecting the parent ``page_id`` into
+  each element (``:126-135``, X2),
+- day-grain date bucketing ``yyyyMMdd`` (``:76,87``, P8).
+
+Spark-first design: side outputs become N filtered DataFrames off one
+cached parse — Catalyst pushes each branch's filter into the scan, and
+``explode`` replaces the per-element ``ctx.output`` loop. The ``events``
+test table plays the log stream: ``props`` is the semi-structured JSON
+remainder (parsed with ``get_json_object``), ``event_type`` drives the
+split, and ``documents`` supplies the array-valued column for the
+explode analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+LOG_SPLIT_START_ORACLE = """
+SELECT event_id,
+       user_id,
+       ts,
+       strftime(ts, '%Y%m%d') AS ymd,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+WHERE event_type = 'signup'
+"""
+
+
+@register("log_split_start", oracle=LOG_SPLIT_START_ORACLE, tags=("X1", "P1", "P8"))
+def log_split_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start-log branch of the 3-way split (BaseLogTask.java:117-121).
+
+    ``signup`` events play the reference's ``start`` logs. The JSON
+    ``props`` remainder is parsed JVM-side with ``get_json_object`` — no
+    Python in the row path.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_format("ts", "yyyyMMdd").alias("ymd"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+LOG_SPLIT_PAGE_ORACLE = """
+SELECT event_id,
+       user_id,
+       ts,
+       event_type,
+       strftime(ts, '%Y%m%d') AS ymd,
+       CAST(value AS DECIMAL(18,2)) AS page_value,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+WHERE event_type IN ('view', 'click')
+"""
+
+
+@register("log_split_page", oracle=LOG_SPLIT_PAGE_ORACLE, tags=("X1", "P1", "P8"))
+def log_split_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-log branch of the 3-way split (BaseLogTask.java:123-146).
+
+    ``view``/``click`` events play the reference's page logs; the other
+    branches (start / display) are separate registered queries — in a
+    streaming deployment all three share one parsed source and one
+    ``foreachBatch`` (SURVEY §2 X1 side-output mapping).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").alias("ymd"),
+        F.col("value").cast("decimal(18,2)").alias("page_value"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+TOKEN_EXPLODE_ORACLE = """
+SELECT d.doc_id,
+       d.source,
+       u.token
+FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(token)
+"""
+
+
+@register("display_explode", oracle=TOKEN_EXPLODE_ORACLE, tags=("X2",))
+def display_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array flatten with parent-field injection (BaseLogTask.java:126-135).
+
+    The reference emits one record per ``displays`` array element, copying
+    the parent ``page_id`` onto each. Analog: explode the token array of
+    ``documents.text``, injecting parent ``doc_id``/``source`` onto every
+    element. ``explode`` is a generator inside whole-stage codegen — no
+    shuffle, no Python.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("token"),
+    )

@@ -1,0 +1,196 @@
+"""OrderWide — the reference's flagship wide-table build (EP3).
+
+Reference semantics (``gmall-realtime/.../app/dwm/OrderWideApp.java``):
+
+- stream-stream interval join order_info ⋈ order_detail on order id within
+  a ±5 ms event-time band (``OrderWideApp.java:134-141``),
+- six chained async dimension enrichments (user, province, sku, spu,
+  category, trademark) via Redis-cached Phoenix point lookups
+  (``OrderWideApp.java:149-251``, ``app/func/DimAsyncFunction.java:23-63``),
+- derived scalar columns: epoch ts from ``create_time``
+  (``OrderWideApp.java:82-83``), age from birthday
+  (``OrderWideApp.java:157-159``), day-grain date strings
+  (``BaseLogTask.java:76``).
+
+Spark-first design: the per-record async lookup machinery (thread pool +
+Redis cache + 60 s timeouts) collapses into **broadcast hash joins** —
+Catalyst plans one stage where the reference needed six network round
+trips per record. The fact-fact join is a plain shuffle equi-join (AQE
+picks sort-merge vs shuffled-hash at runtime); at 100 TB both fact sides
+shuffle-partition on the order key while every dim ships to executors
+once. The batch analog maps order_info→orders, order_detail→lineitem,
+user/province dims→customer/nation/region, sku/trademark→part/supplier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+ORDER_WIDE_ORACLE = """
+SELECT l.l_orderkey,
+       l.l_linenumber,
+       strftime(o.o_orderdate, '%Y%m%d') AS order_ymd,
+       o.o_orderpriority,
+       c.c_custkey,
+       c.c_name,
+       c.c_mktsegment,
+       n.n_name AS nation_name,
+       r.r_name AS region_name,
+       p.p_name AS part_name,
+       s.s_name AS supplier_name,
+       CAST(l.l_quantity AS DECIMAL(18,2)) AS quantity,
+       CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS revenue,
+       CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+       CAST(datediff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER)
+           AS order_age_days
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey   = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+LEFT JOIN part p     ON l.l_partkey   = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+"""
+
+
+@register("order_wide_enriched", oracle=ORDER_WIDE_ORACLE, tags=("J1", "J2", "P3", "P7", "P8"))
+def order_wide_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join + 5-way broadcast dim enrichment (OrderWideApp batch analog).
+
+    Dims are explicitly broadcast — the reference's per-record
+    Redis/Phoenix lookup (J2/J3, ``utils/DimUtil.java:31-87``) becomes a
+    map-side hash join with zero extra shuffles. Left joins preserve the
+    reference's pass-through-on-missing-dim behavior
+    (``app/func/DimAsyncFunction.java:40-55`` never drops the row).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(nation, customer.c_nationkey == nation.n_nationkey, "left")
+        .join(region, nation.n_regionkey == region.r_regionkey, "left")
+        .join(part, lineitem.l_partkey == part.p_partkey, "left")
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("o_orderdate", "yyyyMMdd").alias("order_ymd"),
+            "o_orderpriority",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.datediff(F.lit("2026-01-01").cast("date"), F.to_date("o_orderdate"))
+            .cast("int")
+            .alias("order_age_days"),
+        )
+    )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT o.o_orderkey,
+       l.l_linenumber,
+       o.o_orderdate,
+       l.l_shipdate,
+       CAST(l.l_extendedprice AS DECIMAL(18,2)) AS extended_price
+FROM orders o
+JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+@register("order_detail_interval_join", oracle=INTERVAL_JOIN_ORACLE, tags=("J1", "W5"))
+def order_detail_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time band join — batch analog of the ±5 ms interval join.
+
+    Reference: ``OrderWideApp.java:134-141`` joins order_info ⋈
+    order_detail where detail.ts ∈ [info.ts − 5 ms, info.ts + 5 ms]. The
+    batch analog uses a [0, +30 d] ship-date band on the same order key.
+    Physically this is the equi-join on the key with the band as a
+    post-join residual filter — no cross product, shuffle only on the
+    key, so it scales like any equi-join. The streaming variant (with
+    watermarks bounding state) lives in ``streaming/jobs.py``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return orders.join(lineitem, cond, "inner").select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+       SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=PRICING_SUMMARY_ORACLE, tags=("agg", "dws"))
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary — the DWS aggregation surface.
+
+    The reference's DWS layer is absent (SURVEY §2.6) but pointed to by
+    ``bean/TableProcess.java:15`` (SINK_TYPE_CK); this supplies the
+    windowless grouped-aggregate capability. Money goes through DECIMAL
+    (SURVEY §1.2 — money must not be float): per-row arithmetic in
+    double, cast to DECIMAL once, then exact decimal SUM so the result
+    is partition-order-independent — a 100 TB requirement, since
+    float summation order varies run to run.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2024-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+        )
+    )

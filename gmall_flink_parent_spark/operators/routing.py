@@ -1,0 +1,111 @@
+"""Config-driven dynamic fact/dim routing — X3/J4/P5/P6 analog (EP2).
+
+Reference (``gmall-realtime/.../app/func/TableProcessFunction.java``):
+a MySQL ``table_process`` config table, polled every 5 s (``:51-57``),
+maps ``(source_table, operate_type)`` → sink type (kafka topic for facts,
+HBase/Phoenix table for dims), a sink table name, and a ``sink_columns``
+whitelist applied as runtime projection (``:100-114``); unmatched records
+are dropped with "No this key in TableProcess" (``:85-95``). The dynamic
+Kafka sink picks the topic per record from the routed ``sink_table``
+field (``app/dwd/BaseDbTask.java:74-85``, K2).
+
+Spark-first design: the config is a tiny DataFrame **broadcast-joined**
+against the CDC stream — per-record map lookups become one map-side hash
+join; the 5 s poll becomes a re-read per micro-batch inside
+``foreachBatch`` (W9; streaming wiring in ``streaming/jobs.py``). Column
+whitelisting is expressed relationally: a column not in ``sink_columns``
+is nulled, mirroring ``filterColumns``'s entry removal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+# Models the MySQL table_process rows (bean/TableProcess.java:17-31):
+# (source_type, operate/sink_type, sink_table, sink_columns)
+ROUTING_CONFIG = [
+    ("signup", "kafka", "dwd_signup_log", "event_id,user_id,ts"),
+    ("view", "kafka", "dwd_page_log", "event_id,user_id,ts,value"),
+    ("click", "kafka", "dwd_page_log", "event_id,user_id,ts,value"),
+    ("purchase", "hbase", "dim_purchase_info", "event_id,user_id,ts,value,props"),
+    # 'error' has no config row → dropped (TableProcessFunction.java:85-95)
+]
+
+_CONFIG_VALUES = ", ".join(
+    f"('{s}', '{t}', '{tbl}', '{cols}')" for s, t, tbl, cols in ROUTING_CONFIG
+)
+
+_ROUTING_ORACLE_TEMPLATE = f"""
+WITH table_process(source_type, sink_type, sink_table, sink_columns) AS (
+    VALUES {_CONFIG_VALUES}
+)
+SELECT e.event_id,
+       e.user_id,
+       e.ts,
+       tp.sink_table,
+       CASE WHEN list_contains(string_split(tp.sink_columns, ','), 'value')
+            THEN CAST(e.value AS DECIMAL(18,2)) END AS value,
+       CASE WHEN list_contains(string_split(tp.sink_columns, ','), 'props')
+            THEN e.props END AS props
+FROM events e
+JOIN table_process tp ON e.event_type = tp.source_type
+WHERE tp.sink_type = '{{sink_type}}'
+"""
+
+
+def _routed(spark: SparkSession, sf_dir: str, sink_type: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    config = spark.createDataFrame(
+        ROUTING_CONFIG, "source_type string, sink_type string, sink_table string, sink_columns string"
+    )
+    cols = F.split(F.col("sink_columns"), ",")
+    return (
+        events.join(F.broadcast(config), events.event_type == config.source_type, "inner")
+        .filter(F.col("sink_type") == sink_type)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "sink_table",
+            F.when(
+                F.array_contains(cols, "value"), F.col("value").cast("decimal(18,2)")
+            ).alias("value"),
+            F.when(F.array_contains(cols, "props"), F.col("props")).alias("props"),
+        )
+    )
+
+
+@register(
+    "routing_facts",
+    oracle=_ROUTING_ORACLE_TEMPLATE.format(sink_type="kafka"),
+    tags=("X3", "J4", "P5", "K2"),
+)
+def routing_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact branch: config rows with sink_type='kafka'.
+
+    ``sink_table`` is the per-row topic column the Kafka sink consumes
+    natively (K2 — MyKafkaUtil.java:43-49's custom serializer is not
+    needed in Spark). Projection whitelist nulls unselected columns
+    (TableProcessFunction.java:100-114).
+    """
+    return _routed(spark, sf_dir, "kafka")
+
+
+@register(
+    "routing_dims",
+    oracle=_ROUTING_ORACLE_TEMPLATE.format(sink_type="hbase"),
+    tags=("X3", "J4", "P5", "K3"),
+)
+def routing_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim branch: config rows with sink_type='hbase' (side-output analog).
+
+    Downstream this branch feeds the upsert sink (K3/K4 — DimSink.java:
+    35-61); in ``streaming/jobs.py`` it lands as partition-overwrite
+    parquet keyed on the sink table, the reference's Phoenix upsert
+    re-expressed as idempotent batch writes.
+    """
+    return _routed(spark, sf_dir, "hbase")

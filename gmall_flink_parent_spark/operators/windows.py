@@ -1,0 +1,200 @@
+"""Windowed aggregates, top-k, rollup, sessionization — the DWS surface.
+
+The reference's DWS/ADS layer is absent from the snapshot (SURVEY §0) —
+``bean/TableProcess.java:15``'s unused ClickHouse sink constant is the
+only trace. These queries supply the windowed-aggregate capability that
+layer would hold, built purely from Spark built-ins (``window()``,
+window functions, ``rollup``) so Catalyst plans partial aggregation
+map-side and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+HOURLY_STATS_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("hourly_stats", oracle=HOURLY_STATS_ORACLE, tags=("dws", "window-agg"))
+def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate per event type.
+
+    Uses ``F.window`` — the same logical operator Structured Streaming
+    runs incrementally with a watermark (streaming twin in
+    ``streaming/jobs.py``), so batch backfill and live pipeline share one
+    definition (SURVEY §7 principle).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+TOPK_ORACLE = """
+SELECT event_type, user_id, spend, rnk
+FROM (
+    SELECT event_type, user_id, spend,
+           row_number() OVER (PARTITION BY event_type ORDER BY spend DESC, user_id) AS rnk
+    FROM (
+        SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,2))) AS spend
+        FROM events
+        GROUP BY event_type, user_id
+    )
+)
+WHERE rnk <= 5
+"""
+
+
+@register("topk_users_by_spend", oracle=TOPK_ORACLE, tags=("dws", "topk"))
+def topk_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per event type by exact decimal spend.
+
+    Rank over an already-aggregated frame: the expensive shuffle touches
+    (type,user) aggregates — tiny relative to the fact table — and the
+    window partitions by the low-cardinality type only after reduction.
+    Deterministic ordering via (spend DESC, user_id).
+    """
+    events = load_table(spark, sf_dir, "events")
+    spend = events.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("spend").desc(), "user_id")
+    return spend.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+ROLLUP_ORACLE = """
+SELECT r.r_name AS region_name,
+       n.n_name AS nation_name,
+       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register("revenue_rollup", oracle=ROLLUP_ORACLE, tags=("dws", "rollup"))
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region→nation revenue rollup (grouping-sets surface).
+
+    Dim joins broadcast; the rollup is computed as a single Expand +
+    partial-agg plan by Catalyst — no N-pass recomputation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("o_totalprice"),
+        )
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SESSIONIZE_ORACLE = """
+SELECT user_id,
+       session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+FROM (
+    SELECT user_id, ts, value,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > 1800000000 OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    )
+)
+GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize", oracle=SESSIONIZE_ORACLE, tags=("dws", "session"))
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum.
+
+    Batch twin of streaming ``session_window(ts, gap)``; one shuffle on
+    the user key serves both window passes and the final group-by
+    (Catalyst reuses the partitioning). Gaps measured in integer
+    microseconds for cross-engine determinism.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("session_seq", sess)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+        )
+    )
+
+
+APPROX_DAU_ORACLE = None  # approximate by design — rows-only check
+
+
+@register("approx_dau_by_day", oracle=APPROX_DAU_ORACLE, tags=("dws", "approx"))
+def approx_dau_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-based DAU — the 100 TB scale path for distinct counts.
+
+    ``approx_count_distinct`` (HyperLogLog++) is mergeable map-side, so
+    the shuffle carries fixed-size sketches instead of user-id sets.
+    Approximate ⇒ no SQL oracle; ``tests/test_operators.py`` bounds its
+    error against the exact count instead.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyyMMdd").alias("ymd"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_dau"))
+    )

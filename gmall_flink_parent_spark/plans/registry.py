@@ -1,0 +1,56 @@
+"""Registry of named queries with their DuckDB oracle SQL.
+
+Each operator module registers its public queries here. A query is a
+callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an
+equivalent ANSI-SQL string DuckDB can run over the same parquet tables.
+The driver's correctness gate compares the two (row count + schema +
+order-insensitive value hash), so **column names and value types must
+match exactly** — every computed column is aliased identically on both
+sides, money aggregates go through DECIMAL on both sides, and floating
+outputs are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
+    tags: tuple[str, ...]
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn`` as a named query with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in _REGISTRY.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}

@@ -1,0 +1,72 @@
+"""Batch parquet sources over the driver-generated test tables.
+
+Reference analog: the Kafka string source (S1,
+``gmall-realtime/.../utils/MyKafkaUtil.java:25-30``) is the reference's
+only real source; our batch harness reads the same logical tables from
+parquet so Catalyst gets columnar scans with predicate pushdown and
+column pruning — at 100 TB this is partition-pruned, vectorized I/O
+rather than a per-record consumer loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# reference's domain implies (region/nation are bounded; customer/part/
+# supplier grow with SF but stay << fact tables). Used for broadcast
+# hints in enrichment joins (reference's Redis-cached async dim lookups,
+# utils/DimUtil.java:31-87, become broadcast hash joins).
+BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+# The driver-generated parquet stores TIMESTAMP(NANOS) (pyarrow default),
+# which Spark's vectorized reader rejects; we read nanos as long
+# (legacy flag) and truncate to microsecond TimestampType — the same
+# truncation DuckDB applies, so event-time semantics agree across engines.
+TS_COLUMNS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one logical table from ``{sf_dir}/{name}.parquet``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Event-time semantics are UTC-naive (parquet NTZ / DuckDB naive);
+    # pin the session so day-bucketing agrees regardless of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in TS_COLUMNS.get(name, ()):
+        if dtypes.get(c) == "bigint":  # nanos-as-long → truncate to micros
+            df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
+        else:  # TIMESTAMP_NTZ → session-TZ timestamp (UTC, so same wall time)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all test tables as a name → DataFrame dict."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,36 @@
+"""Every registered query with an oracle must match DuckDB exactly —
+the local mirror of the driver's CORRECTNESS gate (at sf0.001 for speed;
+the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gmall_flink_parent_spark import plans
+from tests.oracle_harness import assert_matches_oracle
+
+SPECS = [s for s in plans.all_queries().values() if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_query_matches_oracle(spark, duck, sf_dir, spec):
+    df = spec.fn(spark, sf_dir)
+    assert_matches_oracle(df, duck, spec.oracle, name=spec.name)
+
+
+def test_all_queries_have_nonempty_results_or_are_pair_queries(spark, sf_dir):
+    # Pair-producing dedup queries may legitimately be empty at tiny SF;
+    # every other query must return rows.
+    may_be_empty = {"dedup_jaccard_blocked", "dedup_minhash_lsh", "simhash_near_dup"}
+    for name, spec in plans.all_queries().items():
+        n = spec.fn(spark, sf_dir).count()
+        if name not in may_be_empty:
+            assert n > 0, f"{name} returned 0 rows"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))
