@@ -1,0 +1,82 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a noop sink (full execution, no
+collect/driver cost). Timings are end-to-end per query including plan
+time — the same thing a user of the engine pays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "order_wide_enriched",
+    "pricing_summary",
+    "order_detail_interval_join",
+    "visitor_repair",
+    "uv_dedup",
+    "bounce_detect",
+    "sessionize",
+    "hourly_stats",
+    "topk_users_by_spend",
+    "revenue_rollup",
+    "routing_facts",
+    "purchase_asof_view",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_near_dup",
+    "cosine_topk_bruteforce",
+    "ann_ivf_bucketed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from gmall_flink_parent_spark.session import get_spark
+    from gmall_flink_parent_spark import plans
+
+    spark = get_spark("gmall-bench")
+    qmap = plans.query_map()
+
+    # JVM/codegen warmup on the smallest SF so headline timings measure
+    # the engine, not first-query initialization.
+    qmap["pricing_summary"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
