@@ -1,0 +1,165 @@
+"""End-to-end streaming jobs: the reference's five apps as Structured
+Streaming pipelines (EP1/EP2/EP3 in SURVEY §3).
+
+Each job is a function returning started ``StreamingQuery``s (or a
+writer ready to start) so tests can drive them with
+``trigger(availableNow=True)`` and real deployments with Kafka sources/
+sinks from ``streaming/sources.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.operators.routing import ROUTING_CONFIG
+
+
+def log_split_job(events: DataFrame, out_dir: str, checkpoint_dir: str):
+    """EP1 (BaseLogTask): one parsed stream → three sinks via foreachBatch.
+
+    The reference's side outputs (``BaseLogTask.java:109-148``) become
+    three filtered writes off one cached micro-batch — one source scan,
+    three sinks, per-batch atomicity from the checkpoint.
+    """
+
+    def split(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            start = batch.filter(F.col("event_type") == "signup")
+            page = batch.filter(F.col("event_type").isin("view", "click"))
+            start.write.mode("append").parquet(f"{out_dir}/dwd_start_log")
+            page.write.mode("append").parquet(f"{out_dir}/dwd_page_log")
+            # display analog: explode props keys (X2's per-element emit)
+            page.select(
+                "event_id",
+                "user_id",
+                F.explode(
+                    F.from_json("props", "map<string,string>")
+                ).alias("prop_key", "prop_value"),
+            ).write.mode("append").parquet(f"{out_dir}/dwd_display_log")
+        finally:
+            batch.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(split)
+        .option("checkpointLocation", f"{checkpoint_dir}/log_split")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str) -> None:
+    """K3 (DimSink Phoenix upsert) without Delta: anti-join + union rewrite.
+
+    Emulates MERGE for plain parquet — read current, keep rows whose key
+    is not being replaced, union, rewrite. Idempotent per batch; with
+    Delta/Iceberg on the classpath this is one ``MERGE INTO``.
+    """
+    new_rows = new_rows.dropDuplicates([key]).persist()
+    tmp = path + "._tmp"
+    if os.path.exists(path):
+        cur = spark.read.parquet(path)
+        merged = cur.join(new_rows, on=key, how="left_anti").unionByName(new_rows)
+    else:
+        merged = new_rows
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    new_rows.unpersist()
+
+
+def routing_job(
+    cdc_stream: DataFrame,
+    config_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """EP2 (BaseDbTask + TableProcessFunction): config-driven routing.
+
+    The 5 s config poll (W9, ``TableProcessFunction.java:51-57``) becomes
+    a re-read of the config table at each micro-batch — the natural poll
+    point; the broadcast join replaces per-record map lookups (J4); the
+    fact branch lands partitioned by ``sink_table`` (K2's dynamic topic),
+    the dim branch upserts per sink table (K3).
+    """
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        config = spark.read.json(config_path)  # fresh snapshot = poll tick
+        joined = batch.join(
+            F.broadcast(config),
+            batch.event_type == config.source_type,
+            "inner",
+        ).persist()
+        try:
+            cols = F.split(F.col("sink_columns"), ",")
+            projected = joined.select(
+                "event_id",
+                "user_id",
+                "ts",
+                "sink_table",
+                "sink_type",
+                F.when(F.array_contains(cols, "value"), F.col("value")).alias("value"),
+                F.when(F.array_contains(cols, "props"), F.col("props")).alias("props"),
+            )
+            projected.filter(F.col("sink_type") == "kafka").drop("sink_type").write.mode(
+                "append"
+            ).partitionBy("sink_table").parquet(f"{out_dir}/facts")
+            dims = projected.filter(F.col("sink_type") == "hbase").drop("sink_type")
+            for row in dims.select("sink_table").distinct().collect():
+                tbl = row["sink_table"]
+                upsert_parquet(
+                    spark,
+                    dims.filter(F.col("sink_table") == tbl).drop("sink_table"),
+                    f"{out_dir}/dims/{tbl}",
+                    key="event_id",
+                )
+        finally:
+            joined.unpersist()
+
+    return (
+        cdc_stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", f"{checkpoint_dir}/routing")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def write_routing_config(spark: SparkSession, path: str) -> None:
+    """Materialize the table_process config (S3's MySQL table) as JSON."""
+    spark.createDataFrame(
+        ROUTING_CONFIG,
+        "source_type string, sink_type string, sink_table string, sink_columns string",
+    ).coalesce(1).write.mode("overwrite").json(path)
+
+
+def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
+    """EP3 (OrderWideApp): stream-stream interval join with watermarks.
+
+    Reference: ±5 ms band at ``OrderWideApp.java:134-141`` with 3 s
+    watermarks (W5). Here: details join orders on the key within a
+    [0, +30 d] event-time band; both sides watermarked so join state is
+    evicted once the band can no longer match (Spark's built-in interval
+    join state cleanup — the same mechanism Flink uses).
+    """
+    o = orders.withWatermark("o_orderdate", "3 seconds")
+    d = details.withWatermark("l_shipdate", "3 seconds")
+    return o.join(
+        d,
+        F.expr(
+            """
+            o_orderkey = l_orderkey AND
+            l_shipdate >= o_orderdate AND
+            l_shipdate <= o_orderdate + INTERVAL 30 DAYS
+            """
+        ),
+        "inner",
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
+    )

@@ -1,0 +1,180 @@
+"""Custom keyed-state streaming operators (W1/W2/W3) via
+``applyInPandasWithState`` — the Spark surface for the reference's
+``ValueState`` + CEP machinery.
+
+State schemas are deliberately minimal (a date string / a pair of
+timestamps per key) following the reference's own discipline
+(``BaseLogTask.java:69-75`` stores one date string) — at 100 TB the
+state store is the scaling constraint, so bytes-per-key is the design
+budget. All operators require the stream keyed (shuffled) on the device/
+user key, exactly like the reference's ``keyBy``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+BOUNCE_WINDOW_US = 30 * 60 * 1_000_000  # mirrors operators/bounce.py
+
+
+def visitor_repair_stream(events: DataFrame) -> DataFrame:
+    """W1: repair is_new against per-key first-visit-date ValueState.
+
+    Reference: ``BaseLogTask.java:65-99`` — state holds the first visit
+    date; a claim of is_new='1' on a later date is rewritten to '0'.
+    Output schema matches the batch analog (``visitor_repair``).
+    """
+
+    def repair(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (first_date,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ymd = pdf["ts"].dt.strftime("%Y%m%d")
+            if first_date is None:
+                first_date = ymd.iloc[0]
+            is_new = (ymd == first_date).map({True: "1", False: "0"})
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "ymd": ymd,
+                    "is_new": is_new,
+                }
+            )
+        state.update((first_date,))
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            repair,
+            outputStructType="event_id long, user_id long, ymd string, is_new string",
+            stateStructType="first_date string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def uv_dedup_stream(events: DataFrame) -> DataFrame:
+    """W2: first event per (user, day) with last-visit-date ValueState.
+
+    Reference: ``UniqueVisitApp.java:54-95`` (1-day TTL state). Keeping
+    only the max seen date per key gives the same behavior for in-order
+    streams and bounds state to one string per user — the TTL analog is
+    the watermark. Output schema matches batch ``uv_dedup``.
+    """
+
+    def dedup(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last_date,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ymd = pdf["ts"].dt.strftime("%Y%m%d")
+            keep = []
+            for i, d in enumerate(ymd):
+                if last_date is None or d > last_date:
+                    keep.append(i)
+                    last_date = d
+            out = pdf.iloc[keep]
+            yield pd.DataFrame(
+                {
+                    "user_id": out["user_id"],
+                    "visit_ymd": ymd.iloc[keep],
+                    "first_event_id": out["event_id"],
+                    "first_ts": out["ts"],
+                }
+            )
+        state.update((last_date,))
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=(
+                "user_id long, visit_ymd string, first_event_id long, first_ts timestamp"
+            ),
+            stateStructType="last_date string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def bounce_detect_stream(events: DataFrame, window_us: int = BOUNCE_WINDOW_US) -> DataFrame:
+    """W3: CEP sequence-with-timeout — landing events with no strictly-next
+    event inside the window are emitted on event-time timeout.
+
+    Reference: ``UserJumpDetailApp.java:101-159`` — pattern
+    first(landing).next(any).within(10 s); matches discarded, timeouts
+    are the result (X4's side-output split collapses to "emit only the
+    timeout branch"). State: the last seen event time + the pending
+    landing candidate; timeout registered at candidate_ts + window via
+    ``setTimeoutTimestamp``. Strict contiguity holds because *any* next
+    event for the key clears or replaces the candidate.
+    """
+
+    def detect(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_us, cand_id, cand_us = state.get
+            out = (
+                pd.DataFrame(
+                    {
+                        "event_id": [cand_id],
+                        "user_id": [key[0]],
+                        "ts": [pd.Timestamp(cand_us, unit="us")],
+                    }
+                )
+                if cand_id is not None
+                else pd.DataFrame({"event_id": [], "user_id": [], "ts": []})
+            )
+            state.update((last_us, None, None))
+            yield out
+            return
+
+        last_us, cand_id, cand_us = state.get if state.exists else (None, None, None)
+        bounces: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ev_us = r.ts.value // 1000
+                if cand_id is not None:
+                    if ev_us - cand_us > window_us:
+                        bounces.append((cand_id, r.user_id, cand_us))
+                    cand_id, cand_us = None, None
+                if last_us is None or ev_us - last_us > window_us:
+                    cand_id, cand_us = r.event_id, ev_us
+                last_us = ev_us
+        state.update((last_us, cand_id, cand_us))
+        if cand_id is not None:
+            state.setTimeoutTimestamp(cand_us // 1000 + window_us // 1000 + 1)
+        yield pd.DataFrame(
+            {
+                "event_id": [b[0] for b in bounces],
+                "user_id": [b[1] for b in bounces],
+                "ts": [pd.Timestamp(b[2], unit="us") for b in bounces],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType="event_id long, user_id long, ts timestamp",
+            stateStructType="last_us long, cand_id long, cand_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

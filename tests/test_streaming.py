@@ -1,0 +1,175 @@
+"""Streaming twins must agree with their batch analogs (SURVEY §5.3),
+and the reference's inline bounce fixture (UserJumpDetailApp.java:59-69)
+must reproduce: mid 101 bounces, mid 102 does not."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark import plans
+from gmall_flink_parent_spark.streaming.sources import events_stream
+from gmall_flink_parent_spark.streaming import stateful
+from gmall_flink_parent_spark.streaming.jobs import (
+    log_split_job,
+    order_wide_stream,
+    routing_job,
+    write_routing_config,
+)
+from gmall_flink_parent_spark.sources.tables import load_table
+
+
+def _run_to_memory(df, spark, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_visitor_repair_stream_matches_batch(spark, sf_dir):
+    out = _run_to_memory(
+        stateful.visitor_repair_stream(events_stream(spark, sf_dir)), spark, "vr_out"
+    )
+    batch = plans.query_map()["visitor_repair"](spark, sf_dir)
+    cols = ["event_id", "user_id", "ymd", "is_new"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_uv_dedup_stream_matches_batch(spark, sf_dir):
+    out = _run_to_memory(
+        stateful.uv_dedup_stream(events_stream(spark, sf_dir)), spark, "uv_out"
+    )
+    batch = plans.query_map()["uv_dedup"](spark, sf_dir)
+    cols = ["user_id", "visit_ymd", "first_event_id", "first_ts"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_bounce_stream_matches_batch_up_to_watermark(spark, sf_dir):
+    """Streaming bounces = batch bounces, except candidates still inside
+    the window when the final watermark lands (they never time out)."""
+    out = _run_to_memory(
+        stateful.bounce_detect_stream(events_stream(spark, sf_dir)), spark, "bounce_out"
+    )
+    batch = plans.query_map()["bounce_detect"](spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    cols = ["event_id", "user_id"]
+    got = set(_rows(out, cols))
+    want_all = {
+        (r["event_id"], r["user_id"], r["ts"]) for r in batch.collect()
+    }
+    flushable = {
+        (e, u)
+        for e, u, ts in want_all
+        if (ts.timestamp() * 1_000_000) + stateful.BOUNCE_WINDOW_US < max_us
+    }
+    assert flushable <= got, f"missing {sorted(flushable - got)[:5]}"
+    assert got <= {(e, u) for e, u, _ in want_all}, "stream emitted non-bounces"
+
+
+def test_bounce_reference_fixture(spark, tmp_path):
+    """The reference's 4-event fixture: mid 101's landing has no next
+    event within the window (bounce); mid 102's does (no bounce)."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    win = stateful.BOUNCE_WINDOW_US
+    rows = [
+        # mid 101: landing, next event arrives AFTER the window → bounce
+        (1, base, 101),
+        (2, base + pd.Timedelta(microseconds=win * 2), 101),
+        # mid 102: landing, next event INSIDE the window → no bounce
+        (3, base, 102),
+        (4, base + pd.Timedelta(microseconds=win // 2), 102),
+        # sentinels far in the future advance the watermark past all timeouts
+        (5, base + pd.Timedelta(days=30), 101),
+        (6, base + pd.Timedelta(days=30), 102),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    path = str(tmp_path / "fixture")
+    spark.createDataFrame(pdf).write.parquet(path)
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(
+        path
+    )
+    out = _run_to_memory(stateful.bounce_detect_stream(stream), spark, "fixture_out")
+    got = {(r["event_id"], r["user_id"]) for r in out.collect()}
+    # event 1 bounced; event 2 is ALSO a landing (gap > window) whose next
+    # event (sentinel) is beyond the window → bounce; 3/4 matched → none.
+    assert (1, 101) in got
+    assert (3, 102) not in got and (4, 102) not in got
+
+
+def test_log_split_job(spark, sf_dir, tmp_path):
+    q = log_split_job(
+        events_stream(spark, sf_dir), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    events = load_table(spark, sf_dir, "events")
+    n_start = spark.read.parquet(str(tmp_path / "out/dwd_start_log")).count()
+    n_page = spark.read.parquet(str(tmp_path / "out/dwd_page_log")).count()
+    n_disp = spark.read.parquet(str(tmp_path / "out/dwd_display_log")).count()
+    assert n_start == events.filter("event_type = 'signup'").count()
+    assert n_page == events.filter("event_type IN ('view','click')").count()
+    assert n_disp == n_page  # props has exactly one key per event
+
+
+def test_routing_job_matches_batch_queries(spark, sf_dir, tmp_path):
+    cfg = str(tmp_path / "config")
+    write_routing_config(spark, cfg)
+    q = routing_job(
+        events_stream(spark, sf_dir), cfg, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    facts = spark.read.parquet(str(tmp_path / "out/facts"))
+    batch_facts = plans.query_map()["routing_facts"](spark, sf_dir)
+    assert facts.count() == batch_facts.count()
+    assert set(r["sink_table"] for r in facts.select("sink_table").distinct().collect()) == {
+        "dwd_signup_log",
+        "dwd_page_log",
+    }
+    dims = spark.read.parquet(str(tmp_path / "out/dims/dim_purchase_info"))
+    batch_dims = plans.query_map()["routing_dims"](spark, sf_dir)
+    assert dims.count() == batch_dims.count()
+
+
+def test_routing_job_upsert_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the same batch must not duplicate dim rows (K3 upsert)."""
+    cfg = str(tmp_path / "config")
+    write_routing_config(spark, cfg)
+    for ck in ("ck1", "ck2"):  # fresh checkpoint → same data replayed
+        q = routing_job(
+            events_stream(spark, sf_dir), cfg, str(tmp_path / "out"), str(tmp_path / ck)
+        )
+        q.awaitTermination(120)
+    dims = spark.read.parquet(str(tmp_path / "out/dims/dim_purchase_info"))
+    batch_dims = plans.query_map()["routing_dims"](spark, sf_dir)
+    assert dims.count() == batch_dims.count()
+
+
+def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orders = spark.readStream.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz, o_orderpriority string"
+    ).option("pathGlobFilter", "orders.parquet").parquet(sf_dir).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    details = spark.readStream.schema(
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ).option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    )
+    out = _run_to_memory(order_wide_stream(orders, details), spark, "ow_out")
+    batch = plans.query_map()["order_detail_interval_join"](spark, sf_dir)
+    assert out.count() == batch.count()
