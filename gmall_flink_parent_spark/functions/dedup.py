@@ -116,30 +116,48 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- MinHash
 
+# Universal-hash family over one base md5 per token: h_i(t) = (a_i·h + b_i)
+# mod P, with h = md5(t)[0:15] parsed as an integer, reduced mod P. One
+# digest per token (not per hash function) — 16× less hashing than the
+# naive scheme; coefficients are fixed literals so Spark and the oracle
+# compute identical signatures.
+MINHASH_P = 1_000_000_007
+A_COEF = [(i * 2_654_435_761 + 1) % MINHASH_P for i in range(NUM_HASHES)]
+B_COEF = [(i * 40_503 + 12_345) % MINHASH_P for i in range(NUM_HASHES)]
 
-def _seeded_md5(i: int):
+# token → bounded integer hash (engine-specific hex parse, same value)
+_TOKHASH_DUCK = f"CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {MINHASH_P}"
+
+
+def _perm_min(i: int):
     # factory (not default-arg binding) — PySpark introspects lambda arity
-    return lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t))
+    a, b = A_COEF[i], B_COEF[i]
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def _minhash_sig_cols() -> list[Column]:
-    """16 MinHash components: min over tokens of md5('s{i}:' || token)."""
-    toks = F.array_distinct(F.split("text", " "))
-    return [
-        F.array_min(F.transform(toks, _seeded_md5(i))).alias(f"s{i}")
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    hashes = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+    sig_cols = [
+        F.array_min(F.transform(F.col("hashes"), _perm_min(i))).alias(f"s{i}")
         for i in range(NUM_HASHES)
     ]
+    return docs.select("doc_id", hashes.alias("hashes")).select("doc_id", *sig_cols)
 
 
 def _minhash_oracle() -> str:
     sig_exprs = ",\n           ".join(
-        f"list_min(list_transform(toks, t -> md5('s{i}:' || t))) AS s{i}"
+        f"list_min(list_transform(hashes, h -> (h * {A_COEF[i]} + {B_COEF[i]}) "
+        f"% {MINHASH_P})) AS s{i}"
         for i in range(NUM_HASHES)
     )
     band_selects = "\n    UNION ALL\n".join(
-        "    SELECT doc_id, {j} AS band_idx, md5({concat}) AS bh FROM sigs".format(
+        "    SELECT doc_id, {j} AS band_idx, concat_ws(':', {cols}) AS bh FROM sigs".format(
             j=j,
-            concat=" || ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+            cols=", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
         )
         for j in range(BANDS)
     )
@@ -148,7 +166,10 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH base AS (
-    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    SELECT doc_id,
+           list_transform(list_distinct(string_split(text, ' ')),
+                          t -> {_TOKHASH_DUCK}) AS hashes
+    FROM documents
 ), sigs AS (
     SELECT doc_id,
            {sig_exprs}
@@ -178,63 +199,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale path: shingle → minhash → band → **bucket equi-join** —
     candidate pairs come from a shuffle on band hashes (cost ∝ bucket
-    sizes), never an all-pairs product. Signature verification then
-    estimates Jaccard as the fraction of matching components. At 100 TB
-    the band join is the only wide operation and AQE's skew-join handles
-    hot buckets (boilerplate/empty docs).
+    sizes), never an all-pairs product. Signatures ride along through
+    the band join so verification (fraction of matching components) is
+    computed inline — no rejoin against the signature table — and the
+    only dedup shuffle happens *after* the threshold filter. At 100 TB
+    the band join is the one wide operation; AQE skew-join splits hot
+    buckets (boilerplate/empty docs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", *_minhash_sig_cols())
+    sigs = _minhash_sigs(docs)
+    sig_arr = F.array(*[F.col(f"s{i}") for i in range(NUM_HASHES)])
     band_cols = [
-        F.md5(F.concat(*[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]))
+        F.concat_ws(
+            ":", *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        )
         for j in range(BANDS)
     ]
     banded = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bh")
+        "doc_id",
+        sig_arr.alias("sig"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "bh"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
-    x = sigs.alias("x")
-    y = sigs.alias("y")
-    matches = reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"x.s{i}") == F.col(f"y.s{i}"), 1).otherwise(0),
-        range(1, NUM_HASHES),
-        F.when(F.col("x.s0") == F.col("y.s0"), 1).otherwise(0),
-    )
-    return (
-        cand.join(x, cand.doc_id_a == F.col("x.doc_id"))
-        .join(y, cand.doc_id_b == F.col("y.doc_id"))
         .select(
-            "doc_id_a",
-            "doc_id_b",
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
             F.round(matches / F.lit(float(NUM_HASHES)), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
 
 # ---------------------------------------------------------------- SimHash
 
 
+# per-token 32-bit integer hash (first 8 md5 hex chars), then per-bit
+# majority vote over integer shifts — integer ops, not string probing.
+_TOK32_DUCK = "CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)"
+
+
 def _simhash_value_sql_duckdb() -> str:
-    """SimHash32 from per-token md5s, as a DuckDB expression over `hashes`."""
+    """SimHash32 over the integer `hashes` list, as a DuckDB expression."""
     bit_terms = []
     for b in range(SIMHASH_BITS):
-        hex_pos = 1 + b // 4
-        mask = 1 << (b % 4)
         vote = (
-            f"list_sum(list_transform(hashes, h -> CASE WHEN "
-            f"(strpos('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1) & {mask} != 0 "
+            f"list_sum(list_transform(hashes, h -> CASE WHEN (h >> {b}) & 1 = 1 "
             f"THEN 1 ELSE -1 END))"
         )
         bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
@@ -245,12 +268,9 @@ def _simhash_value_col() -> Column:
     """Same SimHash32, as a generated Spark SQL expression over `hashes`."""
     terms = []
     for b in range(SIMHASH_BITS):
-        hex_pos = 1 + b // 4
-        mask = 1 << (b % 4)
         vote = (
             f"aggregate(hashes, 0, (acc, h) -> acc + (CASE WHEN "
-            f"(instr('0123456789abcdef', substring(h, {hex_pos}, 1)) - 1) & {mask} != 0 "
-            f"THEN 1 ELSE -1 END))"
+            f"(shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))"
         )
         terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
     return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
@@ -259,7 +279,8 @@ def _simhash_value_col() -> Column:
 SIMHASH_ORACLE = f"""
 WITH h AS (
     SELECT doc_id, source,
-           list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hashes
+           list_transform(list_distinct(string_split(text, ' ')),
+                          t -> {_TOK32_DUCK}) AS hashes
     FROM documents
 )
 SELECT doc_id, source, {_simhash_value_sql_duckdb()} AS simhash32
@@ -279,7 +300,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.select(
         "doc_id",
         "source",
-        F.transform(F.array_distinct(F.split("text", " ")), F.md5).alias("hashes"),
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("hashes"),
     )
     return h.select("doc_id", "source", _simhash_value_col().alias("simhash32"))
 
@@ -287,7 +311,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_PAIRS_ORACLE = f"""
 WITH h AS (
     SELECT doc_id, source,
-           list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hashes
+           list_transform(list_distinct(string_split(text, ' ')),
+                          t -> {_TOK32_DUCK}) AS hashes
     FROM documents
 ), s AS (
     SELECT doc_id, source, {_simhash_value_sql_duckdb()} AS simhash32 FROM h
