@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_near_dup",
+    "dedup_embedding_cosine",
     "cosine_topk_bruteforce",
     "ann_ivf_bucketed",
 ]

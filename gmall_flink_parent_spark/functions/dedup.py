@@ -197,50 +197,101 @@ WHERE est_jaccard >= {JACCARD_THRESHOLD}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs.
 
-    The scale path: shingle → minhash → band → **bucket equi-join** —
-    candidate pairs come from a shuffle on band hashes (cost ∝ bucket
-    sizes), never an all-pairs product. Signatures ride along through
-    the band join so verification (fraction of matching components) is
-    computed inline — no rejoin against the signature table — and the
-    only dedup shuffle happens *after* the threshold filter. At 100 TB
-    the band join is the one wide operation; AQE skew-join splits hot
-    buckets (boilerplate/empty docs).
+    The scale path: shingle → minhash → **collapse identical
+    signatures** → band → bucket equi-join — candidate generation is a
+    shuffle on band hashes over *distinct signatures*, never an
+    all-pairs product over docs. Two structural optimizations keep the
+    wide stage small at 100 TB:
+
+    - **Exact-dup collapse first.** Docs grouped by full signature into
+      clusters before banding; duplicate-heavy corpora (boilerplate,
+      mirrored pages) shrink the join quadratically. Doc-level pairs
+      are re-expanded by a cheap codegen explode at the very end —
+      output size is irreducible, the join no longer scales with it.
+    - **First-matching-band filter, not dropDuplicates.** A pair
+      colliding in k bands would surface k times; both full band lists
+      ride the join, so rows where ``band_idx`` isn't the pair's first
+      matching band die in a codegen filter — the output-sized
+      dedup shuffle is gone entirely.
+
+    AQE skew-join splits hot buckets (boilerplate/empty docs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_sigs(docs)
-    sig_arr = F.array(*[F.col(f"s{i}") for i in range(NUM_HASHES)])
+    sig_cols = [f"s{i}" for i in range(NUM_HASHES)]
     band_cols = [
         F.concat_ws(
             ":", *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         )
         for j in range(BANDS)
     ]
-    banded = sigs.select(
-        "doc_id",
-        sig_arr.alias("sig"),
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "bh"),
+    clusters = (
+        _minhash_sigs(docs)
+        .groupBy(*sig_cols)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .select(
+            F.array_min("ids").alias("rep"),
+            "ids",
+            F.array(*sig_cols).alias("sig"),
+            F.array(*band_cols).alias("bhs"),
+        )
+    )
+    # posexplode_outer, deliberately: plain posexplode makes the optimizer
+    # infer `size(bhs) > 0`, and that filter is pushed below the signature
+    # aggregate where it re-expands to all 16 minhash expressions per raw
+    # row — doubling (and then some) the whole signature computation. The
+    # band array is a literal 4-array, never empty, so _outer is identical
+    # in output and infers no filter.
+    banded = clusters.select(
+        "rep", "ids", "sig", "bhs", F.posexplode_outer("bhs").alias("band_idx", "bh")
     )
     a, b = banded.alias("a"), banded.alias("b")
+    first_band = (
+        F.array_position(
+            F.zip_with(F.col("a.bhs"), F.col("b.bhs"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
     matches = F.size(
         F.filter(
             F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
             lambda v: v,
         )
     )
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
+        .filter(F.col("a.band_idx") == first_band)
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
             F.round(matches / F.lit(float(NUM_HASHES)), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .select(F.explode("ids_a").alias("x"), "ids_b", "est_jaccard")
+        .select("x", F.explode("ids_b").alias("y"), "est_jaccard")
+    )
+    # identical-signature pairs: est_jaccard is exactly 16/16
+    within = (
+        clusters.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"), F.lit(1.0).alias("est_jaccard"))
+    )
+    return cross.unionByName(within).select(
+        F.least("x", "y").alias("doc_id_a"),
+        F.greatest("x", "y").alias("doc_id_b"),
+        "est_jaccard",
     )
 
 

@@ -36,19 +36,26 @@ IVF_TOP_K = 3
 
 
 def _dot(a: str, b: str) -> Column:
-    terms = [
-        F.col(a).getItem(i).cast("double") * F.col(b).getItem(i).cast("double")
-        for i in range(DIM)
-    ]
-    return reduce(lambda x, y: x + y, terms)
+    # aggregate(zip_with(...)) folds left: 0.0 + t0 + t1 + … — the same
+    # IEEE-754 evaluation order as the oracle's unrolled t0 + t1 + …
+    # chain (0.0 + x ≡ x), so cosines are bit-identical across engines,
+    # but the expression tree is ~6 nodes instead of ~260 — plan and
+    # codegen time stay flat no matter how the filter duplicates it.
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _norm_sq(a: str) -> Column:
-    terms = [
-        F.col(a).getItem(i).cast("double") * F.col(a).getItem(i).cast("double")
-        for i in range(DIM)
-    ]
-    return reduce(lambda x, y: x + y, terms)
+    return F.aggregate(
+        F.col(a),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -147,6 +154,71 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query side would explode its probe list; same plan shape.
     """
     return _cosine_topk(spark, sf_dir, IVF_TOP_K, same_label=True)
+
+
+NEAR_DUP_COS = 0.35
+
+EMBED_DEDUP_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a,
+       b.vec_id AS vec_id_b,
+       a.label AS label,
+       ROUND(({_dot_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM base a
+JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ({_dot_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) >= {NEAR_DUP_COS}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=EMBED_DEDUP_ORACLE,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within coarse cells (cosine ≥ 0.35).
+
+    The last of the dedup family (exact / Jaccard / MinHash / SimHash /
+    embedding): candidate pairs come from an **equi-join on the coarse
+    cell id** (``label``, i.e. a precomputed k-means assignment), never
+    an all-pairs product — the same IVF blocking as ``ann_ivf_bucketed``.
+    Per cell the join is quadratic in cell size, so at 100 TB cell
+    granularity (k in k-means) is the knob: n²/k pairwise ops spread
+    across the cluster, AQE splitting any hot cell. The 64-term dot
+    product is fixed-order codegen arithmetic (see module docstring), so
+    the threshold filter agrees bit-for-bit with the DuckDB oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", "embedding", F.sqrt(_norm_sq("embedding")).alias("nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_id_a"),
+        "label",
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cs = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .withColumn("cs", cs)
+        .filter(F.col("cs") >= NEAR_DUP_COS)
+        .select("vec_id_a", "vec_id_b", "label", F.round("cs", 6).alias("cos_sim"))
+    )
 
 
 def cosine_topk_pandas(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:

@@ -21,7 +21,12 @@ def test_query_matches_oracle(spark, duck, sf_dir, spec):
 def test_all_queries_have_nonempty_results_or_are_pair_queries(spark, sf_dir):
     # Pair-producing dedup queries may legitimately be empty at tiny SF;
     # every other query must return rows.
-    may_be_empty = {"dedup_jaccard_blocked", "dedup_minhash_lsh", "simhash_near_dup"}
+    may_be_empty = {
+        "dedup_jaccard_blocked",
+        "dedup_minhash_lsh",
+        "simhash_near_dup",
+        "dedup_embedding_cosine",
+    }
     for name, spec in plans.all_queries().items():
         n = spec.fn(spark, sf_dir).count()
         if name not in may_be_empty:
