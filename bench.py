@@ -31,6 +31,9 @@ HEADLINE = [
     "revenue_rollup",
     "routing_facts",
     "purchase_asof_view",
+    "user_value_distribution",
+    "engaged_user_overlap",
+    "skew_salted_join",
     "doc_token_stats",
     "doc_fingerprint",
     "dedup_exact",

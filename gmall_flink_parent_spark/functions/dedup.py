@@ -114,6 +114,89 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 3
+NGRAM_JACCARD_THRESHOLD = 0.02
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, sh
+    FROM (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                  string_split(text, ' ')[i + 1],
+                                  string_split(text, ' ')[i + 2])
+               )) AS sh
+        FROM documents
+    )
+    WHERE len(sh) > 0
+)
+SELECT doc_id_a, doc_id_b, jaccard
+FROM (
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 6) AS jaccard
+    FROM t a
+    JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("dedup", "ngram"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram (shingle) Jaccard near-dup within source blocks.
+
+    Shingling preserves word *order*, so unlike token-set Jaccard
+    (`dedup_jaccard_blocked`) two docs drawing on the same vocabulary
+    but phrased differently score near zero — the standard
+    boilerplate-resistant near-dup signal. Same blocked self-join shape:
+    cost is Σ_block n_b², and at corpus scale the shingle sets feed the
+    MinHash pipeline instead of being compared exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.when(
+            F.size("toks") >= NGRAM_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (NGRAM_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    t = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .select("doc_id", "source", shingles.alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
 # ---------------------------------------------------------------- MinHash
 
 # Universal-hash family over one base md5 per token: h_i(t) = (a_i·h + b_i)

@@ -8,10 +8,12 @@ from gmall_flink_parent_spark.plans.registry import QuerySpec, all_queries, orac
 
 # Operator modules register their queries at import time.
 from gmall_flink_parent_spark.operators import (  # noqa: F401  (import for side effects)
+    analytics,
     bounce,
     log_split,
     order_wide,
     routing,
+    skew,
     uv_dedup,
     visitor_repair,
     windows,
