@@ -98,7 +98,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-decode features over the binary payload (rows-only check).
 
     No SQL oracle — the decode stage is definitionally non-relational;
-    ``tests/test_multimodal.py`` pins its values instead.
+    ``tests/test_operators.py`` pins its values instead.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select(

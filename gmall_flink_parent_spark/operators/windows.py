@@ -32,9 +32,9 @@ def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregate per event type.
 
     Uses ``F.window`` — the same logical operator Structured Streaming
-    runs incrementally with a watermark (streaming twin in
-    ``streaming/jobs.py``), so batch backfill and live pipeline share one
-    definition (SURVEY §7 principle).
+    runs incrementally with a watermark (streaming twin:
+    ``streaming/jobs.py::hourly_stats_stream``), so batch backfill and
+    live pipeline share one definition (SURVEY §7 principle).
     """
     events = load_table(spark, sf_dir, "events")
     return (

@@ -135,6 +135,36 @@ def write_routing_config(spark: SparkSession, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").json(path)
 
 
+def hourly_stats_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``hourly_stats`` query (DWS surface).
+
+    Same logical definition — tumbling 1 h window per event type — run
+    incrementally with a 1 min watermark; append mode emits each window
+    once the watermark passes its end. ``countDistinct`` is not
+    incrementally mergeable, so the streaming twin carries the HLL
+    sketch (``approx_count_distinct`` — the 100 TB path regardless);
+    the exact columns (n_events, sum_value) match the batch query
+    bit-for-bit for every closed window (asserted in
+    ``tests/test_streaming.py``).
+    """
+    return (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "approx_users",
+            "sum_value",
+        )
+    )
+
+
 def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     """EP3 (OrderWideApp): stream-stream interval join with watermarks.
 

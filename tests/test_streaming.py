@@ -12,6 +12,7 @@ from gmall_flink_parent_spark import plans
 from gmall_flink_parent_spark.streaming.sources import events_stream
 from gmall_flink_parent_spark.streaming import stateful
 from gmall_flink_parent_spark.streaming.jobs import (
+    hourly_stats_stream,
     log_split_job,
     order_wide_stream,
     routing_job,
@@ -153,6 +154,30 @@ def test_routing_job_upsert_idempotent(spark, sf_dir, tmp_path):
     dims = spark.read.parquet(str(tmp_path / "out/dims/dim_purchase_info"))
     batch_dims = plans.query_map()["routing_dims"](spark, sf_dir)
     assert dims.count() == batch_dims.count()
+
+
+def test_hourly_stats_stream_matches_batch_closed_windows(spark, sf_dir):
+    """Every window the final watermark closed must match the batch
+    query exactly on the exact columns (n_events, sum_value); nothing
+    outside the batch result may be emitted."""
+    out = _run_to_memory(
+        hourly_stats_stream(events_stream(spark, sf_dir)), spark, "hourly_out"
+    )
+    batch = plans.query_map()["hourly_stats"](spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    watermark_us = max_us - 60_000_000  # 1 min
+    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+    got = set(_rows(out, cols))
+    want_all = set(_rows(batch, cols))
+    closed = {
+        row
+        for row in want_all
+        if (row[0].timestamp() + 3600) * 1_000_000 <= watermark_us
+    }
+    assert closed, "fixture too small: no window ever closed"
+    assert closed <= got, f"missing closed windows: {sorted(closed - got)[:3]}"
+    assert got <= want_all, "stream emitted rows the batch query doesn't have"
 
 
 def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
