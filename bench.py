@@ -35,6 +35,7 @@ HEADLINE = [
     "engaged_user_overlap",
     "skew_salted_join",
     "doc_token_stats",
+    "doc_bpe_token_count",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",

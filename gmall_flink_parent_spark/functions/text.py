@@ -128,6 +128,45 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer classes, ASCII-only so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte: word runs, digit runs, punct runs.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+BPE_TOKEN_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_pieces,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_pieces,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_pieces,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS BIGINT) AS n_other_pieces
+FROM documents
+"""
+
+
+@register("doc_bpe_token_count", oracle=BPE_TOKEN_ORACLE, tags=("text", "tokenize"))
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts (regex pieces, not whitespace).
+
+    Tokenizer-aware budgeting needs piece counts, not word counts: the
+    pattern splits word runs / digit runs / symbol runs the way BPE
+    pre-tokenizers (GPT-2 family) do before merges. Pure regex on the
+    scan — per-row, shuffle-free, whole-stage codegen. A real vocab's
+    merge table would drop in as a Pandas-UDF stage downstream; the
+    budget signal (piece counts) is what this query pins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_matches(pat: str) -> Column:
+        return F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n_matches(_BPE_PAT).alias("n_pieces"),
+        n_matches("[A-Za-z]+").alias("n_word_pieces"),
+        n_matches("[0-9]+").alias("n_num_pieces"),
+        n_matches("[^A-Za-z0-9 ]+").alias("n_other_pieces"),
+    )
+
+
 FINGERPRINT_ORACLE = """
 SELECT doc_id,
        md5(lower(trim(text))) AS fingerprint,
