@@ -8,6 +8,16 @@ timestamps per key) following the reference's own discipline
 state store is the scaling constraint, so bytes-per-key is the design
 budget. All operators require the stream keyed (shuffled) on the device/
 user key, exactly like the reference's ``keyBy``.
+
+Late-data contract: ``applyInPandasWithState`` does **not** filter
+sub-watermark input rows (verified in
+``tests/test_streaming.py::test_visitor_repair_stream_late_rows_repaired``)
+— parity with Flink keyed ProcessFunctions, which also see late records
+(only windows/CEP drop them). Every operator here is therefore written
+late-safe: visitor repair keys on first-seen date (late rows repaired
+identically to the batch analog); UV dedup documents its in-order
+assumption; bounce emission is driven by event-time timers, not row
+arrival order within the window.
 """
 
 from __future__ import annotations

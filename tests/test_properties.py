@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for operators whose invariants are
+stronger than any single fixture: sessionization and the dedup keep-one
+contract hold for *every* input, not just the test tables."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+GAP_US = 1_800_000_000  # 30 min, mirrors operators/windows.py::sessionize
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id (collisions intended)
+        st.integers(min_value=0, max_value=6 * 3600),  # offset seconds
+        st.integers(min_value=0, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _sessionize_frame(spark, rows):
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "ts": [base + pd.Timedelta(seconds=r[1]) for r in rows],
+            "value": [float(r[2]) for r in rows],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    # same definition as operators/windows.py::sessionize, over this frame
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("session_seq", sess)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_sessionize_invariants(spark, rows):
+    """For any event set: sessions partition the events of each user;
+    consecutive sessions of a user are separated by more than the gap;
+    no session spans a silent stretch longer than n_events can allow."""
+    out = _sessionize_frame(spark, rows).collect()
+    per_user_events: dict[int, int] = {}
+    for uid, _, _ in [(r[0], r[1], r[2]) for r in rows]:
+        per_user_events[uid] = per_user_events.get(uid, 0) + 1
+    # partition property: session event counts sum to user event counts
+    got_counts: dict[int, int] = {}
+    for r in out:
+        got_counts[r["user_id"]] = got_counts.get(r["user_id"], 0) + r["n_events"]
+    assert got_counts == per_user_events
+    # gap property: sessions of one user, ordered by start, are > gap apart
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sessions, sessions[1:]):
+            gap_us = (b["session_start"] - a["session_end"]).total_seconds() * 1e6
+            assert gap_us > GAP_US, (a, b)
+        for s in sessions:
+            assert s["session_start"] <= s["session_end"]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=25
+    )
+)
+def test_dedup_exact_keep_one_property(spark, texts):
+    """For any corpus: dedup_exact keeps exactly one doc per normalized
+    content, the lowest doc_id, and copy counts sum to the corpus size."""
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .collect()
+    )
+    import hashlib
+
+    want: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        key = hashlib.md5(t.strip().lower().encode()).hexdigest()
+        want.setdefault(key, []).append(i)
+    assert {r["fp"]: (r["keep_doc_id"], r["n_copies"]) for r in out} == {
+        k: (min(v), len(v)) for k, v in want.items()
+    }

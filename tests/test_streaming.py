@@ -156,6 +156,51 @@ def test_routing_job_upsert_idempotent(spark, sf_dir, tmp_path):
     assert dims.count() == batch_dims.count()
 
 
+def test_visitor_repair_stream_late_rows_repaired(spark, tmp_path):
+    """Late-data behavior at the watermark (SURVEY §5.3).
+
+    ``applyInPandasWithState`` does NOT filter sub-watermark input rows
+    (verified here with two micro-batches via maxFilesPerTrigger=1) —
+    which is parity with the reference: Flink keyed ProcessFunctions
+    (BaseLogTask's visitor repair) see late records too; only
+    windows/CEP drop them. The operator must therefore be late-safe by
+    construction: repair keys on the *first seen* date, so a day-2 event
+    arriving after the watermark passed day 3 still gets is_new='0' —
+    the same answer the batch analog gives."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    (tmp_path / "in").mkdir()
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [base, base + pd.Timedelta(days=2)],
+            "user_id": [7, 7],
+        }
+    )
+    f2 = pd.DataFrame(  # day-1 event arriving after watermark passed day 2
+        {"event_id": [3], "ts": [base + pd.Timedelta(days=1)], "user_id": [7]}
+    )
+    for pdf, fname, mtime_off in ((f1, "f1.parquet", 0), (f2, "f2.parquet", 5)):
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = str(tmp_path / "in" / fname)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        t = time.time() + mtime_off
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    out = _run_to_memory(stateful.visitor_repair_stream(stream), spark, "late_out")
+    got = {r["event_id"]: r["is_new"] for r in out.collect()}
+    assert got == {1: "1", 2: "0", 3: "0"}
+
+
 def test_hourly_stats_stream_matches_batch_closed_windows(spark, sf_dir):
     """Every window the final watermark closed must match the batch
     query exactly on the exact columns (n_events, sum_value); nothing
