@@ -13,6 +13,30 @@ from gmall_flink_parent_spark.functions.similarity import cosine_topk_pandas
 from gmall_flink_parent_spark.sources.tables import load_table
 
 
+def test_day_buckets_immune_to_host_timezone(spark, sf_dir):
+    """Day-grain buckets are defined on UTC-naive event time; a non-UTC
+    session timezone (the driver's host could be anywhere) must not move
+    events across day boundaries."""
+    q = plans.query_map()["dau_by_day"]
+    utc = sorted((r["ymd"], r["dau"]) for r in q(spark, sf_dir).collect())
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny = sorted((r["ymd"], r["dau"]) for r in q(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert utc == ny
+
+
+def test_same_callable_across_sf_dirs(spark, sf_dir):
+    """One session must serve multiple scale factors (the driver runs
+    sf0.001 smoke then sf0.01 correctness on the same callables)."""
+    q = plans.query_map()["pricing_summary"]
+    small = q(spark, "/root/testdata/sf0.001")
+    larger = q(spark, "/root/testdata/sf0.01")
+    assert small.columns == larger.columns
+    assert small.count() > 0 and larger.count() > 0
+
+
 def test_approx_dau_error_bound(spark, sf_dir):
     """HLL DAU must land within 10% of the exact distinct count per day."""
     approx = {
