@@ -221,6 +221,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_CELLS = 10
+KMEANS_ITERS = 3
+
+
+def _sq_dist(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector; ties break on cell id via struct-min."""
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "dist2", _sq_dist("embedding", "centroid")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.dist2").alias("dist2"))
+    )
+
+
+@register("ivf_kmeans_assign", oracle=None, tags=("similarity", "iterative"))
+def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=10, 3 fixed iterations) building IVF cells from
+    raw embeddings — the iterative-algorithm capability (rows-only
+    driver check; invariants incl. run-to-run determinism pinned in
+    ``tests/test_operators.py``).
+
+    Each iteration is one broadcast join (vectors × k centroids, scored
+    by a fold-ordered squared distance) plus one small-key aggregate for
+    the update — at 100 TB a scan-shaped pass per iteration, with only
+    k×64 centroid values ever leaving the executors. Determinism at any
+    parallelism: init = the k lowest vec_ids; centroid component sums go
+    through DECIMAL (partition-order-independent, unlike float sums);
+    assignment ties break on cell id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign_cells(emb, cents)
+        members = assigned.join(emb, "vec_id").select(
+            "cell", F.posexplode("embedding").alias("dim", "val")
+        )
+        cents = (
+            members.groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(30,15)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("mean")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda s: s["mean"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+    return _assign_cells(emb, cents).select(
+        "vec_id", "cell", F.round(F.sqrt("dist2"), 6).alias("dist")
+    )
+
+
 def cosine_topk_pandas(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
     """Vectorized brute-force top-k via mapInPandas + numpy (the throughput path).
 

@@ -37,6 +37,24 @@ def test_same_callable_across_sf_dirs(spark, sf_dir):
     assert small.count() > 0 and larger.count() > 0
 
 
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """The Spark SQL surface works over the registered views — a user of
+    the reference can write plain SQL against every table."""
+    from gmall_flink_parent_spark.sources.tables import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    joined = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    assert joined.count() > 0
+    for t in TABLES:
+        assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() == 1
+
+
 def test_approx_dau_error_bound(spark, sf_dir):
     """HLL DAU must land within 10% of the exact distinct count per day."""
     approx = {
@@ -70,6 +88,31 @@ def test_cosine_topk_pandas_matches_bruteforce(spark, sf_dir):
     for k, (nid, cs) in base.items():
         assert fast[k][0] == nid, (k, fast[k], (nid, cs))
         assert fast[k][1] == pytest.approx(cs, abs=1e-5)
+
+
+def test_ivf_kmeans_assign_invariants(spark, sf_dir):
+    """The iterative cell builder: every vector gets exactly one cell in
+    [0, k); the run is deterministic across invocations (decimal centroid
+    sums — float sums would drift with partition order); clustering beats
+    the single-centroid baseline."""
+    from gmall_flink_parent_spark.functions.similarity import K_CELLS
+
+    q = plans.query_map()["ivf_kmeans_assign"]
+    rows1 = sorted((r["vec_id"], r["cell"], r["dist"]) for r in q(spark, sf_dir).collect())
+    rows2 = sorted((r["vec_id"], r["cell"], r["dist"]) for r in q(spark, sf_dir).collect())
+    assert rows1 == rows2, "k-means run is not deterministic"
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows1) == n_vecs
+    assert all(0 <= c < K_CELLS for _, c, _ in rows1)
+    assert all(d >= 0 for _, _, d in rows1)
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    global_mean = mat.mean(axis=0)
+    baseline = float(np.sqrt(((mat - global_mean) ** 2).sum(axis=1)).mean())
+    got = sum(d for _, _, d in rows1) / len(rows1)
+    assert got < baseline, (got, baseline)
 
 
 def test_decode_media_stub():
