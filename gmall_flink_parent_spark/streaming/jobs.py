@@ -165,6 +165,32 @@ def hourly_stats_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch ``sessionize`` via ``session_window``.
+
+    The batch query derives sessions with lag + running sum; streaming
+    uses Spark's native gap-based ``session_window`` (30 min), which
+    merges windows incrementally and emits a session once the watermark
+    passes its close. Same session boundaries by construction — asserted
+    against the batch analog on closed sessions in
+    ``tests/test_streaming.py``.
+    """
+    return (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     """EP3 (OrderWideApp): stream-stream interval join with watermarks.
 

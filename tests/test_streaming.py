@@ -16,6 +16,7 @@ from gmall_flink_parent_spark.streaming.jobs import (
     log_split_job,
     order_wide_stream,
     routing_job,
+    sessionize_stream,
     write_routing_config,
 )
 from gmall_flink_parent_spark.sources.tables import load_table
@@ -223,6 +224,37 @@ def test_hourly_stats_stream_matches_batch_closed_windows(spark, sf_dir):
     assert closed, "fixture too small: no window ever closed"
     assert closed <= got, f"missing closed windows: {sorted(closed - got)[:3]}"
     assert got <= want_all, "stream emitted rows the batch query doesn't have"
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir):
+    """session_window (streaming) and lag+running-sum (batch) must agree
+    on every session the watermark closed: same (user, start, n_events,
+    value)."""
+    out = _run_to_memory(
+        sessionize_stream(events_stream(spark, sf_dir)), spark, "sess_out"
+    )
+    batch = plans.query_map()["sessionize"](spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    watermark_us = max_us - 60_000_000
+    cols = ["user_id", "session_start", "n_events", "session_value"]
+    got = set(_rows(out, cols))
+    batch_rows = batch.collect()
+    want_all = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in batch_rows
+    }
+    # a session is closed once the watermark passes last-event + gap
+    closed = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in batch_rows
+        if (r["session_end"].timestamp() + 1800) * 1_000_000 <= watermark_us
+    }
+    # sessions still extendable at end-of-stream may differ; closed ones can't
+    assert closed, "fixture too small: no session ever closed"
+    missing = closed - got
+    assert not missing, f"closed sessions disagree: {sorted(missing)[:3]}"
+    assert got <= want_all, "stream emitted sessions batch doesn't have"
 
 
 def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
