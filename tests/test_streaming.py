@@ -274,4 +274,5 @@ def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
     )
     out = _run_to_memory(order_wide_stream(orders, details), spark, "ow_out")
     batch = plans.query_map()["order_detail_interval_join"](spark, sf_dir)
-    assert out.count() == batch.count()
+    cols = ["o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "extended_price"]
+    assert _rows(out, cols) == _rows(batch, cols)
