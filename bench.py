@@ -29,6 +29,7 @@ HEADLINE = [
     "hourly_stats",
     "topk_users_by_spend",
     "revenue_rollup",
+    "revenue_cube",
     "routing_facts",
     "purchase_asof_view",
     "user_value_distribution",

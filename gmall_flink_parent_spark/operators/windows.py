@@ -126,6 +126,41 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUBE_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       o.o_orderpriority AS orderpriority,
+       GROUPING(c.c_mktsegment, o.o_orderpriority) AS gid,
+       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+"""
+
+
+@register("revenue_cube", oracle=CUBE_ORACLE, tags=("dws", "cube"))
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment × priority revenue CUBE with grouping_id.
+
+    All four grouping sets come from one Expand + partial-agg pass (same
+    plan family as rollup — never N recomputations); ``grouping_id``
+    disambiguates NULL-as-total from NULL-as-value, which matters once
+    dimensions are nullable at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("o_orderpriority").alias("orderpriority"),
+        "o_totalprice",
+    )
+    return joined.cube("mktsegment", "orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 SESSIONIZE_ORACLE = """
 SELECT user_id,
        session_seq,
