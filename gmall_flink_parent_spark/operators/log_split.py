@@ -97,6 +97,41 @@ FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(token)
 """
 
 
+PROPS_EXTRACT_ORACLE = """
+SELECT event_id,
+       event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+"""
+
+
+@register("props_json_extract", oracle=PROPS_EXTRACT_ORACLE, tags=("P1", "json"))
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON field extraction (P1) + derived bucket (P6).
+
+    The reference parses every record's JSON payload before anything
+    else (``BaseLogTask.java:52-57``, ``BaseDbTask.java:54``);
+    ``get_json_object`` is the per-field analog and ``from_json`` the
+    full-record one (used by the streaming jobs). JVM-side JSON path
+    evaluation — no Python, stays in codegen, and the null filter drops
+    malformed payloads exactly like the reference's try/catch dirty-data
+    guard.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            k.alias("k"),
+            (k % 10).alias("k_bucket"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+
 @register("display_explode", oracle=TOKEN_EXPLODE_ORACLE, tags=("X2",))
 def display_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array flatten with parent-field injection (BaseLogTask.java:126-135).

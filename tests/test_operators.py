@@ -55,6 +55,43 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
         assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() == 1
 
 
+def test_json_roundtrip_preserves_fields(spark, sf_dir):
+    """P2/P1: to_json → from_json round trip over full event rows loses
+    nothing — the serialization surface the Kafka sink/source pair uses."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    schema = "event_id long, user_id long, event_type string, value double"
+    rt = events.select(
+        F.from_json(F.to_json(F.struct("*")), schema).alias("r")
+    ).select("r.*")
+    assert rt.schema == events.schema
+    assert rt.subtract(events).count() == 0 and events.subtract(rt).count() == 0
+
+
+def test_order_wide_scan_prunes_columns(spark, sf_dir):
+    """Column-pruning regression guard: the lineitem scan under the
+    flagship query must read only the 7 needed columns of 16 — a scan
+    reading all columns for a projection is wrong at any scale."""
+    import io
+    import contextlib
+
+    df = plans.query_map()["order_wide_enriched"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    li_schemas = [
+        line
+        for line in plan.splitlines()
+        if "ReadSchema" in line and "l_orderkey" in line
+    ]
+    assert li_schemas, "no lineitem scan found in plan"
+    for line in li_schemas:
+        read_cols = line.split("struct<", 1)[1].count(":")
+        assert read_cols == 7, f"lineitem scan reads {read_cols} columns: {line}"
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Co-located joins via bucketing (the SCALE.md claim, demonstrated):
     both fact tables bucketed+sorted on the join key plan as a

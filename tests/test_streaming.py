@@ -143,6 +143,20 @@ def test_routing_job_matches_batch_queries(spark, sf_dir, tmp_path):
     assert dims.count() == batch_dims.count()
 
 
+def test_log_split_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
+    """W7 exactly-once: re-running a job against the SAME checkpoint must
+    not reprocess already-committed input — output row counts stay put."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for _ in range(2):
+        q = log_split_job(events_stream(spark, sf_dir), out, ck)
+        q.awaitTermination(120)
+    events = load_table(spark, sf_dir, "events")
+    n_start = spark.read.parquet(f"{out}/dwd_start_log").count()
+    assert n_start == events.filter("event_type = 'signup'").count(), (
+        "same-checkpoint rerun duplicated output"
+    )
+
+
 def test_routing_job_upsert_idempotent(spark, sf_dir, tmp_path):
     """Replaying the same batch must not duplicate dim rows (K3 upsert)."""
     cfg = str(tmp_path / "config")
