@@ -378,6 +378,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_cluster_keep", oracle=None, tags=("dedup", "iterative"))
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *cluster* assignment: connected components over the
+    MinHash pair graph via min-label propagation; keep = lowest doc_id.
+
+    The step a real dedup pipeline runs after pair generation — pairs
+    alone can't answer "which docs do I drop" when A~B and B~C but A≁C.
+    Label propagation: every doc starts as its own label; each round
+    every doc takes the min label in its neighborhood (one join + one
+    groupBy per round); the driver-side loop stops at the fixed point
+    (≤ graph-diameter rounds — near-dup clusters are dense, so tiny
+    diameters; pointer-doubling would get log₂ if a corpus ever needed
+    it). Iterative ⇒ rows-only driver check; transitivity/minimality
+    invariants are pinned in ``tests/test_operators.py``.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # undirected edge list, both directions
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
+        )
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(32):  # bound >> log2(diameter) of any near-dup cluster
+        neighbor_min = (
+            edges.join(labels, edges.doc_id_b == labels.doc_id)
+            .groupBy("doc_id_a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("doc_id_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

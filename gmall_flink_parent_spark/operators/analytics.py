@@ -55,6 +55,34 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMI_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN 'active' ELSE 'dormant' END AS status
+FROM customer c
+"""
+
+
+@register("customer_order_status", oracle=SEMI_ANTI_ORACLE, tags=("join", "semi-anti"))
+def customer_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join surface: customers labeled by order existence.
+
+    ``left_semi`` + ``left_anti`` are first-class Catalyst join types —
+    each is one equi-join shuffle that never materializes the orders
+    payload (the probe side contributes existence only), which is the
+    scalable form of EXISTS/NOT EXISTS at fact-table cardinality.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    order_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    active = customer.join(
+        order_keys, customer.c_custkey == order_keys.o_custkey, "left_semi"
+    ).withColumn("status", F.lit("active"))
+    dormant = customer.join(
+        order_keys, customer.c_custkey == order_keys.o_custkey, "left_anti"
+    ).withColumn("status", F.lit("dormant"))
+    return active.unionByName(dormant)
+
+
 OVERLAP_ORACLE = """
 WITH v AS (SELECT DISTINCT user_id, strftime(ts, '%Y%m%d') AS ymd
            FROM events WHERE event_type = 'view'),

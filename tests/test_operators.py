@@ -161,6 +161,40 @@ def test_cosine_topk_pandas_matches_bruteforce(spark, sf_dir):
         assert fast[k][1] == pytest.approx(cs, abs=1e-5)
 
 
+def test_dedup_cluster_keep_invariants(spark, sf_dir):
+    """Connected components over the MinHash pair graph: the assignment
+    must equal an independent union-find over the same pairs, and keepers
+    are exactly the cluster minima."""
+    pairs = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in plans.query_map()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    ]
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in plans.query_map()["dedup_cluster_keep"](spark, sf_dir).collect()
+    }
+    # independent union-find oracle
+    parent: dict[int, int] = {d: d for d in got}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_root = {d: find(d) for d in got}
+    # normalize: component label = min doc_id in component
+    comp_min: dict[int, int] = {}
+    for d, r in want_root.items():
+        comp_min[r] = min(comp_min.get(r, d), d)
+    assert {d: got[d][0] for d in got} == {d: comp_min[want_root[d]] for d in got}
+    assert all(keeper == (d == cid) for d, (cid, keeper) in got.items())
+
+
 def test_ivf_kmeans_assign_invariants(spark, sf_dir):
     """The iterative cell builder: every vector gets exactly one cell in
     [0, k); the run is deterministic across invocations (decimal centroid
