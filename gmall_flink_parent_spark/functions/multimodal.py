@@ -93,6 +93,86 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
     )
 
 
+N_FRAMES = 4
+
+
+def sample_frames(payload: bytes, mime: str, n_frames: int = N_FRAMES) -> list[bytes]:
+    """Frame-sampling kernel stub.
+
+    Real video decode (libav/ffmpeg) is not in this container — STUB:
+    real media mimes raise. ``text/plain`` payloads are sliced into
+    ``n_frames`` deterministic chunks standing in for sampled frames, so
+    the fan-out plumbing (one row in, N typed rows out) is exercised.
+    """
+    if mime != "text/plain":
+        raise NotImplementedError(
+            f"frame sampling for {mime!r} requires media libraries not present "
+            "in this container; plug a real decoder into frame_sample_rows"
+        )
+    if not payload:
+        return [b""] * n_frames
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+def resize_frame(frame: bytes, target: int = 16) -> bytes:
+    """Resize kernel stub: deterministic downsample of the byte stream
+    (every k-th byte to ``target`` length) standing in for pixel
+    interpolation. Real codecs raise upstream in ``sample_frames``."""
+    if len(frame) <= target:
+        return frame
+    step = len(frame) / target
+    return bytes(frame[int(i * step)] for i in range(target))
+
+
+def frame_sample_rows(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """One media row → N (frame_idx, frame, thumb) rows via mapInPandas.
+
+    The fan-out shape of every video pipeline: frames multiply row
+    counts N×, so this stage runs *after* any filtering and the output
+    carries only (id, idx, bytes) — never the source payload. Arrow
+    batches keep the bytes columnar; partitioning is inherited from the
+    scan, no shuffle.
+    """
+
+    def explode_frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "thumb": []}
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf[payload_col], pdf["mime"]
+            ):
+                for i, fr in enumerate(sample_frames(payload, mime)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(fr)
+                    out["thumb"].append(resize_frame(fr))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        explode_frames, "doc_id long, frame_idx int, frame binary, thumb binary"
+    )
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + thumbnail resize over binary payloads (rows-only).
+
+    N deterministic frames per document with a resized thumb each —
+    the decode kernel is stubbed (container has no media libs), the
+    distributed fan-out is real and value-pinned in
+    ``tests/test_operators.py``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return frame_sample_rows(with_payload)
+
+
 @register("multimodal_features", oracle=None, tags=("multimodal",))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-decode features over the binary payload (rows-only check).

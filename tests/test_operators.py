@@ -233,6 +233,28 @@ def test_decode_media_stub():
     }
 
 
+def test_multimodal_frame_sample_values(spark, sf_dir):
+    """Frame fan-out: N rows per doc, frames/thumbs match the local
+    kernels; real codecs refuse."""
+    from gmall_flink_parent_spark.functions.multimodal import (
+        N_FRAMES,
+        resize_frame,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"\x00\x00\x01\xba", "video/mpeg")
+    got: dict[tuple[int, int], tuple[bytes, bytes]] = {}
+    for r in plans.query_map()["multimodal_frame_sample"](spark, sf_dir).collect():
+        got[(r["doc_id"], r["frame_idx"])] = (bytes(r["frame"]), bytes(r["thumb"]))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == N_FRAMES * len(docs)
+    for r in docs[:25]:
+        payload = r["text"].encode("utf-8")
+        for i, fr in enumerate(sample_frames(payload, "text/plain")):
+            assert got[(r["doc_id"], i)] == (fr, resize_frame(fr)), (r["doc_id"], i)
+
+
 def test_multimodal_features_values(spark, sf_dir):
     """The distributed mapInPandas pipeline reproduces the local kernel."""
     got = {
