@@ -79,6 +79,67 @@ def _routed(spark: SparkSession, sf_dir: str, sink_type: str) -> DataFrame:
     )
 
 
+CDC_ENVELOPE_ORACLE = """
+SELECT event_id,
+       event_type AS table_name,
+       CASE WHEN event_id % 3 = 1 THEN 'update' ELSE 'insert' END AS op_type,
+       user_id,
+       value
+FROM events
+"""
+
+
+@register("cdc_envelope_parse", oracle=CDC_ENVELOPE_ORACLE, tags=("P1", "P4", "P6"))
+def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell CDC envelope round trip: serialize → parse → normalize →
+    validity-filter → project (BaseDbTask's first stage).
+
+    Reference: ``BaseDbTask.java:54-59`` parses the envelope
+    ``{database, table, type, ts, data}`` and drops records with null
+    table/data or ``len(data) <= 3``; ``TableProcessFunction.java:69-73``
+    normalizes ``bootstrap-insert`` → ``insert`` (P6). Here the envelope
+    is *built* with ``to_json`` and then genuinely re-parsed with
+    ``from_json`` + a typed struct schema — the oracle computes the
+    logical result directly, so a hash match proves the JSON round trip
+    is lossless for every row (longs, doubles, nested struct).
+    """
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.col("event_type").alias("table"),
+                F.when(F.col("event_id") % 3 == 1, "update")
+                .when(F.col("event_id") % 3 == 2, "bootstrap-insert")
+                .otherwise("insert")
+                .alias("type"),
+                F.col("event_id"),
+                F.struct("user_id", "value").alias("data"),
+            )
+        ).alias("raw")
+    )
+    schema = (
+        "database string, table string, type string, event_id long, "
+        "data struct<user_id:long, value:double>"
+    )
+    r = raw.select(F.from_json("raw", schema).alias("r")).select("r.*")
+    op = F.when(F.col("type") == "bootstrap-insert", "insert").otherwise(F.col("type"))
+    return (
+        r.filter(
+            F.col("table").isNotNull()
+            & F.col("data").isNotNull()
+            & (F.length(F.to_json("data")) > 3)
+        )
+        .select(
+            "event_id",
+            F.col("table").alias("table_name"),
+            op.alias("op_type"),
+            F.col("data.user_id").alias("user_id"),
+            F.col("data.value").alias("value"),
+        )
+    )
+
+
 @register(
     "routing_facts",
     oracle=_ROUTING_ORACLE_TEMPLATE.format(sink_type="kafka"),

@@ -56,6 +56,18 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str, group: str) -> D
     )
 
 
+def kafka_payload(df: DataFrame, topic: str | None = None) -> DataFrame:
+    """Shape a frame for the Kafka sink: JSON value, plus a per-row
+    ``topic`` column when no fixed topic is given (K2 — the reference's
+    per-record topic serializer, ``app/dwd/BaseDbTask.java:81-82``,
+    is a column Spark's sink honors natively). Unit-tested without a
+    broker in ``tests/test_streaming.py``."""
+    return df.select(
+        *([F.col("topic")] if topic is None else []),
+        F.to_json(F.struct(*[c for c in df.columns if c != "topic"])).alias("value"),
+    )
+
+
 def kafka_sink(df: DataFrame, brokers: str, checkpoint: str, topic: str | None = None):
     """Kafka sink (K1 fixed-topic / K2 dynamic-topic).
 
@@ -65,10 +77,7 @@ def kafka_sink(df: DataFrame, brokers: str, checkpoint: str, topic: str | None =
     Exactly-once ≈ checkpointed offsets + idempotent/transactional
     producer downstream (W7).
     """
-    payload = df.select(
-        *([F.col("topic")] if topic is None else []),
-        F.to_json(F.struct(*[c for c in df.columns if c != "topic"])).alias("value"),
-    )
+    payload = kafka_payload(df, topic)
     writer = (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

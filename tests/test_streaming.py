@@ -143,6 +143,27 @@ def test_routing_job_matches_batch_queries(spark, sf_dir, tmp_path):
     assert dims.count() == batch_dims.count()
 
 
+def test_kafka_payload_dynamic_topic(spark, sf_dir):
+    """K2 without a broker: dynamic mode keeps a per-row topic column and
+    JSON-encodes everything else; fixed mode emits value only."""
+    from gmall_flink_parent_spark.streaming.sources import kafka_payload
+
+    facts = plans.query_map()["routing_facts"](spark, sf_dir).withColumnRenamed(
+        "sink_table", "topic"
+    )
+    dyn = kafka_payload(facts, topic=None)
+    assert dyn.columns == ["topic", "value"]
+    topics = {r["topic"] for r in dyn.select("topic").distinct().collect()}
+    assert topics == {"dwd_signup_log", "dwd_page_log"}
+    row = dyn.filter(F.col("topic") == "dwd_signup_log").first()
+    import json
+
+    decoded = json.loads(row["value"])
+    assert "event_id" in decoded and "topic" not in decoded
+    fixed = kafka_payload(facts.drop("topic"), topic="t1")
+    assert fixed.columns == ["value"]
+
+
 def test_log_split_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
     """W7 exactly-once: re-running a job against the SAME checkpoint must
     not reprocess already-committed input — output row counts stay put."""
