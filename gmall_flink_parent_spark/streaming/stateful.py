@@ -9,15 +9,17 @@ state store is the scaling constraint, so bytes-per-key is the design
 budget. All operators require the stream keyed (shuffled) on the device/
 user key, exactly like the reference's ``keyBy``.
 
-Late-data contract: ``applyInPandasWithState`` does **not** filter
-sub-watermark input rows (verified in
-``tests/test_streaming.py::test_visitor_repair_stream_late_rows_repaired``)
-— parity with Flink keyed ProcessFunctions, which also see late records
-(only windows/CEP drop them). Every operator here is therefore written
-late-safe: visitor repair keys on first-seen date (late rows repaired
-identically to the batch analog); UV dedup documents its in-order
-assumption; bounce emission is driven by event-time timers, not row
-arrival order within the window.
+Late-data contract (both directions pinned in ``tests/test_streaming.py``):
+under ``NoTimeout``, ``applyInPandasWithState`` does **not** filter
+sub-watermark input rows (``test_visitor_repair_stream_late_rows_repaired``)
+— parity with Flink keyed ProcessFunctions, which also see late records;
+under ``EventTimeTimeout``, Spark **does** drop late input rows before
+the operator (``test_uv_dedup_state_ttl_evicts_idle_keys``). Every
+operator here is written late-safe for its configuration: visitor
+repair (NoTimeout) keys on first-seen date so late rows repair
+identically to the batch analog; UV dedup (EventTimeTimeout, 1-day TTL
+like the reference) never sees late rows; bounce emission is driven by
+event-time timers, not row arrival order within the window.
 """
 
 from __future__ import annotations
@@ -73,19 +75,35 @@ def visitor_repair_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def uv_dedup_stream(events: DataFrame) -> DataFrame:
-    """W2: first event per (user, day) with last-visit-date ValueState.
+UV_STATE_TTL_MS = 24 * 3600 * 1000  # mirrors UniqueVisitApp.java:67 (1 day)
 
-    Reference: ``UniqueVisitApp.java:54-95`` (1-day TTL state). Keeping
-    only the max seen date per key gives the same behavior for in-order
-    streams and bounds state to one string per user — the TTL analog is
-    the watermark. Output schema matches batch ``uv_dedup``.
+
+def uv_dedup_stream(events: DataFrame) -> DataFrame:
+    """W2: first event per (user, day) with last-visit-date ValueState
+    and a 1-day event-time TTL.
+
+    Reference: ``UniqueVisitApp.java:54-95`` with
+    ``StateTtlConfig.newBuilder(Time.days(1))`` (``:65-68``) — the
+    dedup state *expires*: a key idle for a day forgets its last visit
+    date, so a record for an already-emitted day can be re-admitted
+    after expiry, exactly like Flink's TTL'd ValueState. The timeout
+    both reproduces that semantics and bounds the state store to active
+    keys — the 100 TB concern. Keeping only the max seen date per key
+    matches the reference for in-order streams. Output schema matches
+    batch ``uv_dedup``.
     """
 
     def dedup(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry — forget the last visit date
+            yield pd.DataFrame(
+                {"user_id": [], "visit_ymd": [], "first_event_id": [], "first_ts": []}
+            )
+            return
         (last_date,) = state.get if state.exists else (None,)
+        last_event_ms = None
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             ymd = pdf["ts"].dt.strftime("%Y%m%d")
@@ -94,6 +112,7 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
                 if last_date is None or d > last_date:
                     keep.append(i)
                     last_date = d
+            last_event_ms = int(pdf["ts"].iloc[-1].value // 1_000_000)
             out = pdf.iloc[keep]
             yield pd.DataFrame(
                 {
@@ -104,6 +123,8 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
                 }
             )
         state.update((last_date,))
+        if last_event_ms is not None:
+            state.setTimeoutTimestamp(last_event_ms + UV_STATE_TTL_MS)
 
     return (
         events.withWatermark("ts", "0 seconds")
@@ -115,7 +136,7 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
             ),
             stateStructType="last_date string",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -143,6 +143,69 @@ def test_routing_job_matches_batch_queries(spark, sf_dir, tmp_path):
     assert dims.count() == batch_dims.count()
 
 
+def test_uv_dedup_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """W6 (UniqueVisitApp.java:65-68): the dedup state carries a 1-day
+    event-time TTL — a key idle past it is evicted from the state store
+    (the 100 TB state-bounding concern). Also pins the flip side of the
+    late-data contract: under EventTimeTimeout, Spark DOES filter
+    sub-watermark input rows (unlike NoTimeout — see the visitor-repair
+    late test), so a late day-1 record after eviction is dropped, not
+    re-admitted."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    far = base + pd.Timedelta(days=40)
+    (tmp_path / "in").mkdir()
+    files = [
+        ("f1.parquet", [(1, base, 7)]),  # u7 day1 → emitted, state row created
+        ("f2.parquet", [(2, far, 9)]),  # sentinel: watermark → day 41
+        ("f3.parquet", [(3, far + pd.Timedelta(hours=1), 9)]),  # u7 TTL fires
+        ("f4.parquet", [(4, base + pd.Timedelta(hours=1), 7)]),  # late → filtered
+    ]
+    for i, (fname, rows) in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = str(tmp_path / "in" / fname)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        t = time.time() + i * 5
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        stateful.uv_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ttl_out")
+    got = sorted(r["first_event_id"] for r in out.collect())
+    assert got == [1, 2], f"unexpected emissions: {got}"
+    import json
+
+    progresses = [
+        p if isinstance(p, dict) else json.loads(str(p)) for p in q.recentProgress
+    ]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state metrics recorded"
+    assert state_rows[-1] == 1, (
+        f"idle key not evicted by TTL; state rows over time: {state_rows}"
+    )
+
+
 def test_kafka_payload_dynamic_topic(spark, sf_dir):
     """K2 without a broker: dynamic mode keeps a per-row topic column and
     JSON-encodes everything else; fixed mode emits value only."""
