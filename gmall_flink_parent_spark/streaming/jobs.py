@@ -70,6 +70,19 @@ def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str
     new_rows.unpersist()
 
 
+def ensure_dim_table(spark: SparkSession, name: str, path: str, df: DataFrame) -> None:
+    """K4 auto-DDL (``TableProcessFunction.java:141-183``): create the
+    dim table in the catalog if missing — with **real column types**
+    derived from the frame's schema, not the reference's
+    varchar-everywhere (SURVEY §1.2 flags that as a limitation, not a
+    semantic). Idempotent; `CREATE TABLE IF NOT EXISTS` over the upsert
+    location, so SQL users can query dims by name immediately."""
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET LOCATION '{path}'"
+    )
+
+
 def routing_job(
     cdc_stream: DataFrame,
     config_path: str,
@@ -101,7 +114,10 @@ def routing_job(
                 "ts",
                 "sink_table",
                 "sink_type",
-                F.when(F.array_contains(cols, "value"), F.col("value")).alias("value"),
+                F.when(
+                    F.array_contains(cols, "value"),
+                    F.col("value").cast("decimal(18,2)"),  # money: match batch _routed
+                ).alias("value"),
                 F.when(F.array_contains(cols, "props"), F.col("props")).alias("props"),
             )
             projected.filter(F.col("sink_type") == "kafka").drop("sink_type").write.mode(
@@ -110,12 +126,9 @@ def routing_job(
             dims = projected.filter(F.col("sink_type") == "hbase").drop("sink_type")
             for row in dims.select("sink_table").distinct().collect():
                 tbl = row["sink_table"]
-                upsert_parquet(
-                    spark,
-                    dims.filter(F.col("sink_table") == tbl).drop("sink_table"),
-                    f"{out_dir}/dims/{tbl}",
-                    key="event_id",
-                )
+                rows = dims.filter(F.col("sink_table") == tbl).drop("sink_table")
+                upsert_parquet(spark, rows, f"{out_dir}/dims/{tbl}", key="event_id")
+                ensure_dim_table(spark, tbl, f"{out_dir}/dims/{tbl}", rows)
         finally:
             joined.unpersist()
 

@@ -241,6 +241,28 @@ def test_log_split_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
     )
 
 
+def test_routing_job_auto_ddl_registers_typed_dim_table(spark, sf_dir, tmp_path):
+    """K4 (TableProcessFunction.java:141-183): the dim table is created
+    in the catalog on first sight — queryable by name via SQL, with real
+    column types (the reference's all-varchar DDL is a documented
+    limitation, not copied)."""
+    cfg = str(tmp_path / "config")
+    write_routing_config(spark, cfg)
+    spark.sql("DROP TABLE IF EXISTS dim_purchase_info")
+    try:
+        q = routing_job(
+            events_stream(spark, sf_dir), cfg, str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        q.awaitTermination(120)
+        assert spark.catalog.tableExists("dim_purchase_info")
+        got = dict(spark.table("dim_purchase_info").dtypes)
+        assert got["value"] == "decimal(18,2)", got  # typed, not varchar
+        n_sql = spark.sql("SELECT COUNT(*) AS n FROM dim_purchase_info").first()["n"]
+        assert n_sql == plans.query_map()["routing_dims"](spark, sf_dir).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dim_purchase_info")
+
+
 def test_routing_job_upsert_idempotent(spark, sf_dir, tmp_path):
     """Replaying the same batch must not duplicate dim rows (K3 upsert)."""
     cfg = str(tmp_path / "config")
