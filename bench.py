@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "cosine_topk_bruteforce",
     "ann_ivf_bucketed",
+    "ann_srp_lsh",
+    "cdc_envelope_parse",
 ]
 
 

@@ -221,6 +221,113 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Signed-random-projection LSH: 16 fixed ±1 hyperplanes over 64 dims,
+# generated by a literal LCG so Spark and DuckDB use identical planes.
+SRP_BITS = 16
+_lcg = 1
+_SRP_PLANES: list[list[float]] = []
+for _r in range(SRP_BITS):
+    row = []
+    for _d in range(DIM):
+        _lcg = (_lcg * 1_103_515_245 + 12_345) % (1 << 31)
+        row.append(1.0 if _lcg & 1 else -1.0)
+    _SRP_PLANES.append(row)
+SRP_TOP_K = 3
+
+
+def _srp_bucket_col() -> Column:
+    """16-bit SRP bucket id: bit r = [⟨embedding, plane_r⟩ > 0]."""
+    bits = []
+    for r in range(SRP_BITS):
+        plane = F.array(*[F.lit(c) for c in _SRP_PLANES[r]])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0)))
+    return reduce(lambda a, b: a + b, bits).cast("long")
+
+
+def _srp_bucket_sql() -> str:
+    terms = []
+    for r in range(SRP_BITS):
+        proj = " + ".join(
+            f"({c} * CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d, c in enumerate(_SRP_PLANES[r])
+        )
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << r} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+ANN_SRP_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql("embedding", "embedding")}) AS nrm,
+           {_srp_bucket_sql()} AS bucket
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           ({_dot_sql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cs
+    FROM base q
+    JOIN base c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, rnk, ROUND(cs, 6) AS cos_sim
+FROM (
+    SELECT query_id, neighbor_id, cs,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+    FROM scored
+)
+WHERE rnk <= {SRP_TOP_K}
+"""
+
+
+@register("ann_srp_lsh", oracle=ANN_SRP_ORACLE, tags=("similarity", "ann", "lsh"))
+def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: signed-random-projection buckets, cosine rerank.
+
+    The scale path when no precomputed cells exist (`ann_ivf_bucketed`'s
+    complement): 16 fixed ±1 hyperplanes hash each vector to a 16-bit
+    bucket — one pure map pass — and candidate generation is an
+    **equi-join on the bucket id**, expected corpus/2¹⁶ candidates per
+    query instead of a full scan. Exact cosine reranks within the
+    bucket. Multi-probe (flipping low-margin bits) would raise recall
+    with the same plan shape. All arithmetic is fold-ordered, so buckets
+    and ranks match the oracle bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_norm_sq("embedding")).alias("nrm"),
+        _srp_bucket_col().alias("bucket"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cs"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SRP_TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
 K_CELLS = 10
 KMEANS_ITERS = 3
 
