@@ -1,0 +1,367 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY §2.7 lists only basic string/date
+functions): the filtering / splitting / decontamination stages a 100 TB
+document pipeline runs between ingestion and tokenization. Everything
+here is either a pure map stage over the parquet scan (repetition stats,
+cleaning, PII scrub, split assignment — shuffle-free, whole-stage
+codegen) or an explicitly shuffle-bounded aggregation (top-token,
+quantiles, contamination semi-join with a broadcast benchmark side).
+
+Cross-engine parity notes baked into every oracle:
+
+- DuckDB ``regexp_replace`` replaces the FIRST match unless the ``'g'``
+  flag is passed; Spark replaces all — every oracle passes ``'g'``.
+- Patterns avoid backslash escapes (``[.]`` not ``\\.``) so Java regex
+  (Spark) and RE2 (DuckDB) parse them identically.
+- Hash-based bucketing reuses the md5-prefix→integer trick from
+  ``functions/dedup.py``: md5 is the one hash both engines compute
+  identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+# ------------------------------------------------------------ repetition
+
+REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+), g AS (
+    SELECT doc_id, n,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n AS r1,
+           CASE WHEN n >= 2 THEN list_distinct(list_transform(
+               range(1, greatest(n, 1)),
+               i -> concat_ws(' ', toks[i], toks[i + 1]))) ELSE [] END AS g2,
+           CASE WHEN n >= 3 THEN list_distinct(list_transform(
+               range(1, greatest(n - 1, 1)),
+               i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE [] END AS g3
+    FROM t
+)
+SELECT doc_id,
+       ROUND(r1, 6) AS dup_token_ratio,
+       ROUND(CASE WHEN n >= 2
+                  THEN 1.0 - CAST(len(g2) AS DOUBLE) / (n - 1) ELSE 0.0 END,
+             6) AS dup_2gram_ratio,
+       ROUND(CASE WHEN n >= 3
+                  THEN 1.0 - CAST(len(g3) AS DOUBLE) / (n - 2) ELSE 0.0 END,
+             6) AS dup_3gram_ratio
+FROM g
+"""
+
+
+def _ngrams(toks: Column, n_col: Column, n: int) -> Column:
+    """Distinct word n-grams as a JVM-side higher-order expression."""
+    grams = F.transform(
+        F.sequence(F.lit(1), n_col - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n_col >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+@register("doc_repetition_stats", oracle=REPETITION_ORACLE, tags=("text", "quality"))
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate token / 2-gram / 3-gram
+    fractions per document.
+
+    High duplicate-n-gram fractions mark boilerplate and generated spam;
+    corpus filters drop docs above a threshold (e.g. dup-2gram > 0.2).
+    Pure higher-order array expressions — per-row, shuffle-free; at
+    100 TB this is a map stage fused into the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n = F.col("n")
+    r1 = F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n
+    g2 = F.size(_ngrams(F.col("toks"), n, 2))
+    g3 = F.size(_ngrams(F.col("toks"), n, 3))
+    r2 = F.when(n >= 2, F.lit(1.0) - g2.cast("double") / (n - 1)).otherwise(0.0)
+    r3 = F.when(n >= 3, F.lit(1.0) - g3.cast("double") / (n - 2)).otherwise(0.0)
+    return t.select(
+        "doc_id",
+        F.round(r1, 6).alias("dup_token_ratio"),
+        F.round(r2, 6).alias("dup_2gram_ratio"),
+        F.round(r3, 6).alias("dup_3gram_ratio"),
+    )
+
+
+# ------------------------------------------------------------- top token
+
+TOP_TOKEN_ORACLE = """
+WITH e AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+    SELECT doc_id, tok, count(*) AS cnt FROM e GROUP BY doc_id, tok
+), r AS (
+    SELECT doc_id, tok, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn,
+           sum(cnt) OVER (PARTITION BY doc_id) AS n_tokens
+    FROM c
+)
+SELECT doc_id,
+       tok AS top_token,
+       CAST(cnt AS BIGINT) AS top_count,
+       ROUND(CAST(cnt AS DOUBLE) / n_tokens, 6) AS top_token_ratio
+FROM r WHERE rn = 1
+"""
+
+
+@register("doc_top_token", oracle=TOP_TOKEN_ORACLE, tags=("text", "quality"))
+def doc_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent token per document and its frequency ratio.
+
+    The distributed shape (explode → partial-agg groupBy → per-doc
+    window) is the 100 TB path: token counting gets map-side combine, and
+    the window partitions by doc_id so no single reducer sees more than
+    one document's vocabulary. Deterministic tie-break (count desc, token
+    asc) keeps the result engine-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    c = e.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    r = c.select(
+        "doc_id",
+        "tok",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok")))
+        .alias("rn"),
+        F.sum("cnt").over(w).alias("n_tokens"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("tok").alias("top_token"),
+        F.col("cnt").alias("top_count"),
+        F.round(F.col("cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+# ------------------------------------------------------------- cleaning
+
+CLEAN_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '  +', ' ', 'g'))) AS clean_fp,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       '  +', ' ', 'g'))) AS BIGINT) AS n_clean_chars
+FROM documents
+"""
+
+
+@register("doc_clean_normalize", oracle=CLEAN_ORACLE, tags=("text", "clean"))
+def doc_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass: lowercase → strip non-alphanumerics → collapse
+    whitespace → trim; emits the cleaned-text fingerprint and length.
+
+    The canonicalization that feeds exact dedup and tokenization. Pure
+    regex/codegen map stage; the fingerprint (rather than the full
+    cleaned text) keeps the output narrow, and value-hash comparison
+    against the oracle pins byte-exact regex parity between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), "  +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_fp"),
+        F.length(cleaned).cast("long").alias("n_clean_chars"),
+    )
+
+
+# ------------------------------------------------------------- PII scrub
+
+# Patterns avoid backslashes so Java regex and RE2 agree: [.] not \\.
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_NUM_PAT = "[0-9]+"
+
+PII_SCRUB_ORACLE = f"""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '{_NUM_PAT}')) AS BIGINT) AS n_num_redactions,
+       CAST(len(regexp_extract_all(props, '{_EMAIL_PAT}')) AS BIGINT) AS n_email_redactions,
+       regexp_replace(regexp_replace(props, '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+                      '{_NUM_PAT}', '[NUM]', 'g') AS scrubbed
+FROM events
+"""
+
+
+@register("pii_scrub", oracle=PII_SCRUB_ORACLE, tags=("text", "clean", "pii"))
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over semi-structured payloads: emails and number
+    runs replaced with typed placeholders, with per-row redaction counts.
+
+    Runs on ``events.props`` (the JSON payload column) where numeric
+    identifiers actually occur. Order matters — emails first, so digits
+    inside an address aren't half-redacted by the number pass. Per-row
+    regex, shuffle-free; at 100 TB this fuses into the scan like the
+    cleaning pass. Real deployments add SSN/phone/credit-card patterns
+    to the same chain.
+    """
+    events = load_table(spark, sf_dir, "events")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("props"), _EMAIL_PAT, "[EMAIL]"), _NUM_PAT, "[NUM]"
+    )
+    return events.select(
+        "event_id",
+        F.size(F.expr(f"regexp_extract_all(props, '{_NUM_PAT}', 0)"))
+        .cast("long")
+        .alias("n_num_redactions"),
+        F.size(F.expr(f"regexp_extract_all(props, '{_EMAIL_PAT}', 0)"))
+        .cast("long")
+        .alias("n_email_redactions"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------- sample/split
+
+SAMPLE_SPLIT_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 AS INTEGER) AS bucket
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       bucket < 10 AS in_10pct_sample
+FROM b
+"""
+
+
+@register("doc_sample_split", oracle=SAMPLE_SPLIT_ORACLE, tags=("text", "sampling"))
+def doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + 10% sample flag via
+    content-stable hash bucketing (md5(doc_id) → bucket ∈ [0,100)).
+
+    Hash-based splits are the only splits that survive reprocessing at
+    100 TB: no RNG state, no ordering dependence — a doc lands in the
+    same split on every run, on any cluster, under any partitioning.
+    ``rand(seed)`` cannot promise that across engines or repartitions;
+    the md5 trick (shared with the MinHash pipeline) can.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    b = docs.select("doc_id", bucket.alias("bucket"))
+    return b.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        (F.col("bucket") < 10).alias("in_10pct_sample"),
+    )
+
+
+# ------------------------------------------------------------- quantiles
+
+LENGTH_QUANTILES_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(n, 0.9), 6) AS p90_tokens,
+       ROUND(quantile_cont(n, 0.99), 6) AS p99_tokens,
+       ROUND(avg(n), 6) AS avg_tokens
+FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+GROUP BY source
+"""
+
+
+@register("doc_length_quantiles", oracle=LENGTH_QUANTILES_ORACLE, tags=("text", "stats"))
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution: exact p50/p90/p99 + mean.
+
+    The length histogram that drives truncation and packing decisions.
+    Exact ``percentile`` (linear interpolation, same definition as
+    DuckDB's ``quantile_cont``) — one shuffle on the low-cardinality
+    source key. At 100 TB swap in ``approx_percentile`` for a
+    sketch-mergeable single-pass version; the query shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_tokens"),
+            F.round(F.percentile("n", F.lit(0.9)), 6).alias("p90_tokens"),
+            F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_tokens"),
+            F.round(F.avg("n"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+# -------------------------------------------------------- contamination
+
+_CONTAM_N = 4  # word-4-grams: discriminative but not vanishing at small SF
+_BENCH_MOD = 97  # benchmark set = docs with doc_id % 97 == 0
+
+CONTAMINATION_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {_CONTAM_N - 2}, 1)),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i + 1],
+                              string_split(text, ' ')[i + 2],
+                              string_split(text, ' ')[i + 3])))) AS g
+    FROM documents
+), bench AS (
+    SELECT DISTINCT g FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+FROM sh s JOIN bench USING (g)
+WHERE s.doc_id % {_BENCH_MOD} <> 0
+GROUP BY s.doc_id
+"""
+
+
+@register("contamination_4gram", oracle=CONTAMINATION_ORACLE, tags=("text", "decontam"))
+def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    4-gram with the held-out benchmark set, with overlap counts.
+
+    The standard eval-set leakage check. Shape: shingle both sides →
+    **broadcast** the benchmark shingle set (benchmarks are tiny — MMLU
+    et al. are megabytes against 100 TB of training data) → hash
+    semi-join at scan speed, then a groupBy on doc_id for the counts.
+    No shuffle of the corpus-side shingles beyond the final per-doc agg.
+    The benchmark here is a deterministic slice (doc_id % {_BENCH_MOD} == 0)
+    of the same table, standing in for an external eval corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = _ngrams(toks, F.size(toks), _CONTAM_N)
+    sh = docs.select("doc_id", F.explode(grams).alias("g"))
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    return (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
