@@ -316,6 +316,64 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- sequence packing
+
+_PACK_CAP = 2048  # tokens per packed training sequence
+
+PACK_BINS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_before // {_PACK_CAP} AS BIGINT) AS seq_id,
+       CAST(cum_before % {_PACK_CAP} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+@register("doc_pack_bins", oracle=PACK_BINS_ORACLE, tags=("text", "packing"))
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each doc a target
+    training sequence (cap 2048 tokens) and its token offset.
+
+    GPT-style pretraining packs documents by concatenation into
+    fixed-length sequences; the assignment is a running token sum per
+    shard (source) — one window pass, deterministic under any cluster
+    partitioning because the order key (source, doc_id) is total. At
+    100 TB each shard's prefix sum is independent, so shards scale out
+    embarrassingly; no global coordination, unlike RNG-based shuffling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    t = docs.select("doc_id", "source", n.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_CAP).cast("long").alias("seq_id"),
+        (F.col("cum_before") % _PACK_CAP).cast("long").alias("seq_offset"),
+    )
+
+
 # -------------------------------------------------------- contamination
 
 _CONTAM_N = 4  # word-4-grams: discriminative but not vanishing at small SF

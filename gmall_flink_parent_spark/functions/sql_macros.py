@@ -1,0 +1,108 @@
+"""SQL function surface: engine operators exposed to pure-SQL users.
+
+The reference's extension points are Java subclass hooks (SURVEY §2.8) —
+a user cannot call them from a query language because the reference has
+none. This module gives the engine's scalar surface a declarative form:
+Spark 4 **SQL UDFs** (``CREATE OR REPLACE TEMPORARY FUNCTION … RETURN
+<expr>``). Unlike Python UDFs these are macros — the body is inlined
+into the plan at analysis time, so calls run inside whole-stage codegen
+with zero serialization overhead; they are the fast path, not a
+convenience wrapper.
+
+A user of the reference migrating here writes ``SELECT token_count(text)
+FROM documents`` instead of subclassing a RichFunction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_flink_parent_spark.functions.text import _STOP_SQL, STOPWORDS
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+_STOP_ARRAY_SQL = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+# Each entry: (name, signature, return type, body). Bodies are pure
+# Spark SQL expressions — inlined by the analyzer, codegen-compatible.
+_MACROS: list[tuple[str, str, str, str]] = [
+    (
+        "token_count",
+        "(s STRING)",
+        "BIGINT",
+        "CAST(size(split(s, ' ')) AS BIGINT)",
+    ),
+    (
+        "fingerprint",
+        "(s STRING)",
+        "STRING",
+        "md5(lower(trim(s)))",
+    ),
+    (
+        "stopword_ratio",
+        "(s STRING)",
+        "DOUBLE",
+        f"CAST(size(filter(split(s, ' '), t -> array_contains({_STOP_ARRAY_SQL}, t))) AS DOUBLE)"
+        " / size(split(s, ' '))",
+    ),
+    (
+        "quality_score",
+        "(s STRING)",
+        "DOUBLE",
+        "ROUND("
+        "  0.4 * least(size(split(s, ' ')), 200) / 200.0"
+        "+ 0.3 * least(CAST(size(array_distinct(split(s, ' '))) AS DOUBLE)"
+        "              / size(split(s, ' ')), 1.0D)"
+        f"+ 0.3 * least(CAST(size(filter(split(s, ' '), t -> array_contains({_STOP_ARRAY_SQL}, t))) AS DOUBLE)"
+        "              / size(split(s, ' ')) * 5.0, 1.0D)"
+        ", 6)",
+    ),
+]
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Install the engine's scalar surface as SQL UDFs (idempotent)."""
+    for name, sig, ret, body in _MACROS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
+            f"RETURNS {ret} RETURN {body}"
+        )
+    return [m[0] for m in _MACROS]
+
+
+SQL_SURFACE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       md5(lower(trim(text))) AS fingerprint,
+       ROUND(
+         0.4 * least(len(string_split(text, ' ')), 200) / 200.0
+       + 0.3 * least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 1.0)
+       + 0.3 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 5.0, 1.0)
+       , 6) AS quality_score
+FROM documents
+"""
+
+
+@register("sql_function_surface", oracle=SQL_SURFACE_ORACLE, tags=("sql", "text"))
+def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-UDF surface driven entirely through ``spark.sql``.
+
+    Registers the macros, exposes ``documents`` as a view, and runs a
+    plain SQL query calling them — proving a SQL-only user gets the same
+    results (and the same codegen plans: the macro bodies are inlined,
+    no BatchEvalPython appears) as the DataFrame API. Hash-matched
+    against the same expressions computed natively by DuckDB.
+    """
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               token_count(text) AS n_tokens,
+               fingerprint(text) AS fingerprint,
+               quality_score(text) AS quality_score
+        FROM documents_v
+        """
+    )

@@ -54,6 +54,52 @@ def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDING_STATS_ORACLE = """
+WITH x AS (
+    SELECT event_type, value,
+           unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS win_start
+    FROM events
+)
+SELECT win_start,
+       win_start + INTERVAL '1 hour' AS win_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM x
+GROUP BY win_start, event_type
+"""
+
+
+@register("sliding_stats", oracle=SLIDING_STATS_ORACLE, tags=("dws", "window-agg", "sliding"))
+def sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate: 1-hour windows every 30 min.
+
+    ``F.window(ts, size, slide)`` expands each event into size/slide = 2
+    window assignments before the partial aggregate — the expansion is a
+    codegen projection, not a shuffle multiplier: bytes shuffled stay
+    ∝ #groups. The same operator runs incrementally under Structured
+    Streaming with a watermark. The oracle reproduces Spark's
+    epoch-aligned window assignment with an explicit 2-element unnest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 TOPK_ORACLE = """
 SELECT event_type, user_id, spend, rnk
 FROM (

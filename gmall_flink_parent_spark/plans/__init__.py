@@ -23,6 +23,7 @@ from gmall_flink_parent_spark.functions import (  # noqa: F401
     dedup,
     multimodal,
     similarity,
+    sql_macros,
     text,
 )
 

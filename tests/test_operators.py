@@ -271,3 +271,34 @@ def test_multimodal_features_values(spark, sf_dir):
             want["first_byte"],
             want["byte_sum_mod"],
         ), r["doc_id"]
+
+
+def test_sql_macros_inline_into_codegen(spark, sf_dir):
+    """SQL UDFs are macros: bodies inline at analysis time, so the plan
+    is a single JVM-side Project over the scan — no Python-eval node, no
+    exchange. (The higher-order `filter` lambda keeps this Project out of
+    whole-stage codegen, but it stays interpreted-JVM, never Python.)"""
+    df = plans.query_map()["sql_function_surface"](spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in physical and "ArrowEvalPython" not in physical
+    assert "Exchange" not in physical
+    assert "FileScan parquet" in physical
+
+
+def test_pack_bins_capacity_invariant(spark, sf_dir):
+    """Packing is a per-shard prefix sum: offsets stay below the cap and
+    consecutive docs in a shard are contiguous in token space."""
+    from gmall_flink_parent_spark.functions.curation import _PACK_CAP
+
+    rows = (
+        plans.query_map()["doc_pack_bins"](spark, sf_dir)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    assert rows
+    cum: dict[str, int] = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < _PACK_CAP
+        expect = cum.get(r["source"], 0)
+        assert (r["seq_id"] * _PACK_CAP + r["seq_offset"]) == expect, r
+        cum[r["source"]] = expect + r["n_tokens"]
