@@ -46,6 +46,18 @@ HEADLINE = [
     "ann_ivf_bucketed",
     "ann_srp_lsh",
     "cdc_envelope_parse",
+    "sliding_stats",
+    "doc_repetition_stats",
+    "doc_top_token",
+    "doc_clean_normalize",
+    "pii_scrub",
+    "doc_sample_split",
+    "doc_length_quantiles",
+    "doc_pack_bins",
+    "contamination_4gram",
+    "sql_function_surface",
+    "vocab_top_tokens",
+    "corpus_summary",
 ]
 
 

@@ -316,6 +316,86 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- corpus reporting
+
+VOCAB_TOPK = 50
+
+VOCAB_ORACLE = f"""
+SELECT tok, n_occurrences, n_docs, rnk
+FROM (
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+)
+WHERE rnk <= {VOCAB_TOPK}
+"""
+
+
+@register("vocab_top_tokens", oracle=VOCAB_ORACLE, tags=("text", "stats"))
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global top-50 tokens by occurrence.
+
+    The canonical wordcount shape at 100 TB: explode → partial count
+    map-side (the combine absorbs Zipf skew — hot tokens reduce to one
+    row per task before the shuffle) → final count → a single-partition
+    top-k over #distinct-tokens rows, which is vocabulary-sized, not
+    corpus-sized. Deterministic tie-break (count desc, token asc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = e.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    ranked = counts.select(
+        "tok",
+        "n_occurrences",
+        "n_docs",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_occurrences"), F.asc("tok")))
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= VOCAB_TOPK)
+
+
+CORPUS_SUMMARY_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       ROUND(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("corpus_summary", oracle=CORPUS_SUMMARY_ORACLE, tags=("text", "stats"))
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dataset-card statistics: doc/source/token/char totals.
+
+    The reporting rollup every curated corpus ships with. One partial-
+    aggregated shuffle on the language key (single digits of groups);
+    token counting stays a per-row array expression in the map stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        docs.select("lang", "source", "n_chars", n.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
 # ----------------------------------------------------- sequence packing
 
 _PACK_CAP = 2048  # tokens per packed training sequence
@@ -413,9 +493,13 @@ def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same table, standing in for an external eval corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = _ngrams(toks, F.size(toks), _CONTAM_N)
-    sh = docs.select("doc_id", F.explode(grams).alias("g"))
+    # Materialize the token array in its own projection BEFORE building
+    # shingles: inlining split(text) into the transform lambda would
+    # re-split the document once per element_at (~5× per gram) — a 10×
+    # scan-stage slowdown observed at sf0.1.
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    grams = _ngrams(F.col("toks"), F.size("toks"), _CONTAM_N)
+    sh = t.select("doc_id", F.explode(grams).alias("g"))
     bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
     return (
         sh.filter(F.col("doc_id") % _BENCH_MOD != 0)

@@ -178,6 +178,33 @@ def hourly_stats_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_stats_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``sliding_stats`` query.
+
+    Same hopping-window definition (1 h windows every 30 min) run
+    incrementally with a 1 min watermark; each event joins 2 open
+    windows, state holds at most size/slide + lateness windows per
+    event type, and append mode emits a window once the watermark
+    passes its end — matched against the batch query on closed windows
+    in ``tests/test_streaming.py``.
+    """
+    return (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of batch ``sessionize`` via ``session_window``.
 

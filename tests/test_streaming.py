@@ -17,6 +17,7 @@ from gmall_flink_parent_spark.streaming.jobs import (
     order_wide_stream,
     routing_job,
     sessionize_stream,
+    sliding_stats_stream,
     write_routing_config,
 )
 from gmall_flink_parent_spark.sources.tables import load_table
@@ -341,6 +342,26 @@ def test_hourly_stats_stream_matches_batch_closed_windows(spark, sf_dir):
         for row in want_all
         if (row[0].timestamp() + 3600) * 1_000_000 <= watermark_us
     }
+    assert closed, "fixture too small: no window ever closed"
+    assert closed <= got, f"missing closed windows: {sorted(closed - got)[:3]}"
+    assert got <= want_all, "stream emitted rows the batch query doesn't have"
+
+
+def test_sliding_stats_stream_matches_batch_closed_windows(spark, sf_dir):
+    """Hopping windows: every window closed by the final watermark must
+    match the batch sliding_stats query exactly; nothing outside the
+    batch result may be emitted."""
+    out = _run_to_memory(
+        sliding_stats_stream(events_stream(spark, sf_dir)), spark, "sliding_out"
+    )
+    batch = plans.query_map()["sliding_stats"](spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    watermark_us = max_us - 60_000_000  # 1 min
+    cols = ["win_start", "win_end", "event_type", "n_events", "sum_value"]
+    got = set(_rows(out, cols))
+    want_all = set(_rows(batch, cols))
+    closed = {row for row in want_all if row[1].timestamp() * 1_000_000 <= watermark_us}
     assert closed, "fixture too small: no window ever closed"
     assert closed <= got, f"missing closed windows: {sorted(closed - got)[:3]}"
     assert got <= want_all, "stream emitted rows the batch query doesn't have"
