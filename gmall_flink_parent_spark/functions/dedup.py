@@ -276,6 +276,25 @@ WHERE est_jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def _no_aqe(spark: SparkSession) -> SparkSession:
+    """Child session (shared SparkContext) with AQE disabled.
+
+    The LSH plan consumes the signature-cluster aggregate THREE times
+    (both self-join sides + the within-cluster branch). Static planning
+    turns the second and third consumers into ``ReusedExchange`` — the
+    corpus is scanned and minhashed once. AQE (Spark 4.1) plans each
+    consumer as an independent query stage and never reuses the
+    exchange: 3 scans, 3 signature computations, measured 2× slower at
+    sf0.1 and strictly worse at 100 TB where signatures dominate. AQE's
+    skew-split is not needed here — the exact-dup collapse already
+    bounds bucket skew before the join — so reuse wins. A child session
+    scopes the toggle to this query without touching the caller's conf.
+    """
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    return s
+
+
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs.
@@ -297,8 +316,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       matching band die in a codegen filter — the output-sized
       dedup shuffle is gone entirely.
 
-    AQE skew-join splits hot buckets (boilerplate/empty docs).
+    Runs with AQE off (see ``_no_aqe``): static planning reuses the
+    signature-cluster exchange across all three consumers — one corpus
+    scan — where AQE replans each consumer separately. Bucket skew is
+    already bounded by the exact-dup collapse, so AQE's skew-split
+    isn't needed.
     """
+    return _minhash_pairs(_no_aqe(spark), sf_dir)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pair generation against whatever session it is handed."""
     docs = load_table(spark, sf_dir, "documents")
     sig_cols = [f"s{i}" for i in range(NUM_HASHES)]
     band_cols = [
@@ -393,7 +421,10 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Iterative ⇒ rows-only driver check; transitivity/minimality
     invariants are pinned in ``tests/test_operators.py``.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # Same no-AQE child session as the pair generator, so every frame in
+    # the propagation loop shares one session/conf.
+    spark = _no_aqe(spark)
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # undirected edge list, both directions
     edges = pairs.unionByName(
