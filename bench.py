@@ -58,6 +58,7 @@ HEADLINE = [
     "sql_function_surface",
     "vocab_top_tokens",
     "corpus_summary",
+    "corpus_filter_pipeline",
 ]
 
 

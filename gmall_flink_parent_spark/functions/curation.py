@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gmall_flink_parent_spark.functions.stopwords import _STOP_SQL, STOPWORDS
 from gmall_flink_parent_spark.plans.registry import register
 from gmall_flink_parent_spark.sources.tables import load_table
 
@@ -313,6 +314,119 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_tokens"),
             F.round(F.avg("n"), 6).alias("avg_tokens"),
         )
+    )
+
+
+# ------------------------------------------------------ filter pipeline
+
+# Thresholds sit at discriminative points of the corpus distributions
+# (quality ≈ median, dup-2-gram ≈ p80) so the verdict actually splits
+# the corpus rather than rubber-stamping it.
+_MIN_QUALITY = 0.35
+_MAX_DUP2 = 0.05
+_MIN_TOKENS, _MAX_TOKENS = 10, 1000
+
+FILTER_PIPELINE_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp,
+           len(string_split(text, ' ')) AS n,
+           string_split(text, ' ') AS toks
+    FROM documents
+), flags AS (
+    SELECT doc_id, fp,
+           ROUND(
+             0.4 * least(n, 200) / 200.0
+           + 0.3 * least(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 1.0)
+           + 0.3 * least(CAST(len(list_filter(toks, t -> t IN ({{stop}}))) AS DOUBLE)
+                         / n * 5.0, 1.0)
+           , 6) >= {_MIN_QUALITY} AS pass_quality,
+           (CASE WHEN n >= 2 THEN 1.0 - CAST(len(list_distinct(list_transform(
+                range(1, greatest(n, 1)),
+                i -> concat_ws(' ', toks[i], toks[i + 1])))) AS DOUBLE) / (n - 1)
+                ELSE 0.0 END) <= {_MAX_DUP2} AS pass_repetition,
+           n BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS} AS pass_length
+    FROM sig
+), keepers AS (
+    SELECT fp, min(doc_id) AS keeper FROM sig GROUP BY fp
+)
+SELECT f.doc_id,
+       f.pass_quality, f.pass_repetition, f.pass_length,
+       f.doc_id = k.keeper AS is_canonical,
+       (f.pass_quality AND f.pass_repetition AND f.pass_length
+        AND f.doc_id = k.keeper) AS keep
+FROM flags f JOIN keepers k USING (fp)
+"""
+
+
+@register(
+    "corpus_filter_pipeline",
+    oracle=FILTER_PIPELINE_ORACLE.format(stop=_STOP_SQL),
+    tags=("text", "quality", "pipeline"),
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation verdict: quality ∧ repetition ∧ length ∧
+    exact-dup canonicality per document, one scan + one shuffle.
+
+    The end-to-end decision a training-data pipeline actually executes.
+    Every per-row signal (quality score, dup-2-gram ratio, token count,
+    fingerprint) is computed in a single projection over one scan; the
+    only wide op is the fingerprint groupBy that elects the canonical
+    copy — at 100 TB that shuffle carries (128-bit key, min-id), nothing
+    else. Re-deriving the signals inline rather than joining the
+    individual signal queries keeps it at 1 corpus scan instead of 4.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sig = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    n = F.col("n")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    quality = F.round(
+        F.lit(0.4) * F.least(n, F.lit(200)) / F.lit(200.0)
+        + F.lit(0.3)
+        * F.least(F.size(F.array_distinct("toks")).cast("double") / n, F.lit(1.0))
+        + F.lit(0.3)
+        * F.least(
+            F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast(
+                "double"
+            )
+            / n
+            * 5.0,
+            F.lit(1.0),
+        ),
+        6,
+    )
+    dup2 = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(_ngrams(F.col("toks"), n, 2)).cast("double") / (n - 1),
+    ).otherwise(0.0)
+    flags = sig.select(
+        "doc_id",
+        "fp",
+        (quality >= _MIN_QUALITY).alias("pass_quality"),
+        (dup2 <= _MAX_DUP2).alias("pass_repetition"),
+        n.between(_MIN_TOKENS, _MAX_TOKENS).alias("pass_length"),
+    )
+    keepers = sig.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    j = flags.join(keepers, "fp")
+    is_canon = F.col("doc_id") == F.col("keeper")
+    return j.select(
+        "doc_id",
+        "pass_quality",
+        "pass_repetition",
+        "pass_length",
+        is_canon.alias("is_canonical"),
+        (
+            F.col("pass_quality")
+            & F.col("pass_repetition")
+            & F.col("pass_length")
+            & is_canon
+        ).alias("keep"),
     )
 
 

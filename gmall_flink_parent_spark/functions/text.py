@@ -17,9 +17,9 @@ from gmall_flink_parent_spark.plans.registry import register
 from gmall_flink_parent_spark.sources.tables import load_table
 
 # Stopword list for quality / language heuristics (tiny, broadcast as a
-# literal into the plan).
-STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
-_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+# literal into the plan). Lives in the leaf module ``stopwords`` so
+# sibling modules can import it without the plans-package init cycle.
+from gmall_flink_parent_spark.functions.stopwords import _STOP_SQL, STOPWORDS  # noqa: E402,F401
 
 
 def tokens(col: str = "text") -> Column:
