@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 NUM_HASHES = 16
 BANDS = 4
@@ -90,7 +90,9 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the ground-truth oracle the approximate tiers (MinHash,
     SimHash) are validated against in tests.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the blocked self-join is quadratic per block — run it as
+    # wide as the cluster, not as wide as the (single-split) scan.
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
     )
@@ -157,7 +159,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is Σ_block n_b², and at corpus scale the shingle sets feed the
     MinHash pipeline instead of being compared exactly.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     shingles = F.array_distinct(
         F.when(
@@ -327,7 +329,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pair generation against whatever session it is handed."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: one md5 per token × 16 permutations is the CPU-dominant
+    # stage — run it cluster-wide even on a single-split scan.
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     sig_cols = [f"s{i}" for i in range(NUM_HASHES)]
     band_cols = [
         F.concat_ws(
@@ -521,7 +525,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, whole-stage codegen. Pair generation on top (Hamming ≤ t)
     is `simhash_near_dup`.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: 32 per-bit majority votes per row are CPU-dense enough to
+    # deserve full width even on a single-split scan.
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     h = docs.select(
         "doc_id",
         "source",

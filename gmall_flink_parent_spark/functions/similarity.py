@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 DIM = 64
 N_QUERIES = 8  # query set = vec_id < 8
@@ -192,7 +192,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     product is fixed-order codegen arithmetic (see module docstring), so
     the threshold filter agrees bit-for-bit with the DuckDB oracle.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the pair join's quadratic dot-product work must run wider
+    # than the (possibly single-split) scan; no-op at real scale.
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id", "label", "embedding", F.sqrt(_norm_sq("embedding")).alias("nrm")
     )

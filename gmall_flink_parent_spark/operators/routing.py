@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # Models the MySQL table_process rows (bean/TableProcess.java:17-31):
 # (source_type, operate/sink_type, sink_table, sink_columns)
@@ -103,7 +103,9 @@ def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical result directly, so a hash match proves the JSON round trip
     is lossless for every row (longs, doubles, nested struct).
     """
-    events = load_table(spark, sf_dir, "events")
+    # fan_out: the JSON round trip is codec-bound — parallelize beyond
+    # the single-split scan (no-op at real scale).
+    events = fan_out(spark, load_table(spark, sf_dir, "events"))
     raw = events.select(
         F.to_json(
             F.struct(

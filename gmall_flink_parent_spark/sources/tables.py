@@ -61,6 +61,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Parallelism repair before a compute-dense stage: round-robin
+    repartition IFF the scan has fewer partitions than the cluster has
+    cores.
+
+    Single-file / single-row-group inputs scan as ONE task, and a
+    broadcast join or per-row expression stage inherits that parallelism
+    — one core does all the work while 31 idle (measured 4-10× slowdowns
+    on the pair-generation joins at sf0.1). When the per-partition cost
+    is CPU (quadratic joins, JSON codec, 64-term dot products), a cheap
+    shuffle of the input buys full-width execution. The guard makes this
+    a **no-op at real scale**: a 100 TB table scans as thousands of
+    splits, already ≥ cores, so no shuffle is ever added — the repair
+    only fires when the data is too small for the cluster, which is
+    exactly when the shuffle is cheapest.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read all test tables as a name → DataFrame dict."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
