@@ -45,6 +45,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ann_ivf_bucketed",
     "ann_srp_lsh",
+    "ann_srp_multiprobe",
     "cdc_envelope_parse",
     "sliding_stats",
     "doc_repetition_stats",

@@ -330,6 +330,90 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_SRP_MULTIPROBE_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql("embedding", "embedding")}) AS nrm,
+           {_srp_bucket_sql()} AS bucket
+    FROM embeddings
+), probes AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+           unnest([bucket] || list_transform(range(0, {SRP_BITS}),
+                                             r -> xor(bucket, CAST(1 << r AS BIGINT)))) AS pb
+    FROM base WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT p.query_id,
+           c.vec_id AS neighbor_id,
+           ({_dot_sql("p.q_emb", "c.embedding")}) / (p.q_nrm * c.nrm) AS cs
+    FROM probes p
+    JOIN base c ON c.bucket = p.pb AND c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rnk, ROUND(cs, 6) AS cos_sim
+FROM (
+    SELECT query_id, neighbor_id, cs,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+    FROM scored
+)
+WHERE rnk <= {SRP_TOP_K}
+"""
+
+
+@register(
+    "ann_srp_multiprobe",
+    oracle=ANN_SRP_MULTIPROBE_ORACLE,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN: each query searches its own bucket plus all
+    16 Hamming-1 neighbor buckets, then exact-cosine reranks.
+
+    The recall repair for bucketed LSH: a true neighbor that lands one
+    sign-flip away (the dominant miss mode — one projection near zero)
+    is recovered without adding hash tables. Plan shape is unchanged
+    from ``ann_srp_lsh``: the query side explodes 17 probe rows
+    (queries × 17 stays tiny, broadcastable), candidate generation is
+    still an equi-join on the bucket id, and the corpus side is scanned
+    once with no shuffle. Probe buckets are distinct by construction,
+    so no candidate dedup pass is needed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_norm_sq("embedding")).alias("nrm"),
+        _srp_bucket_col().alias("bucket"),
+    )
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << r)) for r in range(SRP_BITS)],
+    )
+    probes = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(probe_arr).alias("pb"),
+        )
+    )
+    scored = base.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cs"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SRP_TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
 K_CELLS = 10
 KMEANS_ITERS = 3
 

@@ -302,3 +302,33 @@ def test_pack_bins_capacity_invariant(spark, sf_dir):
         expect = cum.get(r["source"], 0)
         assert (r["seq_id"] * _PACK_CAP + r["seq_offset"]) == expect, r
         cum[r["source"]] = expect + r["n_tokens"]
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Hamming-1 multi-probe searches a superset of the single-probe
+    candidates, so its best cosine per query can never be worse."""
+    single = {
+        r["query_id"]: r["cos_sim"]
+        for r in plans.query_map()["ann_srp_lsh"](spark, sf_dir).collect()
+        if r["rnk"] == 1
+    }
+    multi = {
+        r["query_id"]: r["cos_sim"]
+        for r in plans.query_map()["ann_srp_multiprobe"](spark, sf_dir).collect()
+        if r["rnk"] == 1
+    }
+    assert set(single) <= set(multi)  # every answered query still answered
+    for qid, cs in single.items():
+        assert multi[qid] >= cs, qid
+
+
+def test_fan_out_is_noop_on_wide_input(spark, sf_dir):
+    """fan_out adds no shuffle when the scan is already at least as wide
+    as the cluster — the guard that makes it free at real scale."""
+    from gmall_flink_parent_spark.sources.tables import fan_out, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = fan_out(spark, docs)
+    assert narrow.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)
+    assert fan_out(spark, wide) is wide
