@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cascade_verify",
     "simhash_near_dup",
     "dedup_embedding_cosine",
     "cosine_topk_bruteforce",

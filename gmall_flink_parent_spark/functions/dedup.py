@@ -473,6 +473,92 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- cascade verify
+
+_CASCADE_DOT = " + ".join(
+    f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+    for i in range(64)
+)
+_CASCADE_NRM = " + ".join(
+    f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+    for i in range(64)
+)
+
+CASCADE_ORACLE = f"""
+WITH mh AS (
+    SELECT * FROM ({{minhash}}) t
+), eb AS (
+    SELECT vec_id, embedding, sqrt({_CASCADE_NRM}) AS nrm FROM embeddings
+)
+SELECT m.doc_id_a, m.doc_id_b, m.est_jaccard,
+       ROUND(({_CASCADE_DOT}) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM mh m
+JOIN eb a ON a.vec_id = m.doc_id_a
+JOIN eb b ON b.vec_id = m.doc_id_b
+"""
+
+
+@register(
+    "dedup_cascade_verify",
+    oracle=CASCADE_ORACLE.format(minhash=_minhash_oracle()),
+    tags=("dedup", "lsh", "cascade"),
+)
+def dedup_cascade_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade dedup: cheap textual candidates (MinHash LSH) verified by
+    embedding cosine — the two-tier shape production pipelines run.
+
+    Tier 1 (shingle/minhash/band join) is pennies per document and
+    recall-oriented; tier 2 attaches exact semantic similarity to the
+    *candidate pairs only* — never the corpus cross product — via two
+    hash joins against the embedding table keyed on doc id. At 100 TB
+    the tier-2 join cost scales with candidate-pair count (output-sized)
+    while the embedding table is only probed, making expensive semantic
+    verification affordable exactly where it matters. Pairs without
+    embeddings (coverage is partial by design) drop out — inner join.
+    """
+    spark = _no_aqe(spark)
+    pairs = _minhash_pairs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    eb = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    a = eb.select(
+        F.col("vec_id").alias("doc_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = eb.select(
+        F.col("vec_id").alias("doc_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "est_jaccard",
+            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cos_sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 
