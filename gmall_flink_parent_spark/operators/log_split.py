@@ -61,7 +61,7 @@ SELECT event_id,
        ts,
        event_type,
        strftime(ts, '%Y%m%d') AS ymd,
-       CAST(value AS DECIMAL(18,2)) AS page_value,
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS page_value,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
 FROM events
 WHERE event_type IN ('view', 'click')
@@ -84,7 +84,8 @@ def log_split_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_type",
         F.date_format("ts", "yyyyMMdd").alias("ymd"),
-        F.col("value").cast("decimal(18,2)").alias("page_value"),
+        # decimal cast fixes the money scale; DOUBLE only at the output edge
+        F.col("value").cast("decimal(18,2)").cast("double").alias("page_value"),
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
 

@@ -42,9 +42,9 @@ SELECT l.l_orderkey,
        r.r_name AS region_name,
        p.p_name AS part_name,
        s.s_name AS supplier_name,
-       CAST(l.l_quantity AS DECIMAL(18,2)) AS quantity,
-       CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS revenue,
-       CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+       CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+       CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
        CAST(datediff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER)
            AS order_age_days
 FROM lineitem l
@@ -94,11 +94,13 @@ def order_wide_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"),
             F.col("p_name").alias("part_name"),
             F.col("s_name").alias("supplier_name"),
-            F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+            # decimal casts fix the money scale; DOUBLE only at the output edge
+            F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("quantity"),
             (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
             F.datediff(F.lit("2026-01-01").cast("date"), F.to_date("o_orderdate"))
             .cast("int")
             .alias("order_age_days"),
@@ -111,7 +113,7 @@ SELECT o.o_orderkey,
        l.l_linenumber,
        o.o_orderdate,
        l.l_shipdate,
-       CAST(l.l_extendedprice AS DECIMAL(18,2)) AS extended_price
+       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extended_price
 FROM orders o
 JOIN lineitem l
   ON o.o_orderkey = l.l_orderkey
@@ -144,17 +146,17 @@ def order_detail_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "o_orderdate",
         "l_shipdate",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
     )
 
 
 PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag,
        l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
 FROM lineitem
@@ -182,10 +184,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("2024-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,6)")).alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(18,6)")).alias("sum_charge"),
+            # exact decimal sums internally (partition-order-independent);
+            # DOUBLE only at the output edge for stable driver hashing
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
             F.round(
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")

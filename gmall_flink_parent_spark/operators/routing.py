@@ -48,7 +48,7 @@ SELECT e.event_id,
        e.ts,
        tp.sink_table,
        CASE WHEN list_contains(string_split(tp.sink_columns, ','), 'value')
-            THEN CAST(e.value AS DECIMAL(18,2)) END AS value,
+            THEN CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) END AS value,
        CASE WHEN list_contains(string_split(tp.sink_columns, ','), 'props')
             THEN e.props END AS props
 FROM events e
@@ -72,7 +72,9 @@ def _routed(spark: SparkSession, sf_dir: str, sink_type: str) -> DataFrame:
             "ts",
             "sink_table",
             F.when(
-                F.array_contains(cols, "value"), F.col("value").cast("decimal(18,2)")
+                # decimal cast fixes the money scale; DOUBLE at the output edge
+                F.array_contains(cols, "value"),
+                F.col("value").cast("decimal(18,2)").cast("double"),
             ).alias("value"),
             F.when(F.array_contains(cols, "props"), F.col("props")).alias("props"),
         )

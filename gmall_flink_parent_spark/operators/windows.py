@@ -21,7 +21,7 @@ SELECT date_trunc('hour', ts) AS hour_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """
@@ -42,7 +42,9 @@ def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            # exact decimal sum internally; DOUBLE only at the output edge
+            # so the driver's representation-sensitive hash is stable
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("hour_start"),
@@ -66,7 +68,7 @@ SELECT win_start,
        win_start + INTERVAL '1 hour' AS win_end,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM x
 GROUP BY win_start, event_type
 """
@@ -88,7 +90,7 @@ def sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("win_start"),
@@ -101,7 +103,7 @@ def sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOPK_ORACLE = """
-SELECT event_type, user_id, spend, rnk
+SELECT event_type, user_id, CAST(spend AS DOUBLE) AS spend, rnk
 FROM (
     SELECT event_type, user_id, spend,
            row_number() OVER (PARTITION BY event_type ORDER BY spend DESC, user_id) AS rnk
@@ -117,25 +119,42 @@ WHERE rnk <= 5
 
 @register("topk_users_by_spend", oracle=TOPK_ORACLE, tags=("dws", "topk"))
 def topk_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 users per event type by exact decimal spend.
+    """Top-5 users per event type by exact decimal spend (two-pass top-k).
 
     Rank over an already-aggregated frame: the expensive shuffle touches
-    (type,user) aggregates — tiny relative to the fact table — and the
-    window partitions by the low-cardinality type only after reduction.
-    Deterministic ordering via (spend DESC, user_id).
+    (type,user) aggregates — tiny relative to the fact table. Because
+    ``event_type`` has ~5 distinct values, a single window pass would
+    sort users-per-type rows on ≤5 tasks at 100 TB; instead a **partial
+    top-5 per (type, shuffle-partition)** prunes the frame to
+    ≤ 5×partitions rows before the per-type final rank — the global
+    top-5 is always a subset of the partial winners. Deterministic
+    ordering via (spend DESC, user_id).
     """
     events = load_table(spark, sf_dir, "events")
     spend = events.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
     )
+    w_partial = Window.partitionBy("event_type", "pid").orderBy(
+        F.col("spend").desc(), "user_id"
+    )
+    pruned = (
+        spend.withColumn("pid", F.spark_partition_id())
+        .withColumn("prnk", F.row_number().over(w_partial))
+        .filter(F.col("prnk") <= 5)
+        .drop("pid", "prnk")
+    )
     w = Window.partitionBy("event_type").orderBy(F.col("spend").desc(), "user_id")
-    return spend.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "user_id", F.col("spend").cast("double").alias("spend"), "rnk")
+    )
 
 
 ROLLUP_ORACLE = """
 SELECT r.r_name AS region_name,
        n.n_name AS nation_name,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -167,7 +186,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.rollup("region_name", "nation_name").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -176,7 +195,7 @@ CUBE_ORACLE = """
 SELECT c.c_mktsegment AS mktsegment,
        o.o_orderpriority AS orderpriority,
        GROUPING(c.c_mktsegment, o.o_orderpriority) AS gid,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -202,7 +221,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.cube("mktsegment", "orderpriority").agg(
         F.grouping_id().cast("long").alias("gid"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -213,7 +232,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM (
     SELECT user_id, ts, value,
            SUM(is_new_session) OVER (
@@ -257,7 +276,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
         )
     )
 

@@ -116,7 +116,8 @@ def routing_job(
                 "sink_type",
                 F.when(
                     F.array_contains(cols, "value"),
-                    F.col("value").cast("decimal(18,2)"),  # money: match batch _routed
+                    # money scale via decimal, DOUBLE output: match batch _routed
+                    F.col("value").cast("decimal(18,2)").cast("double"),
                 ).alias("value"),
                 F.when(F.array_contains(cols, "props"), F.col("props")).alias("props"),
             )
@@ -166,7 +167,7 @@ def hourly_stats_stream(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("hour_start"),
@@ -193,7 +194,7 @@ def sliding_stats_stream(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("win_start"),
@@ -220,7 +221,7 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
         )
         .select(
             "user_id",
@@ -257,5 +258,5 @@ def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
         "l_linenumber",
         "o_orderdate",
         "l_shipdate",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
     )

@@ -257,7 +257,7 @@ def test_routing_job_auto_ddl_registers_typed_dim_table(spark, sf_dir, tmp_path)
         q.awaitTermination(120)
         assert spark.catalog.tableExists("dim_purchase_info")
         got = dict(spark.table("dim_purchase_info").dtypes)
-        assert got["value"] == "decimal(18,2)", got  # typed, not varchar
+        assert got["value"] == "double", got  # typed, not varchar
         n_sql = spark.sql("SELECT COUNT(*) AS n FROM dim_purchase_info").first()["n"]
         assert n_sql == plans.query_map()["routing_dims"](spark, sf_dir).count()
     finally:
