@@ -35,9 +35,8 @@ HEADLINE = [
     "user_value_distribution",
     "engaged_user_overlap",
     "skew_salted_join",
-    "doc_token_stats",
-    "doc_bpe_token_count",
-    "doc_fingerprint",
+    "doc_text_profile",
+    "doc_quality_lang",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cascade_verify",
@@ -49,7 +48,6 @@ HEADLINE = [
     "ann_srp_multiprobe",
     "cdc_envelope_parse",
     "sliding_stats",
-    "doc_repetition_stats",
     "doc_top_token",
     "doc_clean_normalize",
     "pii_scrub",

@@ -72,7 +72,6 @@ def _ngrams(toks: Column, n_col: Column, n: int) -> Column:
     )
 
 
-@register("doc_repetition_stats", oracle=REPETITION_ORACLE, tags=("text", "quality"))
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate token / 2-gram / 3-gram
     fractions per document.
@@ -80,7 +79,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     High duplicate-n-gram fractions mark boilerplate and generated spam;
     corpus filters drop docs above a threshold (e.g. dup-2gram > 0.2).
     Pure higher-order array expressions — per-row, shuffle-free; at
-    100 TB this is a map stage fused into the scan.
+    100 TB this is a map stage fused into the scan. The registered form
+    is the ``dup_*_ratio`` columns of ``corpus_filter_pipeline`` (signals
+    and verdict come from one scan); this standalone frame remains for
+    library use.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -335,6 +337,16 @@ WITH sig AS (
     FROM documents
 ), flags AS (
     SELECT doc_id, fp,
+           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6)
+               AS dup_token_ratio,
+           ROUND(CASE WHEN n >= 2 THEN 1.0 - CAST(len(list_distinct(list_transform(
+                range(1, greatest(n, 1)),
+                i -> concat_ws(' ', toks[i], toks[i + 1])))) AS DOUBLE) / (n - 1)
+                ELSE 0.0 END, 6) AS dup_2gram_ratio,
+           ROUND(CASE WHEN n >= 3 THEN 1.0 - CAST(len(list_distinct(list_transform(
+                range(1, greatest(n - 1, 1)),
+                i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS DOUBLE)
+                / (n - 2) ELSE 0.0 END, 6) AS dup_3gram_ratio,
            ROUND(
              0.4 * least(n, 200) / 200.0
            + 0.3 * least(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 1.0)
@@ -351,6 +363,7 @@ WITH sig AS (
     SELECT fp, min(doc_id) AS keeper FROM sig GROUP BY fp
 )
 SELECT f.doc_id,
+       f.dup_token_ratio, f.dup_2gram_ratio, f.dup_3gram_ratio,
        f.pass_quality, f.pass_repetition, f.pass_length,
        f.doc_id = k.keeper AS is_canonical,
        (f.pass_quality AND f.pass_repetition AND f.pass_length
@@ -365,16 +378,20 @@ FROM flags f JOIN keepers k USING (fp)
     tags=("text", "quality", "pipeline"),
 )
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed curation verdict: quality ∧ repetition ∧ length ∧
-    exact-dup canonicality per document, one scan + one shuffle.
+    """The composed curation verdict: Gopher-style repetition signals +
+    quality ∧ repetition ∧ length ∧ exact-dup canonicality per document,
+    one scan + one shuffle.
 
-    The end-to-end decision a training-data pipeline actually executes.
-    Every per-row signal (quality score, dup-2-gram ratio, token count,
-    fingerprint) is computed in a single projection over one scan; the
-    only wide op is the fingerprint groupBy that elects the canonical
-    copy — at 100 TB that shuffle carries (128-bit key, min-id), nothing
-    else. Re-deriving the signals inline rather than joining the
-    individual signal queries keeps it at 1 corpus scan instead of 4.
+    The end-to-end decision a training-data pipeline actually executes,
+    with the raw repetition ratios (duplicate token / 2-gram / 3-gram
+    fractions) emitted alongside the boolean verdicts so downstream
+    threshold tuning needs no second scan. Every per-row signal
+    (repetition ratios, quality score, token count, fingerprint) is
+    computed in a single projection over one scan; the only wide op is
+    the fingerprint groupBy that elects the canonical copy — at 100 TB
+    that shuffle carries (128-bit key, min-id), nothing else.
+    Re-deriving the signals inline rather than joining the individual
+    signal queries keeps it at 1 corpus scan instead of 5.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -401,13 +418,21 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    r1 = F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n
     dup2 = F.when(
         n >= 2,
         F.lit(1.0) - F.size(_ngrams(F.col("toks"), n, 2)).cast("double") / (n - 1),
     ).otherwise(0.0)
+    dup3 = F.when(
+        n >= 3,
+        F.lit(1.0) - F.size(_ngrams(F.col("toks"), n, 3)).cast("double") / (n - 2),
+    ).otherwise(0.0)
     flags = sig.select(
         "doc_id",
         "fp",
+        F.round(r1, 6).alias("dup_token_ratio"),
+        F.round(dup2, 6).alias("dup_2gram_ratio"),
+        F.round(dup3, 6).alias("dup_3gram_ratio"),
         (quality >= _MIN_QUALITY).alias("pass_quality"),
         (dup2 <= _MAX_DUP2).alias("pass_repetition"),
         n.between(_MIN_TOKENS, _MAX_TOKENS).alias("pass_length"),
@@ -417,6 +442,9 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_canon = F.col("doc_id") == F.col("keeper")
     return j.select(
         "doc_id",
+        "dup_token_ratio",
+        "dup_2gram_ratio",
+        "dup_3gram_ratio",
         "pass_quality",
         "pass_repetition",
         "pass_length",
@@ -454,9 +482,14 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The canonical wordcount shape at 100 TB: explode → partial count
     map-side (the combine absorbs Zipf skew — hot tokens reduce to one
-    row per task before the shuffle) → final count → a single-partition
-    top-k over #distinct-tokens rows, which is vocabulary-sized, not
-    corpus-sized. Deterministic tie-break (count desc, token asc).
+    row per task before the shuffle) → final count → ``orderBy().
+    limit(k)``, which Catalyst compiles to **TakeOrderedAndProject**:
+    every partition keeps a k-row heap and only those heads merge — no
+    global sort, no single-partition WindowExec, the vocabulary never
+    moves. Rank numbers for the 50 survivors come from a 50×50
+    count-rows-before self-join (constant-sized by construction).
+    Deterministic tie-break (count desc, token asc) makes the order
+    total, so the rank equals row_number.
     """
     docs = load_table(spark, sf_dir, "documents")
     e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -464,15 +497,18 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    ranked = counts.select(
-        "tok",
-        "n_occurrences",
-        "n_docs",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_occurrences"), F.asc("tok")))
-        .alias("rnk"),
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(VOCAB_TOPK)
+    x, y = top.alias("x"), top.alias("y")
+    before = (F.col("y.n_occurrences") > F.col("x.n_occurrences")) | (
+        (F.col("y.n_occurrences") == F.col("x.n_occurrences"))
+        & (F.col("y.tok") < F.col("x.tok"))
     )
-    return ranked.filter(F.col("rnk") <= VOCAB_TOPK)
+    return (
+        x.join(y, before, "left")
+        .groupBy("x.tok", "x.n_occurrences", "x.n_docs")
+        .agg((F.count("y.tok") + 1).cast("int").alias("rnk"))
+        .select("tok", "n_occurrences", "n_docs", "rnk")
+    )
 
 
 CORPUS_SUMMARY_ORACLE = """

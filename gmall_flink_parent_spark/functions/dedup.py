@@ -26,6 +26,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gmall_flink_parent_spark.functions.simhash import (
+    SIMHASH_BITS,
+    _simhash_value_col,
+    _simhash_value_sql_duckdb,
+    _TOK32_DUCK,
+    token_hashes_col,
+)
 from gmall_flink_parent_spark.plans.registry import register
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
@@ -33,8 +40,7 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 JACCARD_THRESHOLD = 0.6
-SIMHASH_BITS = 32
-HAMMING_THRESHOLD = 6
+HAMMING_THRESHOLD = 3  # of SIMHASH_BITS=32 — ≈90% bit agreement
 
 DEDUP_EXACT_ORACLE = """
 SELECT md5(lower(trim(text))) AS fingerprint,
@@ -82,13 +88,13 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_jaccard_blocked", oracle=JACCARD_ORACLE, tags=("dedup",))
 def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup within source blocks.
 
     The blocking key bounds the self-join: cost is Σ_block n_b², not N².
     This is the ground-truth oracle the approximate tiers (MinHash,
-    SimHash) are validated against in tests.
+    SimHash) are validated against in tests. Registered via
+    ``dedup_jaccard_tiers`` (one query, ``tier`` column).
     """
     # fan_out: the blocked self-join is quadratic per block — run it as
     # wide as the cluster, not as wide as the (single-split) scan.
@@ -148,7 +154,6 @@ WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("dedup", "ngram"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram (shingle) Jaccard near-dup within source blocks.
 
@@ -197,6 +202,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
     )
+
+
+JACCARD_TIERS_ORACLE = f"""
+SELECT 'token_set' AS tier, * FROM ({JACCARD_ORACLE})
+UNION ALL
+SELECT 'ngram3' AS tier, * FROM ({NGRAM_JACCARD_ORACLE})
+"""
+
+
+@register("dedup_jaccard_tiers", oracle=JACCARD_TIERS_ORACLE, tags=("dedup", "ngram"))
+def dedup_jaccard_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both exact-Jaccard ground-truth tiers in one query, tagged by
+    ``tier``: token-set Jaccard (order-free, threshold 0.6) and word-
+    3-gram shingle Jaccard (order-preserving, threshold 0.02).
+
+    These are the documented ORACLE tiers (SURVEY §2 note): the blocked
+    self-join is quadratic per source block by design, and the corpus-
+    scale path is MinHash/SimHash whose candidates these tiers validate
+    against in tests. One registration, two tiers — the union is two
+    independent blocked joins off the same scan shape.
+    """
+    a = dedup_jaccard_blocked(spark, sf_dir).select(
+        F.lit("token_set").alias("tier"), "doc_id_a", "doc_id_b", "jaccard"
+    )
+    b = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram3").alias("tier"), "doc_id_a", "doc_id_b", "jaccard"
+    )
+    return a.unionByName(b)
 
 
 # ---------------------------------------------------------------- MinHash
@@ -278,25 +311,6 @@ WHERE est_jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def _no_aqe(spark: SparkSession) -> SparkSession:
-    """Child session (shared SparkContext) with AQE disabled.
-
-    The LSH plan consumes the signature-cluster aggregate THREE times
-    (both self-join sides + the within-cluster branch). Static planning
-    turns the second and third consumers into ``ReusedExchange`` — the
-    corpus is scanned and minhashed once. AQE (Spark 4.1) plans each
-    consumer as an independent query stage and never reuses the
-    exchange: 3 scans, 3 signature computations, measured 2× slower at
-    sf0.1 and strictly worse at 100 TB where signatures dominate. AQE's
-    skew-split is not needed here — the exact-dup collapse already
-    bounds bucket skew before the join — so reuse wins. A child session
-    scopes the toggle to this query without touching the caller's conf.
-    """
-    s = spark.newSession()
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    return s
-
-
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs.
@@ -318,17 +332,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       matching band die in a codegen filter — the output-sized
       dedup shuffle is gone entirely.
 
-    Runs with AQE off (see ``_no_aqe``): static planning reuses the
-    signature-cluster exchange across all three consumers — one corpus
-    scan — where AQE replans each consumer separately. Bucket skew is
-    already bounded by the exact-dup collapse, so AQE's skew-split
-    isn't needed.
+    The signature-cluster frame is **persisted** (see ``_minhash_pairs``)
+    so all three consumers (both self-join sides + the within-cluster
+    branch) read one materialization — one corpus scan, one signature
+    computation — while AQE stays enabled for the band join (skew split,
+    runtime partition coalescing). r1 achieved one-scan via an AQE-off
+    child session relying on static ``ReusedExchange``; that broke down
+    the moment the plan grew (the cascade query re-minhashed the corpus
+    3×), so the explicit cache is the robust form.
     """
-    return _minhash_pairs(_no_aqe(spark), sf_dir)
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH pair generation against whatever session it is handed."""
+    """LSH pair generation against whatever session it is handed.
+
+    ``clusters`` (one row per distinct signature: ids + sig + band
+    hashes) is persisted and eagerly materialized: it is consumed three
+    times downstream, and it is the REDUCED frame — distinct-signature
+    count × ~200 B, orders of magnitude smaller than the corpus — so
+    caching it is cheap at any scale while recomputing it means
+    re-scanning and re-minhashing the corpus per consumer.
+    """
     # fan_out: one md5 per token × 16 permutations is the CPU-dominant
     # stage — run it cluster-wide even on a single-split scan.
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
@@ -349,6 +374,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*sig_cols).alias("sig"),
             F.array(*band_cols).alias("bhs"),
         )
+        .persist()
     )
     # posexplode_outer, deliberately: plain posexplode makes the optimizer
     # infer `size(bhs) > 0`, and that filter is pushed below the signature
@@ -418,41 +444,77 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The step a real dedup pipeline runs after pair generation — pairs
     alone can't answer "which docs do I drop" when A~B and B~C but A≁C.
     Label propagation: every doc starts as its own label; each round
-    every doc takes the min label in its neighborhood (one join + one
-    groupBy per round); the driver-side loop stops at the fixed point
-    (≤ graph-diameter rounds — near-dup clusters are dense, so tiny
-    diameters; pointer-doubling would get log₂ if a corpus ever needed
-    it). Iterative ⇒ rows-only driver check; transitivity/minimality
-    invariants are pinned in ``tests/test_operators.py``.
+    every doc takes the min label in its neighborhood, then **pointer-
+    jumps** (label ← label[label]) so label information travels
+    exponentially — convergence in O(log diameter) rounds, not
+    O(diameter) like plain propagation. Iterative ⇒ rows-only driver
+    check; transitivity/minimality invariants are pinned in
+    ``tests/test_operators.py`` and chain-graph convergence in
+    ``test_connected_components_long_chain``.
     """
-    # Same no-AQE child session as the pair generator, so every frame in
-    # the propagation loop shares one session/conf.
-    spark = _no_aqe(spark)
     pairs = _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # undirected edge list, both directions
+    labels = connected_components(docs, pairs)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 32
+) -> DataFrame:
+    """Connected components by min-label propagation + pointer jumping.
+
+    Each round: (a) every node takes the min label over itself and its
+    neighbors (join + groupBy); (b) every node replaces its label with
+    its label's label (one self-join) — the pointer-doubling step that
+    collapses long paths in O(log diameter) rounds where plain
+    neighbor-min needs O(diameter). Labels are always existing node ids,
+    so the jump join is total.
+
+    Raises ``RuntimeError`` if the fixed point is not reached within
+    ``max_rounds`` — silently returning unconverged labels would yield
+    wrong cluster assignments with no signal (with doubling, 32 rounds
+    covers diameters beyond 2³², i.e. never in practice).
+
+    Returns ``(doc_id, label)`` with label = min doc_id of the component.
+    """
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
         )
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(32):  # bound >> log2(diameter) of any near-dup cluster
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_id_b == labels.doc_id)
             .groupBy("doc_id_a")
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("doc_id_a", "doc_id")
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label ← label[label]. The jump self-references
+        # `propagated`, which would DOUBLE the logical plan every round
+        # (exponential analysis cost); localCheckpoint truncates lineage
+        # to the materialized result each round — at cluster scale the
+        # same role is played by reliable checkpoint() on durable storage.
+        ptr = propagated.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            propagated.join(ptr, propagated.label == ptr.p_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
+                F.coalesce("p_label", "label").alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -460,16 +522,13 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        if labels.is_cached:
-            labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
+            edges.unpersist()
+            return labels
     edges.unpersist()
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds"
     )
 
 
@@ -515,19 +574,30 @@ def dedup_cascade_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the embedding table is only probed, making expensive semantic
     verification affordable exactly where it matters. Pairs without
     embeddings (coverage is partial by design) drop out — inner join.
+
+    Tier 1's signature-cluster frame is cached inside ``_minhash_pairs``,
+    so enlarging the plan with the embedding joins cannot re-trigger the
+    corpus scan/minhash (r1's no-AQE ReusedExchange did exactly that —
+    4.7× the standalone tier-1 time); AQE stays on for the joins.
+    Remaining cost is output-volume-bound: one fold-ordered cosine per
+    candidate pair (~5.8M pairs at sf0.1 in this near-dup-heavy corpus)
+    — measured cheaper than both an unrolled 128-term codegen expression
+    (blows the codegen method budget → slow fallback) and an
+    Arrow/numpy ``mapInPandas`` stage (pays 2×64 floats/pair transfer).
     """
-    spark = _no_aqe(spark)
     pairs = _minhash_pairs(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    # Pre-cast to array<double> ONCE per document (5k rows), so the
+    # per-PAIR fold (millions of rows — the hot loop) runs multiply+add
+    # only, with no per-element cast nodes in the interpreted
+    # higher-order evaluation. Same values: cast-then-multiply either way.
     eb = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).select(
         "vec_id",
         "embedding",
         F.sqrt(
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
+            F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("nrm"),
     )
     a = eb.select(
@@ -541,9 +611,7 @@ def dedup_cascade_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     dot = F.aggregate(
-        F.zip_with(
-            F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -562,107 +630,118 @@ def dedup_cascade_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- SimHash
 
 
-# per-token 32-bit integer hash (first 8 md5 hex chars), then per-bit
-# majority vote over integer shifts — integer ops, not string probing.
-_TOK32_DUCK = "CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)"
-
-
-def _simhash_value_sql_duckdb() -> str:
-    """SimHash32 over the integer `hashes` list, as a DuckDB expression."""
-    bit_terms = []
-    for b in range(SIMHASH_BITS):
-        vote = (
-            f"list_sum(list_transform(hashes, h -> CASE WHEN (h >> {b}) & 1 = 1 "
-            f"THEN 1 ELSE -1 END))"
-        )
-        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
-    return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
-
-
-def _simhash_value_col() -> Column:
-    """Same SimHash32, as a generated Spark SQL expression over `hashes`."""
-    terms = []
-    for b in range(SIMHASH_BITS):
-        vote = (
-            f"aggregate(hashes, 0, (acc, h) -> acc + (CASE WHEN "
-            f"(shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))"
-        )
-        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
-    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
-
-
-SIMHASH_ORACLE = f"""
-WITH h AS (
-    SELECT doc_id, source,
-           list_transform(list_distinct(string_split(text, ' ')),
-                          t -> {_TOK32_DUCK}) AS hashes
-    FROM documents
-)
-SELECT doc_id, source, {_simhash_value_sql_duckdb()} AS simhash32
-FROM h
-"""
-
-
-@register("simhash_signatures", oracle=SIMHASH_ORACLE, tags=("dedup", "simhash"))
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (majority vote over token-hash bits).
 
     Pure higher-order expressions over the token array — per-row, no
-    shuffle, whole-stage codegen. Pair generation on top (Hamming ≤ t)
-    is `simhash_near_dup`.
+    shuffle, whole-stage codegen (see ``functions/simhash.py``). Pair
+    generation on top (Hamming ≤ t) is `simhash_near_dup`; the per-doc
+    signature is exposed as the ``simhash32`` column of the registered
+    ``doc_text_profile`` query.
     """
     # fan_out: 32 per-bit majority votes per row are CPU-dense enough to
     # deserve full width even on a single-split scan.
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    h = docs.select(
-        "doc_id",
-        "source",
-        F.transform(
-            F.array_distinct(F.split("text", " ")),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-        ).alias("hashes"),
-    )
+    h = docs.select("doc_id", "source", token_hashes_col().alias("hashes"))
     return h.select("doc_id", "source", _simhash_value_col().alias("simhash32"))
+
+
+# Multi-index probe tables (the Google simhash scheme: 64-bit/k≤3 uses
+# 4×16-bit tables): the 32-bit signature splits into 4 blocks of 8 bits;
+# a pair within Hamming distance 3 can have flipped bits in at most 3
+# blocks, so by pigeonhole AT LEAST ONE block is identical — probing on
+# each (block_idx, 8-bit block value) finds EVERY qualifying pair as an
+# equi-join collision. Completeness is exact, so the oracle is plain
+# brute force.
+SIMHASH_BLOCK_BITS = 8
+SIMHASH_N_BLOCKS = SIMHASH_BITS // SIMHASH_BLOCK_BITS
+
+
+def _simhash_probe_key_sql(i: int, col: str = "simhash32", duck: bool = False) -> str:
+    """Probe key for block ``i`` = that block's 8 bits.
+
+    Same arithmetic in both dialects; only the shift spelling differs
+    (DuckDB ``>>`` vs Spark SQL ``shiftright``).
+    """
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    shift = SIMHASH_BLOCK_BITS * i
+    if duck:
+        return f"(({col} >> {shift}) & {mask})"
+    return f"(shiftright({col}, {shift}) & {mask})"
 
 
 SIMHASH_PAIRS_ORACLE = f"""
 WITH h AS (
-    SELECT doc_id, source,
+    SELECT doc_id,
            list_transform(list_distinct(string_split(text, ' ')),
                           t -> {_TOK32_DUCK}) AS hashes
     FROM documents
 ), s AS (
-    SELECT doc_id, source, {_simhash_value_sql_duckdb()} AS simhash32 FROM h
+    SELECT doc_id, {_simhash_value_sql_duckdb()} AS simhash32 FROM h
 )
 SELECT a.doc_id AS doc_id_a,
        b.doc_id AS doc_id_b,
        CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INTEGER) AS hamming
 FROM s a
-JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {HAMMING_THRESHOLD}
 """
 
 
 @register("simhash_near_dup", oracle=SIMHASH_PAIRS_ORACLE, tags=("dedup", "simhash"))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ 6 within blocks.
+    """SimHash near-dup pairs corpus-wide: Hamming(sig_a, sig_b) ≤ 3.
 
-    Blocked self-join on the source key; at corpus scale the block key
-    would be simhash bit-prefixes (each signature probed into 4 rotated
-    prefix tables), which keeps candidate generation an equi-join exactly
-    like the MinHash band join.
+    Candidate generation is an **equi-join on bit-block probe keys**,
+    exactly like the MinHash band join — never a quadratic block
+    self-join (r1 blocked on ``source``, which a single hot source pins
+    at 100 TB). Each signature emits 4 (block_idx, 8-bit block) probes;
+    pigeonhole over 4×8-bit blocks makes the probe COMPLETE for
+    Hamming ≤ 3, so the exact Hamming filter after the join is a
+    rerank, not a recall patch — the oracle is plain brute force and
+    matches by construction. A pair colliding in k probe tables
+    survives only in its first matching table (codegen filter over both
+    probe-key arrays — same trick as the LSH first-matching-band
+    filter), so no output-sized dedup shuffle. At 64 signature bits the
+    same plan probes 4×16-bit blocks (the production config); block
+    width is the selectivity knob.
+
+    The probed frame (doc_id, simhash32, 4 keys ≈ 60 B/row) is
+    persisted: both join sides read one materialization instead of
+    recomputing signatures per side.
     """
     sigs = simhash_signatures(spark, sf_dir)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    key_exprs = ", ".join(
+        _simhash_probe_key_sql(i) for i in range(SIMHASH_N_BLOCKS)
+    )
+    probed = sigs.select(
+        "doc_id",
+        "simhash32",
+        F.expr(f"array({key_exprs})").alias("keys"),
+    ).persist()
+    probed.count()  # eager: signatures computed once for both join sides
+    exploded = probed.select(
+        "doc_id", "simhash32", "keys", F.posexplode("keys").alias("tbl", "k")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    first_tbl = (
+        F.array_position(
+            F.zip_with(F.col("a.keys"), F.col("b.keys"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
     hamming = F.bit_count(
         F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32"))
     ).cast("int")
     return (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.tbl") == first_tbl)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),

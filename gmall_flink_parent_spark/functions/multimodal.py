@@ -22,30 +22,69 @@ from pyspark.sql import functions as F
 from gmall_flink_parent_spark.plans.registry import register
 from gmall_flink_parent_spark.sources.tables import load_table
 
-MULTIMODAL_META_ORACLE = """
+# byte i (1-based) of the payload, recovered from the hex dump — the
+# engine-neutral way to read binary content in the oracle
+_BYTE_AT = "CAST(concat('0x', substr(hex(encode(text)), 2*{i} - 1, 2)) AS BIGINT)"
+
+MULTIMODAL_META_FEATURES_ORACLE = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        substr(hex(encode(text)), 1, 8) AS head_hex,
-       'text/plain' AS mime
+       'text/plain' AS mime,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                 ELSE {_BYTE_AT.format(i=1)} END AS INTEGER) AS first_byte,
+       CAST(COALESCE(list_sum(list_transform(
+                range(1, least(octet_length(encode(text)), 256) + 1),
+                i -> {_BYTE_AT.format(i="i")})), 0) % 997 AS INTEGER) AS byte_sum_mod
 FROM documents
 """
 
 
-@register("multimodal_meta", oracle=MULTIMODAL_META_ORACLE, tags=("multimodal",))
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over an opaque binary payload column.
+@register(
+    "multimodal_meta_features",
+    oracle=MULTIMODAL_META_FEATURES_ORACLE,
+    tags=("multimodal",),
+)
+def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata (JVM-side) + decode features (Arrow ``mapInPandas``)
+    over an opaque binary payload column, one row per media item.
 
     Byte length and magic-prefix sniffing happen JVM-side on the binary
     column — the pattern for routing media rows to per-codec decode
-    stages without touching Python.
+    stages without touching Python; the feature columns then ride the
+    Arrow batch through the stubbed decode kernel (``decode_media``).
+    The oracle recomputes the fake-decode's byte stats from the hex dump
+    (engine-neutral binary access), so the whole pipeline — including
+    the Python stage — is hash-checked, not rows-only.
     """
     docs = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
+    meta = docs.select(
         "doc_id",
+        payload.alias("payload"),
         F.length(payload).cast("long").alias("n_bytes"),
         F.substring(F.hex(payload), 1, 8).alias("head_hex"),
         F.lit("text/plain").alias("mime"),
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
+            out = pdf[["doc_id", "n_bytes", "head_hex", "mime"]].copy()
+            out["first_byte"] = pd.Series(
+                [f["first_byte"] for f in feats], index=pdf.index, dtype="int32"
+            )
+            out["byte_sum_mod"] = pd.Series(
+                [f["byte_sum_mod"] for f in feats], index=pdf.index, dtype="int32"
+            )
+            yield out
+
+    return meta.mapInPandas(
+        extract,
+        "doc_id long, n_bytes long, head_hex string, mime string, "
+        "first_byte int, byte_sum_mod int",
     )
 
 
@@ -155,14 +194,45 @@ def frame_sample_rows(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("multimodal",))
+# Frame-slice arithmetic mirrored into SQL: step = max(L // N, 1);
+# frame i = payload[i*step : (i+1)*step]  (length clamp(L - i*step, 0, step));
+# thumb = frame downsampled to ≤16 bytes. The oracle reads frame content
+# through the payload hex dump, so the mapInPandas fan-out — Python
+# kernel included — is hash-checked end to end.
+FRAME_SAMPLE_ORACLE = f"""
+WITH p AS (
+    SELECT doc_id,
+           hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS L,
+           greatest(octet_length(encode(text)) // {N_FRAMES}, 1) AS step
+    FROM documents
+), f AS (
+    SELECT doc_id, hx, L, step, unnest(range({N_FRAMES})) AS frame_idx FROM p
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(least(greatest(L - frame_idx * step, 0), step) AS BIGINT) AS frame_len,
+       substr(hx, 2 * frame_idx * step + 1,
+              least(least(greatest(L - frame_idx * step, 0), step) * 2, 8))
+           AS frame_head_hex,
+       CAST(least(least(greatest(L - frame_idx * step, 0), step), 16) AS BIGINT)
+           AS thumb_len
+FROM f
+"""
+
+
+@register("multimodal_frame_sample", oracle=FRAME_SAMPLE_ORACLE, tags=("multimodal",))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling + thumbnail resize over binary payloads (rows-only).
+    """Frame sampling + thumbnail resize over binary payloads.
 
-    N deterministic frames per document with a resized thumb each —
-    the decode kernel is stubbed (container has no media libs), the
-    distributed fan-out is real and value-pinned in
-    ``tests/test_operators.py``.
+    N deterministic frames per document with a resized thumb each — the
+    decode kernel is stubbed (container has no media libs), the
+    distributed fan-out (``frame_sample_rows``: one row in, N typed rows
+    out through Arrow) is real. The registered output is the frames'
+    byte stats (length + head hex + thumb length) computed JVM-side from
+    the actual binary frames, which a hex/length-math oracle reproduces
+    — hash-checked, not rows-only; the raw binary rows are value-pinned
+    in ``tests/test_operators.py``.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select(
@@ -170,20 +240,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("text/plain").alias("mime"),
     )
-    return frame_sample_rows(with_payload)
-
-
-@register("multimodal_features", oracle=None, tags=("multimodal",))
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake-decode features over the binary payload (rows-only check).
-
-    No SQL oracle — the decode stage is definitionally non-relational;
-    ``tests/test_operators.py`` pins its values instead.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    with_payload = docs.select(
+    frames = frame_sample_rows(with_payload)
+    return frames.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.lit("text/plain").alias("mime"),
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.substring(F.hex("frame"), 1, 8).alias("frame_head_hex"),
+        F.length("thumb").cast("long").alias("thumb_len"),
     )
-    return extract_media_features(with_payload)

@@ -234,20 +234,31 @@ def test_decode_media_stub():
 
 
 def test_multimodal_frame_sample_values(spark, sf_dir):
-    """Frame fan-out: N rows per doc, frames/thumbs match the local
-    kernels; real codecs refuse."""
+    """Frame fan-out: N binary rows per doc, frames/thumbs match the
+    local kernels byte-for-byte; real codecs refuse. (The registered
+    query exposes byte STATS of these frames — oracle-checked by the
+    driver; the raw binary plumbing is pinned here.)"""
+    from pyspark.sql import functions as F
+
     from gmall_flink_parent_spark.functions.multimodal import (
         N_FRAMES,
+        frame_sample_rows,
         resize_frame,
         sample_frames,
     )
 
     with pytest.raises(NotImplementedError):
         sample_frames(b"\x00\x00\x01\xba", "video/mpeg")
+    docs_df = load_table(spark, sf_dir, "documents")
+    with_payload = docs_df.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
     got: dict[tuple[int, int], tuple[bytes, bytes]] = {}
-    for r in plans.query_map()["multimodal_frame_sample"](spark, sf_dir).collect():
+    for r in frame_sample_rows(with_payload).collect():
         got[(r["doc_id"], r["frame_idx"])] = (bytes(r["frame"]), bytes(r["thumb"]))
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = docs_df.select("doc_id", "text").collect()
     assert len(got) == N_FRAMES * len(docs)
     for r in docs[:25]:
         payload = r["text"].encode("utf-8")
@@ -259,7 +270,7 @@ def test_multimodal_features_values(spark, sf_dir):
     """The distributed mapInPandas pipeline reproduces the local kernel."""
     got = {
         r["doc_id"]: (r["n_bytes"], r["first_byte"], r["byte_sum_mod"])
-        for r in plans.query_map()["multimodal_features"](spark, sf_dir).collect()
+        for r in plans.query_map()["multimodal_meta_features"](spark, sf_dir).collect()
     }
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     assert len(got) == len(docs)
@@ -271,6 +282,23 @@ def test_multimodal_features_values(spark, sf_dir):
             want["first_byte"],
             want["byte_sum_mod"],
         ), r["doc_id"]
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer doubling must collapse a 100-node path graph — plain
+    neighbor-min propagation would need 99 rounds and the old 32-round
+    cap silently returned wrong labels (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.functions.dedup import connected_components
+
+    n = 100
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+    )
+    labels = {r["doc_id"]: r["label"] for r in connected_components(nodes, pairs).collect()}
+    assert labels == {i: 0 for i in range(n)}
 
 
 def test_sql_macros_inline_into_codegen(spark, sf_dir):

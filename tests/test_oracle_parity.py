@@ -22,7 +22,7 @@ def test_all_queries_have_nonempty_results_or_are_pair_queries(spark, sf_dir):
     # Pair-producing dedup queries may legitimately be empty at tiny SF;
     # every other query must return rows.
     may_be_empty = {
-        "dedup_jaccard_blocked",
+        "dedup_jaccard_tiers",
         "dedup_minhash_lsh",
         "simhash_near_dup",
         "dedup_embedding_cosine",
