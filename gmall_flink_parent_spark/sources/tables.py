@@ -61,6 +61,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark byte-size conf string ('128m', '134217728b', '1g') → bytes."""
+    s = s.strip().lower()
+    for suffix in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * _SIZE_UNITS[suffix[0]])
+    return int(s)
+
+
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Parallelism repair before a compute-dense stage: round-robin
     repartition IFF the scan has fewer partitions than the cluster has
@@ -76,8 +88,34 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     splits, already ≥ cores, so no shuffle is ever added — the repair
     only fires when the data is too small for the cluster, which is
     exactly when the shuffle is cheapest.
+
+    The guard estimates the scan's task count from file metadata
+    (``inputFiles`` + FS file sizes vs ``maxPartitionBytes`` — the same
+    size-based splitting Spark's own FilePartition packing uses) instead
+    of ``df.rdd.getNumPartitions()``, which would force full physical
+    planning of the frame once per call.
     """
     target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df  # ≥1 scan task per file — already cluster-wide
+    if files:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, -(-size // max_pb))  # ceil-div, ≥1 per file
+            if splits >= target:
+                return df
+    # Small scan (or file-less in-memory frame) — but an upstream shuffle
+    # may already have widened the plan beyond what its files imply, so
+    # confirm with the planned partition count before adding a shuffle.
+    # Only reached in the small-data regime (big scans exit above on
+    # metadata alone), so the physical planning this forces is cheap by
+    # construction.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -9,8 +9,6 @@ sinks from ``streaming/sources.py``.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,22 +49,44 @@ def log_split_job(events: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` — works on HDFS/S3A/local alike,
+    unlike ``os.path`` which only sees the driver's local disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
 def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str) -> None:
     """K3 (DimSink Phoenix upsert) without Delta: anti-join + union rewrite.
 
     Emulates MERGE for plain parquet — read current, keep rows whose key
-    is not being replaced, union, rewrite. Idempotent per batch; with
-    Delta/Iceberg on the classpath this is one ``MERGE INTO``.
+    is not being replaced, union, write to a side directory, then swap
+    directories with two filesystem renames (metadata ops, not data
+    copies). The exposure window is the instant between the two renames;
+    a crash there leaves the previous table intact under ``._old`` —
+    recoverable by renaming it back — whereas a crash during a direct
+    overwrite of ``path`` loses the table outright. Leftover ``._tmp``/
+    ``._old`` from a previous crash are cleared on entry, so the op is
+    self-healing across retries (idempotent per batch). With Delta/
+    Iceberg on the classpath this is one transactional ``MERGE INTO``.
     """
     new_rows = new_rows.dropDuplicates([key]).persist()
-    tmp = path + "._tmp"
-    if os.path.exists(path):
+    fs, dest = _hadoop_fs(spark, path)
+    tmp_fs, tmp = _hadoop_fs(spark, path + "._tmp")
+    _, old = _hadoop_fs(spark, path + "._old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    if fs.exists(dest):
         cur = spark.read.parquet(path)
         merged = cur.join(new_rows, on=key, how="left_anti").unionByName(new_rows)
     else:
         merged = new_rows
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    merged.write.mode("overwrite").parquet(path + "._tmp")  # materializes the read of `path`
+    if fs.exists(dest):
+        fs.rename(dest, old)
+    fs.rename(tmp, dest)
+    fs.delete(old, True)
     new_rows.unpersist()
 
 

@@ -278,6 +278,28 @@ def test_routing_job_upsert_idempotent(spark, sf_dir, tmp_path):
     assert dims.count() == batch_dims.count()
 
 
+def test_upsert_parquet_self_heals_after_crash_leftovers(spark, tmp_path):
+    """A crash between the swap renames leaves ``._tmp``/``._old`` dirs;
+    the next upsert must clear them and still merge correctly, and the
+    target must never contain stale side-directory rows."""
+    from gmall_flink_parent_spark.streaming.jobs import upsert_parquet
+
+    path = str(tmp_path / "dim")
+    upsert_parquet(spark, spark.range(3).withColumnRenamed("id", "k"), path, key="k")
+    # simulate a crash that left both side dirs behind, with garbage data
+    spark.range(100).withColumnRenamed("id", "k").write.parquet(path + "._tmp")
+    spark.range(50).withColumnRenamed("id", "k").write.parquet(path + "._old")
+    upsert_parquet(
+        spark, spark.range(2, 5).withColumnRenamed("id", "k"), path, key="k"
+    )
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == [0, 1, 2, 3, 4]
+    import os
+
+    assert not os.path.exists(path + "._tmp")
+    assert not os.path.exists(path + "._old")
+
+
 def test_visitor_repair_stream_late_rows_repaired(spark, tmp_path):
     """Late-data behavior at the watermark (SURVEY §5.3).
 
