@@ -117,7 +117,15 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(tokens()),
             6,
         ).alias("stopword_ratio"),
-        n_matches(_BPE_PAT).alias("n_pieces"),
+        # n_pieces ≡ word + num + other: every combined-pattern match is a
+        # maximal run of exactly one class, so the per-class counts
+        # partition the combined count — one fewer full regex pass over
+        # text than matching _BPE_PAT separately (the oracle spells it
+        # with the combined pattern; values are identical by the
+        # partition argument).
+        (
+            n_matches("[A-Za-z]+") + n_matches("[0-9]+") + n_matches("[^A-Za-z0-9 ]+")
+        ).alias("n_pieces"),
         n_matches("[A-Za-z]+").alias("n_word_pieces"),
         n_matches("[0-9]+").alias("n_num_pieces"),
         n_matches("[^A-Za-z0-9 ]+").alias("n_other_pieces"),

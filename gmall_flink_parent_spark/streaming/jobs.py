@@ -103,6 +103,34 @@ def ensure_dim_table(spark: SparkSession, name: str, path: str, df: DataFrame) -
     )
 
 
+def upsert_rows(spark: SparkSession, new_rows: DataFrame, path: str, key: str) -> None:
+    """K3 upsert dispatcher (reference ``DimSink.java:35-61`` UPSERT).
+
+    When Delta is on the classpath the upsert is one transactional
+    ``MERGE INTO`` — atomic, concurrent-reader-safe, no swap window.
+    Otherwise (this container) it falls back to the parquet
+    swap-rewrite in ``upsert_parquet``, which preserves the same
+    keep-newest-per-key semantics with a two-rename exposure window.
+    """
+    try:
+        from delta.tables import DeltaTable  # type: ignore[import-not-found]
+    except ImportError:
+        upsert_parquet(spark, new_rows, path, key)
+        return
+    new_rows = new_rows.dropDuplicates([key])
+    if DeltaTable.isDeltaTable(spark, path):
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(new_rows.alias("s"), f"t.`{key}` = s.`{key}`")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    else:
+        new_rows.write.format("delta").save(path)
+
+
 def routing_job(
     cdc_stream: DataFrame,
     config_path: str,
@@ -148,7 +176,7 @@ def routing_job(
             for row in dims.select("sink_table").distinct().collect():
                 tbl = row["sink_table"]
                 rows = dims.filter(F.col("sink_table") == tbl).drop("sink_table")
-                upsert_parquet(spark, rows, f"{out_dir}/dims/{tbl}", key="event_id")
+                upsert_rows(spark, rows, f"{out_dir}/dims/{tbl}", key="event_id")
                 ensure_dim_table(spark, tbl, f"{out_dir}/dims/{tbl}", rows)
         finally:
             joined.unpersist()

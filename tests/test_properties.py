@@ -81,6 +81,48 @@ def test_sessionize_invariants(spark, rows):
             assert s["session_start"] <= s["session_end"]
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_nodes=st.integers(min_value=1, max_value=14),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=13),
+            st.integers(min_value=0, max_value=13),
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+)
+def test_connected_components_match_union_find(spark, n_nodes, edges):
+    """For any graph: pointer-jumping min-label propagation produces
+    exactly the union-find components, labeled by min node id."""
+    from gmall_flink_parent_spark.functions.dedup import connected_components
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges if a % n_nodes != b % n_nodes]
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_id_a long, doc_id_b long"
+    ).filter(F.col("doc_id_a") != F.col("doc_id_b"))
+    got = {
+        r["doc_id"]: r["label"] for r in connected_components(nodes, pairs).collect()
+    }
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp: dict[int, list[int]] = {}
+    for i in range(n_nodes):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(members) for members in comp.values() for i in members}
+    assert got == want
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
