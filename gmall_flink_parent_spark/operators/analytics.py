@@ -33,33 +33,66 @@ WINDOW w AS (PARTITION BY event_type ORDER BY spend, user_id)
 
 @register("user_value_distribution", oracle=VALUE_DIST_ORACLE, tags=("dws", "window-fn"))
 def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type spend distribution: percent_rank, cume_dist, quartiles.
+    """Per-type spend distribution: percent_rank, cume_dist, quartiles —
+    computed as a two-pass range-partition rank, NOT a per-type window.
 
-    One shuffle on (event_type, user_id) for the aggregate; the window
-    pass repartitions on event_type alone — tiny after reduction. All
-    three window functions share one sort, and the (spend, user_id)
-    ordering makes ntile assignment deterministic across engines.
+    A naive ``Window.partitionBy(event_type)`` puts ALL users of one
+    type on one task (~5 types ⇒ ≤5 tasks sort users-per-type rows); at
+    100 TB that single task is the plan's ceiling. Instead:
 
-    Scale bound (documented, not hidden): percent_rank/cume_dist/ntile
-    need a total order per partition key, so with ~5 event types the
-    sort runs on ≤5 tasks over users-per-type aggregates — rows ∝
-    distinct users, NOT fact rows, which keeps it tractable well past
-    the fact table's 100 TB. If users-per-type itself outgrows a task,
-    the rewrite is a two-pass range-partition rank (per-range counts →
-    cumulative offsets broadcast → within-range rank + offset).
+    1. range-partition the (event_type, user_id) aggregates on the full
+       sort key — every partition holds a contiguous key range, bounded
+       by rows/partitions, regardless of type cardinality;
+    2. per-(range, type) row counts (a partitions×types-sized frame)
+       give each range's cumulative offset and each type's total via a
+       window over that TINY summary frame;
+    3. global position = within-range row_number + broadcast offset.
+
+    Because (spend, user_id) is unique within a type (the aggregate's
+    grain), the order is total: rank == row_number == position ``p``,
+    so percent_rank = (p-1)/(n-1), cume_dist = p/n, and ntile(4)
+    follows arithmetically (first n mod 4 buckets get ⌈n/4⌉ rows) — no
+    per-type sort task ever sees more than one range partition.
     """
     events = load_table(spark, sf_dir, "events")
     spend = events.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
     )
-    w = Window.partitionBy("event_type").orderBy("spend", "user_id")
-    return spend.select(
+    n_ranges = spark.sparkContext.defaultParallelism
+    part = spend.repartitionByRange(
+        n_ranges, "event_type", "spend", "user_id"
+    ).withColumn("pid", F.spark_partition_id())
+    counts = part.groupBy("pid", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        "event_type",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    w_local = Window.partitionBy("pid", "event_type").orderBy("spend", "user_id")
+    ranked = part.withColumn("lrnk", F.row_number().over(w_local)).join(
+        F.broadcast(offsets), ["pid", "event_type"]
+    )
+    p = F.col("off") + F.col("lrnk")
+    n = F.col("n")
+    big, small, rem = (n / 4).cast("long") + 1, (n / 4).cast("long"), n % 4
+    quartile = F.when(p <= big * rem, F.ceil(p / big)).otherwise(
+        rem + F.ceil((p - big * rem) / small)
+    )
+    return ranked.select(
         "event_type",
         "user_id",
         F.col("spend").cast("double").alias("spend"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(
+            F.when(n > 1, (p - 1).cast("double") / (n - 1)).otherwise(0.0), 6
+        ).alias("pct_rank"),
+        F.round(p.cast("double") / n, 6).alias("cume"),
+        quartile.cast("int").alias("quartile"),
     )
 
 

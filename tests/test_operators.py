@@ -360,3 +360,19 @@ def test_fan_out_is_noop_on_wide_input(spark, sf_dir):
     assert narrow.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)
     assert fan_out(spark, wide) is wide
+
+
+def test_simhash_probe_join_is_equi_join(spark, sf_dir):
+    """Candidate generation must be an equi-join on probe keys — a plan
+    with a nested-loop or cartesian join would be the quadratic shape
+    the probe tables exist to avoid."""
+    import contextlib
+    import io
+
+    df = plans.query_map()["simhash_near_dup"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
