@@ -141,6 +141,50 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_exact_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``dedup_exact`` (LLM-pipeline surface): emit
+    each content fingerprint's first-seen document, suppress every later
+    copy via per-fingerprint ValueState.
+
+    The stream is keyed (shuffled) on the md5 content fingerprint —
+    the same partitioning the batch groupBy uses — and state is ONE
+    boolean per distinct content, the minimum possible state budget
+    (the 100 TB constraint; cf. the reference's one-date-string
+    discipline, ``BaseLogTask.java:69-75``). Within a micro-batch the
+    lowest doc_id wins (sorted), across batches the earlier batch wins
+    — for a stream fed in doc_id order this reproduces the batch
+    keeper exactly (pinned in ``tests/test_streaming.py``).
+    """
+
+    def keep_first(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (seen,) = state.get if state.exists else (False,)
+        for pdf in pdfs:
+            if seen or not len(pdf):
+                yield pd.DataFrame({"fingerprint": [], "keep_doc_id": []})
+                continue
+            first = pdf.sort_values("doc_id").iloc[0]
+            seen = True
+            yield pd.DataFrame(
+                {"fingerprint": [key[0]], "keep_doc_id": [int(first["doc_id"])]}
+            )
+        state.update((seen,))
+
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+    )
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        keep_first,
+        outputStructType="fingerprint string, keep_doc_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def bounce_detect_stream(events: DataFrame, window_us: int = BOUNCE_WINDOW_US) -> DataFrame:
     """W3: CEP sequence-with-timeout — landing events with no strictly-next
     event inside the window are emitted on event-time timeout.

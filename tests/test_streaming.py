@@ -345,6 +345,38 @@ def test_visitor_repair_stream_late_rows_repaired(spark, tmp_path):
     assert got == {1: "1", 2: "0", 3: "0"}
 
 
+def test_dedup_exact_stream_matches_batch_keepers(spark, sf_dir, tmp_path):
+    """Streaming exact dedup fed in doc_id order (two micro-batches)
+    must emit exactly the batch keeper per fingerprint, never a later
+    copy — cross-batch suppression via the per-fingerprint state."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    import os
+    import time
+
+    for pdf, fname, mtime_off in (
+        (docs.filter(F.col("doc_id") <= median).toPandas(), "f1.parquet", 0),
+        (docs.filter(F.col("doc_id") > median).toPandas(), "f2.parquet", 5),
+    ):
+        path = str(tmp_path / "in" / fname)
+        pdf.to_parquet(path)
+        t = time.time() + mtime_off
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    out = _run_to_memory(stateful.dedup_exact_stream(stream), spark, "dedup_out")
+    got = {r["fingerprint"]: r["keep_doc_id"] for r in out.collect()}
+    batch = {
+        r["fingerprint"]: r["keep_doc_id"]
+        for r in plans.query_map()["dedup_exact"](spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
 def test_hourly_stats_stream_matches_batch_closed_windows(spark, sf_dir):
     """Every window the final watermark closed must match the batch
     query exactly on the exact columns (n_events, sum_value); nothing
