@@ -59,9 +59,14 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
     )
     n_ranges = spark.sparkContext.defaultParallelism
-    part = spend.repartitionByRange(
-        n_ranges, "event_type", "spend", "user_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # persisted: both the ranked path and the offsets summary consume it,
+    # and it is the REDUCED frame (one row per (type, user)) — without
+    # the cache the scan + aggregate + range shuffle all run twice.
+    part = (
+        spend.repartitionByRange(n_ranges, "event_type", "spend", "user_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
     counts = part.groupBy("pid", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = (
         Window.partitionBy("event_type")

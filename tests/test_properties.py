@@ -148,3 +148,32 @@ def test_dedup_exact_keep_one_property(spark, texts):
     assert {r["fp"]: (r["keep_doc_id"], r["n_copies"]) for r in out} == {
         k: (min(v), len(v)) for k, v in want.items()
     }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    flip_bits=st.sets(st.integers(min_value=0, max_value=31), min_size=0, max_size=3),
+)
+def test_simhash_probe_tables_complete_for_hamming_3(sig, flip_bits):
+    """Pigeonhole completeness of the SimHash candidate join: ANY pair
+    within Hamming distance 3 shares at least one of the 4 8-bit blocks,
+    so the probe equi-join can never miss a qualifying pair."""
+    from gmall_flink_parent_spark.functions.dedup import (
+        HAMMING_THRESHOLD,
+        SIMHASH_BLOCK_BITS,
+        SIMHASH_N_BLOCKS,
+    )
+
+    assert HAMMING_THRESHOLD < SIMHASH_N_BLOCKS  # the pigeonhole precondition
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    assert bin(sig ^ other).count("1") <= HAMMING_THRESHOLD
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks_equal = [
+        (sig >> (SIMHASH_BLOCK_BITS * i)) & mask
+        == (other >> (SIMHASH_BLOCK_BITS * i)) & mask
+        for i in range(SIMHASH_N_BLOCKS)
+    ]
+    assert any(blocks_equal), (hex(sig), hex(other))
