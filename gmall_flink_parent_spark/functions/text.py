@@ -27,7 +27,7 @@ from gmall_flink_parent_spark.functions.simhash import (
     token_hashes_col,
 )
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # Stopword list for quality / language heuristics (tiny, broadcast as a
 # literal into the plan). Lives in the leaf module ``stopwords`` so
@@ -91,7 +91,9 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row, shuffle-free; at 100 TB this is THE map stage a curation
     pipeline runs once and reuses for every downstream signal.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: 32 simhash bit votes + 3 regex passes per row are CPU-dense
+    # enough that a single-split scan must not pin them to one task.
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     fp = F.md5(F.lower(F.trim(F.col("text"))))
 
