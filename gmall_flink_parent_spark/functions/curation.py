@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.functions.stopwords import _STOP_SQL, STOPWORDS
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # ------------------------------------------------------------ repetition
 
@@ -393,7 +393,9 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Re-deriving the signals inline rather than joining the individual
     signal queries keeps it at 1 corpus scan instead of 5.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the 2-/3-gram construction per row is the CPU-dominant
+    # stage — don't let a single-split scan pin it to one task.
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     sig = docs.select(
         "doc_id",
@@ -642,7 +644,8 @@ def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark here is a deterministic slice (doc_id % {_BENCH_MOD} == 0)
     of the same table, standing in for an external eval corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: shingle construction + explode is the CPU-dominant stage.
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     # Materialize the token array in its own projection BEFORE building
     # shingles: inlining split(text) into the transform lambda would
     # re-split the document once per element_at (~5× per gram) — a 10×
