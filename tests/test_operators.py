@@ -376,3 +376,23 @@ def test_simhash_probe_join_is_equi_join(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_lsh_reads_cluster_cache_not_corpus(spark, sf_dir):
+    """The one-scan claim of SCALE.md, pinned: the LSH pair plan's three
+    signature-cluster consumers must read the persisted reduced frame
+    (InMemoryTableScan), never re-scan + re-minhash the corpus per
+    consumer."""
+    import contextlib
+    import io
+
+    df = plans.query_map()["dedup_minhash_lsh"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    n_cache_reads = plan.count("InMemoryTableScan")
+    assert n_cache_reads >= 2, f"cluster cache not reused: {n_cache_reads} reads"
+    # the corpus parquet appears only inside the cache's lineage, so the
+    # executed plan holds no second Scan outside the InMemoryRelation
+    assert plan.count("InMemoryRelation") <= n_cache_reads
