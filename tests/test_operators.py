@@ -396,3 +396,39 @@ def test_minhash_lsh_reads_cluster_cache_not_corpus(spark, sf_dir):
     # the corpus parquet appears only inside the cache's lineage, so the
     # executed plan holds no second Scan outside the InMemoryRelation
     assert plan.count("InMemoryRelation") <= n_cache_reads
+
+
+def test_srp_multiprobe_recall_vs_bruteforce(spark, sf_dir):
+    """Approximation quality pinned, not assumed: the multi-probe SRP
+    top-1 must recover the exact brute-force top-1 neighbor for at
+    least half the query vectors at test scale (random hyperplanes are
+    seeded, so this is deterministic, not flaky)."""
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in plans.query_map()["cosine_topk_bruteforce"](spark, sf_dir).collect()
+        if r["rnk"] == 1
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in plans.query_map()["ann_srp_multiprobe"](spark, sf_dir).collect()
+        if r["rnk"] == 1
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= len(exact) / 2, f"top-1 recall {hits}/{len(exact)}"
+
+
+def test_ann_bucket_joins_are_equi_joins(spark, sf_dir):
+    """Every ANN variant's candidate generation must be an equi-join on
+    bucket/cell keys — a nested-loop join would be the brute-force shape
+    the buckets exist to avoid."""
+    import contextlib
+    import io
+
+    for name in ("ann_srp_lsh", "ann_srp_multiprobe", "ann_ivf_bucketed"):
+        df = plans.query_map()[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
