@@ -228,7 +228,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_ORACLE = """
 SELECT user_id,
-       session_seq,
+       CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
