@@ -33,7 +33,7 @@ from gmall_flink_parent_spark.functions.simhash import (
     _TOK32_DUCK,
     token_hashes_col,
 )
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 NUM_HASHES = 16
@@ -374,8 +374,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*sig_cols).alias("sig"),
             F.array(*band_cols).alias("bhs"),
         )
-        .persist()
     )
+    # query-scoped: unpersisted when the next registered query is built
+    clusters = scoped_persist(clusters)
     # posexplode_outer, deliberately: plain posexplode makes the optimizer
     # infer `size(bhs) > 0`, and that filter is pushed below the signature
     # aggregate where it re-expands to all 16 minhash expressions per raw
@@ -486,50 +487,51 @@ def connected_components(
             F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
         )
     ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.doc_id_b == labels.doc_id)
-            .groupBy("doc_id_a")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("doc_id_a", "doc_id")
-        )
-        propagated = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                "label"
-            ),
-        )
-        # pointer jump: label ← label[label]. The jump self-references
-        # `propagated`, which would DOUBLE the logical plan every round
-        # (exponential analysis cost); localCheckpoint truncates lineage
-        # to the materialized result each round — at cluster scale the
-        # same role is played by reliable checkpoint() on durable storage.
-        ptr = propagated.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            propagated.join(ptr, propagated.label == ptr.p_id, "left")
-            .select(
-                "doc_id",
-                F.coalesce("p_label", "label").alias("label"),
+    try:
+        labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+        for _ in range(max_rounds):
+            neighbor_min = (
+                edges.join(labels, edges.doc_id_b == labels.doc_id)
+                .groupBy("doc_id_a")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("doc_id_a", "doc_id")
             )
-            .localCheckpoint(eager=True)
+            propagated = labels.join(neighbor_min, "doc_id", "left").select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            # pointer jump: label ← label[label]. The jump self-references
+            # `propagated`, which would DOUBLE the logical plan every round
+            # (exponential analysis cost); localCheckpoint truncates lineage
+            # to the materialized result each round — at cluster scale the
+            # same role is played by reliable checkpoint() on durable storage.
+            ptr = propagated.select(
+                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            new_labels = (
+                propagated.join(ptr, propagated.label == ptr.p_id, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("p_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds"
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    edges.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge within {max_rounds} rounds"
-    )
+    finally:
+        edges.unpersist()
 
 
 # ------------------------------------------------------- cascade verify
@@ -714,12 +716,17 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key_exprs = ", ".join(
         _simhash_probe_key_sql(i) for i in range(SIMHASH_N_BLOCKS)
     )
-    probed = sigs.select(
-        "doc_id",
-        "simhash32",
-        F.expr(f"array({key_exprs})").alias("keys"),
-    ).persist()
-    probed.count()  # eager: signatures computed once for both join sides
+    # query-scoped cache, filled by the caller's first action (the join's
+    # first stage populates it; the second side reads the materialized
+    # partitions) — no eager count needed, and construction stays lazy
+    # like every other registered query.
+    probed = scoped_persist(
+        sigs.select(
+            "doc_id",
+            "simhash32",
+            F.expr(f"array({key_exprs})").alias("keys"),
+        )
+    )
     exploded = probed.select(
         "doc_id", "simhash32", "keys", F.posexplode("keys").alias("tbl", "k")
     )

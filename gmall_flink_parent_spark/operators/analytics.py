@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import load_table
 
 VALUE_DIST_ORACLE = """
@@ -59,13 +59,13 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
     )
     n_ranges = spark.sparkContext.defaultParallelism
-    # persisted: both the ranked path and the offsets summary consume it,
-    # and it is the REDUCED frame (one row per (type, user)) — without
-    # the cache the scan + aggregate + range shuffle all run twice.
-    part = (
+    # persisted (query-scoped): both the ranked path and the offsets
+    # summary consume it, and it is the REDUCED frame (one row per
+    # (type, user)) — without the cache the scan + aggregate + range
+    # shuffle all run twice.
+    part = scoped_persist(
         spend.repartitionByRange(n_ranges, "event_type", "spend", "user_id")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
     )
     counts = part.groupBy("pid", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = (

@@ -12,12 +12,45 @@ outputs are rounded identically on both sides.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ------------------------------------------------------- cache lifecycle
+#
+# Registered queries are lazy: the caller materializes the returned
+# DataFrame AFTER construction, so a query that persists an intermediate
+# frame has no point in its own body at which it could unpersist (the
+# cache would be dropped before it was ever filled). The pool below
+# defers release to the next registered query's construction — matching
+# the construct → materialize → next-query cadence the driver and bench
+# run — with `release_caches()` for explicit cleanup at session end.
+# Without this, a ~50-query driver session accumulates every query's
+# cached frames in executor storage.
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` with query-scoped lifetime.
+
+    The frame stays cached while its query is materialized and is
+    unpersisted when the NEXT registered query is constructed (or on
+    ``release_caches()``).
+    """
+    out = df.persist()
+    _LIVE_CACHES.append(out)
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every scoped cache (idempotent, safe to call anytime)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
 
 
 @dataclass(frozen=True)
@@ -38,7 +71,17 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), (fn.__doc__ or "").strip())
+
+        @functools.wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Drop the previous query's scoped caches before building
+            # this one — by now the caller has taken its action(s).
+            release_caches()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(
+            name, scoped, oracle, tuple(tags), (fn.__doc__ or "").strip()
+        )
         return fn
 
     return deco
