@@ -141,6 +141,32 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def _keep_first_fingerprint(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the min doc_id for an unseen fingerprint, else nothing.
+
+    One fingerprint group can arrive split across several Arrow chunks;
+    the min doc_id must be taken over ALL of them before emitting, else
+    a non-minimal id from the first non-empty chunk would win
+    (diverging from the batch keeper). Module-level so the multi-chunk
+    contract is unit-testable without a streaming harness.
+    """
+    (seen,) = state.get if state.exists else (False,)
+    best: int | None = None
+    for pdf in pdfs:
+        if seen or not len(pdf):
+            continue
+        chunk_min = int(pdf["doc_id"].min())
+        best = chunk_min if best is None else min(best, chunk_min)
+    if not seen and best is not None:
+        seen = True
+        yield pd.DataFrame({"fingerprint": [key[0]], "keep_doc_id": [best]})
+    else:
+        yield pd.DataFrame({"fingerprint": [], "keep_doc_id": []})
+    state.update((seen,))
+
+
 def dedup_exact_stream(docs: DataFrame) -> DataFrame:
     """Streaming twin of ``dedup_exact`` (LLM-pipeline surface): emit
     each content fingerprint's first-seen document, suppress every later
@@ -151,25 +177,11 @@ def dedup_exact_stream(docs: DataFrame) -> DataFrame:
     boolean per distinct content, the minimum possible state budget
     (the 100 TB constraint; cf. the reference's one-date-string
     discipline, ``BaseLogTask.java:69-75``). Within a micro-batch the
-    lowest doc_id wins (sorted), across batches the earlier batch wins
+    lowest doc_id wins (min over every Arrow chunk of the group — one
+    group can span chunks), across batches the earlier batch wins
     — for a stream fed in doc_id order this reproduces the batch
     keeper exactly (pinned in ``tests/test_streaming.py``).
     """
-
-    def keep_first(
-        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (seen,) = state.get if state.exists else (False,)
-        for pdf in pdfs:
-            if seen or not len(pdf):
-                yield pd.DataFrame({"fingerprint": [], "keep_doc_id": []})
-                continue
-            first = pdf.sort_values("doc_id").iloc[0]
-            seen = True
-            yield pd.DataFrame(
-                {"fingerprint": [key[0]], "keep_doc_id": [int(first["doc_id"])]}
-            )
-        state.update((seen,))
 
     from pyspark.sql import functions as F
 
@@ -177,7 +189,7 @@ def dedup_exact_stream(docs: DataFrame) -> DataFrame:
         "doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
     )
     return keyed.groupBy("fingerprint").applyInPandasWithState(
-        keep_first,
+        _keep_first_fingerprint,
         outputStructType="fingerprint string, keep_doc_id long",
         stateStructType="seen boolean",
         outputMode="append",

@@ -377,6 +377,69 @@ def test_dedup_exact_stream_matches_batch_keepers(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_dedup_exact_stream_min_across_arrow_chunks():
+    """A fingerprint group split across Arrow chunks must still emit the
+    global min doc_id — not the first non-empty chunk's min (the round-2
+    advisor finding)."""
+
+    class FakeState:
+        exists = False
+        updated = None
+
+        @property
+        def get(self):
+            raise AssertionError("get on non-existent state")
+
+        def update(self, v):
+            self.updated = v
+
+    state = FakeState()
+    chunks = iter(
+        [
+            pd.DataFrame({"doc_id": [9, 12], "fingerprint": ["f", "f"]}),
+            pd.DataFrame({"doc_id": [], "fingerprint": []}),
+            pd.DataFrame({"doc_id": [3, 40], "fingerprint": ["f", "f"]}),
+        ]
+    )
+    out = pd.concat(list(stateful._keep_first_fingerprint(("f",), chunks, state)))
+    assert list(out["keep_doc_id"]) == [3]
+    assert state.updated == (True,)
+
+
+def test_dedup_exact_stream_matches_batch_with_tiny_arrow_chunks(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end: with 2-row Arrow batches every multi-copy fingerprint
+    group spans chunks, and the streaming keeper must still equal the
+    batch keeper."""
+    import os
+    import time
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (tmp_path / "in").mkdir()
+    path = str(tmp_path / "in" / "all.parquet")
+    docs.toPandas().to_parquet(path)
+    t = time.time()
+    os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(tmp_path / "in"))
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        out = _run_to_memory(stateful.dedup_exact_stream(stream), spark, "dedup_tiny")
+    finally:
+        spark.conf.set(key, old)
+    got = {r["fingerprint"]: r["keep_doc_id"] for r in out.collect()}
+    batch = {
+        r["fingerprint"]: r["keep_doc_id"]
+        for r in plans.query_map()["dedup_exact"](spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
 def test_hourly_stats_stream_matches_batch_closed_windows(spark, sf_dir):
     """Every window the final watermark closed must match the batch
     query exactly on the exact columns (n_events, sum_value); nothing
