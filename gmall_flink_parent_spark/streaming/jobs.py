@@ -83,9 +83,18 @@ def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str
     else:
         merged = new_rows
     merged.write.mode("overwrite").parquet(path + "._tmp")  # materializes the read of `path`
+    # Hadoop FileSystem.rename signals failure by returning false, not by
+    # throwing — an unchecked false on the second rename would leave the
+    # table vanished from `path` while reporting success.
     if fs.exists(dest):
-        fs.rename(dest, old)
-    fs.rename(tmp, dest)
+        if not fs.rename(dest, old):
+            raise IOError(f"upsert_parquet: rename {dest} -> {old} failed")
+    if not fs.rename(tmp, dest):
+        restored = fs.exists(old) and fs.rename(old, dest)
+        raise IOError(
+            f"upsert_parquet: rename {tmp} -> {dest} failed; previous table "
+            + ("restored" if restored else f"left at {old}")
+        )
     fs.delete(old, True)
     new_rows.unpersist()
 
@@ -127,6 +136,15 @@ def upsert_rows(spark: SparkSession, new_rows: DataFrame, path: str, key: str) -
             .whenNotMatchedInsertAll()
             .execute()
         )
+        return
+    fs, dest = _hadoop_fs(spark, path)
+    if fs.exists(dest):
+        # Mixed history: `path` holds a plain-parquet table written by
+        # earlier fallback runs (Delta only became importable later). A
+        # delta-format save would error on the non-empty directory —
+        # keep merging via the parquet swap path instead of migrating
+        # formats mid-stream.
+        upsert_parquet(spark, new_rows, path, key)
     else:
         new_rows.write.format("delta").save(path)
 
