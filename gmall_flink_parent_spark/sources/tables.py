@@ -63,6 +63,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
+# Stream codecs Spark cannot split mid-file (Hadoop SplittableCompressionCodec
+# is only bzip2): one scan task per file regardless of size. Parquet/ORC are
+# container formats and stay splittable whatever their internal compression.
+_UNSPLITTABLE_SUFFIXES = (".gz", ".gzip", ".deflate", ".zst", ".lz4", ".snappy")
+
 
 def _parse_bytes(s: str) -> int:
     """Spark byte-size conf string ('128m', '134217728b', '1g') → bytes."""
@@ -90,26 +95,44 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     exactly when the shuffle is cheapest.
 
     The guard estimates the scan's task count from file metadata
-    (``inputFiles`` + FS file sizes vs ``maxPartitionBytes`` — the same
-    size-based splitting Spark's own FilePartition packing uses) instead
-    of ``df.rdd.getNumPartitions()``, which would force full physical
-    planning of the frame once per call.
+    (``inputFiles`` + FS file sizes) by mirroring Spark's own
+    FilePartition packing — ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/parallelism))`` with every file
+    padded by ``openCostInBytes`` — instead of ``df.rdd.
+    getNumPartitions()``, which would force full physical planning of
+    the frame once per call. Counting raw files would overestimate:
+    many tiny files bin-pack into few FilePartitions, exactly the
+    single-digit-task scans this repair exists for.
     """
     target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if len(files) >= target:
-        return df  # ≥1 scan task per file — already cluster-wide
     if files:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-        splits = 0
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+        )
+        total = packed = n_unsplit = 0
         for f in files:
             p = jvm.org.apache.hadoop.fs.Path(f)
             size = p.getFileSystem(hconf).getFileStatus(p).getLen()
-            splits += max(1, -(-size // max_pb))  # ceil-div, ≥1 per file
-            if splits >= target:
+            total += size + open_cost
+            # A stream-codec file is ONE task however large it is; only
+            # splittable bytes participate in FilePartition packing.
+            if f.endswith(_UNSPLITTABLE_SUFFIXES):
+                n_unsplit += 1
+            else:
+                packed += size + open_cost
+            if n_unsplit + packed // max_pb >= target:
+                # maxSplitBytes ≤ maxPartitionBytes, so this lower bound
+                # already guarantees ≥ target tasks — stop statting
+                # (keeps the guard O(1)-ish on thousand-file scans).
                 return df
+        bytes_per_core = max(1, total // target)
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+        if n_unsplit + -(-packed // max_split) >= target:  # ceil: est. tasks
+            return df
     # Small scan (or file-less in-memory frame) — but an upstream shuffle
     # may already have widened the plan beyond what its files imply, so
     # confirm with the planned partition count before adding a shuffle.
