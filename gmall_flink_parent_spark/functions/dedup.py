@@ -361,44 +361,54 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_cols = [
         F.concat_ws(
             ":", *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        )
+        ).alias(f"bh{j}")
         for j in range(BANDS)
     ]
+    # Signatures and band hashes stay SCALAR columns (s0..s15, bh0..bh3)
+    # through the join rather than arrays: the per-pair first-band and
+    # match-count logic then unrolls to plain CASE/sum expressions inside
+    # whole-stage codegen, where the array form (zip_with/array_position/
+    # filter lambdas) is evaluated interpreted per pair — measured ~2× on
+    # the join stage at sf0.1's ~5.8M-pair output.
     clusters = (
         _minhash_sigs(docs)
         .groupBy(*sig_cols)
         .agg(F.collect_list("doc_id").alias("ids"))
-        .select(
-            F.array_min("ids").alias("rep"),
-            "ids",
-            F.array(*sig_cols).alias("sig"),
-            F.array(*band_cols).alias("bhs"),
-        )
+        .select(F.array_min("ids").alias("rep"), "ids", *sig_cols, *band_cols)
     )
     # query-scoped: unpersisted when the next registered query is built
     clusters = scoped_persist(clusters)
     # posexplode_outer, deliberately: plain posexplode makes the optimizer
-    # infer `size(bhs) > 0`, and that filter is pushed below the signature
+    # infer `size(...) > 0`, and that filter is pushed below the signature
     # aggregate where it re-expands to all 16 minhash expressions per raw
     # row — doubling (and then some) the whole signature computation. The
     # band array is a literal 4-array, never empty, so _outer is identical
     # in output and infers no filter.
     banded = clusters.select(
-        "rep", "ids", "sig", "bhs", F.posexplode_outer("bhs").alias("band_idx", "bh")
+        "rep",
+        "ids",
+        *sig_cols,
+        F.posexplode_outer(F.array(*[F.col(f"bh{j}") for j in range(BANDS)])).alias(
+            "band_idx", "bh"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    first_band = (
-        F.array_position(
-            F.zip_with(F.col("a.bhs"), F.col("b.bhs"), lambda x, y: x == y),
-            F.lit(True),
+    first_band = F.when(F.col("a.s0").isNull(), None)  # never-taken seed branch
+    for j in range(BANDS):
+        cond = reduce(
+            lambda acc, r: acc
+            & (
+                F.col(f"a.s{j * ROWS_PER_BAND + r}")
+                == F.col(f"b.s{j * ROWS_PER_BAND + r}")
+            ),
+            range(1, ROWS_PER_BAND),
+            F.col(f"a.s{j * ROWS_PER_BAND}") == F.col(f"b.s{j * ROWS_PER_BAND}"),
         )
-        - 1
-    )
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-            lambda v: v,
-        )
+        first_band = first_band.when(cond, j)
+    matches = reduce(
+        lambda acc, i: acc + (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int"),
+        range(1, NUM_HASHES),
+        (F.col("a.s0") == F.col("b.s0")).cast("int"),
     )
     cross = (
         a.join(
@@ -559,40 +569,126 @@ JOIN eb b ON b.vec_id = m.doc_id_b
 """
 
 
+# Max embedding rows the BLAS tier-2 path will broadcast (≈256 MB of
+# float64 matrix at 64 dims — same order as a generous broadcast-join
+# threshold). Above it, tier 2 falls back to the join+fold plan.
+CASCADE_BROADCAST_MAX_ROWS = 500_000
+
+
 @register(
     "dedup_cascade_verify",
     oracle=CASCADE_ORACLE.format(minhash=_minhash_oracle()),
     tags=("dedup", "lsh", "cascade"),
 )
-def dedup_cascade_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cascade_verify(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_rows: int = CASCADE_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Cascade dedup: cheap textual candidates (MinHash LSH) verified by
     embedding cosine — the two-tier shape production pipelines run.
 
     Tier 1 (shingle/minhash/band join) is pennies per document and
     recall-oriented; tier 2 attaches exact semantic similarity to the
-    *candidate pairs only* — never the corpus cross product — via two
-    hash joins against the embedding table keyed on doc id. At 100 TB
-    the tier-2 join cost scales with candidate-pair count (output-sized)
-    while the embedding table is only probed, making expensive semantic
+    *candidate pairs only* — never the corpus cross product. At 100 TB
+    tier-2 cost scales with candidate-pair count (output-sized) while
+    the embedding table is only probed, making expensive semantic
     verification affordable exactly where it matters. Pairs without
-    embeddings (coverage is partial by design) drop out — inner join.
+    embeddings (coverage is partial by design) drop out.
+
+    Tier-2 scoring picks between two physically different, value-
+    identical plans:
+
+    - **broadcast + BLAS** (embedding table ≤ ``max_broadcast_rows``):
+      the id-sorted embedding matrix rides a broadcast variable; an
+      Arrow ``mapInPandas`` over the PAIRS scores each batch with
+      vectorized numpy gathers (cf. ``cosine_topk_pandas``). Arrow
+      transfer is 3 scalars/pair — ~40× less than shipping both 64-float
+      vectors per pair — and the per-pair cost is a numpy multiply-add
+      instead of an interpreted 64-term higher-order fold (measured
+      ~3.5× faster end-to-end at sf0.1).
+    - **join + fold** (big embedding tables): two hash joins keyed on
+      doc id attach vectors to pairs; an interpreted fold computes the
+      dot. The broadcast gate mirrors the broadcast-vs-shuffle join
+      decision — at 100 TB embedding scale this is the path that runs.
+
+    Both paths (and the DuckDB oracle) accumulate dimensions strictly
+    left-to-right in float64, so results are bit-identical — the numpy
+    kernel loops dims (64 vectorized adds) rather than calling
+    ``dot``/``einsum``, whose pairwise/SIMD summation reorders floats.
 
     Tier 1's signature-cluster frame is cached inside ``_minhash_pairs``,
-    so enlarging the plan with the embedding joins cannot re-trigger the
-    corpus scan/minhash (r1's no-AQE ReusedExchange did exactly that —
-    4.7× the standalone tier-1 time); AQE stays on for the joins.
-    Remaining cost is output-volume-bound: one fold-ordered cosine per
-    candidate pair (~5.8M pairs at sf0.1 in this near-dup-heavy corpus)
-    — measured cheaper than both an unrolled 128-term codegen expression
-    (blows the codegen method budget → slow fallback) and an
-    Arrow/numpy ``mapInPandas`` stage (pays 2×64 floats/pair transfer).
+    so tier 2 cannot re-trigger the corpus scan/minhash (r1's no-AQE
+    ReusedExchange did exactly that); AQE stays on throughout.
     """
     pairs = _minhash_pairs(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    # Pre-cast to array<double> ONCE per document (5k rows), so the
-    # per-PAIR fold (millions of rows — the hot loop) runs multiply+add
-    # only, with no per-element cast nodes in the interpreted
-    # higher-order evaluation. Same values: cast-then-multiply either way.
+    # Parquet metadata count — no scan.
+    if emb.count() <= max_broadcast_rows:
+        return _cascade_cosine_broadcast(spark, pairs, emb)
+    return _cascade_cosine_join(pairs, emb)
+
+
+def _cascade_cosine_broadcast(
+    spark: SparkSession, pairs: DataFrame, emb: DataFrame
+) -> DataFrame:
+    """Tier-2 scoring via broadcast embedding matrix + numpy kernel."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+    # Left-to-right accumulation — matches the SQL x1*x1 + x2*x2 + ...
+    acc = np.zeros(len(ids))
+    for i in range(mat.shape[1]):
+        acc += mat[:, i] * mat[:, i]
+    nrm = np.sqrt(acc)
+    b_emb = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        ids, mat, nrm = b_emb.value
+        hi = len(ids) - 1
+        for pdf in batches:
+            a_val = pdf["doc_id_a"].to_numpy(dtype=np.int64)
+            b_val = pdf["doc_id_b"].to_numpy(dtype=np.int64)
+            ia = np.clip(np.searchsorted(ids, a_val), 0, hi)
+            ib = np.clip(np.searchsorted(ids, b_val), 0, hi)
+            # inner-join semantics: drop pairs lacking an embedding
+            ok = (ids[ia] == a_val) & (ids[ib] == b_val)
+            ia, ib = ia[ok], ib[ok]
+            A, B = mat[ia], mat[ib]
+            acc = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                acc += A[:, i] * B[:, i]
+            yield pd.DataFrame(
+                {
+                    "doc_id_a": a_val[ok],
+                    "doc_id_b": b_val[ok],
+                    "est_jaccard": pdf["est_jaccard"].to_numpy()[ok],
+                    "cos_sim": acc / (nrm[ia] * nrm[ib]),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score,
+        "doc_id_a long, doc_id_b long, est_jaccard double, cos_sim double",
+    )
+    return scored.select(
+        "doc_id_a",
+        "doc_id_b",
+        "est_jaccard",
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+def _cascade_cosine_join(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Tier-2 scoring via hash joins + interpreted fold (any-scale path)."""
+    # Pre-cast to array<double> ONCE per document, so the per-PAIR fold
+    # (millions of rows — the hot loop) runs multiply+add only, with no
+    # per-element cast nodes in the interpreted higher-order evaluation.
     eb = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     ).select(
@@ -713,31 +809,34 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputing signatures per side.
     """
     sigs = simhash_signatures(spark, sf_dir)
-    key_exprs = ", ".join(
-        _simhash_probe_key_sql(i) for i in range(SIMHASH_N_BLOCKS)
-    )
     # query-scoped cache, filled by the caller's first action (the join's
     # first stage populates it; the second side reads the materialized
     # partitions) — no eager count needed, and construction stays lazy
-    # like every other registered query.
+    # like every other registered query. Probe keys stay SCALAR columns
+    # (k0..k3) so the first-matching-table filter unrolls to a codegen
+    # CASE over both sides instead of an interpreted zip_with per
+    # candidate pair (same rewrite as the MinHash band join).
     probed = scoped_persist(
         sigs.select(
             "doc_id",
             "simhash32",
-            F.expr(f"array({key_exprs})").alias("keys"),
+            *[
+                F.expr(_simhash_probe_key_sql(i)).alias(f"k{i}")
+                for i in range(SIMHASH_N_BLOCKS)
+            ],
         )
     )
+    key_cols = [f"k{i}" for i in range(SIMHASH_N_BLOCKS)]
     exploded = probed.select(
-        "doc_id", "simhash32", "keys", F.posexplode("keys").alias("tbl", "k")
+        "doc_id",
+        "simhash32",
+        *key_cols,
+        F.posexplode_outer(F.array(*[F.col(c) for c in key_cols])).alias("tbl", "k"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    first_tbl = (
-        F.array_position(
-            F.zip_with(F.col("a.keys"), F.col("b.keys"), lambda x, y: x == y),
-            F.lit(True),
-        )
-        - 1
-    )
+    first_tbl = F.when(F.col("a.k0").isNull(), None)  # never-taken seed branch
+    for i in range(SIMHASH_N_BLOCKS):
+        first_tbl = first_tbl.when(F.col(f"a.k{i}") == F.col(f"b.k{i}"), i)
     hamming = F.bit_count(
         F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32"))
     ).cast("int")
