@@ -1,42 +1,255 @@
-"""Multimodal (binary) column plumbing.
+"""Multimodal (binary) column plumbing with real, dependency-free codecs.
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs; decode / feature-extract run as Arrow-batched
-``mapInPandas`` stages. The container has no image/audio libraries, so
-the decode kernel is STUBBED (``decode_media`` raises
-``NotImplementedError`` for real codecs and provides a deterministic
-fake for tests) — the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested.
+``mapInPandas`` stages. Two mimes are decoded FOR REAL with pure-Python
+header parsers (no external media library needed):
 
-The test corpus has no binary column, so ``documents.text`` is encoded
-to UTF-8 bytes to stand in for a media payload.
+- ``image/bmp`` — uncompressed 24-bit BMP: magic, pixel-data offset,
+  width/height/bpp/compression are read from the BITMAPINFOHEADER and
+  the pixel region is extracted via the header's own offset/stride.
+- ``audio/wav`` — PCM16 RIFF/WAVE: the chunk list is walked to locate
+  ``fmt ``/``data``, and sample width/channel layout come from the fmt
+  chunk.
+
+Compressed codecs (PNG/JPEG/MP4/...) still raise ``NotImplementedError``
+— decoding those requires media libraries this container doesn't have;
+the raise is the honest seam where PIL/libav would plug in.
+
+The test corpus has no binary column, so payloads are SYNTHESIZED
+JVM-side from ``documents.text``: a constant 54-byte BMP header + the
+first 48 UTF-8 bytes as 4×4 RGB pixels, or a constant 44-byte WAV
+header + the first 64 bytes as 32 PCM16 samples, routed by
+``doc_id % 3`` (text/plain otherwise). Because the construction is
+deterministic, a DuckDB oracle can predict the DECODED output from the
+text hex dump — so the real parse path (magic check, offset read,
+chunk walk, pixel/sample extraction) is hash-checked by the driver,
+not just exercised. ``encode_bmp``/``encode_wav`` double as the fixture
+generators for unit tests.
+
+Reference parity: the reference treats media as opaque bytes end-to-end
+(no media operators exist in gmall-flink-parent); this module is part of
+the LLM-training-data surface the brief adds on top.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register
 from gmall_flink_parent_spark.sources.tables import load_table
 
-# byte i (1-based) of the payload, recovered from the hex dump — the
-# engine-neutral way to read binary content in the oracle
-_BYTE_AT = "CAST(concat('0x', substr(hex(encode(text)), 2*{i} - 1, 2)) AS BIGINT)"
+# Synthesized-payload geometry (fixed so headers are constant literals).
+BMP_WIDTH = 4
+BMP_HEIGHT = 4
+BMP_PIXEL_BYTES = BMP_WIDTH * 3 * BMP_HEIGHT  # stride 12 = width*3, no padding
+WAV_DATA_BYTES = 64  # 32 PCM16 mono samples
+WAV_SAMPLE_RATE = 8000
+# Docs shorter than this many UTF-8 bytes stay text/plain (payload
+# construction needs a full pixel/sample region).
+MIN_MEDIA_BYTES = max(BMP_PIXEL_BYTES, WAV_DATA_BYTES)
 
+
+def encode_bmp(pixel_bytes: bytes, width: int = BMP_WIDTH, height: int = BMP_HEIGHT) -> bytes:
+    """Fixture generator: a real uncompressed 24-bit BMP file.
+
+    ``pixel_bytes`` is the raw BGR scanline data in storage order and
+    must already include any 4-byte row padding (the default 4×4
+    geometry has stride 12 = width*3, so no padding).
+    """
+    header_size = 14 + 40
+    file_size = header_size + len(pixel_bytes)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    return file_header + dib + pixel_bytes
+
+
+def encode_wav(sample_bytes: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Fixture generator: a real PCM16 mono RIFF/WAVE file."""
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(sample_bytes))
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(sample_bytes)) + sample_bytes
+    )
+
+
+BMP_HEADER = encode_bmp(b"\x00" * BMP_PIXEL_BYTES)[: 14 + 40]
+WAV_HEADER = encode_wav(b"\x00" * WAV_DATA_BYTES)[:44]
+BMP_FILE_BYTES = len(BMP_HEADER) + BMP_PIXEL_BYTES  # 102
+WAV_FILE_BYTES = len(WAV_HEADER) + WAV_DATA_BYTES  # 108
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Parse an uncompressed 24-bit BMP; return (n_pixels, first_channel,
+    pixel_sum_mod). Every field is read from the actual header — the
+    pixel region comes from the header's own data offset and stride."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+    stride = ((width * 3 + 3) // 4) * 4
+    n_rows = abs(height)
+    px = b"".join(
+        payload[data_off + r * stride : data_off + r * stride + width * 3]
+        for r in range(n_rows)
+    )
+    return width * n_rows, (px[0] if px else -1), sum(px) % 997
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Walk the RIFF chunk list for fmt/data; return (n_samples,
+    first_sample, data_sum_mod) for PCM16 audio."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV is supported")
+    n = len(data) // (channels * 2)
+    first = (
+        int.from_bytes(data[0:2], "little", signed=True) if len(data) >= 2 else -1
+    )
+    return n, first, sum(data) % 997
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Decode kernel. BMP and WAV are parsed for real (pure Python);
+    ``text/plain`` gets byte stats (one "unit" = one byte); compressed
+    codecs raise — that seam is where PIL/libav would plug in.
+
+    Returns a unified feature dict: ``n_units`` (pixels / samples /
+    bytes), ``first_unit`` (first channel byte / first signed sample /
+    first byte, -1 when empty), ``unit_sum_mod`` (content sum mod 997,
+    over decoded pixel/sample bytes for media, first 256 bytes for
+    text).
+    """
+    if mime == "image/bmp":
+        n, first, sm = _decode_bmp(payload)
+    elif mime == "audio/wav":
+        n, first, sm = _decode_wav(payload)
+    elif mime == "text/plain":
+        n = len(payload)
+        first = payload[0] if n else -1
+        sm = sum(payload[:256]) % 997
+    else:
+        raise NotImplementedError(
+            f"decode for {mime!r} requires media libraries not present in this "
+            "container; plug a real kernel into extract_media_features"
+        )
+    return {"n_units": n, "first_unit": first, "unit_sum_mod": sm}
+
+
+def _routed_payload(doc_id: Column, raw: Column) -> tuple[Column, Column]:
+    """JVM-side synthesized (payload, mime): constant header literal +
+    a substring of the UTF-8 text bytes as pixel/sample data, routed by
+    ``doc_id % 3`` with a length guard. Pure codegen — no Python."""
+    n = F.length(raw)
+    is_bmp = (F.pmod(doc_id, F.lit(3)) == 0) & (n >= MIN_MEDIA_BYTES)
+    is_wav = (F.pmod(doc_id, F.lit(3)) == 1) & (n >= MIN_MEDIA_BYTES)
+    mime = (
+        F.when(is_bmp, F.lit("image/bmp"))
+        .when(is_wav, F.lit("audio/wav"))
+        .otherwise(F.lit("text/plain"))
+    )
+    payload = (
+        F.when(is_bmp, F.concat(F.lit(BMP_HEADER), F.substring(raw, 1, BMP_PIXEL_BYTES)))
+        .when(is_wav, F.concat(F.lit(WAV_HEADER), F.substring(raw, 1, WAV_DATA_BYTES)))
+        .otherwise(raw)
+    )
+    return payload, mime
+
+
+def build_payload_bytes(doc_id: int, text: str) -> tuple[bytes, str]:
+    """Python mirror of ``_routed_payload`` for tests/fixtures."""
+    raw = text.encode("utf-8")
+    if len(raw) >= MIN_MEDIA_BYTES and doc_id % 3 == 0:
+        return encode_bmp(raw[:BMP_PIXEL_BYTES]), "image/bmp"
+    if len(raw) >= MIN_MEDIA_BYTES and doc_id % 3 == 1:
+        return encode_wav(raw[:WAV_DATA_BYTES]), "audio/wav"
+    return raw, "text/plain"
+
+
+# byte i (1-based) of the text payload, recovered from the hex dump —
+# the engine-neutral way to read binary content in the oracle
+_BYTE_AT = "CAST(concat('0x', substr(hx, 2*{i} - 1, 2)) AS BIGINT)"
+_SUM_TO = (
+    "CAST(COALESCE(list_sum(list_transform(range(1, {n} + 1),"
+    f" i -> {_BYTE_AT.format(i='i')})), 0) % 997 AS INTEGER)"
+)
+
+_ROUTING_CTE = f"""
+WITH p AS (
+    SELECT doc_id,
+           hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS L,
+           CASE WHEN doc_id % 3 = 0 AND octet_length(encode(text)) >= {MIN_MEDIA_BYTES}
+                     THEN 'image/bmp'
+                WHEN doc_id % 3 = 1 AND octet_length(encode(text)) >= {MIN_MEDIA_BYTES}
+                     THEN 'audio/wav'
+                ELSE 'text/plain' END AS mime
+    FROM documents
+)
+"""
+
+# The oracle PREDICTS the decoded output from the construction: the BMP
+# pixel region / WAV data chunk is exactly the first 48/64 text bytes,
+# the headers are constants (so n_bytes/head_hex are literals per mime),
+# and first_unit/unit_sum_mod re-derive pixel/sample math from the hex
+# dump. A decoder that ignored the header offsets would still have to
+# land on these exact values to pass.
 MULTIMODAL_META_FEATURES_ORACLE = f"""
+{_ROUTING_CTE}
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       substr(hex(encode(text)), 1, 8) AS head_hex,
-       'text/plain' AS mime,
-       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-                 ELSE {_BYTE_AT.format(i=1)} END AS INTEGER) AS first_byte,
-       CAST(COALESCE(list_sum(list_transform(
-                range(1, least(octet_length(encode(text)), 256) + 1),
-                i -> {_BYTE_AT.format(i="i")})), 0) % 997 AS INTEGER) AS byte_sum_mod
-FROM documents
+       CAST(CASE mime WHEN 'image/bmp' THEN {BMP_FILE_BYTES}
+                      WHEN 'audio/wav' THEN {WAV_FILE_BYTES}
+                      ELSE L END AS BIGINT) AS n_bytes,
+       CASE mime WHEN 'image/bmp' THEN '424D6600'
+                 WHEN 'audio/wav' THEN '52494646'
+                 ELSE substr(hx, 1, 8) END AS head_hex,
+       mime,
+       CAST(CASE mime WHEN 'image/bmp' THEN {BMP_WIDTH * BMP_HEIGHT}
+                      WHEN 'audio/wav' THEN {WAV_DATA_BYTES // 2}
+                      ELSE L END AS BIGINT) AS n_units,
+       CAST(CASE mime
+            WHEN 'image/bmp' THEN {_BYTE_AT.format(i=1)}
+            WHEN 'audio/wav' THEN
+                 CASE WHEN {_BYTE_AT.format(i=1)} + 256 * {_BYTE_AT.format(i=2)} >= 32768
+                      THEN {_BYTE_AT.format(i=1)} + 256 * {_BYTE_AT.format(i=2)} - 65536
+                      ELSE {_BYTE_AT.format(i=1)} + 256 * {_BYTE_AT.format(i=2)} END
+            ELSE CASE WHEN L = 0 THEN -1 ELSE {_BYTE_AT.format(i=1)} END
+            END AS INTEGER) AS first_unit,
+       CASE mime WHEN 'image/bmp' THEN {_SUM_TO.format(n=BMP_PIXEL_BYTES)}
+                 WHEN 'audio/wav' THEN {_SUM_TO.format(n=WAV_DATA_BYTES)}
+                 ELSE {_SUM_TO.format(n=f"least(L, 256)")} END AS unit_sum_mod
+FROM p
 """
 
 
@@ -46,25 +259,31 @@ FROM documents
     tags=("multimodal",),
 )
 def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata (JVM-side) + decode features (Arrow ``mapInPandas``)
-    over an opaque binary payload column, one row per media item.
+    """Typed metadata (JVM-side) + real decode features (Arrow
+    ``mapInPandas``) over a binary payload column, one row per media
+    item, three mimes (BMP / WAV / text) in one run.
 
-    Byte length and magic-prefix sniffing happen JVM-side on the binary
+    Byte length and magic-prefix metadata happen JVM-side on the binary
     column — the pattern for routing media rows to per-codec decode
-    stages without touching Python; the feature columns then ride the
-    Arrow batch through the stubbed decode kernel (``decode_media``).
-    The oracle recomputes the fake-decode's byte stats from the hex dump
-    (engine-neutral binary access), so the whole pipeline — including
-    the Python stage — is hash-checked, not rows-only.
+    stages without touching Python; the payload then rides the Arrow
+    batch through ``decode_media``, which genuinely parses BMP and WAV
+    headers (offset/stride/chunk walk). The oracle recomputes the
+    decoded pixel/sample stats from the construction's hex math, so the
+    whole pipeline — real Python decoders included — is hash-checked,
+    not rows-only.
     """
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "UTF-8")
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
     meta = docs.select(
         "doc_id",
         payload.alias("payload"),
-        F.length(payload).cast("long").alias("n_bytes"),
-        F.substring(F.hex(payload), 1, 8).alias("head_hex"),
-        F.lit("text/plain").alias("mime"),
+        mime.alias("mime"),
+    ).select(
+        "doc_id",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.substring(F.hex("payload"), 1, 8).alias("head_hex"),
+        "mime",
     )
 
     def extract(batches: Iterator) -> Iterator:
@@ -73,40 +292,21 @@ def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             feats = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
             out = pdf[["doc_id", "n_bytes", "head_hex", "mime"]].copy()
-            out["first_byte"] = pd.Series(
-                [f["first_byte"] for f in feats], index=pdf.index, dtype="int32"
-            )
-            out["byte_sum_mod"] = pd.Series(
-                [f["byte_sum_mod"] for f in feats], index=pdf.index, dtype="int32"
-            )
+            for key, dtype in (
+                ("n_units", "int64"),
+                ("first_unit", "int32"),
+                ("unit_sum_mod", "int32"),
+            ):
+                out[key] = pd.Series(
+                    [f[key] for f in feats], index=pdf.index, dtype=dtype
+                )
             yield out
 
     return meta.mapInPandas(
         extract,
         "doc_id long, n_bytes long, head_hex string, mime string, "
-        "first_byte int, byte_sum_mod int",
+        "n_units long, first_unit int, unit_sum_mod int",
     )
-
-
-def decode_media(payload: bytes, mime: str) -> dict:
-    """Decode kernel stub.
-
-    Real codecs (PIL / libav / soundfile) are not in this container —
-    STUB: any real media mime raises. ``text/plain`` gets a
-    deterministic fake "decode" (byte stats standing in for pixels /
-    samples) so the distributed plumbing is exercised end-to-end.
-    """
-    if mime != "text/plain":
-        raise NotImplementedError(
-            f"decode for {mime!r} requires media libraries not present in this "
-            "container; plug a real kernel into extract_media_features"
-        )
-    n = len(payload)
-    return {
-        "n_bytes": n,
-        "first_byte": payload[0] if n else -1,
-        "byte_sum_mod": sum(payload[:256]) % 997,
-    }
 
 
 def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -125,39 +325,65 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
             feats = [decode_media(p, m) for p, m in zip(pdf[payload_col], pdf["mime"])]
             out = pd.DataFrame(feats)
             out["doc_id"] = pdf["doc_id"].values
-            yield out[["doc_id", "n_bytes", "first_byte", "byte_sum_mod"]]
+            yield out[["doc_id", "n_units", "first_unit", "unit_sum_mod"]]
 
     return df.mapInPandas(
-        extract, "doc_id long, n_bytes long, first_byte int, byte_sum_mod int"
+        extract, "doc_id long, n_units long, first_unit int, unit_sum_mod int"
     )
 
 
 N_FRAMES = 4
 
 
-def sample_frames(payload: bytes, mime: str, n_frames: int = N_FRAMES) -> list[bytes]:
-    """Frame-sampling kernel stub.
+def _content_region(payload: bytes, mime: str) -> bytes:
+    """The decodable content of a payload: BMP pixel region (via the
+    header's own offset/stride), WAV data chunk (via the chunk walk),
+    or the whole byte stream for text. Compressed codecs raise."""
+    if mime == "image/bmp":
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP: bad magic")
+        data_off = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        stride = ((width * 3 + 3) // 4) * 4
+        return payload[data_off : data_off + stride * abs(height)]
+    if mime == "audio/wav":
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"data":
+                return payload[pos + 8 : pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)
+        raise ValueError("missing data chunk")
+    if mime == "text/plain":
+        return payload
+    raise NotImplementedError(
+        f"frame sampling for {mime!r} requires media libraries not present "
+        "in this container; plug a real decoder into frame_sample_rows"
+    )
 
-    Real video decode (libav/ffmpeg) is not in this container — STUB:
-    real media mimes raise. ``text/plain`` payloads are sliced into
-    ``n_frames`` deterministic chunks standing in for sampled frames, so
-    the fan-out plumbing (one row in, N typed rows out) is exercised.
-    """
-    if mime != "text/plain":
-        raise NotImplementedError(
-            f"frame sampling for {mime!r} requires media libraries not present "
-            "in this container; plug a real decoder into frame_sample_rows"
-        )
-    if not payload:
+
+def sample_frames(payload: bytes, mime: str, n_frames: int = N_FRAMES) -> list[bytes]:
+    """Frame-sampling kernel: slice the DECODED content region into
+    ``n_frames`` deterministic chunks — image scanlines for the 4-row
+    BMP geometry, equal sample runs for WAV, byte ranges for text. The
+    content region itself comes from a real header parse
+    (``_content_region``); compressed codecs raise."""
+    content = _content_region(payload, mime)
+    if not content:
         return [b""] * n_frames
-    step = max(len(payload) // n_frames, 1)
-    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+    step = max(len(content) // n_frames, 1)
+    return [content[i * step : (i + 1) * step] for i in range(n_frames)]
 
 
 def resize_frame(frame: bytes, target: int = 16) -> bytes:
-    """Resize kernel stub: deterministic downsample of the byte stream
-    (every k-th byte to ``target`` length) standing in for pixel
-    interpolation. Real codecs raise upstream in ``sample_frames``."""
+    """Resize kernel: deterministic nearest-neighbor downsample of the
+    byte stream (every k-th byte to ``target`` length) — for the BMP
+    scanline frames this IS nearest-neighbor pixel-channel resampling;
+    for audio it is sample decimation."""
     if len(frame) <= target:
         return frame
     step = len(frame) / target
@@ -194,28 +420,34 @@ def frame_sample_rows(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-# Frame-slice arithmetic mirrored into SQL: step = max(L // N, 1);
-# frame i = payload[i*step : (i+1)*step]  (length clamp(L - i*step, 0, step));
-# thumb = frame downsampled to ≤16 bytes. The oracle reads frame content
-# through the payload hex dump, so the mapInPandas fan-out — Python
-# kernel included — is hash-checked end to end.
+# Frame-slice arithmetic mirrored into SQL. The content region cs and
+# step are per-mime: BMP → 48 pixel bytes / 12-byte scanlines, WAV → 64
+# data bytes / 16-byte sample runs, text → whole payload / L//4. The
+# content equals the first cs TEXT bytes by construction, so the oracle
+# reads frame content through the text hex dump — the mapInPandas
+# fan-out, real header-parsing kernels included, is hash-checked end to
+# end.
 FRAME_SAMPLE_ORACLE = f"""
-WITH p AS (
-    SELECT doc_id,
-           hex(encode(text)) AS hx,
-           octet_length(encode(text)) AS L,
-           greatest(octet_length(encode(text)) // {N_FRAMES}, 1) AS step
-    FROM documents
+{_ROUTING_CTE}
+, g AS (
+    SELECT doc_id, hx, mime,
+           CASE mime WHEN 'image/bmp' THEN {BMP_PIXEL_BYTES}
+                     WHEN 'audio/wav' THEN {WAV_DATA_BYTES}
+                     ELSE L END AS cs,
+           CASE mime WHEN 'image/bmp' THEN {BMP_PIXEL_BYTES // N_FRAMES}
+                     WHEN 'audio/wav' THEN {WAV_DATA_BYTES // N_FRAMES}
+                     ELSE greatest(L // {N_FRAMES}, 1) END AS step
+    FROM p
 ), f AS (
-    SELECT doc_id, hx, L, step, unnest(range({N_FRAMES})) AS frame_idx FROM p
+    SELECT doc_id, hx, cs, step, unnest(range({N_FRAMES})) AS frame_idx FROM g
 )
 SELECT doc_id,
        CAST(frame_idx AS INTEGER) AS frame_idx,
-       CAST(least(greatest(L - frame_idx * step, 0), step) AS BIGINT) AS frame_len,
+       CAST(least(greatest(cs - frame_idx * step, 0), step) AS BIGINT) AS frame_len,
        substr(hx, 2 * frame_idx * step + 1,
-              least(least(greatest(L - frame_idx * step, 0), step) * 2, 8))
+              least(least(greatest(cs - frame_idx * step, 0), step) * 2, 8))
            AS frame_head_hex,
-       CAST(least(least(greatest(L - frame_idx * step, 0), step), 16) AS BIGINT)
+       CAST(least(least(greatest(cs - frame_idx * step, 0), step), 16) AS BIGINT)
            AS thumb_len
 FROM f
 """
@@ -223,22 +455,23 @@ FROM f
 
 @register("multimodal_frame_sample", oracle=FRAME_SAMPLE_ORACLE, tags=("multimodal",))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling + thumbnail resize over binary payloads.
-
-    N deterministic frames per document with a resized thumb each — the
-    decode kernel is stubbed (container has no media libs), the
-    distributed fan-out (``frame_sample_rows``: one row in, N typed rows
-    out through Arrow) is real. The registered output is the frames'
+    """Frame sampling + thumbnail resize over binary payloads, all three
+    mimes: BMP frames are scanlines cut from the pixel region the header
+    parse locates, WAV frames are sample runs from the data chunk, text
+    frames are byte ranges. The distributed fan-out
+    (``frame_sample_rows``: one row in, N typed rows out through Arrow)
+    carries real decoded content. The registered output is the frames'
     byte stats (length + head hex + thumb length) computed JVM-side from
     the actual binary frames, which a hex/length-math oracle reproduces
     — hash-checked, not rows-only; the raw binary rows are value-pinned
     in ``tests/test_operators.py``.
     """
     docs = load_table(spark, sf_dir, "documents")
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
     with_payload = docs.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.lit("text/plain").alias("mime"),
+        payload.alias("payload"),
+        mime.alias("mime"),
     )
     frames = frame_sample_rows(with_payload)
     return frames.select(

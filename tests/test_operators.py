@@ -220,28 +220,81 @@ def test_ivf_kmeans_assign_invariants(spark, sf_dir):
     assert got < baseline, (got, baseline)
 
 
-def test_decode_media_stub():
-    """Real codecs must refuse loudly; text/plain gets the deterministic fake."""
+def test_decode_media_kernels():
+    """BMP/WAV decode for real from parsed headers; compressed codecs
+    refuse loudly; text/plain gets byte stats."""
+    import struct
+
+    from gmall_flink_parent_spark.functions.multimodal import (
+        encode_bmp,
+        encode_wav,
+        sample_frames,
+    )
+
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG\r\n", "image/png")
     payload = b"hello world"
-    feats = decode_media(payload, "text/plain")
-    assert feats == {
-        "n_bytes": len(payload),
-        "first_byte": payload[0],
-        "byte_sum_mod": sum(payload) % 997,
+    assert decode_media(payload, "text/plain") == {
+        "n_units": len(payload),
+        "first_unit": payload[0],
+        "unit_sum_mod": sum(payload) % 997,
     }
+
+    # BMP: 4x4 24bpp, pixel bytes 0..47 — decode must find them via the
+    # header's data offset, not by assuming a 54-byte prefix.
+    px = bytes(range(48))
+    bmp = encode_bmp(px)
+    assert decode_media(bmp, "image/bmp") == {
+        "n_units": 16,
+        "first_unit": 0,
+        "unit_sum_mod": sum(px) % 997,
+    }
+    # non-standard: an extra chunk of junk between header and pixels,
+    # with the data offset pointing past it
+    shifted = bmp[:10] + (54 + 7).to_bytes(4, "little") + bmp[14:54] + b"\x00" * 7 + px
+    assert decode_media(shifted, "image/bmp")["unit_sum_mod"] == sum(px) % 997
+    with pytest.raises(ValueError):
+        decode_media(b"XX" + bmp[2:], "image/bmp")
+
+    # WAV: PCM16 samples round-trip, including negative first sample;
+    # chunk walk must skip unknown chunks before data.
+    samples = struct.pack("<32h", *(i - 16 for i in range(32)))
+    wav = encode_wav(samples)
+    assert decode_media(wav, "audio/wav") == {
+        "n_units": 32,
+        "first_unit": -16,
+        "unit_sum_mod": sum(samples) % 997,
+    }
+    with_junk = (
+        wav[:12]
+        + struct.pack("<4sI", b"LIST", 6)
+        + b"\x00" * 6
+        + wav[12:]
+    )
+    fixed = with_junk[:4] + (len(with_junk) - 8).to_bytes(4, "little") + with_junk[8:]
+    assert decode_media(fixed, "audio/wav")["first_unit"] == -16
+    with pytest.raises(ValueError):
+        decode_media(b"JUNK" + wav[4:], "audio/wav")
+
+    # frame sampling slices the DECODED region: BMP scanlines / WAV runs
+    assert sample_frames(bmp, "image/bmp") == [px[i * 12 : (i + 1) * 12] for i in range(4)]
+    assert sample_frames(wav, "audio/wav") == [
+        samples[i * 16 : (i + 1) * 16] for i in range(4)
+    ]
 
 
 def test_multimodal_frame_sample_values(spark, sf_dir):
     """Frame fan-out: N binary rows per doc, frames/thumbs match the
-    local kernels byte-for-byte; real codecs refuse. (The registered
-    query exposes byte STATS of these frames — oracle-checked by the
-    driver; the raw binary plumbing is pinned here.)"""
+    local kernels byte-for-byte across all three routed mimes;
+    compressed codecs refuse. (The registered query exposes byte STATS
+    of these frames — oracle-checked by the driver; the raw binary
+    plumbing is pinned here.)"""
     from pyspark.sql import functions as F
 
     from gmall_flink_parent_spark.functions.multimodal import (
         N_FRAMES,
+        _routed_payload,
+        build_payload_bytes,
         frame_sample_rows,
         resize_frame,
         sample_frames,
@@ -250,37 +303,46 @@ def test_multimodal_frame_sample_values(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         sample_frames(b"\x00\x00\x01\xba", "video/mpeg")
     docs_df = load_table(spark, sf_dir, "documents")
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
     with_payload = docs_df.select(
-        "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.lit("text/plain").alias("mime"),
+        "doc_id", payload.alias("payload"), mime.alias("mime")
     )
     got: dict[tuple[int, int], tuple[bytes, bytes]] = {}
+    mimes_seen = set()
+    for r in with_payload.select("mime").distinct().collect():
+        mimes_seen.add(r["mime"])
+    assert mimes_seen == {"image/bmp", "audio/wav", "text/plain"}
     for r in frame_sample_rows(with_payload).collect():
         got[(r["doc_id"], r["frame_idx"])] = (bytes(r["frame"]), bytes(r["thumb"]))
     docs = docs_df.select("doc_id", "text").collect()
     assert len(got) == N_FRAMES * len(docs)
-    for r in docs[:25]:
-        payload = r["text"].encode("utf-8")
-        for i, fr in enumerate(sample_frames(payload, "text/plain")):
+    for r in docs[:40]:
+        pay, mm = build_payload_bytes(r["doc_id"], r["text"])
+        for i, fr in enumerate(sample_frames(pay, mm)):
             assert got[(r["doc_id"], i)] == (fr, resize_frame(fr)), (r["doc_id"], i)
 
 
 def test_multimodal_features_values(spark, sf_dir):
-    """The distributed mapInPandas pipeline reproduces the local kernel."""
+    """The distributed mapInPandas pipeline reproduces the local decode
+    kernels, BMP/WAV header parsing included."""
+    from gmall_flink_parent_spark.functions.multimodal import build_payload_bytes
+
+    rows = plans.query_map()["multimodal_meta_features"](spark, sf_dir).collect()
     got = {
-        r["doc_id"]: (r["n_bytes"], r["first_byte"], r["byte_sum_mod"])
-        for r in plans.query_map()["multimodal_meta_features"](spark, sf_dir).collect()
+        r["doc_id"]: (r["mime"], r["n_units"], r["first_unit"], r["unit_sum_mod"])
+        for r in rows
     }
+    assert {r["mime"] for r in rows} == {"image/bmp", "audio/wav", "text/plain"}
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     assert len(got) == len(docs)
     for r in docs:
-        payload = r["text"].encode("utf-8")
-        want = decode_media(payload, "text/plain")
+        pay, mm = build_payload_bytes(r["doc_id"], r["text"])
+        want = decode_media(pay, mm)
         assert got[r["doc_id"]] == (
-            want["n_bytes"],
-            want["first_byte"],
-            want["byte_sum_mod"],
+            mm,
+            want["n_units"],
+            want["first_unit"],
+            want["unit_sum_mod"],
         ), r["doc_id"]
 
 
