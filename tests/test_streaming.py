@@ -367,6 +367,79 @@ def test_upsert_rows_merges_parquet_history_when_delta_importable(
     assert sorted(r["k"] for r in spark.read.parquet(path).collect()) == [0, 1, 2, 3, 4]
 
 
+def test_upsert_rows_drives_delta_merge_branch(spark, tmp_path, monkeypatch):
+    """MERGE-branch contract: when the path IS a Delta table the
+    dispatcher must run one keyed MERGE (update-all + insert-all, keyed
+    on the upsert key) over key-deduplicated input — pinned with a fake
+    ``delta.tables`` whose merge applies anti-join+union semantics to
+    parquet, since delta-spark cannot be installed in this container
+    (no pip; the real branch runs wherever delta-spark exists)."""
+    import sys
+    import types
+
+    from gmall_flink_parent_spark.streaming import jobs
+
+    calls: dict = {}
+
+    class FakeMerge:
+        def __init__(self, target_path, source):
+            self._path, self._src = target_path, source
+
+        def whenMatchedUpdateAll(self):
+            calls["matched"] = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["not_matched"] = True
+            return self
+
+        def execute(self):
+            cur = spark.read.parquet(self._path)
+            merged = cur.join(self._src, on="k", how="left_anti").unionByName(
+                self._src
+            )
+            jobs.upsert_parquet(spark, merged, self._path, key="k")
+
+    class FakeTarget:
+        def __init__(self, target_path):
+            self._path = target_path
+
+        def alias(self, a):
+            return self
+
+        def merge(self, source, condition):
+            calls["condition"] = condition
+            calls["source_rows"] = source.count()
+            return FakeMerge(self._path, source)
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, p):
+            return True
+
+        @staticmethod
+        def forPath(spark, p):
+            return FakeTarget(p)
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    path = str(tmp_path / "dim")
+    jobs.upsert_parquet(spark, spark.range(3).withColumnRenamed("id", "k"), path, key="k")
+    dup_input = spark.range(2, 5).withColumnRenamed("id", "k").unionAll(
+        spark.range(2, 5).withColumnRenamed("id", "k")
+    )
+    jobs.upsert_rows(spark, dup_input, path, key="k")
+    assert calls["condition"] == "t.`k` = s.`k`"
+    assert calls["matched"] and calls["not_matched"]
+    assert calls["source_rows"] == 3  # dropDuplicates before the merge
+    assert sorted(r["k"] for r in spark.read.parquet(path).collect()) == [0, 1, 2, 3, 4]
+
+
 def test_visitor_repair_stream_late_rows_repaired(spark, tmp_path):
     """Late-data behavior at the watermark (SURVEY §5.3).
 
