@@ -392,40 +392,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "bh"
         ),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    first_band = F.when(F.col("a.s0").isNull(), None)  # never-taken seed branch
-    for j in range(BANDS):
-        cond = reduce(
-            lambda acc, r: acc
-            & (
-                F.col(f"a.s{j * ROWS_PER_BAND + r}")
-                == F.col(f"b.s{j * ROWS_PER_BAND + r}")
-            ),
-            range(1, ROWS_PER_BAND),
-            F.col(f"a.s{j * ROWS_PER_BAND}") == F.col(f"b.s{j * ROWS_PER_BAND}"),
-        )
-        first_band = first_band.when(cond, j)
-    matches = reduce(
-        lambda acc, i: acc + (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int"),
-        range(1, NUM_HASHES),
-        (F.col("a.s0") == F.col("b.s0")).cast("int"),
-    )
-    cross = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
-        .filter(F.col("a.band_idx") == first_band)
-        .select(
-            F.col("a.ids").alias("ids_a"),
-            F.col("b.ids").alias("ids_b"),
-            F.round(matches / F.lit(float(NUM_HASHES)), 6).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
-        .select(F.explode("ids_a").alias("x"), "ids_b", "est_jaccard")
-        .select("x", F.explode("ids_b").alias("y"), "est_jaccard")
+    # Structural skew fallback is opt-in via session config (see
+    # _band_pairs): unset compiles the plain single-join plan.
+    conf_threshold = spark.conf.get(HOT_BUCKET_CONF, None)
+    cross = _band_pairs(
+        banded,
+        hot_threshold=int(conf_threshold) if conf_threshold is not None else None,
     )
     # identical-signature pairs: est_jaccard is exactly 16/16
     within = (
@@ -444,6 +416,130 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("x", "y").alias("doc_id_a"),
         F.greatest("x", "y").alias("doc_id_b"),
         "est_jaccard",
+    )
+
+
+# Session config enabling the salted band join: set to a bucket-size
+# threshold (clusters per band bucket) to activate. Unset → plain
+# equi-join; AQE's skew split stays the runtime defense. Mirrors how
+# Spark itself gates structural skew rewrites behind a switch.
+HOT_BUCKET_CONF = "spark.gmall_flink.minhash.hotBucketThreshold"
+# A band bucket with more signature-clusters than the threshold gets the
+# salted join (its self-join would put threshold² candidate rows in one
+# task); 2048² ≈ 4M join rows is the per-task pain boundary on
+# executor-sized memory — the value to start from when enabling.
+MINHASH_HOT_BUCKET = 2048
+# Salt fan-out for hot buckets: quadratic work per bucket divides by
+# this; probe-side replication multiplies by it (only for hot rows). At
+# real scale size it ∝ the hottest bucket; fixed here for determinism.
+N_BAND_SALT = 16
+
+
+def _band_pairs(
+    banded: DataFrame,
+    n_salt: int = N_BAND_SALT,
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from a banded signature frame (columns: rep, ids,
+    s0..s15, band_idx, bh) — with an opt-in **salted fallback for hot
+    buckets** (``hot_threshold``; wired to ``HOT_BUCKET_CONF``).
+
+    AQE's skew-join split covers moderate skew at runtime, but a single
+    pathological band bucket (boilerplate corpora: one template shared
+    by millions of docs collapses to thousands of near-identical
+    signature clusters in one bucket) concentrates B² join work on one
+    task regardless of partition splitting, because every pair needs
+    both rows. The structural fix mirrors ``skew_salted_join``
+    (`operators/skew.py`): bucket sizes are counted (cluster-count-sized
+    aggregate — cheap), buckets above ``hot_threshold`` are broadcast as
+    a tag list, and hot rows take a salted self-join — the probe side
+    replicated ``n_salt``× with an explicit probe group, the build side
+    hashed into a group by ``rep`` — so each hot bucket's quadratic work
+    spreads over ``n_salt`` tasks with a build side of B/n_salt rows.
+    Cold buckets keep the plain equi-join. Any salt assignment yields
+    identical pairs (each (x, y) joins exactly once: x's replica in
+    y's group); the property test pins salted ≡ unsalted.
+
+    ``hot_threshold=None`` (the default) compiles the plain single
+    equi-join with ZERO added stages: the detect-tag-split machinery
+    costs a measured ~25% on the flagship dedup queries when no bucket
+    is hot (4 extra cached-frame consumers + an aggregate + a broadcast
+    per run), so — like Spark's own skew-join switch — the structural
+    rewrite is a config the operator flips when the corpus is known to
+    be template-heavy, not a default tax.
+    """
+
+    def project(a_side: DataFrame, b_side: DataFrame, extra: Column) -> DataFrame:
+        first_band = F.when(F.col("a.s0").isNull(), None)  # never-taken seed
+        for j in range(BANDS):
+            cond = reduce(
+                lambda acc, r: acc
+                & (
+                    F.col(f"a.s{j * ROWS_PER_BAND + r}")
+                    == F.col(f"b.s{j * ROWS_PER_BAND + r}")
+                ),
+                range(1, ROWS_PER_BAND),
+                F.col(f"a.s{j * ROWS_PER_BAND}") == F.col(f"b.s{j * ROWS_PER_BAND}"),
+            )
+            first_band = first_band.when(cond, j)
+        matches = reduce(
+            lambda acc, i: acc + (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int"),
+            range(1, NUM_HASHES),
+            (F.col("a.s0") == F.col("b.s0")).cast("int"),
+        )
+        return (
+            a_side.alias("a")
+            .join(
+                b_side.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.rep") < F.col("b.rep"))
+                & extra,
+            )
+            .filter(F.col("a.band_idx") == first_band)
+            .select(
+                F.col("a.ids").alias("ids_a"),
+                F.col("b.ids").alias("ids_b"),
+                F.round(matches / F.lit(float(NUM_HASHES)), 6).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        )
+
+    if hot_threshold is None:
+        return (
+            project(banded, banded, F.lit(True))
+            .select(F.explode("ids_a").alias("x"), "ids_b", "est_jaccard")
+            .select("x", F.explode("ids_b").alias("y"), "est_jaccard")
+        )
+    hot_buckets = (
+        banded.groupBy("band_idx", "bh")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > hot_threshold)
+        .select("band_idx", "bh", F.lit(True).alias("is_hot"))
+    )
+    # Four consumers read the tagged frame (both cold join sides, probe,
+    # build) and AQE plans the bucket-count + broadcast + tag join anew
+    # per consumer (no ReusedExchange under AQE — the r1 lesson), which
+    # measured ~2× on the whole query. The tagged frame is the banded
+    # frame + 1 bit, so the query-scoped cache is cheap at any scale.
+    tagged = scoped_persist(
+        banded.join(F.broadcast(hot_buckets), ["band_idx", "bh"], "left")
+    )
+    cold = tagged.filter(F.col("is_hot").isNull()).drop("is_hot")
+    hot = tagged.filter(F.col("is_hot").isNotNull()).drop("is_hot")
+    pairs = project(cold, cold, F.lit(True))
+    # Probe side replicated across all salt groups; build side hashed
+    # into one group by rep. xxhash64 is engine-local but the salt never
+    # reaches the output, so oracle portability is unaffected.
+    probe = hot.withColumn(
+        "probe_g", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    build = hot.withColumn("salt_g", F.pmod(F.xxhash64("rep"), F.lit(n_salt)))
+    salted = project(probe, build, F.col("a.probe_g") == F.col("b.salt_g"))
+    return (
+        pairs.unionByName(salted)
+        .select(F.explode("ids_a").alias("x"), "ids_b", "est_jaccard")
+        .select("x", F.explode("ids_b").alias("y"), "est_jaccard")
     )
 
 

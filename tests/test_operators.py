@@ -494,6 +494,85 @@ def test_minhash_lsh_reads_cluster_cache_not_corpus(spark, sf_dir):
     assert plan.count("InMemoryRelation") <= n_cache_reads
 
 
+def test_band_pairs_salted_hot_bucket_invariant_and_bounded(spark):
+    """Skew-resistant band join: an adversarial corpus (one band bucket
+    holding every cluster — the boilerplate-template case) must produce
+    IDENTICAL pairs through the salted path and the plain join, while
+    the salted build side is split into many bounded groups instead of
+    one B-row bucket."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.functions.dedup import (
+        BANDS,
+        N_BAND_SALT,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        _band_pairs,
+    )
+
+    n = 200
+    rows = []
+    for i in range(n):
+        # band 0 (s0..s3) identical everywhere → one hot bucket with all
+        # n clusters; s4..s15 shared only within consecutive pairs, so
+        # (2k, 2k+1) match 16/16 and every other pair dies at 4/16.
+        sig = ["H"] * ROWS_PER_BAND + [f"v{i // 2}"] * (NUM_HASHES - ROWS_PER_BAND)
+        for j in range(BANDS):
+            bh = ":".join(sig[j * ROWS_PER_BAND : (j + 1) * ROWS_PER_BAND])
+            rows.append((i, [i], *sig, j, bh))
+    schema = (
+        "rep long, ids array<long>, "
+        + ", ".join(f"s{k} string" for k in range(NUM_HASHES))
+        + ", band_idx int, bh string"
+    )
+    banded = spark.createDataFrame(rows, schema)
+
+    def collect_pairs(df):
+        return sorted(
+            (r["x"], r["y"], r["est_jaccard"])
+            for r in df.select(
+                F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y"), "est_jaccard"
+            ).collect()
+        )
+
+    plain = collect_pairs(_band_pairs(banded, hot_threshold=10**9))
+    salted = collect_pairs(_band_pairs(banded, hot_threshold=50))
+    assert plain == salted
+    assert len(salted) == n // 2  # exactly the consecutive pairs
+    assert all(e == 1.0 for _, _, e in salted)
+    # the physical plan actually takes the two-branch shape
+    physical = (
+        _band_pairs(banded, hot_threshold=50)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" in physical
+    # bounded build side: the hot bucket's B rows split into many salt
+    # groups, each far below B (xxhash spread, not exact B/G)
+    groups = (
+        banded.filter(F.col("band_idx") == 0)
+        .select(F.pmod(F.xxhash64("rep"), F.lit(N_BAND_SALT)).alias("g"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert len(groups) >= N_BAND_SALT // 2
+    assert max(r["count"] for r in groups) <= 3 * (n // N_BAND_SALT)
+
+
+def test_minhash_salted_conf_wiring_result_invariant(spark, sf_dir):
+    """Flipping the hot-bucket config on the registered query must not
+    change a single pair — the salted rewrite is distribution-only."""
+    from gmall_flink_parent_spark.functions.dedup import HOT_BUCKET_CONF
+
+    q = plans.query_map()["dedup_minhash_lsh"]
+    base = sorted(map(tuple, q(spark, sf_dir).collect()))
+    spark.conf.set(HOT_BUCKET_CONF, "2")  # absurdly low: everything hot
+    try:
+        salted = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset(HOT_BUCKET_CONF)
+    assert base == salted and len(base) > 0
+
+
 def test_srp_multiprobe_recall_vs_bruteforce(spark, sf_dir):
     """Approximation quality pinned, not assumed: the multi-probe SRP
     top-1 must recover the exact brute-force top-1 neighbor for at
