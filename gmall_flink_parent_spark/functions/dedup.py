@@ -728,7 +728,17 @@ def dedup_cascade_verify(
 def _cascade_cosine_broadcast(
     spark: SparkSession, pairs: DataFrame, emb: DataFrame
 ) -> DataFrame:
-    """Tier-2 scoring via broadcast embedding matrix + numpy kernel."""
+    """Tier-2 scoring via broadcast embedding matrix + numpy kernel.
+
+    The ``toPandas`` below is the broadcast BUILD — the same driver-side
+    materialization a BroadcastExchange performs at plan time, done
+    explicitly because the matrix rides a SparkContext broadcast rather
+    than a join. It runs when the query is constructed (bounded by the
+    ``max_broadcast_rows`` gate the caller enforced), which is the one
+    registered-query construction that is not fully lazy — the price of
+    choosing the physical strategy by data size, mirrored from how AQE
+    materializes broadcast sides eagerly.
+    """
     import numpy as np
     import pandas as pd
 

@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # Synthesized-payload geometry (fixed so headers are constant literals).
 BMP_WIDTH = 4
@@ -272,7 +272,9 @@ def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline — real Python decoders included — is hash-checked,
     not rows-only.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: per-row Python decode is the compute-dense stage — run it
+    # cluster-wide even when the scan is a single split (no-op at scale).
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
     meta = docs.select(
         "doc_id",
@@ -466,7 +468,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     — hash-checked, not rows-only; the raw binary rows are value-pinned
     in ``tests/test_operators.py``.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
     with_payload = docs.select(
         "doc_id",

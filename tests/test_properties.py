@@ -177,3 +177,59 @@ def test_simhash_probe_tables_complete_for_hamming_3(sig, flip_bits):
         for i in range(SIMHASH_N_BLOCKS)
     ]
     assert any(blocks_equal), (hex(sig), hex(other))
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(payload=st.binary(min_size=0, max_size=200))
+def test_media_codec_roundtrip_property(payload):
+    """For ANY byte content: encode_bmp/encode_wav produce files whose
+    real header parse recovers exactly the embedded pixel/sample bytes —
+    decode must agree with direct byte math on the original content."""
+    from gmall_flink_parent_spark.functions.multimodal import (
+        BMP_PIXEL_BYTES,
+        WAV_DATA_BYTES,
+        decode_media,
+        encode_bmp,
+        encode_wav,
+        sample_frames,
+    )
+
+    px = (payload * 48)[:BMP_PIXEL_BYTES] if payload else b"\x00" * BMP_PIXEL_BYTES
+    bmp = encode_bmp(px)
+    got = decode_media(bmp, "image/bmp")
+    assert got == {
+        "n_units": 16,
+        "first_unit": px[0],
+        "unit_sum_mod": sum(px) % 997,
+    }
+    assert b"".join(sample_frames(bmp, "image/bmp")) == px
+
+    data = (payload * 64)[: WAV_DATA_BYTES] if payload else b"\x00" * WAV_DATA_BYTES
+    wav = encode_wav(data)
+    got = decode_media(wav, "audio/wav")
+    assert got["n_units"] == WAV_DATA_BYTES // 2
+    assert got["first_unit"] == int.from_bytes(data[0:2], "little", signed=True)
+    assert got["unit_sum_mod"] == sum(data) % 997
+    assert b"".join(sample_frames(wav, "audio/wav")) == data
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**9),
+    text=st.text(min_size=0, max_size=300),
+)
+def test_payload_routing_mirror_property(doc_id, text):
+    """build_payload_bytes (the Python mirror of the JVM construction)
+    always produces a payload its own mime can decode, and short texts
+    never route to a media mime."""
+    from gmall_flink_parent_spark.functions.multimodal import (
+        MIN_MEDIA_BYTES,
+        build_payload_bytes,
+        decode_media,
+    )
+
+    payload, mime = build_payload_bytes(doc_id, text)
+    if len(text.encode("utf-8")) < MIN_MEDIA_BYTES:
+        assert mime == "text/plain"
+    feats = decode_media(payload, mime)
+    assert feats["n_units"] >= 0 and 0 <= feats["unit_sum_mod"] < 997
