@@ -61,8 +61,15 @@ _MACROS: list[tuple[str, str, str, str]] = [
 
 
 def register_sql_functions(spark: SparkSession) -> list[str]:
-    """Install the engine's scalar surface as SQL UDFs (idempotent)."""
+    """Install the engine's scalar surface as SQL UDFs (idempotent).
+
+    Skips names already present: the definitions are constants, and a
+    blind CREATE OR REPLACE on every call makes Spark's function
+    registry log a replaced-function warning per macro per query run.
+    """
     for name, sig, ret, body in _MACROS:
+        if spark.catalog.functionExists(name):
+            continue
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
             f"RETURNS {ret} RETURN {body}"
