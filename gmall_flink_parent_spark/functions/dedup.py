@@ -419,6 +419,120 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _first_band_expr() -> Column:
+    """Index of the first band where the joined a/b signature rows agree
+    — unrolled over the scalar s-columns so it compiles to a codegen
+    CASE, not an interpreted array lambda per pair."""
+    first_band = F.when(F.col("a.s0").isNull(), None)  # never-taken seed
+    for j in range(BANDS):
+        cond = reduce(
+            lambda acc, r: acc
+            & (
+                F.col(f"a.s{j * ROWS_PER_BAND + r}")
+                == F.col(f"b.s{j * ROWS_PER_BAND + r}")
+            ),
+            range(1, ROWS_PER_BAND),
+            F.col(f"a.s{j * ROWS_PER_BAND}") == F.col(f"b.s{j * ROWS_PER_BAND}"),
+        )
+        first_band = first_band.when(cond, j)
+    return first_band
+
+
+def _matches_expr() -> Column:
+    """Count of agreeing signature components between joined a/b rows."""
+    return reduce(
+        lambda acc, i: acc + (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int"),
+        range(1, NUM_HASHES),
+        (F.col("a.s0") == F.col("b.s0")).cast("int"),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Public signature computation: (doc_id, s0..s15) — the frame a
+    signature STORE persists so incremental dedup never re-minhashes
+    the historical corpus. One row per document, ~150 B each."""
+    return _minhash_sigs(docs)
+
+
+def dedup_minhash_incremental(
+    new_sigs: DataFrame, store_sigs: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch of documents against itself and a
+    persisted signature store — the incremental production shape (daily
+    crawl vs corpus) where corpus signatures are computed once, ever.
+
+    Candidate generation is a band equi-join with the batch on the probe
+    side: new×store pairs via the store's banded side, new×new pairs via
+    ``doc_id_a < doc_id_b`` within the batch — each unordered pair is
+    emitted exactly once, in the batch where its later member arrives,
+    so the union of per-batch outputs over any batch split equals the
+    full-corpus batch run (pinned by a parity test). At 100 TB the store
+    side shuffles on band hashes ∝ corpus while the batch side is
+    batch-sized; with a small batch AQE broadcasts it and the store is
+    probed in place. First-matching-band filter and match counting are
+    the same codegen expressions as the batch path.
+
+    Reprocessing a batch re-emits its pairs (at-least-once); the store
+    upsert is idempotent by doc_id, so the streaming job's checkpoint is
+    the dedup boundary for the pair sink.
+    """
+    sig_cols = [f"s{i}" for i in range(NUM_HASHES)]
+
+    def banded(sigs: DataFrame, is_old: bool) -> DataFrame:
+        band_cols = [
+            F.concat_ws(
+                ":", *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"bh{j}")
+            for j in range(BANDS)
+        ]
+        return sigs.select(
+            "doc_id", *sig_cols, *band_cols, F.lit(is_old).alias("is_old")
+        ).select(
+            "doc_id",
+            *sig_cols,
+            "is_old",
+            F.posexplode_outer(
+                F.array(*[F.col(f"bh{j}") for j in range(BANDS)])
+            ).alias("band_idx", "bh"),
+        )
+
+    new_banded = banded(new_sigs, False)
+    all_banded = (
+        new_banded.unionByName(banded(store_sigs, True))
+        if store_sigs is not None
+        else new_banded
+    )
+    pairs = (
+        new_banded.alias("a")
+        .join(
+            all_banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (
+                # store side: any orientation, but never the doc's own
+                # stale store row when a doc_id is re-ingested
+                (F.col("b.is_old") & (F.col("a.doc_id") != F.col("b.doc_id")))
+                # batch side: one orientation per pair
+                | (~F.col("b.is_old") & (F.col("a.doc_id") < F.col("b.doc_id")))
+            ),
+        )
+        .filter(F.col("a.band_idx") == _first_band_expr())
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            F.round(_matches_expr() / F.lit(float(NUM_HASHES)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+    return pairs.select(
+        F.least("x", "y").alias("doc_id_a"),
+        F.greatest("x", "y").alias("doc_id_b"),
+        "est_jaccard",
+    )
+
+
 # Session config enabling the salted band join: set to a bucket-size
 # threshold (clusters per band bucket) to activate. Unset → plain
 # equi-join; AQE's skew split stays the runtime defense. Mirrors how
@@ -470,23 +584,6 @@ def _band_pairs(
     """
 
     def project(a_side: DataFrame, b_side: DataFrame, extra: Column) -> DataFrame:
-        first_band = F.when(F.col("a.s0").isNull(), None)  # never-taken seed
-        for j in range(BANDS):
-            cond = reduce(
-                lambda acc, r: acc
-                & (
-                    F.col(f"a.s{j * ROWS_PER_BAND + r}")
-                    == F.col(f"b.s{j * ROWS_PER_BAND + r}")
-                ),
-                range(1, ROWS_PER_BAND),
-                F.col(f"a.s{j * ROWS_PER_BAND}") == F.col(f"b.s{j * ROWS_PER_BAND}"),
-            )
-            first_band = first_band.when(cond, j)
-        matches = reduce(
-            lambda acc, i: acc + (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int"),
-            range(1, NUM_HASHES),
-            (F.col("a.s0") == F.col("b.s0")).cast("int"),
-        )
         return (
             a_side.alias("a")
             .join(
@@ -496,11 +593,13 @@ def _band_pairs(
                 & (F.col("a.rep") < F.col("b.rep"))
                 & extra,
             )
-            .filter(F.col("a.band_idx") == first_band)
+            .filter(F.col("a.band_idx") == _first_band_expr())
             .select(
                 F.col("a.ids").alias("ids_a"),
                 F.col("b.ids").alias("ids_b"),
-                F.round(matches / F.lit(float(NUM_HASHES)), 6).alias("est_jaccard"),
+                F.round(
+                    _matches_expr() / F.lit(float(NUM_HASHES)), 6
+                ).alias("est_jaccard"),
             )
             .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         )

@@ -326,3 +326,46 @@ def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
         "l_shipdate",
         F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
     )
+
+
+def minhash_dedup_job(
+    docs: DataFrame, store_path: str, pairs_path: str, checkpoint_dir: str
+):
+    """Incremental streaming near-dup detection: each micro-batch of
+    documents is deduped against the persisted signature store AND
+    itself, then its signatures are upserted into the store.
+
+    The production crawl-ingest shape: corpus signatures are computed
+    exactly once (when a doc first arrives) and live in a parquet store
+    ~150 B/doc; per batch the engine pays one batch-sized signature
+    computation plus a band equi-join against the store — never a corpus
+    re-scan. Pair emission is at-least-once per batch (replays re-emit),
+    idempotent for the store (doc_id upsert); the checkpoint is the
+    reprocessing boundary. Order of writes — pairs first, store second —
+    means a crash between them replays the batch and re-emits pairs
+    rather than silently losing them against an already-updated store.
+    """
+    from gmall_flink_parent_spark.functions.dedup import (
+        dedup_minhash_incremental,
+        minhash_signatures,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sigs = minhash_signatures(batch).persist()
+        try:
+            fs, store = _hadoop_fs(spark, store_path)
+            store_sigs = spark.read.parquet(store_path) if fs.exists(store) else None
+            dedup_minhash_incremental(sigs, store_sigs).write.mode("append").parquet(
+                pairs_path
+            )
+            upsert_parquet(spark, sigs, store_path, key="doc_id")
+        finally:
+            sigs.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/minhash_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )

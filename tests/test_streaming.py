@@ -674,3 +674,74 @@ def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
     batch = plans.query_map()["order_detail_interval_join"](spark, sf_dir)
     cols = ["o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "extended_price"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_dedup_minhash_incremental_matches_batch(spark, sf_dir):
+    """Any batch split of the corpus must yield exactly the full-batch
+    LSH pairs: each pair is emitted once, in the batch where its later
+    member arrives — store signatures are never recomputed."""
+    from gmall_flink_parent_spark.functions.dedup import (
+        dedup_minhash_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    half1 = docs.filter(F.col("doc_id") <= median)
+    half2 = docs.filter(F.col("doc_id") > median)
+    sigs1 = minhash_signatures(half1)
+    got = {
+        tuple(r)
+        for r in dedup_minhash_incremental(minhash_signatures(half1)).collect()
+    } | {
+        tuple(r)
+        for r in dedup_minhash_incremental(
+            minhash_signatures(half2), store_sigs=sigs1
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in plans.query_map()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 0
+
+
+def test_minhash_dedup_job_stream(spark, sf_dir, tmp_path):
+    """The foreachBatch job end-to-end over two micro-batches: the pair
+    sink accumulates exactly the full-batch pairs and the signature
+    store holds one row per document."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import minhash_dedup_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    for pdf, fname, mtime_off in (
+        (docs.filter(F.col("doc_id") <= median).toPandas(), "f1.parquet", 0),
+        (docs.filter(F.col("doc_id") > median).toPandas(), "f2.parquet", 5),
+    ):
+        path = str(tmp_path / "in" / fname)
+        pdf.to_parquet(path)
+        t = time.time() + mtime_off
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = minhash_dedup_job(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    batch = {
+        tuple(r)
+        for r in plans.query_map()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert got == batch
+    assert spark.read.parquet(str(tmp_path / "store")).count() == docs.count()
