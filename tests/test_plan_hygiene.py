@@ -1,0 +1,45 @@
+"""Engine-wide physical-plan hygiene, pinned for every registered query.
+
+The scale rules the repo is built on (SCALE.md) as executable
+invariants: candidate generation is never an unbounded cross product,
+and no Python ever runs row-at-a-time — the only Python paths are
+Arrow-batched (ArrowEvalPython / mapInPandas). Runs against the full
+registry so any future query or refactor that regresses the plan shape
+fails here before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from gmall_flink_parent_spark import plans
+
+# Deliberate constant-size broadcast cross joins — the one legitimate
+# BroadcastNestedLoopJoin shape: the broadcast side is bounded by a
+# CONSTANT (not by data), so the "nested loop" is k comparisons per row.
+BNLJ_ALLOWED = {
+    "cosine_topk_bruteforce",  # 8-vector query set × candidates (the baseline)
+    "ivf_kmeans_assign",  # k=10 centroids × vectors (Lloyd assignment)
+    "vocab_top_tokens",  # ≤50-row rank-offset frame × top tokens
+}
+
+
+def _physical_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(plans.all_queries()))
+def test_plan_hygiene(spark, sf_dir, name):
+    plan = _physical_plan(plans.all_queries()[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: unbounded cross product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join outside the constant-broadcast allowlist"
+        )
