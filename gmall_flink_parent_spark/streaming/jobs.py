@@ -344,6 +344,11 @@ def minhash_dedup_job(
     reprocessing boundary. Order of writes — pairs first, store second —
     means a crash between them replays the batch and re-emits pairs
     rather than silently losing them against an already-updated store.
+
+    The pair sink is effectively exactly-once despite replays: each
+    batch overwrites its own ``batch_id=N`` partition directory (the
+    standard foreachBatch idempotent-write pattern), so a reprocessed
+    batch replaces its previous output instead of appending duplicates.
     """
     from gmall_flink_parent_spark.functions.dedup import (
         dedup_minhash_incremental,
@@ -356,9 +361,9 @@ def minhash_dedup_job(
         try:
             fs, store = _hadoop_fs(spark, store_path)
             store_sigs = spark.read.parquet(store_path) if fs.exists(store) else None
-            dedup_minhash_incremental(sigs, store_sigs).write.mode("append").parquet(
-                pairs_path
-            )
+            dedup_minhash_incremental(sigs, store_sigs).write.mode(
+                "overwrite"
+            ).parquet(f"{pairs_path}/batch_id={batch_id}")
             upsert_parquet(spark, sigs, store_path, key="doc_id")
         finally:
             sigs.unpersist()

@@ -738,10 +738,16 @@ def test_minhash_dedup_job_stream(spark, sf_dir, tmp_path):
         str(tmp_path / "ck"),
     )
     q.awaitTermination(180)
-    got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    pairs = spark.read.parquet(str(tmp_path / "pairs"))
+    cols = ["doc_id_a", "doc_id_b", "est_jaccard"]
+    got = {tuple(r[c] for c in cols) for r in pairs.collect()}
     batch = {
         tuple(r)
         for r in plans.query_map()["dedup_minhash_lsh"](spark, sf_dir).collect()
     }
     assert got == batch
+    # per-batch partition dirs: the idempotent-replay unit
+    assert sorted(
+        r["batch_id"] for r in pairs.select("batch_id").distinct().collect()
+    ) == [0, 1]
     assert spark.read.parquet(str(tmp_path / "store")).count() == docs.count()
