@@ -459,10 +459,19 @@ def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment ties break on cell id.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _assign_cells(emb, _lloyd_centroids(emb)).select(
+        "vec_id", "cell", F.round(F.sqrt("dist2"), 6).alias("dist")
+    )
+
+
+def _lloyd_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Train IVF centroids: deterministic Lloyd over (vec_id, embedding)
+    → (cell, centroid) — the frame an IVF index persists as its trained
+    coarse quantizer (see ``ivf_centroids`` / ``ivf_assign_incremental``)."""
     cents = emb.filter(F.col("vec_id") < K_CELLS).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("centroid")
     )
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         assigned = _assign_cells(emb, cents)
         members = assigned.join(emb, "vec_id").select(
             "cell", F.posexplode("embedding").alias("dim", "val")
@@ -485,7 +494,26 @@ def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("centroid")
             )
         )
-    return _assign_cells(emb, cents).select(
+    return cents
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public centroid training over the embeddings table — the
+    offline step whose (cell, centroid) output an index store persists;
+    ingestion then only ever runs ``ivf_assign_incremental``."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _lloyd_centroids(emb)
+
+
+def ivf_assign_incremental(new_emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign a batch of NEW vectors to frozen IVF cells — the index
+    MAINTENANCE shape: centroids are trained once (``ivf_centroids``)
+    and every later batch pays one broadcast join (k×64 floats) + a
+    per-vector min — a scan-shaped pass, no corpus access at all. The
+    same fold-ordered distance as training, so an incremental assignment
+    equals the batch assignment under the same centroids (parity-tested
+    across arbitrary batch splits)."""
+    return _assign_cells(new_emb, centroids).select(
         "vec_id", "cell", F.round(F.sqrt("dist2"), 6).alias("dist")
     )
 

@@ -374,3 +374,34 @@ def minhash_dedup_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_job(
+    emb: DataFrame, centroid_path: str, cells_path: str, checkpoint_dir: str
+):
+    """Streaming IVF index ingestion: each micro-batch of embeddings is
+    assigned to the frozen coarse quantizer (trained offline by
+    ``ivf_centroids`` and persisted at ``centroid_path``) and lands in
+    its own ``batch_id=N`` partition of the cell store — idempotent on
+    replay like ``minhash_dedup_job``'s pair sink.
+
+    The vector-search production shape: training is rare and offline;
+    ingestion is a broadcast join per batch (k×64 floats) with no access
+    to previously indexed vectors. Queries read the accumulated cell
+    store partition-pruned by cell id (`ann_ivf_bucketed`'s plan).
+    """
+    from gmall_flink_parent_spark.functions.similarity import ivf_assign_incremental
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cents = spark.read.parquet(centroid_path)
+        ivf_assign_incremental(batch, cents).write.mode("overwrite").parquet(
+            f"{cells_path}/batch_id={batch_id}"
+        )
+
+    return (
+        emb.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/ann_index")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -751,3 +751,80 @@ def test_minhash_dedup_job_stream(spark, sf_dir, tmp_path):
         r["batch_id"] for r in pairs.select("batch_id").distinct().collect()
     ) == [0, 1]
     assert spark.read.parquet(str(tmp_path / "store")).count() == docs.count()
+
+
+def test_ivf_assign_incremental_matches_batch(spark, sf_dir):
+    """Frozen-centroid contract: assigning the corpus in arbitrary
+    batches equals one batch assignment under the same centroids."""
+    from gmall_flink_parent_spark.functions.similarity import (
+        ivf_assign_incremental,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(spark, sf_dir).persist()
+    try:
+        median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+        got = {
+            tuple(r)
+            for r in ivf_assign_incremental(
+                emb.filter(F.col("vec_id") <= median), cents
+            ).collect()
+        } | {
+            tuple(r)
+            for r in ivf_assign_incremental(
+                emb.filter(F.col("vec_id") > median), cents
+            ).collect()
+        }
+        batch = {tuple(r) for r in ivf_assign_incremental(emb, cents).collect()}
+    finally:
+        cents.unpersist()
+    assert got == batch and len(batch) == emb.count()
+
+
+def test_ann_index_job_stream(spark, sf_dir, tmp_path):
+    """Streaming index ingestion end-to-end: two embedding micro-batches
+    against persisted centroids accumulate exactly the batch assignment,
+    one batch_id partition each."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.functions.similarity import (
+        ivf_assign_incremental,
+        ivf_centroids,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import ann_index_job
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf_centroids(spark, sf_dir).write.parquet(str(tmp_path / "centroids"))
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    for half, fname, off in (
+        (emb.filter(F.col("vec_id") <= median), "f1.parquet", 0),
+        (emb.filter(F.col("vec_id") > median), "f2.parquet", 5),
+    ):
+        path = str(tmp_path / "in" / fname)
+        half.toPandas().to_parquet(path)
+        t = time.time() + off
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = ann_index_job(
+        stream,
+        str(tmp_path / "centroids"),
+        str(tmp_path / "cells"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    cells = spark.read.parquet(str(tmp_path / "cells"))
+    cols = ["vec_id", "cell", "dist"]
+    got = {tuple(r[c] for c in cols) for r in cells.collect()}
+    cents = spark.read.parquet(str(tmp_path / "centroids"))
+    batch = {tuple(r) for r in ivf_assign_incremental(emb, cents).collect()}
+    assert got == batch
+    assert sorted(
+        r["batch_id"] for r in cells.select("batch_id").distinct().collect()
+    ) == [0, 1]
