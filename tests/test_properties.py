@@ -233,3 +233,54 @@ def test_payload_routing_mirror_property(doc_id, text):
         assert mime == "text/plain"
     feats = decode_media(payload, mime)
     assert feats["n_units"] >= 0 and 0 <= feats["unit_sum_mod"] < 997
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(
+                [
+                    "the quick brown fox jumps over a lazy dog",
+                    "the quick brown fox jumps over the lazy dog",
+                    "pack my box with five dozen liquor jugs now",
+                    "sphinx of black quartz judge my vow today ok",
+                ]
+            ),
+            st.integers(min_value=0, max_value=3),  # batch assignment
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_dedup_incremental_any_split_property(spark, docs):
+    """For ANY corpus and ANY ordered batch split: the union of per-batch
+    incremental pairs (store accumulating signatures batch by batch)
+    equals the single-shot run over the whole corpus — no pair is lost
+    at a batch boundary and none is double-emitted."""
+    from gmall_flink_parent_spark.functions.dedup import (
+        dedup_minhash_incremental,
+        minhash_signatures,
+    )
+
+    rows = [(i, text) for i, (text, _) in enumerate(docs)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        tuple(r) for r in dedup_minhash_incremental(minhash_signatures(full)).collect()
+    }
+    got: set = set()
+    store = None
+    for b in range(4):
+        batch_rows = [
+            (i, text) for i, (text, bb) in enumerate(docs) if bb == b
+        ]
+        if not batch_rows:
+            continue
+        sigs = minhash_signatures(
+            spark.createDataFrame(batch_rows, "doc_id long, text string")
+        )
+        got |= {
+            tuple(r) for r in dedup_minhash_incremental(sigs, store_sigs=store).collect()
+        }
+        store = sigs if store is None else store.unionByName(sigs)
+    assert got == want
