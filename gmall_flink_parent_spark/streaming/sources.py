@@ -14,27 +14,37 @@ from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.sources.tables import load_table
 
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+EVENTS_BASE_COLS = "event_id long, {ts}, user_id long, event_type string, value double, props string"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table (file source, one file = one replay).
 
-    ``ts`` arrives as raw nanos (the parquet physical type) and is
-    truncated to micros exactly like the batch loader, so batch and
-    streaming share event-time semantics.
+    ``ts`` is normalized to a UTC micros timestamp **whatever the file's
+    physical type is** — the fixture generator has shipped both
+    nanos-as-long (int64) and ``timestamp[us]`` over time, and a
+    hardcoded assumption silently shifts every event-time computation by
+    1000×. A streaming source must declare its schema up front, so we
+    probe the file's actual dtype with a zero-row batch read (schema
+    only — no data scan) and branch exactly like the batch loader
+    (``sources/tables.py``): bigint ⇒ nanos → truncate to micros;
+    timestamp ⇒ cast through the UTC session TZ. Batch and streaming
+    therefore share event-time semantics for any fixture vintage.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    ts_is_long = probed.get("ts") == "bigint"
+    schema = EVENTS_BASE_COLS.format(ts=f"ts {probed.get('ts', 'timestamp')}")
     # the file source watches a directory; single-file replay = glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    if ts_is_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def kafka_stream(spark: SparkSession, brokers: str, topic: str, group: str) -> DataFrame:

@@ -828,3 +828,43 @@ def test_ann_index_job_stream(spark, sf_dir, tmp_path):
     assert sorted(
         r["batch_id"] for r in cells.select("batch_id").distinct().collect()
     ) == [0, 1]
+
+
+@pytest.mark.parametrize("physical", ["nanos_long", "timestamp_us"])
+def test_events_stream_parity_across_fixture_physical_types(
+    spark, tmp_path, physical
+):
+    """Regression: the driver's fixture generator has shipped ``events.ts``
+    as BOTH int64-nanos and timestamp[us] over time. A source that
+    hardcodes either assumption shifts event time 1000× (1970 vs 2024).
+    Write each physical flavor and pin stream ≡ batch on the SAME rows —
+    so a future fixture regeneration can't silently break event time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    rows = [
+        (i, base + pd.Timedelta(minutes=i), 100 + i % 3, "pv", float(i), "{}")
+        for i in range(12)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = tmp_path / physical
+    sf.mkdir()
+    if physical == "nanos_long":
+        pdf2 = pdf.copy()
+        pdf2["ts"] = pdf2["ts"].astype("datetime64[ns]").astype("int64")
+        pq.write_table(pa.Table.from_pandas(pdf2, preserve_index=False), sf / "events.parquet")
+    else:
+        pdf2 = pdf.copy()
+        pdf2["ts"] = pdf2["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf2, preserve_index=False), sf / "events.parquet")
+
+    batch = load_table(spark, str(sf), "events")
+    out = _run_to_memory(events_stream(spark, str(sf)), spark, f"dtype_{physical}")
+    cols = ["event_id", "ts", "user_id"]
+    got, want = _rows(out, cols), _rows(batch, cols)
+    assert got == want
+    # and the absolute values are right — not shifted to 1970
+    assert all(ts.year == 2024 for _, ts, _ in got)
