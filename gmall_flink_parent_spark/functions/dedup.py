@@ -376,8 +376,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("ids"))
         .select(F.array_min("ids").alias("rep"), "ids", *sig_cols, *band_cols)
     )
-    # query-scoped: unpersisted when the next registered query is built
-    clusters = scoped_persist(clusters)
+    # query-scoped; EAGER: the first action is the band-join job whose
+    # two self-join map stages + the within-cluster branch would race on
+    # a lazily-filled cache (block-lock serialization — the r3 2× bench
+    # regression). One count over the reduced frame restores r1's
+    # fill-then-join profile while keeping the scoped lifecycle.
+    clusters = scoped_persist(clusters, eager=True)
     # posexplode_outer, deliberately: plain posexplode makes the optimizer
     # infer `size(...) > 0`, and that filter is pushed below the signature
     # aggregate where it re-expands to all 16 minhash expressions per raw
@@ -622,7 +626,8 @@ def _band_pairs(
     # measured ~2× on the whole query. The tagged frame is the banded
     # frame + 1 bit, so the query-scoped cache is cheap at any scale.
     tagged = scoped_persist(
-        banded.join(F.broadcast(hot_buckets), ["band_idx", "bh"], "left")
+        banded.join(F.broadcast(hot_buckets), ["band_idx", "bh"], "left"),
+        eager=True,  # 4 concurrent consumers — same lazy-fill race as clusters
     )
     cold = tagged.filter(F.col("is_hot").isNull()).drop("is_hot")
     hot = tagged.filter(F.col("is_hot").isNotNull()).drop("is_hot")
