@@ -2,8 +2,8 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs; decode / feature-extract run as Arrow-batched
-``mapInPandas`` stages. Two mimes are decoded FOR REAL with pure-Python
-header parsers (no external media library needed):
+``mapInPandas`` stages. Three mimes are decoded FOR REAL with
+pure-Python parsers (no external media library needed):
 
 - ``image/bmp`` — uncompressed 24-bit BMP: magic, pixel-data offset,
   width/height/bpp/compression are read from the BITMAPINFOHEADER and
@@ -11,21 +11,34 @@ header parsers (no external media library needed):
 - ``audio/wav`` — PCM16 RIFF/WAVE: the chunk list is walked to locate
   ``fmt ``/``data``, and sample width/channel layout come from the fmt
   chunk.
+- ``image/png`` — a real PNG decoder: chunk walk with CRC-32
+  verification, IHDR parse, zlib inflate of the concatenated IDAT
+  stream (stdlib ``zlib``, any compression level), and per-scanline
+  unfiltering for all five filter types (None/Sub/Up/Average/Paeth),
+  8-bit RGB and RGBA.
 
-Compressed codecs (PNG/JPEG/MP4/...) still raise ``NotImplementedError``
-— decoding those requires media libraries this container doesn't have;
-the raise is the honest seam where PIL/libav would plug in.
+Entropy-coded codecs (JPEG/MP3/MP4/...) still raise
+``NotImplementedError`` — decoding those requires media libraries this
+container doesn't have; the raise is the honest seam where PIL/libav
+would plug in.
 
 The test corpus has no binary column, so payloads are SYNTHESIZED
 JVM-side from ``documents.text``: a constant 54-byte BMP header + the
-first 48 UTF-8 bytes as 4×4 RGB pixels, or a constant 44-byte WAV
-header + the first 64 bytes as 32 PCM16 samples, routed by
-``doc_id % 3`` (text/plain otherwise). Because the construction is
-deterministic, a DuckDB oracle can predict the DECODED output from the
-text hex dump — so the real parse path (magic check, offset read,
-chunk walk, pixel/sample extraction) is hash-checked by the driver,
-not just exercised. ``encode_bmp``/``encode_wav`` double as the fixture
-generators for unit tests.
+first 48 UTF-8 bytes as 4×4 RGB pixels, a constant 44-byte WAV
+header + the first 64 bytes as 32 PCM16 samples, or a complete PNG
+file wrapping the same 48 pixel bytes, routed by ``doc_id % 4``
+(text/plain otherwise). The PNG branch is still pure codegen: a
+stored-deflate (level-0) zlib stream needs no compressor — it is
+header + length + the verbatim scanlines — and the two checksums the
+format requires are plain Spark expressions (``crc32`` is a built-in;
+adler32 is a 52-element ``aggregate`` of position-weighted byte sums).
+``zlib.decompress`` on the decode side genuinely verifies that
+JVM-built adler32. Because the construction is deterministic, a DuckDB
+oracle can predict the DECODED output from the text hex dump — so the
+real parse path (magic check, offset read, chunk walk, CRC check,
+inflate, unfilter, pixel/sample extraction) is hash-checked by the
+driver, not just exercised. ``encode_bmp``/``encode_wav``/``encode_png``
+double as the fixture generators for unit tests.
 
 Reference parity: the reference treats media as opaque bytes end-to-end
 (no media operators exist in gmall-flink-parent); this module is part of
@@ -35,6 +48,7 @@ the LLM-training-data surface the brief adds on top.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -82,10 +96,167 @@ def encode_wav(sample_bytes: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes
     )
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_filter_scanline(row: bytes, prev: bytes, ftype: int, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (encode direction)."""
+    out = bytearray(len(row))
+    for i in range(len(row)):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    pixel_bytes: bytes,
+    width: int = BMP_WIDTH,
+    height: int = BMP_HEIGHT,
+    *,
+    channels: int = 3,
+    filter_type: int = 0,
+    level: int = 0,
+) -> bytes:
+    """Fixture generator: a real, spec-valid PNG (8-bit RGB/RGBA).
+
+    ``filter_type`` applies that scanline filter to every row (0–4) so
+    tests can exercise each unfilter branch of the decoder;
+    ``level`` is the zlib compression level — 0 produces stored-deflate
+    blocks whose size depends only on input length, which is what makes
+    the synthesized corpus payload's byte length oracle-predictable.
+    """
+    stride = width * channels
+    if len(pixel_bytes) != stride * height:
+        raise ValueError("pixel_bytes must be exactly width*channels*height bytes")
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixel_bytes[r * stride : (r + 1) * stride]
+        raw.append(filter_type)
+        raw += _png_filter_scanline(row, prev, filter_type, channels)
+        prev = row
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real PNG parse: chunk walk (CRC-verified), IHDR, zlib inflate of
+    the concatenated IDAT stream, and per-scanline unfilter for all five
+    filter types. Returns (width, height, channels, pixel_bytes).
+    Supports 8-bit truecolor (RGB/RGBA), non-interlaced — the common
+    case; palette/16-bit/interlaced raise at the documented seam."""
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    ihdr = None
+    idat = b""
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, bitdepth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if bitdepth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced truecolor PNG is supported"
+        )
+    bpp = 3 if color_type == 2 else 4
+    stride = width * bpp
+    raw = zlib.decompress(idat)  # verifies the adler32 trailer for real
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data has wrong length")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return width, height, bpp, bytes(out)
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int]:
+    """Decode a PNG; return (n_pixels, first_channel, pixel_sum_mod)."""
+    width, height, _bpp, px = _png_pixels(payload)
+    return width * height, (px[0] if px else -1), sum(px) % 997
+
+
 BMP_HEADER = encode_bmp(b"\x00" * BMP_PIXEL_BYTES)[: 14 + 40]
 WAV_HEADER = encode_wav(b"\x00" * WAV_DATA_BYTES)[:44]
 BMP_FILE_BYTES = len(BMP_HEADER) + BMP_PIXEL_BYTES  # 102
 WAV_FILE_BYTES = len(WAV_HEADER) + WAV_DATA_BYTES  # 108
+# Level-0 deflate is stored blocks: output size depends only on input
+# size, so the synthesized PNG's byte length is a per-mime constant the
+# oracle can state literally (120 for the 4×4 RGB geometry).
+PNG_FILE_BYTES = len(encode_png(b"\x00" * BMP_PIXEL_BYTES))
+PNG_RAW_BYTES = (BMP_WIDTH * 3 + 1) * BMP_HEIGHT  # filter byte + scanline, ×4 rows
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
@@ -141,9 +312,11 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_media(payload: bytes, mime: str) -> dict:
-    """Decode kernel. BMP and WAV are parsed for real (pure Python);
-    ``text/plain`` gets byte stats (one "unit" = one byte); compressed
-    codecs raise — that seam is where PIL/libav would plug in.
+    """Decode kernel. BMP, PNG and WAV are parsed for real (pure
+    Python — PNG via chunk walk + zlib inflate + scanline unfilter);
+    ``text/plain`` gets byte stats (one "unit" = one byte);
+    entropy-coded codecs raise — that seam is where PIL/libav would
+    plug in.
 
     Returns a unified feature dict: ``n_units`` (pixels / samples /
     bytes), ``first_unit`` (first channel byte / first signed sample /
@@ -153,6 +326,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
     """
     if mime == "image/bmp":
         n, first, sm = _decode_bmp(payload)
+    elif mime == "image/png":
+        n, first, sm = _decode_png(payload)
     elif mime == "audio/wav":
         n, first, sm = _decode_wav(payload)
     elif mime == "text/plain":
@@ -167,21 +342,83 @@ def decode_media(payload: bytes, mime: str) -> dict:
     return {"n_units": n, "first_unit": first, "unit_sum_mod": sm}
 
 
+# Constant pieces of the synthesized PNG: everything except the 52
+# scanline bytes and the two content-dependent checksums. The zlib
+# prefix is what zlib.compress(…, 0) emits before the verbatim data —
+# 2-byte header + the stored-block header (BFINAL=1, LEN, NLEN).
+PNG_ZPREFIX = zlib.compress(b"\x00" * PNG_RAW_BYTES, 0)[:7]
+PNG_ZBYTES = len(PNG_ZPREFIX) + PNG_RAW_BYTES + 4  # + adler32 trailer
+PNG_PRE_IDAT = (
+    PNG_SIG
+    + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", BMP_WIDTH, BMP_HEIGHT, 8, 2, 0, 0, 0))
+    + struct.pack(">I", PNG_ZBYTES)
+    + b"IDAT"
+)
+PNG_IEND_CHUNK = _png_chunk(b"IEND", b"")
+ADLER_MOD = 65521
+
+
+def _u32_be(col: Column) -> Column:
+    """A long in [0, 2^32) as 4 big-endian bytes."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def _png_payload(raw: Column) -> Column:
+    """A complete, spec-valid PNG file built in PURE CODEGEN around the
+    first 48 UTF-8 text bytes as 4×4 RGB scanlines. Stored-deflate
+    (level 0) needs no compressor — the zlib stream is a constant prefix
+    + the verbatim filter-0 scanlines + adler32 — and both required
+    checksums are Spark expressions: ``crc32`` is built-in, adler32 is
+    a 52-element ``aggregate`` of (position-weighted) byte sums read via
+    ``conv(hex(substring(…)))``. ``zlib.decompress`` in the decode
+    kernel verifies the adler32 for real, so a construction bug here
+    cannot pass silently."""
+    stride = BMP_WIDTH * 3
+    rawf = F.concat(
+        *[
+            part
+            for r in range(BMP_HEIGHT)
+            for part in (F.lit(b"\x00"), F.substring(raw, 1 + r * stride, stride))
+        ]
+    )
+    n = PNG_RAW_BYTES
+
+    def byte_at(i: Column) -> Column:
+        return F.conv(F.hex(F.substring(rawf, i, F.lit(1))), 16, 10).cast("long")
+
+    seq = F.sequence(F.lit(1), F.lit(n))
+    zero = F.lit(0).cast("long")
+    sum_d = F.aggregate(seq, zero, lambda acc, i: acc + byte_at(i))
+    weighted = F.aggregate(
+        seq, zero, lambda acc, i: acc + (F.lit(n + 1) - i) * byte_at(i)
+    )
+    a = F.pmod(sum_d + 1, F.lit(ADLER_MOD))
+    b = F.pmod(weighted + n, F.lit(ADLER_MOD))
+    zdata = F.concat(F.lit(PNG_ZPREFIX), rawf, _u32_be(b * 65536 + a))
+    idat_crc = _u32_be(F.crc32(F.concat(F.lit(b"IDAT"), zdata)))
+    return F.concat(F.lit(PNG_PRE_IDAT), zdata, idat_crc, F.lit(PNG_IEND_CHUNK))
+
+
 def _routed_payload(doc_id: Column, raw: Column) -> tuple[Column, Column]:
     """JVM-side synthesized (payload, mime): constant header literal +
-    a substring of the UTF-8 text bytes as pixel/sample data, routed by
-    ``doc_id % 3`` with a length guard. Pure codegen — no Python."""
+    a substring of the UTF-8 text bytes as pixel/sample data (for PNG, a
+    whole spec-valid file with codegen checksums — ``_png_payload``),
+    routed by ``doc_id % 4`` with a length guard. Pure codegen — no
+    Python."""
     n = F.length(raw)
-    is_bmp = (F.pmod(doc_id, F.lit(3)) == 0) & (n >= MIN_MEDIA_BYTES)
-    is_wav = (F.pmod(doc_id, F.lit(3)) == 1) & (n >= MIN_MEDIA_BYTES)
+    is_bmp = (F.pmod(doc_id, F.lit(4)) == 0) & (n >= MIN_MEDIA_BYTES)
+    is_wav = (F.pmod(doc_id, F.lit(4)) == 1) & (n >= MIN_MEDIA_BYTES)
+    is_png = (F.pmod(doc_id, F.lit(4)) == 2) & (n >= MIN_MEDIA_BYTES)
     mime = (
         F.when(is_bmp, F.lit("image/bmp"))
         .when(is_wav, F.lit("audio/wav"))
+        .when(is_png, F.lit("image/png"))
         .otherwise(F.lit("text/plain"))
     )
     payload = (
         F.when(is_bmp, F.concat(F.lit(BMP_HEADER), F.substring(raw, 1, BMP_PIXEL_BYTES)))
         .when(is_wav, F.concat(F.lit(WAV_HEADER), F.substring(raw, 1, WAV_DATA_BYTES)))
+        .when(is_png, _png_payload(raw))
         .otherwise(raw)
     )
     return payload, mime
@@ -190,10 +427,12 @@ def _routed_payload(doc_id: Column, raw: Column) -> tuple[Column, Column]:
 def build_payload_bytes(doc_id: int, text: str) -> tuple[bytes, str]:
     """Python mirror of ``_routed_payload`` for tests/fixtures."""
     raw = text.encode("utf-8")
-    if len(raw) >= MIN_MEDIA_BYTES and doc_id % 3 == 0:
+    if len(raw) >= MIN_MEDIA_BYTES and doc_id % 4 == 0:
         return encode_bmp(raw[:BMP_PIXEL_BYTES]), "image/bmp"
-    if len(raw) >= MIN_MEDIA_BYTES and doc_id % 3 == 1:
+    if len(raw) >= MIN_MEDIA_BYTES and doc_id % 4 == 1:
         return encode_wav(raw[:WAV_DATA_BYTES]), "audio/wav"
+    if len(raw) >= MIN_MEDIA_BYTES and doc_id % 4 == 2:
+        return encode_png(raw[:BMP_PIXEL_BYTES]), "image/png"
     return raw, "text/plain"
 
 
@@ -210,36 +449,43 @@ WITH p AS (
     SELECT doc_id,
            hex(encode(text)) AS hx,
            octet_length(encode(text)) AS L,
-           CASE WHEN doc_id % 3 = 0 AND octet_length(encode(text)) >= {MIN_MEDIA_BYTES}
+           CASE WHEN doc_id % 4 = 0 AND octet_length(encode(text)) >= {MIN_MEDIA_BYTES}
                      THEN 'image/bmp'
-                WHEN doc_id % 3 = 1 AND octet_length(encode(text)) >= {MIN_MEDIA_BYTES}
+                WHEN doc_id % 4 = 1 AND octet_length(encode(text)) >= {MIN_MEDIA_BYTES}
                      THEN 'audio/wav'
+                WHEN doc_id % 4 = 2 AND octet_length(encode(text)) >= {MIN_MEDIA_BYTES}
+                     THEN 'image/png'
                 ELSE 'text/plain' END AS mime
     FROM documents
 )
 """
 
 # The oracle PREDICTS the decoded output from the construction: the BMP
-# pixel region / WAV data chunk is exactly the first 48/64 text bytes,
-# the headers are constants (so n_bytes/head_hex are literals per mime),
-# and first_unit/unit_sum_mod re-derive pixel/sample math from the hex
-# dump. A decoder that ignored the header offsets would still have to
-# land on these exact values to pass.
+# pixel region / WAV data chunk / PNG unfiltered scanlines are exactly
+# the first 48/64/48 text bytes, the headers are constants — level-0
+# deflate makes even the compressed PNG's file length a literal — and
+# first_unit/unit_sum_mod re-derive pixel/sample math from the hex
+# dump. A decoder that ignored the header offsets (or skipped the
+# inflate/unfilter) would still have to land on these exact values.
 MULTIMODAL_META_FEATURES_ORACLE = f"""
 {_ROUTING_CTE}
 SELECT doc_id,
        CAST(CASE mime WHEN 'image/bmp' THEN {BMP_FILE_BYTES}
                       WHEN 'audio/wav' THEN {WAV_FILE_BYTES}
+                      WHEN 'image/png' THEN {PNG_FILE_BYTES}
                       ELSE L END AS BIGINT) AS n_bytes,
        CASE mime WHEN 'image/bmp' THEN '424D6600'
                  WHEN 'audio/wav' THEN '52494646'
+                 WHEN 'image/png' THEN '89504E47'
                  ELSE substr(hx, 1, 8) END AS head_hex,
        mime,
        CAST(CASE mime WHEN 'image/bmp' THEN {BMP_WIDTH * BMP_HEIGHT}
                       WHEN 'audio/wav' THEN {WAV_DATA_BYTES // 2}
+                      WHEN 'image/png' THEN {BMP_WIDTH * BMP_HEIGHT}
                       ELSE L END AS BIGINT) AS n_units,
        CAST(CASE mime
             WHEN 'image/bmp' THEN {_BYTE_AT.format(i=1)}
+            WHEN 'image/png' THEN {_BYTE_AT.format(i=1)}
             WHEN 'audio/wav' THEN
                  CASE WHEN {_BYTE_AT.format(i=1)} + 256 * {_BYTE_AT.format(i=2)} >= 32768
                       THEN {_BYTE_AT.format(i=1)} + 256 * {_BYTE_AT.format(i=2)} - 65536
@@ -247,6 +493,7 @@ SELECT doc_id,
             ELSE CASE WHEN L = 0 THEN -1 ELSE {_BYTE_AT.format(i=1)} END
             END AS INTEGER) AS first_unit,
        CASE mime WHEN 'image/bmp' THEN {_SUM_TO.format(n=BMP_PIXEL_BYTES)}
+                 WHEN 'image/png' THEN {_SUM_TO.format(n=BMP_PIXEL_BYTES)}
                  WHEN 'audio/wav' THEN {_SUM_TO.format(n=WAV_DATA_BYTES)}
                  ELSE {_SUM_TO.format(n=f"least(L, 256)")} END AS unit_sum_mod
 FROM p
@@ -261,13 +508,14 @@ FROM p
 def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata (JVM-side) + real decode features (Arrow
     ``mapInPandas``) over a binary payload column, one row per media
-    item, three mimes (BMP / WAV / text) in one run.
+    item, four mimes (BMP / WAV / PNG / text) in one run.
 
     Byte length and magic-prefix metadata happen JVM-side on the binary
     column — the pattern for routing media rows to per-codec decode
     stages without touching Python; the payload then rides the Arrow
     batch through ``decode_media``, which genuinely parses BMP and WAV
-    headers (offset/stride/chunk walk). The oracle recomputes the
+    headers (offset/stride/chunk walk) and PNG files (CRC-checked chunk
+    walk + zlib inflate + scanline unfilter). The oracle recomputes the
     decoded pixel/sample stats from the construction's hex math, so the
     whole pipeline — real Python decoders included — is hash-checked,
     not rows-only.
@@ -339,8 +587,12 @@ N_FRAMES = 4
 
 def _content_region(payload: bytes, mime: str) -> bytes:
     """The decodable content of a payload: BMP pixel region (via the
-    header's own offset/stride), WAV data chunk (via the chunk walk),
-    or the whole byte stream for text. Compressed codecs raise."""
+    header's own offset/stride), PNG unfiltered pixel bytes (via the
+    real chunk-walk + inflate + unfilter decode), WAV data chunk (via
+    the chunk walk), or the whole byte stream for text. Entropy-coded
+    codecs raise."""
+    if mime == "image/png":
+        return _png_pixels(payload)[3]
     if mime == "image/bmp":
         if payload[:2] != b"BM":
             raise ValueError("not a BMP: bad magic")
@@ -423,20 +675,23 @@ def frame_sample_rows(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 # Frame-slice arithmetic mirrored into SQL. The content region cs and
-# step are per-mime: BMP → 48 pixel bytes / 12-byte scanlines, WAV → 64
-# data bytes / 16-byte sample runs, text → whole payload / L//4. The
-# content equals the first cs TEXT bytes by construction, so the oracle
-# reads frame content through the text hex dump — the mapInPandas
-# fan-out, real header-parsing kernels included, is hash-checked end to
-# end.
+# step are per-mime: BMP/PNG → 48 (decoded) pixel bytes / 12-byte
+# scanlines, WAV → 64 data bytes / 16-byte sample runs, text → whole
+# payload / L//4. The content equals the first cs TEXT bytes by
+# construction (for PNG only after a real inflate + unfilter), so the
+# oracle reads frame content through the text hex dump — the
+# mapInPandas fan-out, real decode kernels included, is hash-checked
+# end to end.
 FRAME_SAMPLE_ORACLE = f"""
 {_ROUTING_CTE}
 , g AS (
     SELECT doc_id, hx, mime,
            CASE mime WHEN 'image/bmp' THEN {BMP_PIXEL_BYTES}
+                     WHEN 'image/png' THEN {BMP_PIXEL_BYTES}
                      WHEN 'audio/wav' THEN {WAV_DATA_BYTES}
                      ELSE L END AS cs,
            CASE mime WHEN 'image/bmp' THEN {BMP_PIXEL_BYTES // N_FRAMES}
+                     WHEN 'image/png' THEN {BMP_PIXEL_BYTES // N_FRAMES}
                      WHEN 'audio/wav' THEN {WAV_DATA_BYTES // N_FRAMES}
                      ELSE greatest(L // {N_FRAMES}, 1) END AS step
     FROM p
@@ -457,10 +712,10 @@ FROM f
 
 @register("multimodal_frame_sample", oracle=FRAME_SAMPLE_ORACLE, tags=("multimodal",))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling + thumbnail resize over binary payloads, all three
-    mimes: BMP frames are scanlines cut from the pixel region the header
-    parse locates, WAV frames are sample runs from the data chunk, text
-    frames are byte ranges. The distributed fan-out
+    """Frame sampling + thumbnail resize over binary payloads, all four
+    mimes: BMP/PNG frames are scanlines cut from the decoded pixel
+    region (for PNG, after a real inflate + unfilter), WAV frames are
+    sample runs from the data chunk, text frames are byte ranges. The distributed fan-out
     (``frame_sample_rows``: one row in, N typed rows out through Arrow)
     carries real decoded content. The registered output is the frames'
     byte stats (length + head hex + thumb length) computed JVM-side from

@@ -221,18 +221,20 @@ def test_ivf_kmeans_assign_invariants(spark, sf_dir):
 
 
 def test_decode_media_kernels():
-    """BMP/WAV decode for real from parsed headers; compressed codecs
-    refuse loudly; text/plain gets byte stats."""
+    """BMP/PNG/WAV decode for real from parsed structure; entropy-coded
+    codecs refuse loudly; text/plain gets byte stats."""
     import struct
+    import zlib
 
     from gmall_flink_parent_spark.functions.multimodal import (
         encode_bmp,
+        encode_png,
         encode_wav,
         sample_frames,
     )
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n", "image/png")
+        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
     payload = b"hello world"
     assert decode_media(payload, "text/plain") == {
         "n_units": len(payload),
@@ -276,8 +278,44 @@ def test_decode_media_kernels():
     with pytest.raises(ValueError):
         decode_media(b"JUNK" + wav[4:], "audio/wav")
 
-    # frame sampling slices the DECODED region: BMP scanlines / WAV runs
+    # PNG: decode must really inflate + unfilter — a Paeth-filtered,
+    # level-9-compressed file stores nothing resembling the pixel bytes.
+    png = encode_png(px, filter_type=4, level=9)
+    assert px not in png  # the content truly is transformed on disk
+    assert decode_media(png, "image/png") == {
+        "n_units": 16,
+        "first_unit": 0,
+        "unit_sum_mod": sum(px) % 997,
+    }
+    # RGBA decodes too; chunk CRCs are genuinely verified
+    rgba = bytes(range(64))
+    assert decode_media(encode_png(rgba, channels=4, filter_type=2), "image/png") == {
+        "n_units": 16,
+        "first_unit": 0,
+        "unit_sum_mod": sum(rgba) % 997,
+    }
+    corrupt = bytearray(encode_png(px))
+    corrupt[40] ^= 0xFF  # flip an IDAT byte without fixing the chunk CRC
+    with pytest.raises((ValueError, zlib.error)):
+        decode_media(bytes(corrupt), "image/png")
+    with pytest.raises(ValueError):
+        decode_media(b"XX" + encode_png(px)[2:], "image/png")
+    # palette/16-bit PNGs hit the documented seam, not silence
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    from gmall_flink_parent_spark.functions.multimodal import PNG_SIG, _png_chunk
+
+    deep = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media(deep, "image/png")
+
+    # frame sampling slices the DECODED region: BMP/PNG scanlines / WAV runs
     assert sample_frames(bmp, "image/bmp") == [px[i * 12 : (i + 1) * 12] for i in range(4)]
+    assert sample_frames(png, "image/png") == [px[i * 12 : (i + 1) * 12] for i in range(4)]
     assert sample_frames(wav, "audio/wav") == [
         samples[i * 16 : (i + 1) * 16] for i in range(4)
     ]
@@ -285,8 +323,8 @@ def test_decode_media_kernels():
 
 def test_multimodal_frame_sample_values(spark, sf_dir):
     """Frame fan-out: N binary rows per doc, frames/thumbs match the
-    local kernels byte-for-byte across all three routed mimes;
-    compressed codecs refuse. (The registered query exposes byte STATS
+    local kernels byte-for-byte across all four routed mimes;
+    entropy-coded codecs refuse. (The registered query exposes byte STATS
     of these frames — oracle-checked by the driver; the raw binary
     plumbing is pinned here.)"""
     from pyspark.sql import functions as F
@@ -311,7 +349,7 @@ def test_multimodal_frame_sample_values(spark, sf_dir):
     mimes_seen = set()
     for r in with_payload.select("mime").distinct().collect():
         mimes_seen.add(r["mime"])
-    assert mimes_seen == {"image/bmp", "audio/wav", "text/plain"}
+    assert mimes_seen == {"image/bmp", "audio/wav", "image/png", "text/plain"}
     for r in frame_sample_rows(with_payload).collect():
         got[(r["doc_id"], r["frame_idx"])] = (bytes(r["frame"]), bytes(r["thumb"]))
     docs = docs_df.select("doc_id", "text").collect()
@@ -332,7 +370,12 @@ def test_multimodal_features_values(spark, sf_dir):
         r["doc_id"]: (r["mime"], r["n_units"], r["first_unit"], r["unit_sum_mod"])
         for r in rows
     }
-    assert {r["mime"] for r in rows} == {"image/bmp", "audio/wav", "text/plain"}
+    assert {r["mime"] for r in rows} == {
+        "image/bmp",
+        "audio/wav",
+        "image/png",
+        "text/plain",
+    }
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     assert len(got) == len(docs)
     for r in docs:

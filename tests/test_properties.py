@@ -180,16 +180,22 @@ def test_simhash_probe_tables_complete_for_hamming_3(sig, flip_bits):
 
 
 @settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
-@given(payload=st.binary(min_size=0, max_size=200))
-def test_media_codec_roundtrip_property(payload):
-    """For ANY byte content: encode_bmp/encode_wav produce files whose
-    real header parse recovers exactly the embedded pixel/sample bytes —
-    decode must agree with direct byte math on the original content."""
+@given(
+    payload=st.binary(min_size=0, max_size=200),
+    png_filter=st.integers(min_value=0, max_value=4),
+    png_level=st.sampled_from([0, 1, 6, 9]),
+)
+def test_media_codec_roundtrip_property(payload, png_filter, png_level):
+    """For ANY byte content: encode_bmp/encode_wav/encode_png produce
+    files whose real parse recovers exactly the embedded pixel/sample
+    bytes — decode must agree with direct byte math on the original
+    content, for every PNG scanline filter and compression level."""
     from gmall_flink_parent_spark.functions.multimodal import (
         BMP_PIXEL_BYTES,
         WAV_DATA_BYTES,
         decode_media,
         encode_bmp,
+        encode_png,
         encode_wav,
         sample_frames,
     )
@@ -203,6 +209,15 @@ def test_media_codec_roundtrip_property(payload):
         "unit_sum_mod": sum(px) % 997,
     }
     assert b"".join(sample_frames(bmp, "image/bmp")) == px
+
+    png = encode_png(px, filter_type=png_filter, level=png_level)
+    got = decode_media(png, "image/png")
+    assert got == {
+        "n_units": 16,
+        "first_unit": px[0],
+        "unit_sum_mod": sum(px) % 997,
+    }
+    assert b"".join(sample_frames(png, "image/png")) == px
 
     data = (payload * 64)[: WAV_DATA_BYTES] if payload else b"\x00" * WAV_DATA_BYTES
     wav = encode_wav(data)
