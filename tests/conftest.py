@@ -25,6 +25,17 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def cluster_keep_df(spark, sf_dir):
+    """dedup_cluster_keep built ONCE per session: the iterative label
+    propagation runs driver-side actions while constructing the frame
+    (~12 s), so the hygiene, invariant, and nonempty checks share one
+    construction instead of paying it three times."""
+    from gmall_flink_parent_spark import plans
+
+    return plans.query_map()["dedup_cluster_keep"](spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

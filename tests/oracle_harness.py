@@ -119,7 +119,8 @@ def assert_arrow_schema_matches(df, con, sql: str, name: str = "?") -> None:
     )
 
 
-def assert_matches_oracle(df, con, sql: str, name: str = "?") -> None:
+def assert_matches_oracle(df, con, sql: str, name: str = "?") -> int:
+    """Assert parity and return the (matching) row count."""
     s_cols, s_rows = spark_rows(df)
     d_cols, d_rows = duck_rows(con, sql)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
@@ -128,3 +129,4 @@ def assert_matches_oracle(df, con, sql: str, name: str = "?") -> None:
     )
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         assert a == b, f"{name}: row {i} differs:\n  spark={a}\n  duck ={b}"
+    return len(s_rows)

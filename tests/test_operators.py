@@ -161,7 +161,7 @@ def test_cosine_topk_pandas_matches_bruteforce(spark, sf_dir):
         assert fast[k][1] == pytest.approx(cs, abs=1e-5)
 
 
-def test_dedup_cluster_keep_invariants(spark, sf_dir):
+def test_dedup_cluster_keep_invariants(spark, sf_dir, cluster_keep_df):
     """Connected components over the MinHash pair graph: the assignment
     must equal an independent union-find over the same pairs, and keepers
     are exactly the cluster minima."""
@@ -171,8 +171,9 @@ def test_dedup_cluster_keep_invariants(spark, sf_dir):
     ]
     got = {
         r["doc_id"]: (r["cluster_id"], r["is_keeper"])
-        for r in plans.query_map()["dedup_cluster_keep"](spark, sf_dir).collect()
+        for r in cluster_keep_df.collect()
     }
+    assert got, "dedup_cluster_keep returned 0 rows"
     # independent union-find oracle
     parent: dict[int, int] = {d: d for d in got}
 

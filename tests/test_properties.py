@@ -53,7 +53,7 @@ def _sessionize_frame(spark, rows):
     )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=events_strategy)
 def test_sessionize_invariants(spark, rows):
     """For any event set: sessions partition the events of each user;
@@ -81,7 +81,7 @@ def test_sessionize_invariants(spark, rows):
             assert s["session_start"] <= s["session_end"]
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     n_nodes=st.integers(min_value=1, max_value=14),
     edges=st.lists(
@@ -250,7 +250,7 @@ def test_payload_routing_mirror_property(doc_id, text):
     assert feats["n_units"] >= 0 and 0 <= feats["unit_sum_mod"] < 997
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
