@@ -16,11 +16,19 @@ pure-Python parsers (no external media library needed):
   stream (stdlib ``zlib``, any compression level), and per-scanline
   unfiltering for all five filter types (None/Sub/Up/Average/Paeth),
   8-bit RGB and RGBA.
+- ``image/jpeg`` — a real baseline-sequential JPEG decoder
+  (``functions/jpeg.py``): marker parse, canonical Huffman tables from
+  the stream's own DHT, entropy decode, dequantize, inverse zigzag,
+  8×8 IDCT, YCbCr→RGB. Not routed into the synthesized oracle corpus —
+  Huffman output length is content-dependent and DCT loss means no
+  hex-math oracle can predict the decoded bytes — so it is pinned by
+  unit/property tests (including a hand-built bitstream the encoder
+  never touched) rather than the driver hash gate.
 
-Entropy-coded codecs (JPEG/MP3/MP4/...) still raise
+Audio/video entropy codecs (MP3/MP4/H.264/...) still raise
 ``NotImplementedError`` — decoding those requires media libraries this
-container doesn't have; the raise is the honest seam where PIL/libav
-would plug in.
+container doesn't have; the raise is the honest seam where libav would
+plug in.
 
 The test corpus has no binary column, so payloads are SYNTHESIZED
 JVM-side from ``documents.text``: a constant 54-byte BMP header + the
@@ -328,6 +336,11 @@ def decode_media(payload: bytes, mime: str) -> dict:
         n, first, sm = _decode_bmp(payload)
     elif mime == "image/png":
         n, first, sm = _decode_png(payload)
+    elif mime == "image/jpeg":
+        from gmall_flink_parent_spark.functions.jpeg import decode_jpeg
+
+        w, h, _nc, px = decode_jpeg(payload)
+        n, first, sm = w * h, (px[0] if px else -1), sum(px) % 997
     elif mime == "audio/wav":
         n, first, sm = _decode_wav(payload)
     elif mime == "text/plain":
@@ -593,6 +606,10 @@ def _content_region(payload: bytes, mime: str) -> bytes:
     codecs raise."""
     if mime == "image/png":
         return _png_pixels(payload)[3]
+    if mime == "image/jpeg":
+        from gmall_flink_parent_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)[3]
     if mime == "image/bmp":
         if payload[:2] != b"BM":
             raise ValueError("not a BMP: bad magic")

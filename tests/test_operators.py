@@ -235,6 +235,8 @@ def test_decode_media_kernels():
     )
 
     with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x20ftypmp42", "video/mp4")
+    with pytest.raises(ValueError):  # jpeg is real now — truncated stream
         decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
     payload = b"hello world"
     assert decode_media(payload, "text/plain") == {
@@ -651,3 +653,130 @@ def test_ann_bucket_joins_are_equi_joins(spark, sf_dir):
         plan = buf.getvalue()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_jpeg_codec_kernels():
+    """Baseline JPEG decode for real. The first check is ENCODER-
+    INDEPENDENT: a hand-assembled single-block grayscale JPEG (markers,
+    DHT, and entropy bits written out by hand in this test) whose only
+    nonzero coefficient is the DC term — T.81 fixes the decoded block to
+    the flat value round(DC*q/8) + 128, so marker parsing, canonical
+    Huffman construction, dequantization, and IDCT scaling are verified
+    without trusting encode_jpeg. Then encoder round trips, unsupported
+    modes, and the decode_media/_content_region integration."""
+    import struct
+
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import (
+        LOSSY_QUANT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # --- hand-built stream: 8x8 gray, q=2 everywhere, DC quantized = 24
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12  # 12 size symbols, all 4-bit codes
+    dc_vals = list(range(12))  # canonical => symbol k gets code k
+    ac_bits = [0, 0, 1] + [0] * 13  # ONE 3-bit code...
+    ac_vals = [0x00]  # ...for EOB, code 0b000
+    # entropy bits: DC size 5 -> 0101; amplitude 24 -> 11000; EOB -> 000
+    # = 0101 11000 000 + 1111 padding -> bytes 0x5C 0x0F
+    scan = bytes([0b01011100, 0b00001111])
+    hand = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([2] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    w, h, nc, px = decode_jpeg(hand)
+    assert (w, h, nc) == (8, 8, 1)
+    assert px == bytes([24 * 2 // 8 + 128]) * 64  # flat 134
+
+    # --- encoder round trips: flat quant => DCT rounding only
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=16 * 12, dtype=np.uint8).tobytes()
+    w, h, nc, out = decode_jpeg(encode_jpeg(gray, 16, 12, channels=1))
+    assert (w, h, nc) == (16, 12, 1)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(gray, np.uint8).astype(int)
+    )
+    assert diff.max() <= 2
+    rgb = rng.randint(0, 256, size=8 * 8 * 3, dtype=np.uint8).tobytes()
+    w, h, nc, out = decode_jpeg(encode_jpeg(rgb, 8, 8, channels=3))
+    assert (w, h, nc) == (8, 8, 3)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(rgb, np.uint8).astype(int)
+    )
+    assert diff.max() <= 4  # YCbCr float transform adds ~1 count
+
+    # lossy tables shrink the stream and stay close on smooth content
+    grad = bytes(((x * 2 + y) % 256) for y in range(16) for x in range(16))
+    flat_j = encode_jpeg(grad, 16, 16, channels=1)
+    lossy_j = encode_jpeg(grad, 16, 16, channels=1, quant=LOSSY_QUANT)
+    assert len(lossy_j) < len(flat_j)
+    _, _, _, out = decode_jpeg(lossy_j)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(grad, np.uint8).astype(int)
+    )
+    assert diff.max() <= 8
+
+    # unsupported modes refuse loudly, garbage refuses loudly
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x00" + hand[2:])
+    progressive = hand.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+
+    # decode_media / frame sampling integration
+    from gmall_flink_parent_spark.functions.multimodal import sample_frames
+
+    feats = decode_media(encode_jpeg(gray, 16, 12, channels=1), "image/jpeg")
+    want_px = np.frombuffer(
+        decode_jpeg(encode_jpeg(gray, 16, 12, channels=1))[3], np.uint8
+    )
+    assert feats == {
+        "n_units": 16 * 12,
+        "first_unit": int(want_px[0]),
+        "unit_sum_mod": int(want_px.sum()) % 997,
+    }
+    frames = sample_frames(encode_jpeg(gray, 16, 12, channels=1), "image/jpeg")
+    assert b"".join(frames) == want_px.tobytes()[: len(b"".join(frames))]
+
+
+def test_jpeg_distributed_decode_path(spark):
+    """image/jpeg payloads ride the same Arrow mapInPandas decode stage
+    as the routed mimes: build a small binary-column frame of real JPEG
+    files and pin the distributed features to the local kernel."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from gmall_flink_parent_spark.functions.multimodal import (
+        extract_media_features,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(12):
+        ch = 1 if i % 2 else 3
+        w, h = 8 + 8 * (i % 3), 8
+        px = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        rows.append((i, bytearray(encode_jpeg(px, w, h, channels=ch)), "image/jpeg"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    got = {
+        r["doc_id"]: (r["n_units"], r["first_unit"], r["unit_sum_mod"])
+        for r in extract_media_features(df).collect()
+    }
+    assert len(got) == 12
+    for doc_id, payload, _m in rows:
+        w, h, _nc, px = decode_jpeg(bytes(payload))
+        assert got[doc_id] == (w * h, px[0], sum(px) % 997), doc_id
