@@ -299,3 +299,30 @@ def test_dedup_incremental_any_split_property(spark, docs):
         }
         store = sigs if store is None else store.unionByName(sigs)
     assert got == want
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.binary(min_size=1, max_size=96),
+    geom=st.sampled_from([(8, 8, 1), (4, 4, 3), (16, 8, 1), (12, 4, 3)]),
+)
+def test_jpeg_roundtrip_property(data, geom):
+    """For ANY pixel content and several geometries: baseline JPEG with
+    a flat quantization table round-trips within DCT rounding error
+    (gray <= 2 counts, RGB <= 4 via the YCbCr float transform), and the
+    decoded geometry is exactly the declared one."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, ch = geom
+    need = w * h * ch
+    px = (data * (need // len(data) + 1))[:need]
+    jpg = encode_jpeg(px, w, h, channels=ch)
+    gw, gh, gc, out = decode_jpeg(jpg)
+    assert (gw, gh, gc) == (w, h, ch)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert diff.max() <= (2 if ch == 1 else 4), diff.max()
