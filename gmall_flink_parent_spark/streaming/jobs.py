@@ -405,3 +405,40 @@ def ann_index_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def media_features_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
+    """Streaming media ingestion: each micro-batch of documents gets the
+    synthesized binary payload routing + the REAL Arrow-batched decode
+    stage (``extract_media_features`` — BMP/WAV/PNG/JPEG kernels), and
+    the decoded feature rows land in a ``batch_id=N`` partition of the
+    feature store — idempotent on replay like ``ann_index_job``.
+
+    The multimodal production shape: decode ONCE at ingest (the
+    CPU-dense stage), store the cheap typed features; downstream
+    training-data queries then never touch the binary payloads again.
+    Batch analog: ``multimodal_meta_features`` (driver hash-checked);
+    stream/batch parity is pinned in ``tests/test_streaming.py``.
+    """
+    from gmall_flink_parent_spark.functions.multimodal import (
+        _routed_payload,
+        extract_media_features,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        payload, mime = _routed_payload(
+            F.col("doc_id"), F.encode(F.col("text"), "UTF-8")
+        )
+        with_payload = batch.select(
+            "doc_id", payload.alias("payload"), mime.alias("mime")
+        )
+        extract_media_features(with_payload).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/media_features")
+        .trigger(availableNow=True)
+        .start()
+    )

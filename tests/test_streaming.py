@@ -868,3 +868,48 @@ def test_events_stream_parity_across_fixture_physical_types(
     assert got == want
     # and the absolute values are right — not shifted to 1970
     assert all(ts.year == 2024 for _, ts, _ in got)
+
+
+def test_media_features_job_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming media ingestion over two micro-batches: the decoded
+    feature store accumulates exactly the batch query's features (all
+    four mimes' real decode kernels running inside foreachBatch), with
+    per-batch_id partitions as the idempotent-replay unit."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import media_features_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    for pdf, fname, mtime_off in (
+        (docs.filter(F.col("doc_id") <= median).toPandas(), "f1.parquet", 0),
+        (docs.filter(F.col("doc_id") > median).toPandas(), "f2.parquet", 5),
+    ):
+        path = str(tmp_path / "in" / fname)
+        pdf.to_parquet(path)
+        t = time.time() + mtime_off
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = media_features_job(stream, str(tmp_path / "feat"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    feat = spark.read.parquet(str(tmp_path / "feat"))
+    got = {
+        r["doc_id"]: (r["n_units"], r["first_unit"], r["unit_sum_mod"])
+        for r in feat.collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_units"], r["first_unit"], r["unit_sum_mod"])
+        for r in plans.query_map()["multimodal_meta_features"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert sorted(
+        r["batch_id"] for r in feat.select("batch_id").distinct().collect()
+    ) == [0, 1]
