@@ -319,6 +319,36 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_length_quantiles_approx", oracle=None, tags=("text", "stats", "approx"))
+def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``doc_length_quantiles``: ``approx_percentile``
+    (Greenwald–Khanna sketch, rel. error ≤ 1/accuracy) in the same
+    single-shuffle plan shape.
+
+    The sketch is MERGEABLE — partial sketches combine map-side exactly
+    like partial sums, so the shuffle carries one bounded-size sketch
+    per (source, partition) instead of every length value; that is the
+    difference between this plan and the exact one at corpus scale.
+    Rows-only by design: DuckDB's approx_quantile uses a different
+    sketch, so there is no hash oracle — the invariant test bounds it
+    against the exact query instead (``tests/test_operators.py``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    acc = F.lit(10000)  # rel. error <= 1e-4 of the rank
+    return (
+        docs.select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_percentile("n", F.lit(0.5), acc).alias("p50_tokens"),
+            F.approx_percentile("n", F.lit(0.9), acc).alias("p90_tokens"),
+            F.approx_percentile("n", F.lit(0.99), acc).alias("p99_tokens"),
+            F.round(F.avg("n"), 6).alias("avg_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------ filter pipeline
 
 # Thresholds sit at discriminative points of the corpus distributions

@@ -780,3 +780,43 @@ def test_jpeg_distributed_decode_path(spark):
     for doc_id, payload, _m in rows:
         w, h, _nc, px = decode_jpeg(bytes(payload))
         assert got[doc_id] == (w * h, px[0], sum(px) % 997), doc_id
+
+
+def test_doc_length_quantiles_approx_bounds(spark, sf_dir):
+    """The sketch path is bounded by RANK, not value: GK guarantees the
+    returned element's rank is within rel-error of the target, and the
+    exact query interpolates between the two adjacent order statistics —
+    so the sketch value must be an actual order statistic within one
+    rank step of the interpolation window (value-distance bounds are
+    meaningless across gaps in the length distribution)."""
+    import math
+
+    exact = {
+        r["source"]: r
+        for r in plans.query_map()["doc_length_quantiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["source"]: r
+        for r in plans.query_map()["doc_length_quantiles_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert approx.keys() == exact.keys()
+    lengths: dict[str, list[int]] = {}
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    ):
+        lengths.setdefault(r["source"], []).append(r["n"])
+    for src, a in approx.items():
+        e = exact[src]
+        vals = sorted(lengths[src])
+        assert a["n_docs"] == e["n_docs"] == len(vals)
+        assert a["avg_tokens"] == e["avg_tokens"]
+        for p, q in ((0.5, "p50_tokens"), (0.9, "p90_tokens"), (0.99, "p99_tokens")):
+            target = p * (len(vals) - 1)  # interpolation rank of the exact query
+            lo = vals[max(math.floor(target) - 1, 0)]
+            hi = vals[min(math.ceil(target) + 1, len(vals) - 1)]
+            assert lo <= a[q] <= hi, (src, q, a[q], lo, hi)
+            assert a[q] in vals, (src, q)  # a real order statistic, not interpolated
