@@ -42,6 +42,20 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 JACCARD_THRESHOLD = 0.6
 HAMMING_THRESHOLD = 3  # of SIMHASH_BITS=32 — ≈90% bit agreement
 
+
+def band_hash_cols() -> list[Column]:
+    """The LSH band-hash columns ``bh0..bh{BANDS-1}`` over the scalar
+    signature columns ``s0..s{NUM_HASHES-1}`` — THE bucketing every band
+    join in this module keys on. Single definition shared by the batch
+    LSH, the incremental job, and the skew bench so the bucketing can
+    never silently drift between them."""
+    return [
+        F.concat_ws(
+            ":", *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"bh{j}")
+        for j in range(BANDS)
+    ]
+
 DEDUP_EXACT_ORACLE = """
 SELECT md5(lower(trim(text))) AS fingerprint,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
@@ -358,12 +372,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage — run it cluster-wide even on a single-split scan.
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     sig_cols = [f"s{i}" for i in range(NUM_HASHES)]
-    band_cols = [
-        F.concat_ws(
-            ":", *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        ).alias(f"bh{j}")
-        for j in range(BANDS)
-    ]
+    band_cols = band_hash_cols()
     # Signatures and band hashes stay SCALAR columns (s0..s15, bh0..bh3)
     # through the join rather than arrays: the per-pair first-band and
     # match-count logic then unrolls to plain CASE/sum expressions inside
@@ -483,12 +492,7 @@ def dedup_minhash_incremental(
     sig_cols = [f"s{i}" for i in range(NUM_HASHES)]
 
     def banded(sigs: DataFrame, is_old: bool) -> DataFrame:
-        band_cols = [
-            F.concat_ws(
-                ":", *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"bh{j}")
-            for j in range(BANDS)
-        ]
+        band_cols = band_hash_cols()
         return sigs.select(
             "doc_id", *sig_cols, *band_cols, F.lit(is_old).alias("is_old")
         ).select(

@@ -54,9 +54,12 @@ for _i in range(1, 8):
         _T[_i, _j] = 0.5 * np.cos((2 * _j + 1) * _i * np.pi / 16.0)
 
 FLAT_QUANT = np.ones(64, dtype=np.int64)
-# A standard-shape luminance table (coarser at high frequency) for
-# callers that want real compression behavior rather than near-lossless.
-LOSSY_QUANT = np.array(
+# A standard-shape luminance table (coarser at high frequency), written
+# here in NATURAL row-major order for readability and converted below to
+# the zigzag order the codec (and the DQT segment) uses — passing the
+# natural-order array straight through would scramble the effective
+# matrix (low-frequency coefficients quantized by high-frequency steps).
+_LOSSY_QUANT_NATURAL = np.array(
     [
         16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
@@ -65,6 +68,7 @@ LOSSY_QUANT = np.array(
     ],
     dtype=np.int64,
 )
+LOSSY_QUANT = _LOSSY_QUANT_NATURAL[ZIGZAG]
 
 # Our canonical tables: every DC size symbol (0..11) at code length 4,
 # every AC (run,size) symbol at code length 8. Valid per Annex C:
@@ -305,12 +309,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], _Huff] = {}
     sof = None
     comp_spec: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes; TEM (0x01) and RSTn (0xD0-0xD7) carry no length.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT — possibly several tables per segment

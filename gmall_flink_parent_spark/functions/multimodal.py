@@ -116,28 +116,32 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+def _png_predictor(ftype: int, a: int, b: int, c: int) -> int:
+    """The per-byte PNG filter predictor (a=left, b=up, c=up-left) —
+    ONE definition used by both the encode (subtract) and decode (add)
+    directions so the filter/unfilter pair stays provably symmetric."""
+    if ftype == 0:
+        return 0
+    if ftype == 1:
+        return a
+    if ftype == 2:
+        return b
+    if ftype == 3:
+        return (a + b) >> 1
+    if ftype == 4:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
 def _png_filter_scanline(row: bytes, prev: bytes, ftype: int, bpp: int) -> bytes:
     """Apply PNG filter ``ftype`` to a raw scanline (encode direction)."""
     out = bytearray(len(row))
     for i in range(len(row)):
         a = row[i - bpp] if i >= bpp else 0
-        b = prev[i]
         c = prev[i - bpp] if i >= bpp else 0
-        if ftype == 0:
-            pred = 0
-        elif ftype == 1:
-            pred = a
-        elif ftype == 2:
-            pred = b
-        elif ftype == 3:
-            pred = (a + b) >> 1
-        elif ftype == 4:
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[i] = (row[i] - pred) & 0xFF
+        out[i] = (row[i] - _png_predictor(ftype, a, prev[i], c)) & 0xFF
     return bytes(out)
 
 
@@ -224,36 +228,30 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     for r in range(height):
         ftype = raw[r * (stride + 1)]
         line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
+        # unfilter = add back the SAME predictor the encoder subtracted;
+        # line[i] is already reconstructed for i' < i, which is what the
+        # left/up-left neighbors must read (spec: filters chain on
+        # reconstructed bytes, not filtered ones)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _png_predictor(ftype, a, prev[i], c)) & 0xFF
         out += line
         prev = line
     return width, height, bpp, bytes(out)
 
 
+def _pixel_stats(width: int, height: int, px: bytes) -> tuple[int, int, int]:
+    """The image feature contract in ONE place: (n_pixels, first channel
+    byte or -1, content sum mod 997) — shared by every image codec so
+    the definition cannot drift between branches."""
+    return width * height, (px[0] if px else -1), sum(px) % 997
+
+
 def _decode_png(payload: bytes) -> tuple[int, int, int]:
     """Decode a PNG; return (n_pixels, first_channel, pixel_sum_mod)."""
     width, height, _bpp, px = _png_pixels(payload)
-    return width * height, (px[0] if px else -1), sum(px) % 997
+    return _pixel_stats(width, height, px)
 
 
 BMP_HEADER = encode_bmp(b"\x00" * BMP_PIXEL_BYTES)[: 14 + 40]
@@ -340,7 +338,7 @@ def decode_media(payload: bytes, mime: str) -> dict:
         from gmall_flink_parent_spark.functions.jpeg import decode_jpeg
 
         w, h, _nc, px = decode_jpeg(payload)
-        n, first, sm = w * h, (px[0] if px else -1), sum(px) % 997
+        n, first, sm = _pixel_stats(w, h, px)
     elif mime == "audio/wav":
         n, first, sm = _decode_wav(payload)
     elif mime == "text/plain":

@@ -22,15 +22,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # ------------------------------------------------------- cache lifecycle
 #
-# Registered queries are lazy: the caller materializes the returned
-# DataFrame AFTER construction, so a query that persists an intermediate
-# frame has no point in its own body at which it could unpersist (the
-# cache would be dropped before it was ever filled). The pool below
-# defers release to the next registered query's construction — matching
-# the construct → materialize → next-query cadence the driver and bench
-# run — with `release_caches()` for explicit cleanup at session end.
-# Without this, a ~50-query driver session accumulates every query's
-# cached frames in executor storage.
+# Registered queries are lazy — with one deliberate exception: a query
+# that passes ``eager=True`` here (the MinHash family) runs its cache
+# fill at CONSTRUCTION time, so constructing those queries executes the
+# signature jobs even if the caller only wants ``.schema``/``.explain``.
+# That is the accepted price of the concurrent-consumer fix documented
+# below; everything else materializes only when the caller acts. Either
+# way the caller materializes the RESULT after construction, so a query
+# that persists an intermediate frame has no point in its own body at
+# which it could unpersist (the cache would be dropped before/while
+# used). The pool below defers release to the next registered query's
+# construction — matching the construct → materialize → next-query
+# cadence the driver and bench run — with `release_caches()` for
+# explicit cleanup at session end. Without this, a ~50-query driver
+# session accumulates every query's cached frames in executor storage.
 
 _LIVE_CACHES: list[DataFrame] = []
 

@@ -424,12 +424,16 @@ def media_features_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
         _routed_payload,
         extract_media_features,
     )
+    from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
         payload, mime = _routed_payload(
             F.col("doc_id"), F.encode(F.col("text"), "UTF-8")
         )
-        with_payload = batch.select(
+        # fan_out, same as the batch analog: a one-file micro-batch is a
+        # single scan split, and the Python decode stage would otherwise
+        # run on one core cluster-wide; no-op when the batch is wide.
+        with_payload = fan_out(batch.sparkSession, batch).select(
             "doc_id", payload.alias("payload"), mime.alias("mime")
         )
         extract_media_features(with_payload).write.mode("overwrite").parquet(

@@ -39,13 +39,12 @@ from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark import plans
 from gmall_flink_parent_spark.functions.dedup import (
-    BANDS,
     HOT_BUCKET_CONF,
     MINHASH_HOT_BUCKET,
     N_BAND_SALT,
     NUM_HASHES,
-    ROWS_PER_BAND,
     _minhash_sigs,
+    band_hash_cols,
 )
 from gmall_flink_parent_spark.session import get_spark
 from gmall_flink_parent_spark.sources.tables import load_table
@@ -86,22 +85,11 @@ def bucket_stats(spark, sf_dir: str) -> tuple[int, int]:
         .groupBy(*sig_cols)
         .agg(F.min("doc_id").alias("rep"))
     )
-    banded = clusters.select(
+    # the SAME band bucketing the join uses (shared helper — no drift)
+    n_bands = len(band_hash_cols())
+    banded = clusters.select("rep", *band_hash_cols()).select(
         "rep",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.col(f"s{j * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                    for j in range(BANDS)
-                ]
-            )
-        ).alias("bh"),
+        F.explode(F.array(*[F.col(f"bh{j}") for j in range(n_bands)])).alias("bh"),
     )
     by_bucket = banded.groupBy("bh").count()
     hottest = by_bucket.agg(F.max("count")).collect()[0][0]

@@ -687,7 +687,11 @@ def test_jpeg_codec_kernels():
     scan = bytes([0b01011100, 0b00001111])
     hand = (
         b"\xff\xd8"
+        # T.81 B.1.1.2 interchange noise a spec decoder must tolerate:
+        # a 0xFF fill byte before a marker, and a parameterless TEM
+        + b"\xff"
         + seg(0xDB, bytes([0]) + bytes([2] * 64))
+        + b"\xff\x01"  # TEM — no length field
         + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
         + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
         + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
@@ -698,6 +702,12 @@ def test_jpeg_codec_kernels():
     w, h, nc, px = decode_jpeg(hand)
     assert (w, h, nc) == (8, 8, 1)
     assert px == bytes([24 * 2 // 8 + 128]) * 64  # flat 134
+
+    # LOSSY_QUANT must be in zigzag order: zigzag index 2 is natural
+    # index 8 (row 1 col 0) = 12 in the standard-shape table — the
+    # natural-order constant passed through unconverted had 10 here,
+    # scrambling the effective matrix
+    assert (LOSSY_QUANT[0], LOSSY_QUANT[2], int(LOSSY_QUANT.max())) == (16, 12, 121)
 
     # --- encoder round trips: flat quant => DCT rounding only
     rng = np.random.RandomState(11)
