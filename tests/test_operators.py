@@ -830,3 +830,35 @@ def test_doc_length_quantiles_approx_bounds(spark, sf_dir):
             hi = vals[min(math.ceil(target) + 1, len(vals) - 1)]
             assert lo <= a[q] <= hi, (src, q, a[q], lo, hi)
             assert a[q] in vals, (src, q)  # a real order statistic, not interpolated
+
+
+def test_png_jvm_construction_matches_python_mirror(spark):
+    """The pure-codegen PNG payload (stored-deflate + expression-built
+    adler32/crc32) must equal encode_png(level=0) BYTE FOR BYTE — pins
+    the JVM checksum expressions against zlib's own implementations,
+    including multi-byte UTF-8 pixel content."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.functions.multimodal import (
+        _routed_payload,
+        build_payload_bytes,
+        decode_media,
+    )
+
+    texts = [
+        "x" * 70,
+        "hello world " * 8,
+        "".join(chr(0x100 + i) for i in range(40)) + "abc" * 20,
+        "éèê" * 40,  # 2-byte UTF-8 sequences
+    ]
+    df = spark.createDataFrame(
+        [(4 * i + 2, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
+    for r in df.select("doc_id", "text", payload.alias("p"), mime.alias("m")).collect():
+        want, wm = build_payload_bytes(r["doc_id"], r["text"])
+        assert r["m"] == wm == "image/png", r["doc_id"]
+        assert bytes(r["p"]) == want, r["doc_id"]
+        # and the file is genuinely decodable (zlib verifies the
+        # JVM-computed adler32; the chunk walk verifies the crc32)
+        assert decode_media(bytes(r["p"]), "image/png")["n_units"] == 16
