@@ -4,12 +4,14 @@ A real ITU-T T.81 baseline sequential implementation covering the
 common interchange subset:
 
 - **Decoder**: marker/segment parse (SOI, APP*, COM, DQT, SOF0, DHT,
-  SOS, EOI), canonical Huffman tables built from the stream's own
-  BITS/HUFFVAL (per spec Annex C — nothing is hardcoded), entropy
-  decode with 0xFF00 byte-unstuffing, DC prediction, dequantize,
-  inverse zigzag, 8×8 IDCT (orthonormal DCT-III via a numpy matrix,
-  exactly the T.81 transform), level shift + clamp, 4:4:4 YCbCr→RGB
-  (JFIF matrix) or grayscale, edge-padding crop.
+  SOS, EOI, fill bytes, parameterless TEM/RST), canonical Huffman
+  tables built from the stream's own BITS/HUFFVAL (per spec Annex C —
+  nothing is hardcoded), entropy decode with 0xFF00 byte-unstuffing,
+  DC prediction, dequantize, inverse zigzag, 8×8 IDCT (orthonormal
+  DCT-III via a numpy matrix, exactly the T.81 transform), level shift
+  + clamp, generalized MCU interleave for sampling factors 1-2 —
+  **4:4:4, 4:2:0 (the common real-world layout), 4:2:2** — with chroma
+  upsampling, YCbCr→RGB (JFIF matrix) or grayscale, edge-padding crop.
 - **Encoder**: the inverse pipeline (level shift, FDCT, quantize,
   zigzag, DC-diff + AC run-length Huffman coding, byte stuffing). It
   emits its OWN DHT tables (12 four-bit DC codes, 162 eight-bit AC
@@ -19,8 +21,7 @@ common interchange subset:
   memorized constant table.
 
 Out of scope (raise, honestly): progressive/arithmetic/hierarchical
-modes, chroma subsampling other than 4:4:4, restart intervals, 12-bit
-precision. Quality: with an all-ones quantization table the only loss
+modes, sampling factors above 2, restart intervals, 12-bit precision. Quality: with an all-ones quantization table the only loss
 is DCT rounding (±2 per sample); standard-style tables trade that for
 size like any encoder.
 
@@ -194,6 +195,46 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    qmat: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: list[int],
+    c: int,
+) -> None:
+    """FDCT + quantize + zigzag + Huffman-code one 8×8 block."""
+    coefs = np.rint((_T @ (block - 128.0) @ _T.T) / qmat).astype(np.int64)
+    zz = coefs.flatten()[ZIGZAG]
+    diff = int(zz[0]) - pred[c]
+    pred[c] = int(zz[0])
+    s = _size_cat(diff)
+    code, ln = dc_codes[s]
+    w.put(code, ln)
+    if s:
+        w.put(_amplitude(diff, s), s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.put(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        code, ln = ac_codes[run << 4 | s]
+        w.put(code, ln)
+        w.put(_amplitude(v, s), s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        w.put(code, ln)
+
+
 def encode_jpeg(
     pixel_bytes: bytes,
     width: int,
@@ -201,12 +242,17 @@ def encode_jpeg(
     *,
     channels: int = 3,
     quant: np.ndarray | None = None,
+    subsample: bool = False,
 ) -> bytes:
-    """A spec-valid baseline JFIF file: grayscale or 4:4:4 RGB, 8-bit,
+    """A spec-valid baseline JFIF file: grayscale, 4:4:4 RGB, or — with
+    ``subsample=True`` — 4:2:0 RGB (Y at 2×2 sampling, chroma averaged
+    over 2×2 pixel groups: the layout most real-world JPEGs use). 8-bit,
     own canonical Huffman tables, ``quant`` in zigzag order (default
-    all-ones — near-lossless, DCT rounding only)."""
+    all-ones — near-lossless on luma; 4:2:0 chroma loss is structural)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if subsample and channels != 3:
+        raise ValueError("subsampling applies to 3-channel RGB only")
     q = FLAT_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant must be 64 values in [1, 255] (zigzag order)")
@@ -216,12 +262,6 @@ def encode_jpeg(
         .astype(np.float64)
     )
     planes = px[..., 0:1] if channels == 1 else _rgb_to_ycbcr(px)
-    # pad to multiples of 8 by edge replication (the usual encoder move)
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
-    planes = np.pad(
-        planes, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge"
-    )
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     qmat = np.empty(64)
@@ -229,38 +269,42 @@ def encode_jpeg(
     qmat = qmat.reshape(8, 8)
     w = _BitWriter()
     pred = [0] * channels
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for c in range(channels):  # 1x1 sampling: one block per comp per MCU
-                block = planes[by : by + 8, bx : bx + 8, c] - 128.0
-                coefs = np.rint(( _T @ block @ _T.T) / qmat).astype(np.int64)
-                zz = coefs.flatten()[ZIGZAG]
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                s = _size_cat(diff)
-                code, ln = dc_codes[s]
-                w.put(code, ln)
-                if s:
-                    w.put(_amplitude(diff, s), s)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        w.put(code, ln)
-                        run -= 16
-                    s = _size_cat(v)
-                    code, ln = ac_codes[run << 4 | s]
-                    w.put(code, ln)
-                    w.put(_amplitude(v, s), s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]
-                    w.put(code, ln)
+    if not subsample:
+        # 1x1 sampling: MCU = one block per component
+        ph = (height + 7) // 8 * 8
+        pw = (width + 7) // 8 * 8
+        p = np.pad(planes, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge")
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for c in range(channels):
+                    _encode_block(
+                        w, p[by : by + 8, bx : bx + 8, c], qmat, dc_codes, ac_codes, pred, c
+                    )
+        samp = [0x11] * channels
+    else:
+        # 4:2:0: MCU = 16×16 px — 4 luma blocks + 1 Cb + 1 Cr at half res
+        ph = (height + 15) // 16 * 16
+        pw = (width + 15) // 16 * 16
+        p = np.pad(planes, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge")
+        luma = p[..., 0]
+        # chroma: mean over each 2×2 pixel group
+        chroma = p[..., 1:].reshape(ph // 2, 2, pw // 2, 2, 2).mean(axis=(1, 3))
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for v in range(2):  # spec block order: left→right, top→bottom
+                    for hh in range(2):
+                        _encode_block(
+                            w,
+                            luma[my + 8 * v : my + 8 * v + 8, mx + 8 * hh : mx + 8 * hh + 8],
+                            qmat, dc_codes, ac_codes, pred, 0,
+                        )
+                for c in (0, 1):
+                    _encode_block(
+                        w,
+                        chroma[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8, c],
+                        qmat, dc_codes, ac_codes, pred, c + 1,
+                    )
+        samp = [0x22, 0x11, 0x11]
     scan = w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -268,7 +312,7 @@ def encode_jpeg(
     out += _seg(0xDB, bytes([0]) + bytes(int(v) for v in q))  # DQT id 0
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for c in range(channels):
-        sof += bytes([c + 1, 0x11, 0])  # comp id, 1x1 sampling, quant table 0
+        sof += bytes([c + 1, samp[c], 0])  # comp id, sampling, quant table 0
     out += _seg(0xC0, sof)  # SOF0 baseline
     out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))  # DC table 0
     out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))  # AC table 0
@@ -300,8 +344,9 @@ class _Huff:
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Parse + entropy-decode a baseline JPEG; returns (width, height,
     channels, pixel_bytes) — interleaved RGB or grayscale, cropped to
-    the declared geometry. Raises on progressive/subsampled/12-bit
-    streams (the documented seam)."""
+    the declared geometry. Handles 4:4:4 / 4:2:0 / 4:2:2 sampling;
+    raises on progressive/12-bit/restart-interval streams (the
+    documented seam)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -346,9 +391,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError("only gray or 3-component JPEG")
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("only 4:4:4 (1x1 sampling) JPEG")
-                comp_spec.append((cid, samp, tq))
+                sh, sv = samp >> 4, samp & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise NotImplementedError(
+                        "only sampling factors 1 and 2 (4:4:4 / 4:2:0 / 4:2:2)"
+                    )
+                comp_spec.append((cid, sh, sv, tq))
             sof = (w0, h, nc)
         elif marker == 0xC4:  # DHT — possibly several tables
             b = 0
@@ -370,42 +418,62 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
             width, height, nc = sof
-            ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-            planes = np.zeros((ph, pw, nc))
+            hmax = max(sh for _, sh, _, _ in comp_spec)
+            vmax = max(sv for _, _, sv, _ in comp_spec)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            # one sub-resolution plane per component, padded to its own
+            # whole-MCU grid (comp plane gets 8*sh × 8*sv px per MCU)
+            comp_planes = [
+                np.zeros((mcus_y * 8 * sv, mcus_x * 8 * sh))
+                for _, sh, sv, _ in comp_spec
+            ]
             r = _BitReader(payload, pos + 2 + ln)
             pred = [0] * nc
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     for c in range(nc):
-                        cid, _samp, tq = comp_spec[c]
+                        cid, sh, sv, tq = comp_spec[c]
                         dct, act = scan_tabs[cid]
                         qz = quant[tq]
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = huff[(0, dct)].decode(r)
-                        pred[c] += _decode_amplitude(r.bits(s), s)
-                        zz[0] = pred[c]
-                        i = 1
-                        while i < 64:
-                            sym = huff[(1, act)].decode(r)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            run, size = sym >> 4, sym & 0xF
-                            i += run
-                            if i > 63:
-                                raise ValueError("AC coefficient index overflow")
-                            zz[i] = _decode_amplitude(r.bits(size), size)
-                            i += 1
-                        coefs = np.zeros(64)
-                        coefs[ZIGZAG] = zz * qz
-                        block = _T.T @ coefs.reshape(8, 8) @ _T
-                        planes[by : by + 8, bx : bx + 8, c] = block + 128.0
-            planes = planes[:height, :width, :]
+                        for v in range(sv):  # spec order: left→right, top→bottom
+                            for hh in range(sh):
+                                zz = np.zeros(64, dtype=np.int64)
+                                s = huff[(0, dct)].decode(r)
+                                pred[c] += _decode_amplitude(r.bits(s), s)
+                                zz[0] = pred[c]
+                                i = 1
+                                while i < 64:
+                                    sym = huff[(1, act)].decode(r)
+                                    if sym == 0x00:  # EOB
+                                        break
+                                    if sym == 0xF0:  # ZRL
+                                        i += 16
+                                        continue
+                                    run, size = sym >> 4, sym & 0xF
+                                    i += run
+                                    if i > 63:
+                                        raise ValueError("AC coefficient index overflow")
+                                    zz[i] = _decode_amplitude(r.bits(size), size)
+                                    i += 1
+                                coefs = np.zeros(64)
+                                coefs[ZIGZAG] = zz * qz
+                                block = _T.T @ coefs.reshape(8, 8) @ _T
+                                by = (my * sv + v) * 8
+                                bx = (mx * sh + hh) * 8
+                                comp_planes[c][by : by + 8, bx : bx + 8] = block + 128.0
+            # upsample each component to full resolution (pixel
+            # replication — the common JFIF reconstruction) and crop
+            full = np.zeros((height, width, nc))
+            for c in range(nc):
+                _, sh, sv, _ = comp_spec[c]
+                up = np.repeat(
+                    np.repeat(comp_planes[c], vmax // sv, axis=0), hmax // sh, axis=1
+                )
+                full[..., c] = up[:height, :width]
             if nc == 3:
-                planes = _ycbcr_to_rgb(planes)
-            px = np.clip(np.rint(planes), 0, 255).astype(np.uint8)
+                full = _ycbcr_to_rgb(full)
+            px = np.clip(np.rint(full), 0, 255).astype(np.uint8)
             return width, height, nc, px.tobytes()
         pos += 2 + ln
     raise ValueError("no SOS scan in JPEG")

@@ -862,3 +862,51 @@ def test_png_jvm_construction_matches_python_mirror(spark):
         # and the file is genuinely decodable (zlib verifies the
         # JVM-computed adler32; the chunk walk verifies the crc32)
         assert decode_media(bytes(r["p"]), "image/png")["n_units"] == 16
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 chroma subsampling — the layout most real-world JPEGs use:
+    generalized MCU decode (4 luma + 2 chroma blocks per 16×16), chroma
+    upsampling, odd-geometry crop. Gray-content RGB has constant chroma,
+    so 4:2:0 loses nothing there beyond DCT rounding — an exact-ish pin;
+    colorful smooth content is bounded in the mean."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(9)
+    gray_rgb = np.repeat(
+        rng.randint(0, 256, size=(24, 16, 1), dtype=np.uint8), 3, axis=2
+    ).tobytes()
+    w, h, nc, out = decode_jpeg(encode_jpeg(gray_rgb, 16, 24, channels=3, subsample=True))
+    assert (w, h, nc) == (16, 24, 3)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(gray_rgb, np.uint8).astype(int)
+    )
+    assert diff.max() <= 4
+
+    grad = np.zeros((32, 32, 3), np.uint8)
+    for y in range(32):
+        for x in range(32):
+            grad[y, x] = (x * 8 % 256, y * 8 % 256, (x + y) * 4 % 256)
+    w, h, nc, out = decode_jpeg(encode_jpeg(grad.tobytes(), 32, 32, channels=3, subsample=True))
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(grad.tobytes(), np.uint8).astype(int)
+    )
+    assert diff.mean() <= 8
+
+    # odd geometry: padded MCU grid must crop back exactly
+    odd = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8).tobytes()
+    w, h, nc, out = decode_jpeg(encode_jpeg(odd, 11, 13, channels=3, subsample=True))
+    assert (w, h, nc) == (11, 13, 3) and len(out) == 11 * 13 * 3
+
+    # unsupported sampling factors still refuse loudly
+    import struct
+
+    from gmall_flink_parent_spark.functions.jpeg import _seg
+
+    bad_sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x31, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"\xff\xd8" + bad_sof + b"\xff\xd9")
