@@ -20,8 +20,12 @@ common interchange subset:
   table handling is exercised for real rather than against a single
   memorized constant table.
 
+Restart intervals (DRI/RSTn — camera JPEGs use them) are handled on
+both sides: the encoder can emit them, the decoder byte-aligns,
+consumes the marker, and resets DC prediction at each interval.
+
 Out of scope (raise, honestly): progressive/arithmetic/hierarchical
-modes, sampling factors above 2, restart intervals, 12-bit precision. Quality: with an all-ones quantization table the only loss
+modes, sampling factors above 2, 12-bit precision. Quality: with an all-ones quantization table the only loss
 is DCT rounding (±2 per sample); standard-style tables trade that for
 size like any encoder.
 
@@ -122,10 +126,19 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart_marker(self, idx: int) -> None:
+        """Pad to the byte boundary and emit RSTn (markers are written
+        raw — byte stuffing applies only to entropy data)."""
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 class _BitReader:
-    """Reads entropy-coded bits, undoing 0xFF00 stuffing; stops at any
-    other marker (baseline without restarts has none mid-scan)."""
+    """Reads entropy-coded bits, undoing 0xFF00 stuffing. RSTn markers
+    (the only markers legal mid-scan in baseline) are consumed by
+    ``restart()``; any other marker mid-stream is an error."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -155,6 +168,19 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker: drop the pad bits to the byte
+        boundary, expect 0xFF 0xD0-0xD7, resume clean (T.81 E.1.4)."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker at restart interval")
+        self.pos += 2
 
 
 def _size_cat(v: int) -> int:
@@ -243,6 +269,7 @@ def encode_jpeg(
     channels: int = 3,
     quant: np.ndarray | None = None,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """A spec-valid baseline JFIF file: grayscale, 4:4:4 RGB, or — with
     ``subsample=True`` — 4:2:0 RGB (Y at 2×2 sampling, chroma averaged
@@ -269,17 +296,33 @@ def encode_jpeg(
     qmat = qmat.reshape(8, 8)
     w = _BitWriter()
     pred = [0] * channels
+    mcu_done = 0
+    rst_idx = 0
+
+    def after_mcu(total: int) -> None:
+        """T.81 restart cadence: every ``restart_interval`` MCUs, pad to
+        the byte boundary, emit RSTn (cycling 0-7), reset DC predictors
+        — except after the final MCU."""
+        nonlocal mcu_done, rst_idx
+        mcu_done += 1
+        if restart_interval and mcu_done % restart_interval == 0 and mcu_done < total:
+            w.restart_marker(rst_idx)
+            rst_idx += 1
+            pred[:] = [0] * channels
+
     if not subsample:
         # 1x1 sampling: MCU = one block per component
         ph = (height + 7) // 8 * 8
         pw = (width + 7) // 8 * 8
         p = np.pad(planes, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge")
+        total = (ph // 8) * (pw // 8)
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
                 for c in range(channels):
                     _encode_block(
                         w, p[by : by + 8, bx : bx + 8, c], qmat, dc_codes, ac_codes, pred, c
                     )
+                after_mcu(total)
         samp = [0x11] * channels
     else:
         # 4:2:0: MCU = 16×16 px — 4 luma blocks + 1 Cb + 1 Cr at half res
@@ -289,6 +332,7 @@ def encode_jpeg(
         luma = p[..., 0]
         # chroma: mean over each 2×2 pixel group
         chroma = p[..., 1:].reshape(ph // 2, 2, pw // 2, 2, 2).mean(axis=(1, 3))
+        total = (ph // 16) * (pw // 16)
         for my in range(0, ph, 16):
             for mx in range(0, pw, 16):
                 for v in range(2):  # spec block order: left→right, top→bottom
@@ -304,6 +348,7 @@ def encode_jpeg(
                         chroma[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8, c],
                         qmat, dc_codes, ac_codes, pred, c + 1,
                     )
+                after_mcu(total)
         samp = [0x22, 0x11, 0x11]
     scan = w.flush()
 
@@ -316,6 +361,8 @@ def encode_jpeg(
     out += _seg(0xC0, sof)  # SOF0 baseline
     out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))  # DC table 0
     out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))  # AC table 0
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([channels]) + b"".join(
         bytes([c + 1, 0x00]) for c in range(channels)
     ) + bytes([0, 63, 0])
@@ -344,8 +391,8 @@ class _Huff:
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Parse + entropy-decode a baseline JPEG; returns (width, height,
     channels, pixel_bytes) — interleaved RGB or grayscale, cropped to
-    the declared geometry. Handles 4:4:4 / 4:2:0 / 4:2:2 sampling;
-    raises on progressive/12-bit/restart-interval streams (the
+    the declared geometry. Handles 4:4:4 / 4:2:0 / 4:2:2 sampling and
+    restart intervals; raises on progressive/12-bit streams (the
     documented seam)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
@@ -353,7 +400,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}
     sof = None
-    comp_spec: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    restart_interval = 0
+    comp_spec: list[tuple[int, int, int, int]] = []  # (id, h, v, qtab)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -407,8 +455,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(body[b + 17 : b + 17 + n])
                 huff[(tc, th)] = _Huff(bits, vals)
                 b += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart every N MCUs
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF0")
@@ -430,8 +478,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             ]
             r = _BitReader(payload, pos + 2 + ln)
             pred = [0] * nc
+            mcu_done = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and mcu_done
+                        and mcu_done % restart_interval == 0
+                    ):
+                        r.restart()  # byte-align + consume RSTn
+                        pred = [0] * nc
+                    mcu_done += 1
                     for c in range(nc):
                         cid, sh, sv, tq = comp_spec[c]
                         dct, act = scan_tabs[cid]

@@ -910,3 +910,43 @@ def test_jpeg_420_subsampling():
     bad_sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x31, 0]))
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"\xff\xd8" + bad_sof + b"\xff\xd9")
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn framing (camera JPEGs): the encoder pads to the byte
+    boundary, emits cycling RSTn, and resets DC prediction every N MCUs;
+    the decoder consumes the markers at the declared cadence. Framing
+    must not change decoded content, and a stream whose RSTn is missing
+    where DRI promises one must refuse."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, size=32 * 24, dtype=np.uint8).tobytes()
+    j = encode_jpeg(px, 32, 24, channels=1, restart_interval=5)
+    assert b"\xff\xd0" in j and b"\xff\xd1" in j  # 12 MCUs / 5 -> RST0, RST1
+    _, _, _, out = decode_jpeg(j)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert diff.max() <= 2
+    # framing is content-neutral
+    assert out == decode_jpeg(encode_jpeg(px, 32, 24, channels=1))[3]
+    # 4:2:0 + restarts compose
+    px3 = rng.randint(0, 256, size=48 * 32 * 3, dtype=np.uint8).tobytes()
+    w, h, nc, _ = decode_jpeg(
+        encode_jpeg(px3, 48, 32, channels=3, subsample=True, restart_interval=2)
+    )
+    assert (w, h, nc) == (48, 32, 3)
+    # a DRI that promises restarts the scan doesn't contain must refuse
+    no_rst = encode_jpeg(px, 32, 24, channels=1)
+    import struct
+
+    from gmall_flink_parent_spark.functions.jpeg import _seg
+
+    sos_at = no_rst.find(b"\xff\xda")
+    lying = no_rst[:sos_at] + _seg(0xDD, struct.pack(">H", 5)) + no_rst[sos_at:]
+    with pytest.raises(ValueError):
+        decode_jpeg(lying)
