@@ -89,13 +89,28 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
+        worst = 0.0
         for _ in range(reps):
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            worst = max(worst, dt)
         timings[name] = round(best, 3)
+        spreads[name] = round(worst / best, 2) if best > 0 else 1.0
+
+    # Host-stall self-diagnosis: on this microVM a stalled sweep inflates
+    # *every* query's slow rep uniformly (BENCH_r04 recorded 3-25x across
+    # the board; the same code measured 0.61x baseline on an idle machine).
+    # A median max/min spread over ~2x across reps is that signature —
+    # label the artifact so a stalled run is distinguishable without
+    # re-running (SCALE.md "host stall" section).
+    ordered = sorted(spreads.values())
+    median_spread = ordered[len(ordered) // 2] if ordered else 1.0
+    stall_suspect = reps >= 2 and median_spread > 2.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -106,6 +121,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "rep_spread": spreads,
+                "median_rep_spread": median_spread,
+                "stall_suspect": stall_suspect,
             }
         )
     )

@@ -466,6 +466,48 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
             width, height, nc = sof
+            # The decode loop below assumes one fully interleaved scan
+            # whose components appear in SOF order. Anything else —
+            # multi-scan baseline (ns < nc) or a single-component scan
+            # whose SOF declares sampling > 1 (non-interleaved per T.81
+            # A.2: MCU = one data unit) — needs a different MCU loop:
+            # refuse loudly instead of mis-decoding.
+            if ns != nc:
+                raise NotImplementedError(
+                    "only single fully-interleaved scans (SOS covers all "
+                    f"SOF components): scan has {ns} of {nc} components"
+                )
+            sos_order = [body[1 + 2 * c] for c in range(ns)]
+            sof_order = [cid for cid, _, _, _ in comp_spec]
+            if sos_order != sof_order:
+                raise ValueError(
+                    "JPEG scan component order differs from frame header "
+                    f"(SOS {sos_order} vs SOF {sof_order}; T.81 B.2.3 "
+                    "requires frame order)"
+                )
+            if nc == 1 and (comp_spec[0][1] != 1 or comp_spec[0][2] != 1):
+                raise NotImplementedError(
+                    "single-component scan with sampling factors > 1 is "
+                    "non-interleaved (T.81 A.2: MCU = one data unit); "
+                    "only 1x1 single-component scans are supported"
+                )
+            # Malformed-but-parseable streams referencing undeclared
+            # tables get the uniform ValueError contract, not a bare
+            # KeyError leaking out of decode_media.
+            for cid, _, _, tq in comp_spec:
+                dct, act = scan_tabs[cid]
+                if (0, dct) not in huff:
+                    raise ValueError(
+                        f"JPEG scan references undefined DC Huffman table {dct}"
+                    )
+                if (1, act) not in huff:
+                    raise ValueError(
+                        f"JPEG scan references undefined AC Huffman table {act}"
+                    )
+                if tq not in quant:
+                    raise ValueError(
+                        f"JPEG component references undefined quant table {tq}"
+                    )
             hmax = max(sh for _, sh, _, _ in comp_spec)
             vmax = max(sv for _, _, sv, _ in comp_spec)
             mcus_x = (width + 8 * hmax - 1) // (8 * hmax)

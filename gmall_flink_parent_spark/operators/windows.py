@@ -117,38 +117,50 @@ WHERE rnk <= 5
 """
 
 
-@register("topk_users_by_spend", oracle=TOPK_ORACLE, tags=("dws", "topk"))
-def topk_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 users per event type by exact decimal spend (two-pass top-k).
+def rank_topk_spend(spend: DataFrame, k: int = 5) -> DataFrame:
+    """Two-pass top-k rank over a (event_type, user_id, spend) frame.
 
-    Rank over an already-aggregated frame: the expensive shuffle touches
-    (type,user) aggregates — tiny relative to the fact table. Because
-    ``event_type`` has ~5 distinct values, a single window pass would
-    sort users-per-type rows on ≤5 tasks at 100 TB; instead a **partial
-    top-5 per (type, shuffle-partition)** prunes the frame to
-    ≤ 5×partitions rows before the per-type final rank — the global
-    top-5 is always a subset of the partial winners. Deterministic
-    ordering via (spend DESC, user_id).
+    Because ``event_type`` has ~5 distinct values, a single window pass
+    would sort users-per-type rows on ≤5 tasks at 100 TB; instead a
+    **partial top-k per (type, shuffle-partition)** prunes the frame to
+    ≤ k×partitions rows before the per-type final rank — the global
+    top-k is always a subset of the partial winners. Deterministic
+    ordering via (spend DESC, user_id). Shared by the batch query and
+    the streaming job's final pass (``streaming/jobs.py``), so both
+    rank with one definition.
     """
-    events = load_table(spark, sf_dir, "events")
-    spend = events.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
-    )
     w_partial = Window.partitionBy("event_type", "pid").orderBy(
         F.col("spend").desc(), "user_id"
     )
     pruned = (
         spend.withColumn("pid", F.spark_partition_id())
         .withColumn("prnk", F.row_number().over(w_partial))
-        .filter(F.col("prnk") <= 5)
+        .filter(F.col("prnk") <= k)
         .drop("pid", "prnk")
     )
     w = Window.partitionBy("event_type").orderBy(F.col("spend").desc(), "user_id")
     return (
         pruned.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= k)
         .select("event_type", "user_id", F.col("spend").cast("double").alias("spend"), "rnk")
     )
+
+
+@register("topk_users_by_spend", oracle=TOPK_ORACLE, tags=("dws", "topk"))
+def topk_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per event type by exact decimal spend (two-pass top-k).
+
+    Rank over an already-aggregated frame: the expensive shuffle touches
+    (type,user) aggregates — tiny relative to the fact table. Streaming
+    twin: ``streaming/jobs.py::topk_spend_job`` accumulates the same
+    (type, user) decimal partials incrementally and ranks with the same
+    ``rank_topk_spend`` pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    spend = events.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
+    )
+    return rank_topk_spend(spend)
 
 
 ROLLUP_ORACLE = """

@@ -328,6 +328,110 @@ def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     )
 
 
+def topk_spend_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Streaming twin of batch ``topk_users_by_spend`` (DWS surface).
+
+    Top-k is not an append-mode streaming aggregate (ranks churn as
+    spend accumulates), so the incremental form is the partial-agg +
+    final-pass split the DWS layer uses everywhere: each micro-batch
+    reduces to per-(event_type, user_id) **decimal partial spends** —
+    compact (#active users × #types rows, independent of fact volume) —
+    landing in an idempotent ``batch_id=N`` partition (replays overwrite,
+    so the store never double-counts; same pattern as
+    ``minhash_dedup_job``'s pair sink). ``topk_spend_from_store`` merges
+    the partials (decimal sum is associative — exact parity with batch)
+    and ranks with the SAME ``rank_topk_spend`` pass the batch query
+    uses. At 100 TB the stream pays one map-side-combined shuffle per
+    batch; the rank reads only the compact store.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch.groupBy("event_type", "user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
+        ).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/topk_spend")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def topk_spend_from_store(spark: SparkSession, store_path: str, k: int = 5) -> DataFrame:
+    """Final pass over ``topk_spend_job``'s partial store: merge the
+    per-batch decimal partials, then the shared two-pass rank."""
+    from gmall_flink_parent_spark.operators.windows import rank_topk_spend
+
+    spend = (
+        spark.read.parquet(store_path)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("spend").alias("spend"))
+    )
+    return rank_topk_spend(spend, k)
+
+
+def revenue_rollup_job(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of batch ``revenue_rollup`` (DWS surface).
+
+    Stream-static enrichment + partial aggregation: each micro-batch of
+    orders broadcast-joins the static dims (J2's pattern applied to a
+    stream — dims re-resolve per batch, so a dim refresh is picked up at
+    the next trigger like W9), reduces to per-(region, nation) decimal
+    revenue/count partials — the FINEST grouping set — and lands in an
+    idempotent ``batch_id=N`` partition. ``revenue_rollup_from_store``
+    re-aggregates the partials under ``ROLLUP``: every coarser grouping
+    set (region totals, grand total) is a sum over the finest partials,
+    so the rollup over the store equals the rollup over the raw stream
+    (decimal sums associate; counts sum). The store stays
+    #regions×#nations×#batches rows — trivial at any scale.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        joined = (
+            batch.join(F.broadcast(customer), batch.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .select(
+                F.col("r_name").alias("region_name"),
+                F.col("n_name").alias("nation_name"),
+                F.col("o_totalprice"),
+            )
+        )
+        joined.groupBy("region_name", "nation_name").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_part"),
+            F.count(F.lit(1)).alias("n_orders_part"),
+        ).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        orders.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/revenue_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def revenue_rollup_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``revenue_rollup_job``'s partial store: ROLLUP of
+    the finest-grain partials — schema-identical to batch
+    ``revenue_rollup``."""
+    return (
+        spark.read.parquet(store_path)
+        .rollup("region_name", "nation_name")
+        .agg(
+            F.sum("revenue_part").cast("double").alias("total_revenue"),
+            F.sum("n_orders_part").alias("n_orders"),
+        )
+    )
+
+
 def minhash_dedup_job(
     docs: DataFrame, store_path: str, pairs_path: str, checkpoint_dir: str
 ):

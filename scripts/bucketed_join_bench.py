@@ -42,6 +42,7 @@ def main() -> None:
     reps = 3
     spark = get_spark("bucketed-join-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     tmp = tempfile.mkdtemp(prefix="bucketbench_")
     orders = load_table(spark, SF_DIR, "orders")
@@ -81,7 +82,7 @@ def main() -> None:
         out["rows"] = counts.pop()
         print(json.dumps(out))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
         for name in ("bb_orders", "bb_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(tmp, ignore_errors=True)

@@ -952,6 +952,107 @@ def test_jpeg_restart_intervals():
         decode_jpeg(lying)
 
 
+def test_jpeg_422_hand_built_stream():
+    """4:2:2 decode, pinned ENCODER-INDEPENDENTLY: the in-repo encoder
+    only emits 4:4:4/4:2:0, so the sh=2/sv=1 branch of the generalized
+    MCU loop is exercised with a hand-assembled stream (same style as
+    the hand-built block in test_jpeg_codec_kernels). One 16×8 MCU:
+    Y blocks DC 24 then DC 40 (flat 134 / 138 after dequant+IDCT+shift),
+    neutral chroma (DC 0 → 128), so RGB equals luma exactly — left half
+    134, right half 138, every channel."""
+    import struct
+
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import decode_jpeg
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12  # size symbols 0..11, all 4-bit
+    dc_vals = list(range(12))  # canonical => symbol k gets code k
+    ac_bits = [0, 0, 1] + [0] * 13  # one 3-bit code: EOB
+    ac_vals = [0x00]
+    # Y1: DC size 5 (0101) + amp 24 (11000) + EOB (000)
+    # Y2: DC size 5 (0101) + amp 16 (10000) + EOB (000)  [diff 40-24]
+    # Cb: DC size 0 (0000) + EOB (000);  Cr: same
+    # = 38 bits + 2 pad-ones -> 0x5C 0x05 0x80 0x00 0x03
+    scan = bytes([0x5C, 0x05, 0x80, 0x00, 0x03])
+    sof = struct.pack(">BHHB", 8, 8, 16, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]  # Y at sh=2 sv=1: 4:2:2
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    stream = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([2] * 64))
+        + seg(0xC0, sof)
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+    w, h, nc, px = decode_jpeg(stream)
+    assert (w, h, nc) == (16, 8, 3)
+    out = np.frombuffer(px, np.uint8).reshape(8, 16, 3)
+    assert (out[:, :8, :] == 134).all()  # left Y block, neutral chroma
+    assert (out[:, 8:, :] == 138).all()  # right Y block
+
+    # --- scan-shape validation (the 'refuse loudly' contract) ---
+    def swap(body_sos):
+        return (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([2] * 64))
+            + seg(0xC0, sof)
+            + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+            + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+            + seg(0xDA, body_sos)
+            + scan
+            + b"\xff\xd9"
+        )
+
+    # multi-scan baseline (ns < nc) is not implemented, not mis-decoded
+    with pytest.raises(NotImplementedError, match="interleaved"):
+        decode_jpeg(swap(bytes([1, 1, 0x00, 0, 63, 0])))
+    # SOS order differing from SOF order is malformed per T.81 B.2.3
+    with pytest.raises(ValueError, match="component order"):
+        decode_jpeg(swap(bytes([3, 2, 0x00, 1, 0x00, 3, 0x00, 0, 63, 0])))
+    # undefined Huffman / quant table ids: uniform ValueError, no KeyError
+    with pytest.raises(ValueError, match="undefined AC Huffman table"):
+        decode_jpeg(swap(bytes([3, 1, 0x01, 2, 0x01, 3, 0x01, 0, 63, 0])))
+    with pytest.raises(ValueError, match="undefined DC Huffman table"):
+        decode_jpeg(swap(bytes([3, 1, 0x10, 2, 0x10, 3, 0x10, 0, 63, 0])))
+    bad_q_sof = struct.pack(">BHHB", 8, 8, 16, 3) + bytes(
+        [1, 0x21, 1, 2, 0x11, 1, 3, 0x11, 1]  # quant table 1 never declared
+    )
+    bad_q = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([2] * 64))
+        + seg(0xC0, bad_q_sof)
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="undefined quant table"):
+        decode_jpeg(bad_q)
+    # single-component scan whose SOF declares sampling > 1 is
+    # non-interleaved (T.81 A.2) — refuse, don't decode as interleaved
+    one_comp = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([2] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x21, 0]))
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(one_comp)
+
+
 def test_day_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     """The DEPLOY.md storage claim, demonstrated: events written
     day-partitioned serve a single-day query from ONE partition — the

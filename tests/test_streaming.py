@@ -676,6 +676,100 @@ def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def _two_file_stream(spark, tmp_path, df, split_col, schema, subdir="in"):
+    """Split ``df`` at the median of ``split_col`` into two parquet files
+    with ordered mtimes and return a maxFilesPerTrigger=1 file stream —
+    the repo's standard two-micro-batch harness."""
+    import os
+    import time
+
+    median = df.approxQuantile(split_col, [0.5], 0.0)[0]
+    (tmp_path / subdir).mkdir(exist_ok=True)
+    for half, fname, off in (
+        (df.filter(F.col(split_col) <= median), "f1.parquet", 0),
+        (df.filter(F.col(split_col) > median), "f2.parquet", 5),
+    ):
+        path = str(tmp_path / subdir / fname)
+        half.toPandas().to_parquet(path)
+        t = time.time() + off
+        os.utime(path, (t, t))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / subdir))
+    )
+
+
+def test_topk_spend_job_matches_batch(spark, sf_dir, tmp_path):
+    """DWS streaming twin: per-batch (type, user) decimal partials +
+    the shared rank pass must equal batch ``topk_users_by_spend``
+    exactly — spends, users, AND ranks."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        topk_spend_from_store,
+        topk_spend_job,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, user_id long, event_type string, value double",
+    )
+    q = topk_spend_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = ["event_type", "user_id", "spend", "rnk"]
+    got = _rows(topk_spend_from_store(spark, str(tmp_path / "store")), cols)
+    want = _rows(plans.query_map()["topk_users_by_spend"](spark, sf_dir), cols)
+    assert got == want and len(want) > 0
+
+
+def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
+    """DWS streaming twin: finest-grain (region, nation) partials per
+    batch, ROLLUP over the store — every grouping set (pairs, region
+    totals, grand total) must equal batch ``revenue_rollup`` exactly."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        revenue_rollup_from_store,
+        revenue_rollup_job,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, orders, "o_orderkey",
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    q = revenue_rollup_job(
+        stream,
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = ["region_name", "nation_name", "total_revenue", "n_orders"]
+    # rollup rows carry NULL group keys — compare as sets, not sorted lists
+    got = {
+        tuple(r[c] for c in cols)
+        for r in revenue_rollup_from_store(spark, str(tmp_path / "store")).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in plans.query_map()["revenue_rollup"](spark, sf_dir).collect()
+    }
+    assert got == want and (None, None) in {(a, b) for a, b, _, _ in want}
+
+
 def test_dedup_minhash_incremental_matches_batch(spark, sf_dir):
     """Any batch split of the corpus must yield exactly the full-batch
     LSH pairs: each pair is emitted once, in the batch where its later
