@@ -36,14 +36,16 @@ FROM (
 """
 
 
-@register("uv_dedup", oracle=UV_DEDUP_ORACLE, tags=("W2", "W6"))
-def uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First visit per (user, day) — UniqueVisitApp.java:83-93 semantics.
+def uv_dedup_frame(events: DataFrame) -> DataFrame:
+    """First visit per (user, day) over any events-shaped frame.
 
+    Frame-level core of ``uv_dedup`` so layered pipelines can compose it
+    on intermediate streams (e.g. the DWD page branch feeding the DWM UV
+    stage — the reference's topic-per-layer chain,
+    ``UniqueVisitApp.java:45-50`` consuming ``dwd_page_log``).
     ``event_id`` breaks ts ties so the kept row is deterministic (the
     reference relies on arrival order, which has no batch meaning).
     """
-    events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -55,6 +57,12 @@ def uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+@register("uv_dedup", oracle=UV_DEDUP_ORACLE, tags=("W2", "W6"))
+def uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First visit per (user, day) — UniqueVisitApp.java:83-93 semantics."""
+    return uv_dedup_frame(load_table(spark, sf_dir, "events"))
 
 
 DAU_ORACLE = """

@@ -952,6 +952,70 @@ def test_jpeg_restart_intervals():
         decode_jpeg(lying)
 
 
+def test_pil_adapter_seam_routes_compressed_image_mimes(monkeypatch):
+    """The Pillow seam contract (``multimodal._pil_pixels``), pinned with
+    a FAKED ``PIL`` module (same pattern as the faked-Delta MERGE
+    dispatch test): with PIL importable, an image mime the in-repo
+    kernels don't cover (webp) routes through open-from-bytes →
+    mode-convert → size/tobytes and lands in the shared
+    ``_pixel_stats`` contract; without PIL the honest
+    NotImplementedError stands. A real Pillow dropped into the
+    environment therefore meets a tested surface."""
+    import sys
+    import types
+
+    from gmall_flink_parent_spark.functions.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    px = bytes(range(24))  # 4x2 RGB
+
+    class FakeRGB:
+        mode = "RGB"
+        size = (4, 2)
+
+        def tobytes(self):
+            return px
+
+    class FakePalette:
+        mode = "P"  # forces the convert("RGB") branch
+        size = (4, 2)
+
+        def __init__(self, fp):
+            self.raw = fp.read()
+
+        def convert(self, target):
+            assert target == "RGB"
+            assert self.raw == b"RIFFfakeWEBP"  # open() got the payload bytes
+            return FakeRGB()
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = FakePalette
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    feats = decode_media(b"RIFFfakeWEBP", "image/webp")
+    assert feats == {
+        "n_units": 8,
+        "first_unit": px[0],
+        "unit_sum_mod": sum(px) % 997,
+    }
+    # frame sampling slices the PIL-decoded content region
+    assert b"".join(sample_frames(b"RIFFfakeWEBP", "image/webp")) == px
+    # audio/video stay at the libav seam — PIL must NOT be consulted
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x20ftypmp42", "video/mp4")
+
+    # and with PIL genuinely absent the image seam refuses loudly
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFFfakeWEBP", "image/webp")
+
+
 def test_jpeg_422_hand_built_stream():
     """4:2:2 decode, pinned ENCODER-INDEPENDENTLY: the in-repo encoder
     only emits 4:4:4/4:2:0, so the sh=2/sv=1 branch of the generalized

@@ -80,6 +80,56 @@ def test_bounce_stream_matches_batch_up_to_watermark(spark, sf_dir):
     assert got <= {(e, u) for e, u, _ in want_all}, "stream emitted non-bounces"
 
 
+def test_bounce_stream_full_parity_with_epilogue(spark, sf_dir, tmp_path):
+    """FULL equality with batch ``bounce_detect`` — including each key's
+    last events, which only the timeout branch can emit
+    (``UserJumpDetailApp.java:134-159`` fires for those too). The
+    epilogue is two far-future sentinel batches for an unused key: the
+    first advances the watermark past every open window (the
+    availableNow analog of stream end), the second gives the fired
+    timers a batch to run in. No watermark truncation in the assert."""
+    import os
+    import time
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    (tmp_path / "in").mkdir()
+    pdf.to_parquet(str(tmp_path / "in" / "f1.parquet"))
+    max_ts = pdf["ts"].max()
+    for i, days in enumerate((30, 60)):
+        sent = pd.DataFrame(
+            {
+                "event_id": [10_000_000 + i],
+                "ts": [(max_ts + pd.Timedelta(days=days))],
+                "user_id": [-1],
+            }
+        )
+        sent["ts"] = sent["ts"].astype("datetime64[us]")
+        path = str(tmp_path / "in" / f"f{i + 2}.parquet")
+        sent.to_parquet(path)
+        t = time.time() + 5 * (i + 1)
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    out = _run_to_memory(
+        stateful.bounce_detect_stream(stream), spark, "bounce_full_out"
+    )
+    cols = ["event_id", "user_id", "ts"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in out.filter(F.col("user_id") != -1).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in plans.query_map()["bounce_detect"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_bounce_reference_fixture(spark, tmp_path):
     """The reference's 4-event fixture: mid 101's landing has no next
     event within the window (bounce); mid 102's does (no bounce)."""
@@ -962,6 +1012,197 @@ def test_events_stream_parity_across_fixture_physical_types(
     assert got == want
     # and the absolute values are right — not shifted to 1970
     assert all(ts.year == 2024 for _, ts, _ in got)
+
+
+def _crash_recovery_harness(spark, tmp_path, df, split_col, schema, run_job, partial_rows):
+    """W7 under FAILURE, not just replay: run a batch_id-partitioned
+    foreachBatch job on file 1 only (batch 0 commits), then simulate a
+    crash that happened mid-way through batch 1 — the sink's
+    ``batch_id=1`` partition holds a PARTIAL write but the checkpoint
+    never committed the batch. Restart with file 2 present: recovery
+    must replay batch 1 and the idempotent overwrite must replace the
+    partial partition — no duplicated, no lost rows. Returns the sink
+    path for the caller's parity assert."""
+    import os
+    import time
+
+    median = df.approxQuantile(split_col, [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def land(fname, cond, off):
+        path = str(tmp_path / "in" / fname)
+        df.filter(cond).toPandas().to_parquet(path)
+        t = time.time() + off
+        os.utime(path, (t, t))
+
+    land("f1.parquet", F.col(split_col) <= median, 0)
+    run_job(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "in")), out, ck
+    ).awaitTermination(120)
+    # crash leftovers: a partial batch-1 partition the checkpoint knows
+    # nothing about (crash after some sink files landed, before commit)
+    partial_rows.write.mode("overwrite").parquet(f"{out}/batch_id=1")
+    land("f2.parquet", F.col(split_col) > median, 5)
+    run_job(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "in")), out, ck
+    ).awaitTermination(120)
+    return out
+
+
+def test_media_features_job_recovers_from_crash_between_batches(
+    spark, sf_dir, tmp_path
+):
+    """Kill-between-batches recovery for the media ingestion job: the
+    replayed batch 1 must REPLACE the partial crash-time partition —
+    final feature store equals the batch analog exactly."""
+    from gmall_flink_parent_spark.streaming.jobs import media_features_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the partial write: a half-decoded slice with poisoned values — if
+    # recovery appends instead of replacing, parity below catches it
+    partial = spark.createDataFrame(
+        [(int(-1), "image/bmp", 0, 0, 0)],
+        "doc_id long, mime string, n_units long, first_unit long, unit_sum_mod long",
+    )
+    out = _crash_recovery_harness(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string",
+        media_features_job, partial,
+    )
+    feat = spark.read.parquet(out)
+    got = {
+        r["doc_id"]: (r["n_units"], r["first_unit"], r["unit_sum_mod"])
+        for r in feat.collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_units"], r["first_unit"], r["unit_sum_mod"])
+        for r in plans.query_map()["multimodal_meta_features"](spark, sf_dir).collect()
+    }
+    assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
+    assert feat.count() == docs.count()
+    assert sorted(
+        r["batch_id"] for r in feat.select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+
+def test_ann_index_job_recovers_from_crash_between_batches(spark, sf_dir, tmp_path):
+    """Kill-between-batches recovery for the IVF index ingestion job:
+    replayed batch 1 replaces the partial cell partition — accumulated
+    cells equal the one-shot assignment exactly."""
+    from gmall_flink_parent_spark.functions.similarity import (
+        ivf_assign_incremental,
+        ivf_centroids,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import ann_index_job
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf_centroids(spark, sf_dir).write.parquet(str(tmp_path / "centroids"))
+    partial = spark.createDataFrame(
+        [(int(-1), 0, 0.0)], "vec_id long, cell int, dist float"
+    )
+    out = _crash_recovery_harness(
+        spark, tmp_path, emb, "vec_id", "vec_id long, embedding array<float>",
+        lambda stream, o, ck: ann_index_job(stream, str(tmp_path / "centroids"), o, ck),
+        partial,
+    )
+    cells = spark.read.parquet(out)
+    cols = ["vec_id", "cell", "dist"]
+    got = {tuple(r[c] for c in cols) for r in cells.collect()}
+    cents = spark.read.parquet(str(tmp_path / "centroids"))
+    want = {tuple(r) for r in ivf_assign_incremental(emb, cents).collect()}
+    assert got == want  # the poisoned vec_id=-1 partial row must be gone
+    assert sorted(
+        r["batch_id"] for r in cells.select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+
+def test_chained_layered_pipeline_with_restart(spark, sf_dir, tmp_path):
+    """The reference's defining layered topology — ODS→DWD→DWM→DWS as
+    one connected pipeline over Kafka topics (``OrderWideApp.java:35-45``,
+    topic-per-layer at ``BaseLogTask.java:32-34,47``) — run END TO END
+    with file handoff as the Kafka analog, across two micro-batches with
+    a RESTART of every stage between them:
+
+        raw events (ODS) → log_split_job (DWD page branch)
+          → uv_dedup_stream (DWM) → DAU aggregate (DWS)
+
+    The chained streaming output must equal composing the batch queries
+    (page filter → uv_dedup → dau) on the same input — both the DWM UV
+    rows and the DWS daily-active counts. The input is split at the ts
+    median so replayed order respects event time per key (the in-order
+    Kafka-replay contract the reference also assumes)."""
+    import os
+
+    from gmall_flink_parent_spark.operators.uv_dedup import uv_dedup_frame
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = load_table(spark, sf_dir, "events")
+    m = events.selectExpr("percentile_approx(unix_micros(ts), 0.5) AS m").collect()[0]["m"]
+    ods = tmp_path / "ods"
+    ods.mkdir()
+
+    def land(fname, cond):
+        pdf = events.filter(cond).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(ods / fname))
+
+    def run_stage1():
+        q = log_split_job(
+            spark.readStream.schema(schema).parquet(str(ods)),
+            str(tmp_path / "dwd"),
+            str(tmp_path / "ck1"),
+        )
+        q.awaitTermination(120)
+
+    def run_stage2():
+        page_stream = spark.readStream.schema(schema).parquet(
+            str(tmp_path / "dwd" / "dwd_page_log")
+        )
+        q = (
+            stateful.uv_dedup_stream(page_stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "dwm_uv"))
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # --- micro-batch 1: first half of the stream flows down the chain
+    land("f1.parquet", F.unix_micros("ts") <= m)
+    run_stage1()
+    run_stage2()
+    # --- RESTART: second half arrives, every stage resumes from its
+    # checkpoint (keyed UV state included) and processes only the delta
+    land("f2.parquet", F.unix_micros("ts") > m)
+    run_stage1()
+    run_stage2()
+
+    # both stages really ran ≥2 committed micro-batches across the restart
+    assert len(os.listdir(tmp_path / "ck1" / "log_split" / "commits")) >= 2
+    assert len(os.listdir(tmp_path / "ck2" / "commits")) >= 2
+
+    # DWM parity: chained streaming UV rows == batch composition
+    page_batch = events.filter(F.col("event_type").isin("view", "click"))
+    uv_batch = uv_dedup_frame(page_batch)
+    uv_stream = spark.read.parquet(str(tmp_path / "dwm_uv"))
+    cols = ["user_id", "visit_ymd", "first_event_id", "first_ts"]
+    assert _rows(uv_stream, cols) == _rows(uv_batch, cols)
+
+    # DWS parity: DAU over the chained stream == DAU over the composition
+    dau_cols = ["visit_ymd", "dau"]
+    dau_stream = uv_stream.groupBy("visit_ymd").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    dau_batch = uv_batch.groupBy("visit_ymd").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    got, want = _rows(dau_stream, dau_cols), _rows(dau_batch, dau_cols)
+    assert got == want and len(want) > 0
 
 
 def test_media_features_job_matches_batch(spark, sf_dir, tmp_path):
