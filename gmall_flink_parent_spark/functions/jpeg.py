@@ -268,17 +268,22 @@ def encode_jpeg(
     *,
     channels: int = 3,
     quant: np.ndarray | None = None,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
-    """A spec-valid baseline JFIF file: grayscale, 4:4:4 RGB, or — with
-    ``subsample=True`` — 4:2:0 RGB (Y at 2×2 sampling, chroma averaged
-    over 2×2 pixel groups: the layout most real-world JPEGs use). 8-bit,
-    own canonical Huffman tables, ``quant`` in zigzag order (default
-    all-ones — near-lossless on luma; 4:2:0 chroma loss is structural)."""
+    """A spec-valid baseline JFIF file: grayscale, 4:4:4 RGB, or
+    chroma-subsampled RGB — ``subsample="420"`` (or ``True``; chroma
+    averaged over 2×2 pixel groups: the layout most real-world JPEGs
+    use) / ``subsample="422"`` (chroma averaged over horizontal pairs:
+    the broadcast-video layout). 8-bit, own canonical Huffman tables,
+    ``quant`` in zigzag order (default all-ones — near-lossless on
+    luma; subsampled chroma loss is structural)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
-    if subsample and channels != 3:
+    samp_mode = {False: None, True: "420", "420": "420", "422": "422"}.get(subsample, -1)
+    if samp_mode == -1:
+        raise ValueError("subsample must be False, True, '420', or '422'")
+    if samp_mode and channels != 3:
         raise ValueError("subsampling applies to 3-channel RGB only")
     q = FLAT_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
@@ -310,7 +315,7 @@ def encode_jpeg(
             rst_idx += 1
             pred[:] = [0] * channels
 
-    if not subsample:
+    if samp_mode is None:
         # 1x1 sampling: MCU = one block per component
         ph = (height + 7) // 8 * 8
         pw = (width + 7) // 8 * 8
@@ -324,7 +329,7 @@ def encode_jpeg(
                     )
                 after_mcu(total)
         samp = [0x11] * channels
-    else:
+    elif samp_mode == "420":
         # 4:2:0: MCU = 16×16 px — 4 luma blocks + 1 Cb + 1 Cr at half res
         ph = (height + 15) // 16 * 16
         pw = (width + 15) // 16 * 16
@@ -350,6 +355,32 @@ def encode_jpeg(
                     )
                 after_mcu(total)
         samp = [0x22, 0x11, 0x11]
+    else:
+        # 4:2:2: MCU = 16×8 px — 2 luma blocks + 1 Cb + 1 Cr at half
+        # HORIZONTAL resolution (full vertical)
+        ph = (height + 7) // 8 * 8
+        pw = (width + 15) // 16 * 16
+        p = np.pad(planes, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge")
+        luma = p[..., 0]
+        # chroma: mean over each horizontal 1×2 pixel pair
+        chroma = p[..., 1:].reshape(ph, pw // 2, 2, 2).mean(axis=2)
+        total = (ph // 8) * (pw // 16)
+        for my in range(0, ph, 8):
+            for mx in range(0, pw, 16):
+                for hh in range(2):
+                    _encode_block(
+                        w,
+                        luma[my : my + 8, mx + 8 * hh : mx + 8 * hh + 8],
+                        qmat, dc_codes, ac_codes, pred, 0,
+                    )
+                for c in (0, 1):
+                    _encode_block(
+                        w,
+                        chroma[my : my + 8, mx // 2 : mx // 2 + 8, c],
+                        qmat, dc_codes, ac_codes, pred, c + 1,
+                    )
+                after_mcu(total)
+        samp = [0x21, 0x11, 0x11]
     scan = w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI

@@ -328,33 +328,47 @@ def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     )
 
 
+def _partial_store_job(stream: DataFrame, partials_fn, store_path: str, checkpoint: str):
+    """The shared DWS incremental shape: reduce each micro-batch to a
+    COMPACT partial-aggregate frame (size ∝ #groups, independent of
+    fact volume) and land it in an idempotent ``batch_id=N`` partition
+    — replays overwrite their own partition, so the store never
+    double-counts (same exactly-once pattern as ``minhash_dedup_job``'s
+    pair sink). A ``*_from_store`` final pass re-aggregates the partials
+    — exact, because decimal sums and counts are associative. At 100 TB
+    the stream pays one map-side-combined shuffle per batch; the final
+    pass reads only the compact store."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        partials_fn(batch).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def topk_spend_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     """Streaming twin of batch ``topk_users_by_spend`` (DWS surface).
 
     Top-k is not an append-mode streaming aggregate (ranks churn as
     spend accumulates), so the incremental form is the partial-agg +
-    final-pass split the DWS layer uses everywhere: each micro-batch
-    reduces to per-(event_type, user_id) **decimal partial spends** —
-    compact (#active users × #types rows, independent of fact volume) —
-    landing in an idempotent ``batch_id=N`` partition (replays overwrite,
-    so the store never double-counts; same pattern as
-    ``minhash_dedup_job``'s pair sink). ``topk_spend_from_store`` merges
-    the partials (decimal sum is associative — exact parity with batch)
-    and ranks with the SAME ``rank_topk_spend`` pass the batch query
-    uses. At 100 TB the stream pays one map-side-combined shuffle per
-    batch; the rank reads only the compact store.
+    final-pass split (``_partial_store_job``): per-(event_type, user_id)
+    decimal partial spends per batch; ``topk_spend_from_store`` merges
+    them and ranks with the SAME ``rank_topk_spend`` pass the batch
+    query uses.
     """
-
-    def process(batch: DataFrame, batch_id: int) -> None:
-        batch.groupBy("event_type", "user_id").agg(
+    return _partial_store_job(
+        events,
+        lambda batch: batch.groupBy("event_type", "user_id").agg(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
-        ).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
-
-    return (
-        events.writeStream.foreachBatch(process)
-        .option("checkpointLocation", f"{checkpoint_dir}/topk_spend")
-        .trigger(availableNow=True)
-        .start()
+        ),
+        store_path,
+        f"{checkpoint_dir}/topk_spend",
     )
 
 
@@ -381,20 +395,19 @@ def revenue_rollup_job(
 ):
     """Streaming twin of batch ``revenue_rollup`` (DWS surface).
 
-    Stream-static enrichment + partial aggregation: each micro-batch of
-    orders broadcast-joins the static dims (J2's pattern applied to a
-    stream — dims re-resolve per batch, so a dim refresh is picked up at
-    the next trigger like W9), reduces to per-(region, nation) decimal
-    revenue/count partials — the FINEST grouping set — and lands in an
-    idempotent ``batch_id=N`` partition. ``revenue_rollup_from_store``
-    re-aggregates the partials under ``ROLLUP``: every coarser grouping
-    set (region totals, grand total) is a sum over the finest partials,
-    so the rollup over the store equals the rollup over the raw stream
-    (decimal sums associate; counts sum). The store stays
+    Stream-static enrichment + the ``_partial_store_job`` shape: each
+    micro-batch of orders broadcast-joins the static dims (J2's pattern
+    applied to a stream — dims re-resolve per batch, so a dim refresh
+    is picked up at the next trigger like W9) and reduces to
+    per-(region, nation) decimal revenue/count partials — the FINEST
+    grouping set. ``revenue_rollup_from_store`` re-aggregates under
+    ``ROLLUP``: every coarser grouping set (region totals, grand total)
+    is a sum over the finest partials, so the rollup over the store
+    equals the rollup over the raw stream. The store stays
     #regions×#nations×#batches rows — trivial at any scale.
     """
 
-    def process(batch: DataFrame, batch_id: int) -> None:
+    def partials(batch: DataFrame) -> DataFrame:
         joined = (
             batch.join(F.broadcast(customer), batch.o_custkey == customer.c_custkey)
             .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -405,16 +418,13 @@ def revenue_rollup_job(
                 F.col("o_totalprice"),
             )
         )
-        joined.groupBy("region_name", "nation_name").agg(
+        return joined.groupBy("region_name", "nation_name").agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_part"),
             F.count(F.lit(1)).alias("n_orders_part"),
-        ).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+        )
 
-    return (
-        orders.writeStream.foreachBatch(process)
-        .option("checkpointLocation", f"{checkpoint_dir}/revenue_rollup")
-        .trigger(availableNow=True)
-        .start()
+    return _partial_store_job(
+        orders, partials, store_path, f"{checkpoint_dir}/revenue_rollup"
     )
 
 
@@ -426,6 +436,50 @@ def revenue_rollup_from_store(spark: SparkSession, store_path: str) -> DataFrame
         spark.read.parquet(store_path)
         .rollup("region_name", "nation_name")
         .agg(
+            F.sum("revenue_part").cast("double").alias("total_revenue"),
+            F.sum("n_orders_part").alias("n_orders"),
+        )
+    )
+
+
+def revenue_cube_job(
+    orders: DataFrame, customer: DataFrame, store_path: str, checkpoint_dir: str
+):
+    """Streaming twin of batch ``revenue_cube`` (DWS surface).
+
+    Same ``_partial_store_job`` shape as the rollup twin: partials at
+    the finest (mktsegment, orderpriority) grain per batch; all four
+    CUBE grouping sets come out of ``revenue_cube_from_store``'s one
+    Expand pass over the compact store, ``grouping_id`` included.
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        joined = batch.join(
+            F.broadcast(customer), batch.o_custkey == customer.c_custkey
+        ).select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "o_totalprice",
+        )
+        return joined.groupBy("mktsegment", "orderpriority").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_part"),
+            F.count(F.lit(1)).alias("n_orders_part"),
+        )
+
+    return _partial_store_job(
+        orders, partials, store_path, f"{checkpoint_dir}/revenue_cube"
+    )
+
+
+def revenue_cube_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``revenue_cube_job``'s partial store: CUBE of
+    the finest-grain partials with ``grouping_id`` — schema-identical
+    to batch ``revenue_cube``."""
+    return (
+        spark.read.parquet(store_path)
+        .cube("mktsegment", "orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
             F.sum("revenue_part").cast("double").alias("total_revenue"),
             F.sum("n_orders_part").alias("n_orders"),
         )

@@ -1017,10 +1017,12 @@ def test_pil_adapter_seam_routes_compressed_image_mimes(monkeypatch):
 
 
 def test_jpeg_422_hand_built_stream():
-    """4:2:2 decode, pinned ENCODER-INDEPENDENTLY: the in-repo encoder
-    only emits 4:4:4/4:2:0, so the sh=2/sv=1 branch of the generalized
-    MCU loop is exercised with a hand-assembled stream (same style as
-    the hand-built block in test_jpeg_codec_kernels). One 16×8 MCU:
+    """4:2:2 decode, pinned ENCODER-INDEPENDENTLY with a hand-assembled
+    stream (same style as the hand-built block in
+    test_jpeg_codec_kernels) so the sh=2/sv=1 branch of the generalized
+    MCU loop is verified without trusting the encoder's own 4:2:2 path
+    (round-tripped separately in test_jpeg_422_encoder_roundtrip).
+    One 16×8 MCU:
     Y blocks DC 24 then DC 40 (flat 134 / 138 after dequant+IDCT+shift),
     neutral chroma (DC 0 → 128), so RGB equals luma exactly — left half
     134, right half 138, every channel."""
@@ -1115,6 +1117,64 @@ def test_jpeg_422_hand_built_stream():
     )
     with pytest.raises(NotImplementedError, match="non-interleaved"):
         decode_jpeg(one_comp)
+
+
+def test_jpeg_422_encoder_roundtrip():
+    """Encoder 4:2:2 emission (``subsample="422"``): gray-content RGB
+    has constant chroma so horizontal-pair averaging loses nothing
+    beyond DCT rounding; odd geometry crops back exactly; restart
+    framing composes; ``True`` stays an alias for "420"."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(21)
+    gray_rgb = np.repeat(
+        rng.randint(0, 256, size=(16, 32, 1), dtype=np.uint8), 3, axis=2
+    ).tobytes()
+    j = encode_jpeg(gray_rgb, 32, 16, channels=3, subsample="422")
+    # SOF declares Y at 2x1 sampling
+    sof_at = j.find(b"\xff\xc0")
+    assert j[sof_at + 11] == 0x21
+    w, h, nc, out = decode_jpeg(j)
+    assert (w, h, nc) == (32, 16, 3)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(gray_rgb, np.uint8).astype(int)
+    )
+    assert diff.max() <= 4
+
+    # colorful smooth content bounded in the mean (chroma pooling is lossy)
+    grad = np.zeros((16, 32, 3), np.uint8)
+    for y in range(16):
+        for x in range(32):
+            grad[y, x] = (x * 8 % 256, y * 8 % 256, (x + y) * 4 % 256)
+    _, _, _, out = decode_jpeg(
+        encode_jpeg(grad.tobytes(), 32, 16, channels=3, subsample="422")
+    )
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(grad.tobytes(), np.uint8).astype(int)
+    )
+    assert diff.mean() <= 8
+
+    # odd geometry: padded 16x8 MCU grid must crop back exactly
+    odd = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8).tobytes()
+    w, h, nc, out = decode_jpeg(encode_jpeg(odd, 11, 13, channels=3, subsample="422"))
+    assert (w, h, nc) == (11, 13, 3) and len(out) == 11 * 13 * 3
+
+    # restart intervals compose with 4:2:2 framing
+    w, h, nc, _ = decode_jpeg(
+        encode_jpeg(gray_rgb, 32, 16, channels=3, subsample="422", restart_interval=2)
+    )
+    assert (w, h, nc) == (32, 16, 3)
+
+    # back-compat: True is an alias for "420", byte for byte
+    assert encode_jpeg(gray_rgb, 32, 16, channels=3, subsample=True) == encode_jpeg(
+        gray_rgb, 32, 16, channels=3, subsample="420"
+    )
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(gray_rgb, 32, 16, channels=3, subsample="411")
 
 
 def test_day_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):

@@ -820,6 +820,41 @@ def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and (None, None) in {(a, b) for a, b, _, _ in want}
 
 
+def test_revenue_cube_job_matches_batch(spark, sf_dir, tmp_path):
+    """DWS streaming twin: all four CUBE grouping sets (pairs, each
+    single-dim total, grand total) from the partial store must equal
+    batch ``revenue_cube`` exactly, grouping_id included."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        revenue_cube_from_store,
+        revenue_cube_job,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, orders, "o_orderkey",
+        "o_orderkey long, o_custkey long, o_orderpriority string, o_totalprice double",
+    )
+    q = revenue_cube_job(
+        stream,
+        load_table(spark, sf_dir, "customer"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    cols = ["mktsegment", "orderpriority", "gid", "total_revenue", "n_orders"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in revenue_cube_from_store(spark, str(tmp_path / "store")).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in plans.query_map()["revenue_cube"](spark, sf_dir).collect()
+    }
+    assert got == want and {g for _, _, g, _, _ in want} == {0, 1, 2, 3}
+
+
 def test_dedup_minhash_incremental_matches_batch(spark, sf_dir):
     """Any batch split of the corpus must yield exactly the full-batch
     LSH pairs: each pair is emitted once, in the batch where its later
