@@ -109,7 +109,14 @@ def main() -> None:
     # label the artifact so a stalled run is distinguishable without
     # re-running (SCALE.md "host stall" section).
     ordered = sorted(spreads.values())
-    median_spread = ordered[len(ordered) // 2] if ordered else 1.0
+    if not ordered:
+        median_spread = 1.0
+    elif len(ordered) % 2:
+        median_spread = ordered[len(ordered) // 2]
+    else:  # even count: true median, not the upper-middle element
+        median_spread = round(
+            (ordered[len(ordered) // 2 - 1] + ordered[len(ordered) // 2]) / 2, 2
+        )
     stall_suspect = reps >= 2 and median_spread > 2.0
 
     total = round(sum(timings.values()), 3)

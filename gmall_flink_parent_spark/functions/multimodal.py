@@ -321,25 +321,30 @@ def _pil_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
     """Adapter seam for compressed image codecs the in-repo kernels
     don't cover (WebP / GIF / TIFF / progressive JPEG): when Pillow is
     importable it supplies (width, height, interleaved RGB-or-gray
-    bytes) — exactly the shape ``decode_jpeg`` returns — so
+    bytes) — ``decode_jpeg``'s shape minus the channel count — so
     ``decode_media`` and ``_content_region`` route through it with no
     other change; when absent the callers fall through to the honest
-    ``NotImplementedError``. The integration contract (open-from-bytes,
-    ``mode``/``convert``/``size``/``tobytes``) is pinned by a
-    faked-module test in ``tests/test_operators.py`` (same pattern as
-    the faked-Delta MERGE dispatch test), so a real Pillow dropped into
-    the environment meets a tested surface."""
+    ``NotImplementedError``. Malformed payloads surface as the module's
+    uniform ``ValueError``, never a raw PIL exception. The integration
+    contract (open-from-bytes, ``mode``/``convert``/``size``/
+    ``tobytes``) is pinned by a faked-module test in
+    ``tests/test_operators.py`` (same pattern as the faked-Delta MERGE
+    dispatch test), so a real Pillow dropped into the environment meets
+    a tested surface."""
     try:
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError:
         return None
     import io
 
-    img = Image.open(io.BytesIO(payload))
-    if img.mode not in ("L", "RGB"):
-        img = img.convert("RGB")
-    w, h = img.size
-    return w, h, img.tobytes()
+    try:
+        img = Image.open(io.BytesIO(payload))
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB")
+        w, h = img.size
+        return w, h, img.tobytes()
+    except (OSError, ValueError) as exc:  # UnidentifiedImageError is an OSError
+        raise ValueError(f"Pillow could not decode image payload: {exc}") from exc
 
 
 def decode_media(payload: bytes, mime: str) -> dict:
@@ -362,7 +367,15 @@ def decode_media(payload: bytes, mime: str) -> dict:
     elif mime == "image/jpeg":
         from gmall_flink_parent_spark.functions.jpeg import decode_jpeg
 
-        w, h, _nc, px = decode_jpeg(payload)
+        try:
+            w, h, _nc, px = decode_jpeg(payload)
+        except NotImplementedError:
+            # progressive/12-bit variants the baseline kernel refuses:
+            # the Pillow adapter covers them when installed
+            decoded = _pil_pixels(payload)
+            if decoded is None:
+                raise
+            w, h, px = decoded
         n, first, sm = _pixel_stats(w, h, px)
     elif mime == "audio/wav":
         n, first, sm = _decode_wav(payload)
@@ -635,7 +648,13 @@ def _content_region(payload: bytes, mime: str) -> bytes:
     if mime == "image/jpeg":
         from gmall_flink_parent_spark.functions.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)[3]
+        try:
+            return decode_jpeg(payload)[3]
+        except NotImplementedError:
+            decoded = _pil_pixels(payload)  # progressive etc. via Pillow
+            if decoded is None:
+                raise
+            return decoded[2]
     if mime == "image/bmp":
         if payload[:2] != b"BM":
             raise ValueError("not a BMP: bad magic")

@@ -54,10 +54,9 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows arithmetically (first n mod 4 buckets get ⌈n/4⌉ rows) — no
     per-type sort task ever sees more than one range partition.
     """
-    events = load_table(spark, sf_dir, "events")
-    spend = events.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
-    )
+    from gmall_flink_parent_spark.operators.windows import spend_by_type_user
+
+    spend = spend_by_type_user(load_table(spark, sf_dir, "events"))
     n_ranges = spark.sparkContext.defaultParallelism
     # persisted (query-scoped): both the ranked path and the offsets
     # summary consume it, and it is the REDUCED frame (one row per

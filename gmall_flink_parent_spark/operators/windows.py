@@ -117,6 +117,18 @@ WHERE rnk <= 5
 """
 
 
+def spend_by_type_user(events: DataFrame) -> DataFrame:
+    """The per-(event_type, user_id) exact-decimal spend aggregate — the
+    shared grain under ``topk_users_by_spend``,
+    ``user_value_distribution`` (``operators/analytics.py``), and the
+    streaming ``topk_spend_job`` partials: ONE definition, so the
+    stream/batch parity tests pin a single computation and a typing
+    change cannot drift between copies."""
+    return events.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
+    )
+
+
 def rank_topk_spend(spend: DataFrame, k: int = 5) -> DataFrame:
     """Two-pass top-k rank over a (event_type, user_id, spend) frame.
 
@@ -156,11 +168,7 @@ def topk_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, user) decimal partials incrementally and ranks with the same
     ``rank_topk_spend`` pass.
     """
-    events = load_table(spark, sf_dir, "events")
-    spend = events.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
-    )
-    return rank_topk_spend(spend)
+    return rank_topk_spend(spend_by_type_user(load_table(spark, sf_dir, "events")))
 
 
 ROLLUP_ORACLE = """

@@ -358,17 +358,14 @@ def topk_spend_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     Top-k is not an append-mode streaming aggregate (ranks churn as
     spend accumulates), so the incremental form is the partial-agg +
     final-pass split (``_partial_store_job``): per-(event_type, user_id)
-    decimal partial spends per batch; ``topk_spend_from_store`` merges
-    them and ranks with the SAME ``rank_topk_spend`` pass the batch
-    query uses.
+    decimal partial spends per batch (the SAME ``spend_by_type_user``
+    aggregate the batch query scans with); ``topk_spend_from_store``
+    merges them and ranks with the SAME ``rank_topk_spend`` pass.
     """
+    from gmall_flink_parent_spark.operators.windows import spend_by_type_user
+
     return _partial_store_job(
-        events,
-        lambda batch: batch.groupBy("event_type", "user_id").agg(
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("spend")
-        ),
-        store_path,
-        f"{checkpoint_dir}/topk_spend",
+        events, spend_by_type_user, store_path, f"{checkpoint_dir}/topk_spend"
     )
 
 
@@ -397,8 +394,11 @@ def revenue_rollup_job(
 
     Stream-static enrichment + the ``_partial_store_job`` shape: each
     micro-batch of orders broadcast-joins the static dims (J2's pattern
-    applied to a stream — dims re-resolve per batch, so a dim refresh
-    is picked up at the next trigger like W9) and reduces to
+    applied to a stream). The dim frames are resolved when the job is
+    BUILT — a parquet DataFrame pins its file listing, so an external
+    dim refresh is NOT picked up mid-run; for W9-style per-trigger
+    refresh, re-read the dims inside ``foreachBatch`` the way
+    ``routing_job`` re-reads its config table. The batch then reduces to
     per-(region, nation) decimal revenue/count partials — the FINEST
     grouping set. ``revenue_rollup_from_store`` re-aggregates under
     ``ROLLUP``: every coarser grouping set (region totals, grand total)

@@ -1009,9 +1009,42 @@ def test_pil_adapter_seam_routes_compressed_image_mimes(monkeypatch):
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x20ftypmp42", "video/mp4")
 
-    # and with PIL genuinely absent the image seam refuses loudly
-    monkeypatch.delitem(sys.modules, "PIL")
-    monkeypatch.delitem(sys.modules, "PIL.Image")
+    # progressive JPEG: the baseline kernel refuses (SOF2), and the
+    # refusal falls through to the Pillow adapter instead of escaping
+    import struct
+
+    from gmall_flink_parent_spark.functions.jpeg import _seg
+
+    progressive = b"\xff\xd8" + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1))
+
+    class FakeAny:
+        mode = "RGB"
+        size = (4, 2)
+
+        def __init__(self, fp):
+            pass
+
+        def tobytes(self):
+            return px
+
+    fake_image_mod.open = FakeAny
+    assert decode_media(progressive, "image/jpeg")["n_units"] == 8
+
+    # malformed payload under PIL: the uniform ValueError contract, not
+    # a raw PIL exception escaping the Arrow batch
+    def explode(fp):
+        raise OSError("cannot identify image file")
+
+    fake_image_mod.open = explode
+    with pytest.raises(ValueError, match="could not decode"):
+        decode_media(b"garbage", "image/webp")
+
+    # and with PIL genuinely absent the image seam refuses loudly.
+    # sys.modules[name] = None makes the import itself raise ImportError
+    # even when a real Pillow is installed — delitem would only drop the
+    # cache and let a real install be re-imported.
+    monkeypatch.setitem(sys.modules, "PIL", None)
+    monkeypatch.setitem(sys.modules, "PIL.Image", None)
     with pytest.raises(NotImplementedError):
         decode_media(b"RIFFfakeWEBP", "image/webp")
 
