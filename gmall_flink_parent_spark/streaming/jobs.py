@@ -73,30 +73,99 @@ def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str
     """
     new_rows = new_rows.dropDuplicates([key]).persist()
     fs, dest = _hadoop_fs(spark, path)
-    tmp_fs, tmp = _hadoop_fs(spark, path + "._tmp")
-    _, old = _hadoop_fs(spark, path + "._old")
-    fs.delete(tmp, True)
-    fs.delete(old, True)
+    _clear_swap_leftovers(spark, path)
     if fs.exists(dest):
         cur = spark.read.parquet(path)
         merged = cur.join(new_rows, on=key, how="left_anti").unionByName(new_rows)
     else:
         merged = new_rows
-    merged.write.mode("overwrite").parquet(path + "._tmp")  # materializes the read of `path`
+    _swap_parquet_dir(spark, merged, path)
+    new_rows.unpersist()
+
+
+def _clear_swap_leftovers(spark: SparkSession, path: str) -> None:
+    """Remove ``._tmp``/``._old`` debris a previous crash may have left
+    beside ``path`` — must run BEFORE building the replacement frame,
+    which typically reads ``path`` itself."""
+    fs, _ = _hadoop_fs(spark, path)
+    for suffix in ("._tmp", "._old"):
+        _, p = _hadoop_fs(spark, path + suffix)
+        fs.delete(p, True)
+
+
+def _swap_parquet_dir(
+    spark: SparkSession,
+    merged: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write ``merged`` beside ``path`` then swap directories with two
+    filesystem renames (metadata ops, not data copies) — the shared
+    crash-safety core of ``upsert_parquet`` and
+    ``compact_partial_store``. The exposure window is the instant
+    between the renames; a crash there leaves the previous table intact
+    under ``._old``. Callers must have cleared leftovers
+    (``_clear_swap_leftovers``) before building ``merged``."""
+    fs, dest = _hadoop_fs(spark, path)
+    _, tmp = _hadoop_fs(spark, path + "._tmp")
+    _, old = _hadoop_fs(spark, path + "._old")
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path + "._tmp")  # materializes any read of `path`
     # Hadoop FileSystem.rename signals failure by returning false, not by
     # throwing — an unchecked false on the second rename would leave the
     # table vanished from `path` while reporting success.
     if fs.exists(dest):
         if not fs.rename(dest, old):
-            raise IOError(f"upsert_parquet: rename {dest} -> {old} failed")
+            raise IOError(f"swap: rename {dest} -> {old} failed")
     if not fs.rename(tmp, dest):
         restored = fs.exists(old) and fs.rename(old, dest)
         raise IOError(
-            f"upsert_parquet: rename {tmp} -> {dest} failed; previous table "
+            f"swap: rename {tmp} -> {dest} failed; previous table "
             + ("restored" if restored else f"left at {old}")
         )
     fs.delete(old, True)
-    new_rows.unpersist()
+
+
+def compact_partial_store(
+    spark: SparkSession, store_path: str, group_cols: list[str]
+) -> int:
+    """Maintenance pass for ``_partial_store_job`` stores: merge every
+    ``batch_id=N`` partition into ONE partition carrying the max seen
+    batch id, preserving exact totals (every non-group column is summed
+    and cast back to its stored type, so partition schemas never drift
+    across compactions). Streaming resumes at batch max+1 from its
+    checkpoint, so the compacted id can never collide with a future
+    batch. Crash-safe via the same two-rename swap as
+    ``upsert_parquet`` — a crash mid-compaction leaves either the old
+    partitions or the compacted store, never double-counted partials
+    (which a naive overwrite-then-delete would). Returns the id the
+    store was compacted into.
+
+    Group keys may be NULL (the rollup/cube finest grain keeps NULL
+    dimension values as data): the groupBy treats NULL as a regular key,
+    matching the ``*_from_store`` final pass.
+    """
+    store = spark.read.parquet(store_path)
+    value_cols = [
+        f for f in store.schema.fields if f.name not in (*group_cols, "batch_id")
+    ]
+    max_id = store.agg(F.max("batch_id")).collect()[0][0]
+    _clear_swap_leftovers(spark, store_path)
+    merged = (
+        spark.read.parquet(store_path)  # re-plan after leftover cleanup
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                F.sum(f.name).cast(f.dataType).alias(f.name)
+                for f in value_cols
+            ]
+        )
+        .withColumn("batch_id", F.lit(int(max_id)).cast("long"))
+    )
+    _swap_parquet_dir(spark, merged, store_path, partition_by=["batch_id"])
+    return int(max_id)
 
 
 def ensure_dim_table(spark: SparkSession, name: str, path: str, df: DataFrame) -> None:

@@ -820,6 +820,78 @@ def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and (None, None) in {(a, b) for a, b, _, _ in want}
 
 
+def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_path):
+    """DEPLOY.md's store-compaction guidance, implemented and pinned:
+    merging every batch_id partition into one (the max id) preserves
+    exact totals, survives crash leftovers, and the stream resumes
+    cleanly afterwards — final rank over compacted + post-compaction
+    partials still equals the batch query."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        compact_partial_store,
+        topk_spend_from_store,
+        topk_spend_job,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t1, t2 = events.approxQuantile("event_id", [0.34, 0.67], 0.0)
+    (tmp_path / "in").mkdir()
+
+    def land(fname, cond, off):
+        path = str(tmp_path / "in" / fname)
+        events.filter(cond).toPandas().to_parquet(path)
+        t = time.time() + off
+        os.utime(path, (t, t))
+
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    def run_job():
+        q = topk_spend_job(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in")),
+            str(tmp_path / "store"),
+            str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    land("f1.parquet", F.col("event_id") <= t1, 0)
+    land("f2.parquet", (F.col("event_id") > t1) & (F.col("event_id") <= t2), 5)
+    run_job()  # batches 0 and 1
+    # crash debris beside the store must not break or pollute compaction
+    (tmp_path / "store._tmp").mkdir()
+    (tmp_path / "store._tmp" / "junk").write_text("leftover")
+    assert compact_partial_store(spark, str(tmp_path / "store"), ["event_type", "user_id"]) == 1
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert [r["batch_id"] for r in store.select("batch_id").distinct().collect()] == [1]
+    # totals intact: rank over the compacted store == batch over f1+f2
+    cols = ["event_type", "user_id", "spend", "rnk"]
+    got = _rows(topk_spend_from_store(spark, str(tmp_path / "store")), cols)
+    from gmall_flink_parent_spark.operators.windows import (
+        rank_topk_spend,
+        spend_by_type_user,
+    )
+
+    assert got == _rows(
+        rank_topk_spend(spend_by_type_user(events.filter(F.col("event_id") <= t2))),
+        cols,
+    )
+    # the stream RESUMES past the compacted id: batch 2 lands beside it
+    land("f3.parquet", F.col("event_id") > t2, 10)
+    run_job()
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [1, 2]
+    got = _rows(topk_spend_from_store(spark, str(tmp_path / "store")), cols)
+    want = _rows(plans.query_map()["topk_users_by_spend"](spark, sf_dir), cols)
+    assert got == want and len(want) > 0
+
+
 def test_revenue_cube_job_matches_batch(spark, sf_dir, tmp_path):
     """DWS streaming twin: all four CUBE grouping sets (pairs, each
     single-dim total, grand total) from the partial store must equal
