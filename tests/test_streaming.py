@@ -892,6 +892,71 @@ def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_p
     assert got == want and len(want) > 0
 
 
+def test_compact_partial_store_null_keys_and_idempotence(spark, tmp_path):
+    """Docstring claims pinned: NULL group keys are regular keys (the
+    rollup/cube grain can carry NULL dimension values), and compacting
+    an already-compacted store is a no-op on totals."""
+    from gmall_flink_parent_spark.streaming.jobs import compact_partial_store
+
+    store = str(tmp_path / "store")
+    rows0 = [("ASIA", None, 10.0, 2), (None, "x", 1.0, 1)]
+    rows1 = [("ASIA", None, 5.0, 1), (None, None, 7.0, 3)]
+    schema = "region string, nation string, rev double, n long"
+    spark.createDataFrame(rows0, schema).write.parquet(f"{store}/batch_id=0")
+    spark.createDataFrame(rows1, schema).write.parquet(f"{store}/batch_id=1")
+
+    def totals():
+        return {
+            (r["region"], r["nation"]): (r["rev"], r["n"])
+            for r in spark.read.parquet(store)
+            .groupBy("region", "nation")
+            .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n"))
+            .collect()
+        }
+
+    want = {
+        ("ASIA", None): (15.0, 3),
+        (None, "x"): (1.0, 1),
+        (None, None): (7.0, 3),
+    }
+    assert totals() == want
+    assert compact_partial_store(spark, store, ["region", "nation"]) == 1
+    assert totals() == want
+    assert spark.read.parquet(store).count() == 3  # one row per group now
+    # idempotent: a second compaction changes nothing
+    assert compact_partial_store(spark, store, ["region", "nation"]) == 1
+    assert totals() == want
+
+
+def test_partial_store_any_split_matches_batch(spark, sf_dir, tmp_path):
+    """Associativity under ANY batching, beyond the 2/3-split streaming
+    tests: simulate k-batch ingests by landing per-split partials
+    directly (what topk_spend_job's foreachBatch writes), for several
+    random splits, and require the final pass to equal the batch query
+    bit-for-bit each time."""
+    import random
+
+    from gmall_flink_parent_spark.operators.windows import spend_by_type_user
+    from gmall_flink_parent_spark.streaming.jobs import topk_spend_from_store
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cols = ["event_type", "user_id", "spend", "rnk"]
+    want = _rows(plans.query_map()["topk_users_by_spend"](spark, sf_dir), cols)
+    for trial, k in ((0, 3), (1, 5), (2, 7)):
+        rng = random.Random(trial)
+        store = str(tmp_path / f"store{trial}")
+        salt = rng.randrange(1_000_000)
+        split = F.pmod(F.xxhash64(F.col("event_id") + F.lit(salt)), F.lit(k))
+        for i in range(k):
+            spend_by_type_user(events.filter(split == i)).write.parquet(
+                f"{store}/batch_id={i}"
+            )
+        got = _rows(topk_spend_from_store(spark, store), cols)
+        assert got == want, f"trial {trial} (k={k}) diverged"
+
+
 def test_revenue_cube_job_matches_batch(spark, sf_dir, tmp_path):
     """DWS streaming twin: all four CUBE grouping sets (pairs, each
     single-dim total, grand total) from the partial store must equal
