@@ -153,18 +153,39 @@ def compact_partial_store(
     ]
     max_id = store.agg(F.max("batch_id")).collect()[0][0]
     _clear_swap_leftovers(spark, store_path)
-    merged = (
+    raw = (
         spark.read.parquet(store_path)  # re-plan after leftover cleanup
         .groupBy(*group_cols)
-        .agg(
-            *[
-                F.sum(f.name).cast(f.dataType).alias(f.name)
-                for f in value_cols
-            ]
-        )
-        .withColumn("batch_id", F.lit(int(max_id)).cast("long"))
+        .agg(*[F.sum(f.name).alias(f.name) for f in value_cols])
+        .persist()
     )
-    _swap_parquet_dir(spark, merged, store_path, partition_by=["batch_id"])
+    try:
+        # A merged total that no longer fits the stored type would
+        # either corrupt the store silently (non-ANSI cast → NULL) or
+        # die mid-swap with a raw JVM error (ANSI cast). try_cast is
+        # NULL-on-overflow under BOTH modes, so the pre-check raises
+        # one well-defined error before any write happens.
+        overflowed = [
+            F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull()
+            for f in value_cols
+        ]
+        if value_cols:
+            cond = overflowed[0]
+            for c in overflowed[1:]:
+                cond = cond | c
+            if raw.filter(cond).limit(1).count():
+                raise ArithmeticError(
+                    "compact_partial_store: a merged total overflows its "
+                    "stored column type; widen the store schema before "
+                    "compacting"
+                )
+        merged = raw.select(
+            *group_cols,
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in value_cols],
+        ).withColumn("batch_id", F.lit(int(max_id)).cast("long"))
+        _swap_parquet_dir(spark, merged, store_path, partition_by=["batch_id"])
+    finally:
+        raw.unpersist()
     return int(max_id)
 
 

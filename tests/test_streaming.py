@@ -927,6 +927,20 @@ def test_compact_partial_store_null_keys_and_idempotence(spark, tmp_path):
     assert compact_partial_store(spark, store, ["region", "nation"]) == 1
     assert totals() == want
 
+    # merged totals that overflow the stored type refuse loudly instead
+    # of silently NULLing the partials (non-ANSI decimal cast behavior)
+    import decimal
+
+    ov = str(tmp_path / "overflow_store")
+    tight = "k string, v decimal(3,1)"
+    half = [("a", decimal.Decimal("99.9"))]
+    spark.createDataFrame(half, tight).write.parquet(f"{ov}/batch_id=0")
+    spark.createDataFrame(half, tight).write.parquet(f"{ov}/batch_id=1")
+    with pytest.raises(ArithmeticError, match="overflows"):
+        compact_partial_store(spark, ov, ["k"])
+    # and the refusal left the store untouched (both partitions intact)
+    assert spark.read.parquet(ov).count() == 2
+
 
 def test_partial_store_any_split_matches_batch(spark, sf_dir, tmp_path):
     """Associativity under ANY batching, beyond the 2/3-split streaming
