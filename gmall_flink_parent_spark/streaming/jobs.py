@@ -72,25 +72,50 @@ def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str
     Iceberg on the classpath this is one transactional ``MERGE INTO``.
     """
     new_rows = new_rows.dropDuplicates([key]).persist()
-    fs, dest = _hadoop_fs(spark, path)
-    _clear_swap_leftovers(spark, path)
-    if fs.exists(dest):
-        cur = spark.read.parquet(path)
-        merged = cur.join(new_rows, on=key, how="left_anti").unionByName(new_rows)
-    else:
-        merged = new_rows
-    _swap_parquet_dir(spark, merged, path)
-    new_rows.unpersist()
+    try:
+        fs, dest = _hadoop_fs(spark, path)
+        _clear_swap_leftovers(spark, path)
+        if fs.exists(dest):
+            cur = spark.read.parquet(path)
+            merged = cur.join(new_rows, on=key, how="left_anti").unionByName(new_rows)
+        else:
+            merged = new_rows
+        _swap_parquet_dir(spark, merged, path)
+    finally:
+        new_rows.unpersist()
 
 
 def _clear_swap_leftovers(spark: SparkSession, path: str) -> None:
-    """Remove ``._tmp``/``._old`` debris a previous crash may have left
-    beside ``path`` — must run BEFORE building the replacement frame,
-    which typically reads ``path`` itself."""
-    fs, _ = _hadoop_fs(spark, path)
-    for suffix in ("._tmp", "._old"):
-        _, p = _hadoop_fs(spark, path + suffix)
-        fs.delete(p, True)
+    """Heal the swap crash states a previous run may have left beside
+    ``path`` — must run BEFORE building the replacement frame, which
+    typically reads ``path`` itself. Requires exclusive access (the
+    swap protocol's standing precondition).
+
+    ``_swap_parquet_dir`` brackets its renames with a ``._swapping``
+    marker (created only after ``._tmp`` is completely written), so
+    every crash point is distinguishable on entry:
+
+    - ``path`` missing but ``._old`` present (crash between the two
+      renames): the previous table is RESTORED by renaming ``._old``
+      back — never deleted. Without the restore, the next cleanup
+      would destroy the only remaining copy.
+    - ``path`` present and ``._old`` present (crash after the second
+      rename, or before the first): ``path`` is complete — the stale
+      ``._old``/``._tmp`` debris is dropped.
+    """
+    fs, dest = _hadoop_fs(spark, path)
+    _, tmp = _hadoop_fs(spark, path + "._tmp")
+    _, old = _hadoop_fs(spark, path + "._old")
+    _, flag = _hadoop_fs(spark, path + "._swapping")
+    if not fs.exists(dest) and fs.exists(old):
+        if not fs.rename(old, dest):
+            raise IOError(
+                f"swap recovery: could not restore {old} -> {dest}; "
+                "manual intervention required"
+            )
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    fs.delete(flag, False)
 
 
 def _swap_parquet_dir(
@@ -102,17 +127,21 @@ def _swap_parquet_dir(
     """Write ``merged`` beside ``path`` then swap directories with two
     filesystem renames (metadata ops, not data copies) — the shared
     crash-safety core of ``upsert_parquet`` and
-    ``compact_partial_store``. The exposure window is the instant
-    between the renames; a crash there leaves the previous table intact
-    under ``._old``. Callers must have cleared leftovers
-    (``_clear_swap_leftovers``) before building ``merged``."""
+    ``compact_partial_store``. A ``._swapping`` marker brackets the
+    rename window so ``_clear_swap_leftovers`` can heal any crash point
+    (incl. restoring the previous table if the crash landed between the
+    renames). Callers must have healed leftovers before building
+    ``merged``, and must hold exclusive access: a concurrent writer
+    recreating ``path`` mid-swap is undetectable corruption."""
     fs, dest = _hadoop_fs(spark, path)
     _, tmp = _hadoop_fs(spark, path + "._tmp")
     _, old = _hadoop_fs(spark, path + "._old")
+    _, flag = _hadoop_fs(spark, path + "._swapping")
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path + "._tmp")  # materializes any read of `path`
+    fs.create(flag, True).close()  # ._tmp is complete beyond this point
     # Hadoop FileSystem.rename signals failure by returning false, not by
     # throwing — an unchecked false on the second rename would leave the
     # table vanished from `path` while reporting success.
@@ -126,36 +155,79 @@ def _swap_parquet_dir(
             + ("restored" if restored else f"left at {old}")
         )
     fs.delete(old, True)
+    fs.delete(flag, False)
+
+
+COMPACT_BASE_ID = -1  # reserved partition id; stream batch ids are >= 0
+
+
+def _committed_batch_ids(spark: SparkSession, checkpoint_location: str) -> set[int]:
+    """Batch ids with a commit record in the streaming checkpoint — the
+    set that can never be replayed. Works on HDFS/S3A/local alike."""
+    fs, commits = _hadoop_fs(spark, checkpoint_location.rstrip("/") + "/commits")
+    if not fs.exists(commits):
+        return set()
+    return {
+        int(st.getPath().getName())
+        for st in fs.listStatus(commits)
+        if st.getPath().getName().isdigit()
+    }
 
 
 def compact_partial_store(
-    spark: SparkSession, store_path: str, group_cols: list[str]
+    spark: SparkSession,
+    store_path: str,
+    group_cols: list[str],
+    checkpoint_location: str | None = None,
 ) -> int:
-    """Maintenance pass for ``_partial_store_job`` stores: merge every
-    ``batch_id=N`` partition into ONE partition carrying the max seen
-    batch id, preserving exact totals (every non-group column is summed
-    and cast back to its stored type, so partition schemas never drift
-    across compactions). Streaming resumes at batch max+1 from its
-    checkpoint, so the compacted id can never collide with a future
-    batch. Crash-safe via the same two-rename swap as
-    ``upsert_parquet`` — a crash mid-compaction leaves either the old
-    partitions or the compacted store, never double-counted partials
-    (which a naive overwrite-then-delete would). Returns the id the
-    store was compacted into.
+    """Maintenance pass for ``_partial_store_job`` stores: fold batch
+    partitions into ONE base partition at the reserved
+    ``batch_id=-1`` (``COMPACT_BASE_ID``) — an id the stream can never
+    write, so no future or REPLAYED micro-batch's ``overwrite`` of its
+    own ``batch_id=N`` partition can ever clobber folded history.
+    Totals are exact: every non-group column is summed and cast back to
+    its stored type, so partition schemas never drift across
+    compactions.
+
+    Pass the job's ``checkpoint_location`` (e.g.
+    ``f"{checkpoint_dir}/topk_spend"``) and only batches with a commit
+    record are folded — a landed-but-uncommitted partition is LEFT IN
+    PLACE for the stream to overwrite on replay, so a crash between
+    sink write and checkpoint commit can neither lose nor double-count
+    that batch. Without a checkpoint, everything folds — only safe when
+    the stream is stopped for good.
+
+    Crash-safe via the marker-bracketed two-rename swap
+    (``_swap_parquet_dir``): any crash point heals on the next
+    swap-protocol entry, restoring the previous store if the crash
+    landed between the renames. NOT safe to run concurrently with the
+    live stream's sink writes — run it between ``availableNow`` runs or
+    while the stream is paused (DEPLOY.md). Returns ``COMPACT_BASE_ID``.
 
     Group keys may be NULL (the rollup/cube finest grain keeps NULL
     dimension values as data): the groupBy treats NULL as a regular key,
     matching the ``*_from_store`` final pass.
     """
+    _clear_swap_leftovers(spark, store_path)  # may restore a half-swapped store
     store = spark.read.parquet(store_path)
     value_cols = [
         f for f in store.schema.fields if f.name not in (*group_cols, "batch_id")
     ]
-    max_id = store.agg(F.max("batch_id")).collect()[0][0]
-    _clear_swap_leftovers(spark, store_path)
+    if checkpoint_location is None:
+        foldable = F.lit(True)
+    else:
+        committed = _committed_batch_ids(spark, checkpoint_location)
+        # the prior base is always foldable: it only ever held folded
+        # committed batches
+        foldable = (F.col("batch_id") == COMPACT_BASE_ID) | F.col("batch_id").isin(
+            [int(b) for b in committed]
+        )
+    fold = store.filter(foldable)
+    keep = store.filter(~foldable)
+    if not fold.limit(1).count():
+        return COMPACT_BASE_ID  # nothing committed to fold — no-op
     raw = (
-        spark.read.parquet(store_path)  # re-plan after leftover cleanup
-        .groupBy(*group_cols)
+        fold.groupBy(*group_cols)
         .agg(*[F.sum(f.name).alias(f.name) for f in value_cols])
         .persist()
     )
@@ -179,14 +251,17 @@ def compact_partial_store(
                     "stored column type; widen the store schema before "
                     "compacting"
                 )
-        merged = raw.select(
+        base = raw.select(
             *group_cols,
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in value_cols],
-        ).withColumn("batch_id", F.lit(int(max_id)).cast("long"))
+        ).withColumn("batch_id", F.lit(COMPACT_BASE_ID).cast("long"))
+        merged = base.unionByName(
+            keep.select(*group_cols, *[f.name for f in value_cols], "batch_id")
+        )
         _swap_parquet_dir(spark, merged, store_path, partition_by=["batch_id"])
     finally:
         raw.unpersist()
-    return int(max_id)
+    return COMPACT_BASE_ID
 
 
 def ensure_dim_table(spark: SparkSession, name: str, path: str, df: DataFrame) -> None:

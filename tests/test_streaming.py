@@ -822,14 +822,18 @@ def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
 
 def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_path):
     """DEPLOY.md's store-compaction guidance, implemented and pinned:
-    merging every batch_id partition into one (the max id) preserves
-    exact totals, survives crash leftovers, and the stream resumes
-    cleanly afterwards — final rank over compacted + post-compaction
-    partials still equals the batch query."""
+    committed batches fold into the reserved batch_id=-1 base partition
+    with exact totals; an UNCOMMITTED landed partition is left in place
+    (the stream will overwrite it on replay — folding it would
+    double-count); crash debris heals; and the stream resumes cleanly —
+    final rank over base + post-compaction partials still equals the
+    batch query."""
     import os
+    import shutil
     import time
 
     from gmall_flink_parent_spark.streaming.jobs import (
+        COMPACT_BASE_ID,
         compact_partial_store,
         topk_spend_from_store,
         topk_spend_job,
@@ -840,6 +844,8 @@ def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_p
     )
     t1, t2 = events.approxQuantile("event_id", [0.34, 0.67], 0.0)
     (tmp_path / "in").mkdir()
+    store_dir = str(tmp_path / "store")
+    ck_location = str(tmp_path / "ck" / "topk_spend")  # the job's real location
 
     def land(fname, cond, off):
         path = str(tmp_path / "in" / fname)
@@ -854,40 +860,58 @@ def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_p
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(str(tmp_path / "in")),
-            str(tmp_path / "store"),
+            store_dir,
             str(tmp_path / "ck"),
         )
         q.awaitTermination(120)
 
     land("f1.parquet", F.col("event_id") <= t1, 0)
     land("f2.parquet", (F.col("event_id") > t1) & (F.col("event_id") <= t2), 5)
-    run_job()  # batches 0 and 1
+    run_job()  # batches 0 and 1, both committed
+    # the real crash shape: batch 2's partition LANDED but the
+    # checkpoint never committed it — simulated by pre-writing garbage
+    # at batch_id=2 (on restart the stream replays batch 2 over it)
+    shutil.copytree(f"{store_dir}/batch_id=1", f"{store_dir}/batch_id=2")
     # crash debris beside the store must not break or pollute compaction
     (tmp_path / "store._tmp").mkdir()
     (tmp_path / "store._tmp" / "junk").write_text("leftover")
-    assert compact_partial_store(spark, str(tmp_path / "store"), ["event_type", "user_id"]) == 1
-    store = spark.read.parquet(str(tmp_path / "store"))
-    assert [r["batch_id"] for r in store.select("batch_id").distinct().collect()] == [1]
-    # totals intact: rank over the compacted store == batch over f1+f2
-    cols = ["event_type", "user_id", "spend", "rnk"]
-    got = _rows(topk_spend_from_store(spark, str(tmp_path / "store")), cols)
+    assert (
+        compact_partial_store(
+            spark, store_dir, ["event_type", "user_id"], ck_location
+        )
+        == COMPACT_BASE_ID
+    )
+    store = spark.read.parquet(store_dir)
+    # committed 0+1 folded into the base; uncommitted 2 left in place
+    # for the replay to overwrite — folding it would double-count
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID, 2]
+    # base totals: rank over the base alone == batch over f1+f2
     from gmall_flink_parent_spark.operators.windows import (
         rank_topk_spend,
         spend_by_type_user,
     )
 
-    assert got == _rows(
+    cols = ["event_type", "user_id", "spend", "rnk"]
+    base_spend = (
+        store.filter(F.col("batch_id") == COMPACT_BASE_ID)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("spend").alias("spend"))
+    )
+    assert _rows(rank_topk_spend(base_spend), cols) == _rows(
         rank_topk_spend(spend_by_type_user(events.filter(F.col("event_id") <= t2))),
         cols,
     )
-    # the stream RESUMES past the compacted id: batch 2 lands beside it
+    # the stream RESUMES: replayed batch 2 overwrites the stale landed
+    # partition (idempotent sink), so nothing is lost or double-counted
     land("f3.parquet", F.col("event_id") > t2, 10)
     run_job()
-    store = spark.read.parquet(str(tmp_path / "store"))
+    store = spark.read.parquet(store_dir)
     assert sorted(
         r["batch_id"] for r in store.select("batch_id").distinct().collect()
-    ) == [1, 2]
-    got = _rows(topk_spend_from_store(spark, str(tmp_path / "store")), cols)
+    ) == [COMPACT_BASE_ID, 2]
+    got = _rows(topk_spend_from_store(spark, store_dir), cols)
     want = _rows(plans.query_map()["topk_users_by_spend"](spark, sf_dir), cols)
     assert got == want and len(want) > 0
 
@@ -895,8 +919,12 @@ def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_p
 def test_compact_partial_store_null_keys_and_idempotence(spark, tmp_path):
     """Docstring claims pinned: NULL group keys are regular keys (the
     rollup/cube grain can carry NULL dimension values), and compacting
-    an already-compacted store is a no-op on totals."""
-    from gmall_flink_parent_spark.streaming.jobs import compact_partial_store
+    an already-compacted store is a no-op on totals. No checkpoint is
+    passed (stream-stopped mode): everything folds."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        COMPACT_BASE_ID,
+        compact_partial_store,
+    )
 
     store = str(tmp_path / "store")
     rows0 = [("ASIA", None, 10.0, 2), (None, "x", 1.0, 1)]
@@ -920,11 +948,11 @@ def test_compact_partial_store_null_keys_and_idempotence(spark, tmp_path):
         (None, None): (7.0, 3),
     }
     assert totals() == want
-    assert compact_partial_store(spark, store, ["region", "nation"]) == 1
+    assert compact_partial_store(spark, store, ["region", "nation"]) == COMPACT_BASE_ID
     assert totals() == want
     assert spark.read.parquet(store).count() == 3  # one row per group now
     # idempotent: a second compaction changes nothing
-    assert compact_partial_store(spark, store, ["region", "nation"]) == 1
+    assert compact_partial_store(spark, store, ["region", "nation"]) == COMPACT_BASE_ID
     assert totals() == want
 
     # merged totals that overflow the stored type refuse loudly instead
@@ -940,6 +968,39 @@ def test_compact_partial_store_null_keys_and_idempotence(spark, tmp_path):
         compact_partial_store(spark, ov, ["k"])
     # and the refusal left the store untouched (both partitions intact)
     assert spark.read.parquet(ov).count() == 2
+
+
+def test_swap_recovery_restores_half_swapped_store(spark, tmp_path):
+    """A crash BETWEEN the two swap renames leaves no table at the store
+    path — only ``._old``. The next swap-protocol entry must RESTORE it
+    (rename back), never delete it: losing ``._old`` there would destroy
+    the only remaining copy of the accumulated partials."""
+    import os
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        COMPACT_BASE_ID,
+        compact_partial_store,
+    )
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame([("a", 1.0)], "k string, v double").write.parquet(
+        f"{store}/batch_id=0"
+    )
+    spark.createDataFrame([("a", 2.0)], "k string, v double").write.parquet(
+        f"{store}/batch_id=1"
+    )
+    # crash state: dest renamed away, complete ._tmp present, marker set
+    os.rename(store, store + "._old")
+    os.mkdir(store + "._tmp")
+    (tmp_path / "store._tmp" / "part-junk").write_text("incomplete")
+    (tmp_path / "store._swapping").write_text("")
+    assert compact_partial_store(spark, store, ["k"]) == COMPACT_BASE_ID
+    out = spark.read.parquet(store)
+    assert [(r["k"], r["v"]) for r in out.collect()] == [("a", 3.0)]
+    # all crash debris gone
+    assert not os.path.exists(store + "._old")
+    assert not os.path.exists(store + "._tmp")
+    assert not os.path.exists(store + "._swapping")
 
 
 def test_partial_store_any_split_matches_batch(spark, sf_dir, tmp_path):
