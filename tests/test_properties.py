@@ -326,3 +326,35 @@ def test_jpeg_roundtrip_property(data, geom):
         - np.frombuffer(px, np.uint8).astype(int)
     )
     assert diff.max() <= (2 if ch == 1 else 4), diff.max()
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.binary(min_size=1, max_size=64),
+    geom=st.sampled_from([(8, 8), (16, 8), (16, 16), (11, 13), (24, 9)]),
+    mode=st.sampled_from(["420", "422"]),
+    restart=st.sampled_from([0, 2]),
+)
+def test_jpeg_subsampled_roundtrip_property(data, geom, mode, restart):
+    """For ANY content, both chroma-subsampled layouts, arbitrary
+    (incl. odd) geometry, with and without restart framing: gray-content
+    RGB (constant chroma — subsampling structurally lossless there)
+    round-trips within DCT rounding, and the declared geometry is exact.
+    Complements the hand-built 4:2:2 decoder pin with encoder-path
+    breadth."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = geom
+    need = w * h
+    gray = (data * (need // len(data) + 1))[:need]
+    px = bytes(b for g in gray for b in (g, g, g))  # gray content, 3-channel
+    jpg = encode_jpeg(px, w, h, channels=3, subsample=mode, restart_interval=restart)
+    gw, gh, gc, out = decode_jpeg(jpg)
+    assert (gw, gh, gc) == (w, h, 3)
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert diff.max() <= 4, (mode, restart, diff.max())
