@@ -92,6 +92,33 @@ def test_order_wide_scan_prunes_columns(spark, sf_dir):
         assert read_cols == 7, f"lineitem scan reads {read_cols} columns: {line}"
 
 
+def test_pricing_summary_plan_shape(spark, sf_dir):
+    """Perf-plan regression guard for the TPC-H-Q1-shaped aggregate —
+    the plan the 100 TB audit approved (SCALE.md): the shipdate filter
+    reaches the parquet scan as PushedFilters, the scan reads only the
+    7 needed lineitem columns, and partial aggregation leaves exactly
+    ONE exchange (on the 2-key group) in the whole plan. A second
+    exchange or an unpushed filter here multiplies the dominant cost of
+    the query at scale."""
+    import contextlib
+    import io
+
+    df = plans.query_map()["pricing_summary"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0], "shipdate filter not pushed to scan"
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and schemas[0].split("struct<", 1)[1].count(":") == 7, schemas
+    # formatted plans list each node once as "(N) Exchange"; count those
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and ln.rstrip().endswith("Exchange")
+    )
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Co-located joins via bucketing (the SCALE.md claim, demonstrated):
     both fact tables bucketed+sorted on the join key plan as a
