@@ -158,6 +158,53 @@ def _swap_parquet_dir(
     fs.delete(flag, False)
 
 
+def corpus_summary_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Streaming twin of batch ``corpus_summary`` (text DWS surface).
+
+    The instructive ``_partial_store_job`` case: the final answer is
+    per-language, but ``countDistinct(source)`` is NOT mergeable from
+    per-language partials — so the store keeps the FINER (lang, source)
+    grain, where every aggregate is a plain sum and the distinct source
+    count falls out of the store's key set. The grain rule for the
+    shape: partials must be at least as fine as the finest
+    non-decomposable aggregate's key.
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        n = F.size(F.split("text", " "))
+        return (
+            batch.select("lang", "source", "n_chars", n.alias("n_tokens"))
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs_part"),
+                F.sum("n_tokens").cast("long").alias("tokens_part"),
+                F.sum("n_chars").cast("long").alias("chars_part"),
+            )
+        )
+
+    return _partial_store_job(
+        docs, partials, store_path, f"{checkpoint_dir}/corpus_summary"
+    )
+
+
+def corpus_summary_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``corpus_summary_job``'s (lang, source) partials —
+    schema-identical to batch ``corpus_summary``. The division
+    reproduces Spark's integral ``avg`` exactly (long sum / long count
+    as double)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs_part").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("tokens_part").alias("total_tokens"),
+            F.sum("chars_part").alias("total_chars"),
+            F.round(F.sum("tokens_part") / F.sum("n_docs_part"), 6).alias("avg_tokens"),
+        )
+    )
+
+
 COMPACT_BASE_ID = -1  # reserved partition id; stream batch ids are >= 0
 
 

@@ -820,6 +820,35 @@ def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and (None, None) in {(a, b) for a, b, _, _ in want}
 
 
+def test_corpus_summary_job_matches_batch(spark, sf_dir, tmp_path):
+    """Text-DWS streaming twin: (lang, source) partials — finer than
+    the per-language answer because countDistinct(source) is not
+    mergeable — must reproduce batch ``corpus_summary`` exactly,
+    avg_tokens included."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        corpus_summary_from_store,
+        corpus_summary_job,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = corpus_summary_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = ["lang", "n_docs", "n_sources", "total_tokens", "total_chars", "avg_tokens"]
+    got = _rows(corpus_summary_from_store(spark, str(tmp_path / "store")), cols)
+    want = _rows(plans.query_map()["corpus_summary"](spark, sf_dir), cols)
+    assert got == want and len(want) > 0
+
+
 def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_path):
     """DEPLOY.md's store-compaction guidance, implemented and pinned:
     committed batches fold into the reserved batch_id=-1 base partition
