@@ -91,14 +91,14 @@ def _clear_swap_leftovers(spark: SparkSession, path: str) -> None:
     typically reads ``path`` itself. Requires exclusive access (the
     swap protocol's standing precondition).
 
-    ``_swap_parquet_dir`` brackets its renames with a ``._swapping``
-    marker (created only after ``._tmp`` is completely written), so
-    every crash point is distinguishable on entry:
+    Under exclusive access the ``dest``/``._old`` existence pair alone
+    distinguishes every crash point of ``_swap_parquet_dir``:
 
     - ``path`` missing but ``._old`` present (crash between the two
-      renames): the previous table is RESTORED by renaming ``._old``
-      back — never deleted. Without the restore, the next cleanup
-      would destroy the only remaining copy.
+      renames — the only state that produces it): the previous table
+      is RESTORED by renaming ``._old`` back — never deleted. Without
+      the restore, the next cleanup would destroy the only remaining
+      copy.
     - ``path`` present and ``._old`` present (crash after the second
       rename, or before the first): ``path`` is complete — the stale
       ``._old``/``._tmp`` debris is dropped.
@@ -106,7 +106,6 @@ def _clear_swap_leftovers(spark: SparkSession, path: str) -> None:
     fs, dest = _hadoop_fs(spark, path)
     _, tmp = _hadoop_fs(spark, path + "._tmp")
     _, old = _hadoop_fs(spark, path + "._old")
-    _, flag = _hadoop_fs(spark, path + "._swapping")
     if not fs.exists(dest) and fs.exists(old):
         if not fs.rename(old, dest):
             raise IOError(
@@ -115,7 +114,6 @@ def _clear_swap_leftovers(spark: SparkSession, path: str) -> None:
             )
     fs.delete(tmp, True)
     fs.delete(old, True)
-    fs.delete(flag, False)
 
 
 def _swap_parquet_dir(
@@ -127,21 +125,19 @@ def _swap_parquet_dir(
     """Write ``merged`` beside ``path`` then swap directories with two
     filesystem renames (metadata ops, not data copies) — the shared
     crash-safety core of ``upsert_parquet`` and
-    ``compact_partial_store``. A ``._swapping`` marker brackets the
-    rename window so ``_clear_swap_leftovers`` can heal any crash point
-    (incl. restoring the previous table if the crash landed between the
-    renames). Callers must have healed leftovers before building
-    ``merged``, and must hold exclusive access: a concurrent writer
-    recreating ``path`` mid-swap is undetectable corruption."""
+    ``compact_partial_store``. Every crash point heals on the next
+    ``_clear_swap_leftovers`` (incl. restoring the previous table if
+    the crash landed between the renames). Callers must have healed
+    leftovers before building ``merged``, and must hold exclusive
+    access: a concurrent writer recreating ``path`` mid-swap is
+    undetectable corruption."""
     fs, dest = _hadoop_fs(spark, path)
     _, tmp = _hadoop_fs(spark, path + "._tmp")
     _, old = _hadoop_fs(spark, path + "._old")
-    _, flag = _hadoop_fs(spark, path + "._swapping")
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path + "._tmp")  # materializes any read of `path`
-    fs.create(flag, True).close()  # ._tmp is complete beyond this point
     # Hadoop FileSystem.rename signals failure by returning false, not by
     # throwing — an unchecked false on the second rename would leave the
     # table vanished from `path` while reporting success.
@@ -155,7 +151,6 @@ def _swap_parquet_dir(
             + ("restored" if restored else f"left at {old}")
         )
     fs.delete(old, True)
-    fs.delete(flag, False)
 
 
 def corpus_summary_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
@@ -208,17 +203,23 @@ def corpus_summary_from_store(spark: SparkSession, store_path: str) -> DataFrame
 COMPACT_BASE_ID = -1  # reserved partition id; stream batch ids are >= 0
 
 
-def _committed_batch_ids(spark: SparkSession, checkpoint_location: str) -> set[int]:
-    """Batch ids with a commit record in the streaming checkpoint — the
-    set that can never be replayed. Works on HDFS/S3A/local alike."""
+def _max_committed_batch_id(spark: SparkSession, checkpoint_location: str) -> int | None:
+    """The highest batch id with a commit record in the streaming
+    checkpoint. Batches commit strictly in order, so EVERY id at or
+    below it is committed and can never be replayed — which also makes
+    this robust to commit-log retention purging old entries
+    (``spark.sql.streaming.minBatchesToRetain``): a purged id is below
+    the retained maximum, not uncommitted. Works on HDFS/S3A/local
+    alike; None when no batch has ever committed."""
     fs, commits = _hadoop_fs(spark, checkpoint_location.rstrip("/") + "/commits")
     if not fs.exists(commits):
-        return set()
-    return {
+        return None
+    ids = [
         int(st.getPath().getName())
         for st in fs.listStatus(commits)
         if st.getPath().getName().isdigit()
-    }
+    ]
+    return max(ids) if ids else None
 
 
 def compact_partial_store(
@@ -237,19 +238,23 @@ def compact_partial_store(
     compactions.
 
     Pass the job's ``checkpoint_location`` (e.g.
-    ``f"{checkpoint_dir}/topk_spend"``) and only batches with a commit
-    record are folded — a landed-but-uncommitted partition is LEFT IN
-    PLACE for the stream to overwrite on replay, so a crash between
-    sink write and checkpoint commit can neither lose nor double-count
-    that batch. Without a checkpoint, everything folds — only safe when
-    the stream is stopped for good.
+    ``f"{checkpoint_dir}/topk_spend"``) and only COMMITTED batches fold
+    — every id at or below the checkpoint's highest commit record
+    (commits are strictly ordered, so this also survives commit-log
+    retention purging old entries). A landed-but-uncommitted partition
+    is LEFT IN PLACE for the stream to overwrite on replay, so a crash
+    between sink write and checkpoint commit can neither lose nor
+    double-count that batch. Without a checkpoint, everything folds —
+    only safe when the stream is stopped for good.
 
-    Crash-safe via the marker-bracketed two-rename swap
-    (``_swap_parquet_dir``): any crash point heals on the next
-    swap-protocol entry, restoring the previous store if the crash
-    landed between the renames. NOT safe to run concurrently with the
-    live stream's sink writes — run it between ``availableNow`` runs or
-    while the stream is paused (DEPLOY.md). Returns ``COMPACT_BASE_ID``.
+    Crash-safe via the two-rename swap (``_swap_parquet_dir``): any
+    crash point heals on the next swap-protocol entry, restoring the
+    previous store if the crash landed between the renames. NOT safe to
+    run concurrently with the live stream's sink writes — run it
+    between ``availableNow`` runs or while the stream is paused
+    (DEPLOY.md). A compaction with nothing new to fold (no committed
+    partition outside the base) is a no-op. Returns
+    ``COMPACT_BASE_ID``.
 
     Group keys may be NULL (the rollup/cube finest grain keeps NULL
     dimension values as data): the groupBy treats NULL as a regular key,
@@ -263,16 +268,19 @@ def compact_partial_store(
     if checkpoint_location is None:
         foldable = F.lit(True)
     else:
-        committed = _committed_batch_ids(spark, checkpoint_location)
+        max_committed = _max_committed_batch_id(spark, checkpoint_location)
         # the prior base is always foldable: it only ever held folded
         # committed batches
-        foldable = (F.col("batch_id") == COMPACT_BASE_ID) | F.col("batch_id").isin(
-            [int(b) for b in committed]
+        foldable = F.col("batch_id") <= (
+            COMPACT_BASE_ID if max_committed is None else int(max_committed)
         )
     fold = store.filter(foldable)
     keep = store.filter(~foldable)
-    if not fold.limit(1).count():
-        return COMPACT_BASE_ID  # nothing committed to fold — no-op
+    # no-op when there is nothing NEW to fold: rewriting the store to
+    # produce the identical base (e.g. a scheduled compaction on a
+    # quiet store) would be pure churn
+    if not fold.filter(F.col("batch_id") != COMPACT_BASE_ID).limit(1).count():
+        return COMPACT_BASE_ID
     raw = (
         fold.groupBy(*group_cols)
         .agg(*[F.sum(f.name).alias(f.name) for f in value_cols])

@@ -1018,18 +1018,53 @@ def test_swap_recovery_restores_half_swapped_store(spark, tmp_path):
     spark.createDataFrame([("a", 2.0)], "k string, v double").write.parquet(
         f"{store}/batch_id=1"
     )
-    # crash state: dest renamed away, complete ._tmp present, marker set
+    # crash state: dest renamed away, ._tmp present — only a crash
+    # between the two renames produces this pair
     os.rename(store, store + "._old")
     os.mkdir(store + "._tmp")
     (tmp_path / "store._tmp" / "part-junk").write_text("incomplete")
-    (tmp_path / "store._swapping").write_text("")
     assert compact_partial_store(spark, store, ["k"]) == COMPACT_BASE_ID
     out = spark.read.parquet(store)
     assert [(r["k"], r["v"]) for r in out.collect()] == [("a", 3.0)]
     # all crash debris gone
     assert not os.path.exists(store + "._old")
     assert not os.path.exists(store + "._tmp")
-    assert not os.path.exists(store + "._swapping")
+
+
+def test_compact_folds_batches_below_retained_commit_max(spark, tmp_path):
+    """Commit-log retention purges old entries
+    (spark.sql.streaming.minBatchesToRetain); commits are strictly
+    ordered, so every id at or below the retained maximum is committed.
+    A purged id must still fold — otherwise the store's partition count
+    grows without bound despite scheduled compaction. Here commits only
+    retain id 2; partitions 0 and 1 (purged) must fold with it, while
+    id 3 (beyond the max → uncommitted) stays."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        COMPACT_BASE_ID,
+        compact_partial_store,
+    )
+
+    store = str(tmp_path / "store")
+    for i, v in enumerate((1.0, 2.0, 4.0, 8.0)):
+        spark.createDataFrame([("a", v)], "k string, v double").write.parquet(
+            f"{store}/batch_id={i}"
+        )
+    commits = tmp_path / "ckpt" / "commits"
+    commits.mkdir(parents=True)
+    (commits / "2").write_text("v1")  # ids 0 and 1 purged by retention
+    assert (
+        compact_partial_store(spark, store, ["k"], str(tmp_path / "ckpt"))
+        == COMPACT_BASE_ID
+    )
+    store_df = spark.read.parquet(store)
+    assert sorted(
+        r["batch_id"] for r in store_df.select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID, 3]
+    got = {
+        r["batch_id"]: r["v"]
+        for r in store_df.groupBy("batch_id").agg(F.sum("v").alias("v")).collect()
+    }
+    assert got == {COMPACT_BASE_ID: 7.0, 3: 8.0}
 
 
 def test_partial_store_any_split_matches_batch(spark, sf_dir, tmp_path):
