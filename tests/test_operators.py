@@ -92,6 +92,30 @@ def test_order_wide_scan_prunes_columns(spark, sf_dir):
         assert read_cols == 7, f"lineitem scan reads {read_cols} columns: {line}"
 
 
+def test_order_wide_dims_all_broadcast(spark, sf_dir):
+    """Join-strategy regression guard for the flagship 6-way enrichment
+    (J2): every dim join must plan as BroadcastHashJoin — a dim that
+    silently fell back to a shuffled join would add an exchange per dim
+    over the fact table, the dominant avoidable cost at 100 TB. (The
+    fact-fact side is allowed either strategy: AQE rightly flips it to
+    sort-merge once orders outgrows the broadcast threshold.)"""
+    import contextlib
+    import io
+
+    df = plans.query_map()["order_wide_enriched"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    n_bhj = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "BroadcastHashJoin" in ln
+    )
+    assert n_bhj >= 5, f"expected >=5 broadcast dim joins, plan has {n_bhj}"
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pricing_summary_plan_shape(spark, sf_dir):
     """Perf-plan regression guard for the TPC-H-Q1-shaped aggregate —
     the plan the 100 TB audit approved (SCALE.md): the shipdate filter
