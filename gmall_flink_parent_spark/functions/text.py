@@ -89,11 +89,18 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is a single codegen projection over the parquet scan —
     per-row, shuffle-free; at 100 TB this is THE map stage a curation
-    pipeline runs once and reuses for every downstream signal.
+    pipeline runs once and reuses for every downstream signal
+    (run-once-at-ingest form: ``streaming/jobs.py::text_profile_job``).
     """
     # fan_out: 32 simhash bit votes + 3 regex passes per row are CPU-dense
     # enough that a single-split scan must not pin them to one task.
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    return doc_text_profile_frame(fan_out(spark, load_table(spark, sf_dir, "documents")))
+
+
+def doc_text_profile_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of ``doc_text_profile`` — the one-scan profile
+    projection over any documents-shaped frame, so the ingest-time
+    streaming job and the batch query share one definition."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     fp = F.md5(F.lower(F.trim(F.col("text"))))
 

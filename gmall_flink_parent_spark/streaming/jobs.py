@@ -785,6 +785,36 @@ def ann_index_job(
     )
 
 
+def text_profile_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
+    """Streaming text profiling: each micro-batch of documents gets the
+    one-scan codegen profile (``doc_text_profile_frame`` — token stats,
+    BPE piece counts, fingerprint, simhash32) and the rows land in a
+    ``batch_id=N`` partition — idempotent on replay like
+    ``media_features_job``.
+
+    The curation production shape the batch query's docstring promises:
+    profile ONCE at ingest (the CPU-dense regex/simhash stage), store
+    the cheap typed rows; every downstream signal (dedup keys, quality
+    filters, token budgets) reads the feature store, never re-scans the
+    text. Batch analog: ``doc_text_profile`` (driver hash-checked);
+    stream/batch parity pinned in ``tests/test_streaming.py``.
+    """
+    from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        doc_text_profile_frame(fan_out(batch.sparkSession, batch)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/text_profile")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def media_features_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
     """Streaming media ingestion: each micro-batch of documents gets the
     synthesized binary payload routing + the REAL Arrow-batched decode

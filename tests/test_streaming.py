@@ -1516,6 +1516,30 @@ def test_chained_layered_pipeline_with_restart(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_text_profile_job_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming text profiling over two micro-batches: the feature
+    store accumulates exactly the batch ``doc_text_profile`` rows (all
+    12 profile columns, simhash included), one batch_id partition
+    each."""
+    from gmall_flink_parent_spark.streaming.jobs import text_profile_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    q = text_profile_job(stream, str(tmp_path / "feat"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    feat = spark.read.parquet(str(tmp_path / "feat"))
+    batch = plans.query_map()["doc_text_profile"](spark, sf_dir)
+    cols = [c for c in batch.columns]
+    got = {tuple(r[c] for c in cols) for r in feat.collect()}
+    want = {tuple(r[c] for c in cols) for r in batch.collect()}
+    assert got == want and len(want) > 0
+    assert sorted(
+        r["batch_id"] for r in feat.select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+
 def test_media_features_job_matches_batch(spark, sf_dir, tmp_path):
     """Streaming media ingestion over two micro-batches: the decoded
     feature store accumulates exactly the batch query's features (all
