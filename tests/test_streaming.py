@@ -1396,6 +1396,32 @@ def test_media_features_job_recovers_from_crash_between_batches(
     ) == [0, 1]
 
 
+def test_text_profile_job_recovers_from_crash_between_batches(spark, sf_dir, tmp_path):
+    """Kill-between-batches recovery for the text profiling job: the
+    replayed batch 1 must replace the partial crash-time partition —
+    final profile store equals the batch query exactly."""
+    from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
+    from gmall_flink_parent_spark.streaming.jobs import text_profile_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    poison = doc_text_profile_frame(
+        spark.createDataFrame([(-1, "crash time junk")], "doc_id long, text string")
+    )
+    out = _crash_recovery_harness(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string",
+        text_profile_job, poison,
+    )
+    feat = spark.read.parquet(out)
+    batch = plans.query_map()["doc_text_profile"](spark, sf_dir)
+    cols = list(batch.columns)
+    got = {tuple(r[c] for c in cols) for r in feat.collect()}
+    want = {tuple(r[c] for c in cols) for r in batch.collect()}
+    assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
+    assert sorted(
+        r["batch_id"] for r in feat.select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+
 def test_ann_index_job_recovers_from_crash_between_batches(spark, sf_dir, tmp_path):
     """Kill-between-batches recovery for the IVF index ingestion job:
     replayed batch 1 replaces the partial cell partition — accumulated
