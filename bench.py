@@ -120,20 +120,28 @@ def main() -> None:
     stall_suspect = reps >= 2 and median_spread > 2.0
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "rep_spread": spreads,
-                "median_rep_spread": median_spread,
-                "stall_suspect": stall_suspect,
-            }
-        )
+    # Keep the stdout line COMPACT: the driver's tail capture is finite and
+    # BENCH_r05.json lost its head (total included) once per-query rep_spread
+    # doubled the line length. Per-query mins + the stall verdict go to
+    # stdout; the full spread diagnosis goes to a local file.
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "stall_suspect": stall_suspect,
+        "median_rep_spread": median_spread,
+        "queries": timings,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump({**compact, "rep_spread": spreads, "reps": reps}, fh, indent=1)
+    except OSError:
+        pass  # diagnosis file is best-effort; the stdout line is the artifact
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

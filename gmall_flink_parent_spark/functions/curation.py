@@ -555,6 +555,15 @@ GROUP BY lang
 """
 
 
+def corpus_token_projection(docs: DataFrame) -> DataFrame:
+    """The (lang, source, n_chars, n_tokens) map-stage projection shared
+    by batch ``corpus_summary`` and the streaming
+    ``corpus_summary_job`` partials — one definition of "a token" so
+    the batch query and its partial-store twin cannot drift."""
+    n = F.size(F.split("text", " "))
+    return docs.select("lang", "source", "n_chars", n.alias("n_tokens"))
+
+
 @register("corpus_summary", oracle=CORPUS_SUMMARY_ORACLE, tags=("text", "stats"))
 def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language dataset-card statistics: doc/source/token/char totals.
@@ -564,9 +573,8 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counting stays a per-row array expression in the map stage.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n = F.size(F.split("text", " "))
     return (
-        docs.select("lang", "source", "n_chars", n.alias("n_tokens"))
+        corpus_token_projection(docs)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

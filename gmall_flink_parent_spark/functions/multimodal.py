@@ -343,7 +343,12 @@ def _pil_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
             img = img.convert("RGB")
         w, h = img.size
         return w, h, img.tobytes()
-    except (OSError, ValueError) as exc:  # UnidentifiedImageError is an OSError
+    except Exception as exc:
+        # Pillow's failure surface is wider than (OSError, ValueError):
+        # plugin parsers raise struct.error / SyntaxError on truncated
+        # streams, and oversized images raise DecompressionBombError.
+        # Everything funnels into the module's uniform ValueError so no
+        # raw PIL exception ever escapes decode_media.
         raise ValueError(f"Pillow could not decode image payload: {exc}") from exc
 
 

@@ -166,9 +166,10 @@ def corpus_summary_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     """
 
     def partials(batch: DataFrame) -> DataFrame:
-        n = F.size(F.split("text", " "))
+        from gmall_flink_parent_spark.functions.curation import corpus_token_projection
+
         return (
-            batch.select("lang", "source", "n_chars", n.alias("n_tokens"))
+            corpus_token_projection(batch)
             .groupBy("lang", "source")
             .agg(
                 F.count(F.lit(1)).alias("n_docs_part"),
@@ -261,6 +262,12 @@ def compact_partial_store(
     matching the ``*_from_store`` final pass.
     """
     _clear_swap_leftovers(spark, store_path)  # may restore a half-swapped store
+    # A scheduled compaction can race first deployment: no batch has
+    # landed yet, so there is no store directory. That is the documented
+    # quiet no-op, not a raw AnalysisException from the read.
+    fs, dest = _hadoop_fs(spark, store_path)
+    if not fs.exists(dest):
+        return COMPACT_BASE_ID
     store = spark.read.parquet(store_path)
     value_cols = [
         f for f in store.schema.fields if f.name not in (*group_cols, "batch_id")
@@ -281,9 +288,22 @@ def compact_partial_store(
     # quiet store) would be pure churn
     if not fold.filter(F.col("batch_id") != COMPACT_BASE_ID).limit(1).count():
         return COMPACT_BASE_ID
+    # Sum integral columns through a decimal(38,0) intermediate: Spark's
+    # sum(long) is itself a long, so the merged total can overflow BEFORE
+    # the try_cast guard below ever sees it — wrapping silently in
+    # non-ANSI mode or throwing a raw JVM ArithmeticException under ANSI.
+    # Widening first moves the overflow to the guarded cast-back, where
+    # it raises the one documented ArithmeticError under both modes.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    def _sum_expr(f):
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType)):
+            return F.sum(F.col(f.name).cast("decimal(38,0)")).alias(f.name)
+        return F.sum(f.name).alias(f.name)
+
     raw = (
         fold.groupBy(*group_cols)
-        .agg(*[F.sum(f.name).alias(f.name) for f in value_cols])
+        .agg(*[_sum_expr(f) for f in value_cols])
         .persist()
     )
     try:

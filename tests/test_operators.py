@@ -1090,6 +1090,23 @@ def test_pil_adapter_seam_routes_compressed_image_mimes(monkeypatch):
     with pytest.raises(ValueError, match="could not decode"):
         decode_media(b"garbage", "image/webp")
 
+    # Pillow's failure surface is wider than OSError/ValueError: plugin
+    # parsers raise struct.error or SyntaxError on truncated streams,
+    # and the bomb check raises Image.DecompressionBombError. All of
+    # them must land in the same uniform ValueError.
+    for raw_exc in (
+        struct.error("unpack requires a buffer"),
+        SyntaxError("broken PNG file"),
+        MemoryError("decompression bomb"),
+    ):
+
+        def explode_typed(fp, _exc=raw_exc):
+            raise _exc
+
+        fake_image_mod.open = explode_typed
+        with pytest.raises(ValueError, match="could not decode"):
+            decode_media(b"garbage", "image/webp")
+
     # and with PIL genuinely absent the image seam refuses loudly.
     # sys.modules[name] = None makes the import itself raise ImportError
     # even when a real Pillow is installed — delitem would only drop the

@@ -4,6 +4,8 @@ must reproduce: mid 101 bounces, mid 102 does not."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -997,6 +999,28 @@ def test_compact_partial_store_null_keys_and_idempotence(spark, tmp_path):
         compact_partial_store(spark, ov, ["k"])
     # and the refusal left the store untouched (both partitions intact)
     assert spark.read.parquet(ov).count() == 2
+
+    # long columns hit overflow in sum() itself (sum(long) is a long),
+    # BEFORE the cast-back guard — the widened decimal intermediate must
+    # surface the same documented error, not a silent wrap (non-ANSI)
+    # or a raw JVM ArithmeticException (ANSI)
+    lv = str(tmp_path / "long_overflow_store")
+    near_max = [("a", 2**63 - 10)]
+    spark.createDataFrame(near_max, "k string, v long").write.parquet(
+        f"{lv}/batch_id=0"
+    )
+    spark.createDataFrame(near_max, "k string, v long").write.parquet(
+        f"{lv}/batch_id=1"
+    )
+    with pytest.raises(ArithmeticError, match="overflows"):
+        compact_partial_store(spark, lv, ["k"])
+    assert spark.read.parquet(lv).count() == 2
+
+    # compaction racing first deployment: no batch has landed, no store
+    # directory exists — quiet no-op, not a raw AnalysisException
+    missing = str(tmp_path / "never_written_store")
+    assert compact_partial_store(spark, missing, ["k"]) == COMPACT_BASE_ID
+    assert not os.path.exists(missing)
 
 
 def test_swap_recovery_restores_half_swapped_store(spark, tmp_path):
