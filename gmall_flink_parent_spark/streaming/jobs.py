@@ -13,6 +13,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.operators.routing import ROUTING_CONFIG
+from gmall_flink_parent_spark.streaming.store import (  # noqa: F401  re-exported
+    COMPACT_BASE_ID,
+    _clear_swap_leftovers,
+    _hadoop_fs,
+    _max_committed_batch_id,
+    _partial_store_job,
+    _swap_parquet_dir,
+    compact_partial_store,
+    upsert_parquet,
+)
 
 
 def log_split_job(events: DataFrame, out_dir: str, checkpoint_dir: str):
@@ -47,110 +57,6 @@ def log_split_job(events: DataFrame, out_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` — works on HDFS/S3A/local alike,
-    unlike ``os.path`` which only sees the driver's local disk."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
-
-
-def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str) -> None:
-    """K3 (DimSink Phoenix upsert) without Delta: anti-join + union rewrite.
-
-    Emulates MERGE for plain parquet — read current, keep rows whose key
-    is not being replaced, union, write to a side directory, then swap
-    directories with two filesystem renames (metadata ops, not data
-    copies). The exposure window is the instant between the two renames;
-    a crash there leaves the previous table intact under ``._old`` —
-    recoverable by renaming it back — whereas a crash during a direct
-    overwrite of ``path`` loses the table outright. Leftover ``._tmp``/
-    ``._old`` from a previous crash are cleared on entry, so the op is
-    self-healing across retries (idempotent per batch). With Delta/
-    Iceberg on the classpath this is one transactional ``MERGE INTO``.
-    """
-    new_rows = new_rows.dropDuplicates([key]).persist()
-    try:
-        fs, dest = _hadoop_fs(spark, path)
-        _clear_swap_leftovers(spark, path)
-        if fs.exists(dest):
-            cur = spark.read.parquet(path)
-            merged = cur.join(new_rows, on=key, how="left_anti").unionByName(new_rows)
-        else:
-            merged = new_rows
-        _swap_parquet_dir(spark, merged, path)
-    finally:
-        new_rows.unpersist()
-
-
-def _clear_swap_leftovers(spark: SparkSession, path: str) -> None:
-    """Heal the swap crash states a previous run may have left beside
-    ``path`` — must run BEFORE building the replacement frame, which
-    typically reads ``path`` itself. Requires exclusive access (the
-    swap protocol's standing precondition).
-
-    Under exclusive access the ``dest``/``._old`` existence pair alone
-    distinguishes every crash point of ``_swap_parquet_dir``:
-
-    - ``path`` missing but ``._old`` present (crash between the two
-      renames — the only state that produces it): the previous table
-      is RESTORED by renaming ``._old`` back — never deleted. Without
-      the restore, the next cleanup would destroy the only remaining
-      copy.
-    - ``path`` present and ``._old`` present (crash after the second
-      rename, or before the first): ``path`` is complete — the stale
-      ``._old``/``._tmp`` debris is dropped.
-    """
-    fs, dest = _hadoop_fs(spark, path)
-    _, tmp = _hadoop_fs(spark, path + "._tmp")
-    _, old = _hadoop_fs(spark, path + "._old")
-    if not fs.exists(dest) and fs.exists(old):
-        if not fs.rename(old, dest):
-            raise IOError(
-                f"swap recovery: could not restore {old} -> {dest}; "
-                "manual intervention required"
-            )
-    fs.delete(tmp, True)
-    fs.delete(old, True)
-
-
-def _swap_parquet_dir(
-    spark: SparkSession,
-    merged: DataFrame,
-    path: str,
-    partition_by: list[str] | None = None,
-) -> None:
-    """Write ``merged`` beside ``path`` then swap directories with two
-    filesystem renames (metadata ops, not data copies) — the shared
-    crash-safety core of ``upsert_parquet`` and
-    ``compact_partial_store``. Every crash point heals on the next
-    ``_clear_swap_leftovers`` (incl. restoring the previous table if
-    the crash landed between the renames). Callers must have healed
-    leftovers before building ``merged``, and must hold exclusive
-    access: a concurrent writer recreating ``path`` mid-swap is
-    undetectable corruption."""
-    fs, dest = _hadoop_fs(spark, path)
-    _, tmp = _hadoop_fs(spark, path + "._tmp")
-    _, old = _hadoop_fs(spark, path + "._old")
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path + "._tmp")  # materializes any read of `path`
-    # Hadoop FileSystem.rename signals failure by returning false, not by
-    # throwing — an unchecked false on the second rename would leave the
-    # table vanished from `path` while reporting success.
-    if fs.exists(dest):
-        if not fs.rename(dest, old):
-            raise IOError(f"swap: rename {dest} -> {old} failed")
-    if not fs.rename(tmp, dest):
-        restored = fs.exists(old) and fs.rename(old, dest)
-        raise IOError(
-            f"swap: rename {tmp} -> {dest} failed; previous table "
-            + ("restored" if restored else f"left at {old}")
-        )
-    fs.delete(old, True)
 
 
 def corpus_summary_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
@@ -199,144 +105,6 @@ def corpus_summary_from_store(spark: SparkSession, store_path: str) -> DataFrame
             F.round(F.sum("tokens_part") / F.sum("n_docs_part"), 6).alias("avg_tokens"),
         )
     )
-
-
-COMPACT_BASE_ID = -1  # reserved partition id; stream batch ids are >= 0
-
-
-def _max_committed_batch_id(spark: SparkSession, checkpoint_location: str) -> int | None:
-    """The highest batch id with a commit record in the streaming
-    checkpoint. Batches commit strictly in order, so EVERY id at or
-    below it is committed and can never be replayed — which also makes
-    this robust to commit-log retention purging old entries
-    (``spark.sql.streaming.minBatchesToRetain``): a purged id is below
-    the retained maximum, not uncommitted. Works on HDFS/S3A/local
-    alike; None when no batch has ever committed."""
-    fs, commits = _hadoop_fs(spark, checkpoint_location.rstrip("/") + "/commits")
-    if not fs.exists(commits):
-        return None
-    ids = [
-        int(st.getPath().getName())
-        for st in fs.listStatus(commits)
-        if st.getPath().getName().isdigit()
-    ]
-    return max(ids) if ids else None
-
-
-def compact_partial_store(
-    spark: SparkSession,
-    store_path: str,
-    group_cols: list[str],
-    checkpoint_location: str | None = None,
-) -> int:
-    """Maintenance pass for ``_partial_store_job`` stores: fold batch
-    partitions into ONE base partition at the reserved
-    ``batch_id=-1`` (``COMPACT_BASE_ID``) — an id the stream can never
-    write, so no future or REPLAYED micro-batch's ``overwrite`` of its
-    own ``batch_id=N`` partition can ever clobber folded history.
-    Totals are exact: every non-group column is summed and cast back to
-    its stored type, so partition schemas never drift across
-    compactions.
-
-    Pass the job's ``checkpoint_location`` (e.g.
-    ``f"{checkpoint_dir}/topk_spend"``) and only COMMITTED batches fold
-    — every id at or below the checkpoint's highest commit record
-    (commits are strictly ordered, so this also survives commit-log
-    retention purging old entries). A landed-but-uncommitted partition
-    is LEFT IN PLACE for the stream to overwrite on replay, so a crash
-    between sink write and checkpoint commit can neither lose nor
-    double-count that batch. Without a checkpoint, everything folds —
-    only safe when the stream is stopped for good.
-
-    Crash-safe via the two-rename swap (``_swap_parquet_dir``): any
-    crash point heals on the next swap-protocol entry, restoring the
-    previous store if the crash landed between the renames. NOT safe to
-    run concurrently with the live stream's sink writes — run it
-    between ``availableNow`` runs or while the stream is paused
-    (DEPLOY.md). A compaction with nothing new to fold (no committed
-    partition outside the base) is a no-op. Returns
-    ``COMPACT_BASE_ID``.
-
-    Group keys may be NULL (the rollup/cube finest grain keeps NULL
-    dimension values as data): the groupBy treats NULL as a regular key,
-    matching the ``*_from_store`` final pass.
-    """
-    _clear_swap_leftovers(spark, store_path)  # may restore a half-swapped store
-    # A scheduled compaction can race first deployment: no batch has
-    # landed yet, so there is no store directory. That is the documented
-    # quiet no-op, not a raw AnalysisException from the read.
-    fs, dest = _hadoop_fs(spark, store_path)
-    if not fs.exists(dest):
-        return COMPACT_BASE_ID
-    store = spark.read.parquet(store_path)
-    value_cols = [
-        f for f in store.schema.fields if f.name not in (*group_cols, "batch_id")
-    ]
-    if checkpoint_location is None:
-        foldable = F.lit(True)
-    else:
-        max_committed = _max_committed_batch_id(spark, checkpoint_location)
-        # the prior base is always foldable: it only ever held folded
-        # committed batches
-        foldable = F.col("batch_id") <= (
-            COMPACT_BASE_ID if max_committed is None else int(max_committed)
-        )
-    fold = store.filter(foldable)
-    keep = store.filter(~foldable)
-    # no-op when there is nothing NEW to fold: rewriting the store to
-    # produce the identical base (e.g. a scheduled compaction on a
-    # quiet store) would be pure churn
-    if not fold.filter(F.col("batch_id") != COMPACT_BASE_ID).limit(1).count():
-        return COMPACT_BASE_ID
-    # Sum integral columns through a decimal(38,0) intermediate: Spark's
-    # sum(long) is itself a long, so the merged total can overflow BEFORE
-    # the try_cast guard below ever sees it — wrapping silently in
-    # non-ANSI mode or throwing a raw JVM ArithmeticException under ANSI.
-    # Widening first moves the overflow to the guarded cast-back, where
-    # it raises the one documented ArithmeticError under both modes.
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    def _sum_expr(f):
-        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType)):
-            return F.sum(F.col(f.name).cast("decimal(38,0)")).alias(f.name)
-        return F.sum(f.name).alias(f.name)
-
-    raw = (
-        fold.groupBy(*group_cols)
-        .agg(*[_sum_expr(f) for f in value_cols])
-        .persist()
-    )
-    try:
-        # A merged total that no longer fits the stored type would
-        # either corrupt the store silently (non-ANSI cast → NULL) or
-        # die mid-swap with a raw JVM error (ANSI cast). try_cast is
-        # NULL-on-overflow under BOTH modes, so the pre-check raises
-        # one well-defined error before any write happens.
-        overflowed = [
-            F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull()
-            for f in value_cols
-        ]
-        if value_cols:
-            cond = overflowed[0]
-            for c in overflowed[1:]:
-                cond = cond | c
-            if raw.filter(cond).limit(1).count():
-                raise ArithmeticError(
-                    "compact_partial_store: a merged total overflows its "
-                    "stored column type; widen the store schema before "
-                    "compacting"
-                )
-        base = raw.select(
-            *group_cols,
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in value_cols],
-        ).withColumn("batch_id", F.lit(COMPACT_BASE_ID).cast("long"))
-        merged = base.unionByName(
-            keep.select(*group_cols, *[f.name for f in value_cols], "batch_id")
-        )
-        _swap_parquet_dir(spark, merged, store_path, partition_by=["batch_id"])
-    finally:
-        raw.unpersist()
-    return COMPACT_BASE_ID
 
 
 def ensure_dim_table(spark: SparkSession, name: str, path: str, df: DataFrame) -> None:
@@ -565,30 +333,6 @@ def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
         "o_orderdate",
         "l_shipdate",
         F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
-    )
-
-
-def _partial_store_job(stream: DataFrame, partials_fn, store_path: str, checkpoint: str):
-    """The shared DWS incremental shape: reduce each micro-batch to a
-    COMPACT partial-aggregate frame (size ∝ #groups, independent of
-    fact volume) and land it in an idempotent ``batch_id=N`` partition
-    — replays overwrite their own partition, so the store never
-    double-counts (same exactly-once pattern as ``minhash_dedup_job``'s
-    pair sink). A ``*_from_store`` final pass re-aggregates the partials
-    — exact, because decimal sums and counts are associative. At 100 TB
-    the stream pays one map-side-combined shuffle per batch; the final
-    pass reads only the compact store."""
-
-    def process(batch: DataFrame, batch_id: int) -> None:
-        partials_fn(batch).write.mode("overwrite").parquet(
-            f"{store_path}/batch_id={batch_id}"
-        )
-
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
 
 

@@ -356,7 +356,7 @@ def test_upsert_parquet_failed_swap_raises_and_restores(spark, tmp_path, monkeyp
     """Hadoop rename reports failure by returning false; a false on the
     tmp→dest rename must raise (not silently succeed) and restore the
     previous table from ``._old``."""
-    from gmall_flink_parent_spark.streaming import jobs
+    from gmall_flink_parent_spark.streaming import store as jobs
 
     path = str(tmp_path / "dim")
     jobs.upsert_parquet(spark, spark.range(3).withColumnRenamed("id", "k"), path, key="k")
