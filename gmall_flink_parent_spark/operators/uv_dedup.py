@@ -88,3 +88,28 @@ def dau_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.date_format("ts", "yyyyMMdd").alias("ymd"))
         .agg(F.countDistinct("user_id").alias("dau"))
     )
+
+
+def dau_hll_sketches(events: DataFrame) -> DataFrame:
+    """Per-day DataSketches HLL sketch of the active-user set — the
+    mergeable form of ``dau_by_day``'s distinct count.
+
+    Unlike ``approx_count_distinct`` (whose HLL++ state Spark never
+    exposes), ``hll_sketch_agg`` returns the sketch itself as BINARY,
+    so per-batch sketches land in a ``_partial_store_job`` store and
+    ``hll_union_agg`` merges them later — union is register-wise max,
+    making estimate(union(per-batch sketches)) EXACTLY equal to
+    estimate(one sketch over all events). Shared by the batch twin
+    ``dau_hll_estimate`` and the streaming ``dau_hll_job`` partials so
+    the two cannot drift.
+    """
+    return events.groupBy(F.date_format("ts", "yyyyMMdd").alias("ymd")).agg(
+        F.hll_sketch_agg("user_id").alias("users_sketch")
+    )
+
+
+def dau_hll_estimate(events: DataFrame) -> DataFrame:
+    """Batch HLL twin of ``dau_by_day``: sketch → estimate, one pass."""
+    return dau_hll_sketches(events).select(
+        "ymd", F.hll_sketch_estimate("users_sketch").alias("approx_dau")
+    )

@@ -27,6 +27,19 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def hourly_grain(events: DataFrame) -> DataFrame:
+    """The (1-hour window, event_type) map-stage projection with the
+    decimal money cast — ONE definition of the hourly grain shared by
+    batch ``hourly_stats`` and the streaming ``hourly_stats_job``
+    partials (``streaming/jobs.py``), so the two cannot drift."""
+    return events.select(
+        F.window("ts", "1 hour").alias("window"),
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    )
+
+
 @register("hourly_stats", oracle=HOURLY_STATS_ORACLE, tags=("dws", "window-agg"))
 def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregate per event type.
@@ -38,13 +51,14 @@ def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     return (
-        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        hourly_grain(events)
+        .groupBy("window", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             # exact decimal sum internally; DOUBLE only at the output edge
             # so the driver's representation-sensitive hash is stable
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("hour_start"),

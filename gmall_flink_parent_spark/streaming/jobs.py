@@ -366,6 +366,99 @@ def topk_spend_from_store(spark: SparkSession, store_path: str, k: int = 5) -> D
     return rank_topk_spend(spend, k)
 
 
+def dau_hll_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Streaming twin of ``dau_by_day`` with a MERGEABLE distinct count —
+    the grain-rule's third case (sketch columns).
+
+    Exact ``countDistinct`` is not decomposable into per-batch partials
+    (a user active in two batches would double-count), and
+    ``approx_count_distinct`` never exposes its HLL state. DataSketches
+    HLL does: each micro-batch stores one BINARY ``hll_sketch_agg``
+    sketch per day (``dau_hll_sketches`` — the SAME frame core as the
+    batch twin), and ``dau_by_day_from_store`` merges with
+    ``hll_union_agg``, whose register-wise-max union makes the estimate
+    EXACTLY equal to one sketch over all events. Store size:
+    #days × #batches × ~1 KB, independent of event volume —
+    ``compact_partial_store`` folds the sketches too.
+    """
+    from gmall_flink_parent_spark.operators.uv_dedup import dau_hll_sketches
+
+    return _partial_store_job(
+        events, dau_hll_sketches, store_path, f"{checkpoint_dir}/dau_hll"
+    )
+
+
+def dau_by_day_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``dau_hll_job``'s sketch store: union the
+    per-batch sketches per day, then estimate — schema-compatible with
+    batch ``dau_hll_estimate`` (ymd, approx_dau)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("ymd")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias("approx_dau")
+        )
+    )
+
+
+def hourly_stats_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Partial-store twin of batch ``hourly_stats`` — all three
+    grain-rule cases in one store: plain mergeable sums (n_events,
+    decimal sum_value), and the BINARY HLL sketch for the
+    non-decomposable distinct-user count. Built on the SAME
+    ``hourly_grain`` projection as the batch query
+    (``operators/windows.py``).
+
+    This supersedes ``hourly_stats_stream``'s documented divergence
+    (its ``approx_count_distinct`` column cannot be merged across
+    re-runs or late backfills); the sketch column can — so the store
+    serves exact n_events/sum_value AND a mergeable user-count
+    estimate from one ingest pass.
+    """
+    from gmall_flink_parent_spark.operators.windows import hourly_grain
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return (
+            hourly_grain(batch)
+            .groupBy("window", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events_part"),
+                F.sum("value_dec").alias("sum_value_part"),
+                F.hll_sketch_agg("user_id").alias("users_sketch"),
+            )
+            .select(
+                F.col("window.start").alias("hour_start"),
+                "event_type",
+                "n_events_part",
+                "sum_value_part",
+                "users_sketch",
+            )
+        )
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/hourly_stats"
+    )
+
+
+def hourly_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``hourly_stats_job``'s store: n_events and
+    sum_value merge EXACTLY (count/decimal sums are associative — they
+    hash-match batch ``hourly_stats``); the distinct-user column is the
+    HLL union's estimate (``approx_users``, error-bounded vs the exact
+    ``n_users`` in tests)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("n_events_part").cast("long").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias(
+                "approx_users"
+            ),
+            F.sum("sum_value_part").cast("double").alias("sum_value"),
+        )
+    )
+
+
 def revenue_rollup_job(
     orders: DataFrame,
     customer: DataFrame,

@@ -184,6 +184,15 @@ def compact_partial_store(
     Group keys may be NULL (the rollup/cube finest grain keeps NULL
     dimension values as data): the groupBy treats NULL as a regular key,
     matching the ``*_from_store`` final pass.
+
+    Store convention for value columns (the grain-rule trilogy):
+    numeric columns are plain mergeable sums; non-decomposable
+    aggregates are stored at a finer grain (``corpus_summary_job``);
+    and BINARY columns are DataSketches HLL sketches
+    (``F.hll_sketch_agg``) merged here with ``F.hll_union_agg`` —
+    union is register-wise max, so folding batches is estimate-
+    identical to one sketch over all the data. A binary column that is
+    not an HLL sketch has no defined merge and must not be stored.
     """
     _clear_swap_leftovers(spark, store_path)  # may restore a half-swapped store
     # A scheduled compaction can race first deployment: no batch has
@@ -218,16 +227,25 @@ def compact_partial_store(
     # non-ANSI mode or throwing a raw JVM ArithmeticException under ANSI.
     # Widening first moves the overflow to the guarded cast-back, where
     # it raises the one documented ArithmeticError under both modes.
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    from pyspark.sql.types import (
+        BinaryType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
 
-    def _sum_expr(f):
+    def _merge_expr(f):
+        if isinstance(f.dataType, BinaryType):
+            # HLL sketch column (store convention): union, not sum
+            return F.hll_union_agg(f.name).alias(f.name)
         if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType)):
             return F.sum(F.col(f.name).cast("decimal(38,0)")).alias(f.name)
         return F.sum(f.name).alias(f.name)
 
     raw = (
         fold.groupBy(*group_cols)
-        .agg(*[_sum_expr(f) for f in value_cols])
+        .agg(*[_merge_expr(f) for f in value_cols])
         .persist()
     )
     try:
@@ -236,11 +254,14 @@ def compact_partial_store(
         # die mid-swap with a raw JVM error (ANSI cast). try_cast is
         # NULL-on-overflow under BOTH modes, so the pre-check raises
         # one well-defined error before any write happens.
+        # (binary sketch columns skip the guard: hll_union_agg already
+        # returns the stored binary type and cannot overflow)
+        guarded = [f for f in value_cols if not isinstance(f.dataType, BinaryType)]
         overflowed = [
             F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull()
-            for f in value_cols
+            for f in guarded
         ]
-        if value_cols:
+        if guarded:
             cond = overflowed[0]
             for c in overflowed[1:]:
                 cond = cond | c

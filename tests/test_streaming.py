@@ -742,7 +742,11 @@ def _two_file_stream(spark, tmp_path, df, split_col, schema, subdir="in"):
         (df.filter(F.col(split_col) > median), "f2.parquet", 5),
     ):
         path = str(tmp_path / subdir / fname)
-        half.toPandas().to_parquet(path)
+        pdf = half.toPandas()
+        for c in pdf.columns:  # micros, so a plain "ts timestamp" schema reads it
+            if str(pdf[c].dtype).startswith("datetime64"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(path)
         t = time.time() + off
         os.utime(path, (t, t))
     return (
@@ -849,6 +853,96 @@ def test_corpus_summary_job_matches_batch(spark, sf_dir, tmp_path):
     got = _rows(corpus_summary_from_store(spark, str(tmp_path / "store")), cols)
     want = _rows(plans.query_map()["corpus_summary"](spark, sf_dir), cols)
     assert got == want and len(want) > 0
+
+
+def test_dau_hll_job_matches_batch_hll_twin(spark, sf_dir, tmp_path):
+    """The grain-rule's third case (mergeable sketch columns), end to
+    end: per-batch BINARY hll_sketch_agg partials, hll_union_agg final
+    pass. Union is register-wise max, so the from-store estimate must
+    EXACTLY equal the batch one-shot sketch (``dau_hll_estimate``) —
+    not just approximately — and stay error-bounded vs exact
+    ``dau_by_day``. Compaction must fold the sketch partitions through
+    ``hll_union_agg`` with estimates unchanged."""
+    from gmall_flink_parent_spark.operators.uv_dedup import dau_hll_estimate
+    from gmall_flink_parent_spark.streaming.jobs import (
+        dau_by_day_from_store,
+        dau_hll_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_partial_store,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long",
+    )
+    q = dau_hll_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = ["ymd", "approx_dau"]
+    got = _rows(dau_by_day_from_store(spark, str(tmp_path / "store")), cols)
+    want = _rows(dau_hll_estimate(load_table(spark, sf_dir, "events")), cols)
+    assert got == want and len(want) > 0  # union-of-partials == one-shot sketch
+    exact = {
+        r["ymd"]: r["dau"]
+        for r in plans.query_map()["dau_by_day"](spark, sf_dir).collect()
+    }
+    assert set(exact) == {ymd for ymd, _ in got}
+    for ymd, est in got:
+        assert abs(est - exact[ymd]) <= max(2, 0.05 * exact[ymd]), (ymd, est)
+    # compaction folds the BINARY sketches (hll_union_agg, not sum):
+    # both committed batches collapse into the base partition and every
+    # estimate is unchanged
+    compact_partial_store(
+        spark, str(tmp_path / "store"), ["ymd"], f"{tmp_path}/ck/dau_hll"
+    )
+    after = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in after.select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
+    assert _rows(dau_by_day_from_store(spark, str(tmp_path / "store")), cols) == want
+
+
+def test_hourly_stats_job_matches_batch(spark, sf_dir, tmp_path):
+    """All three grain-rule cases in ONE store: n_events and sum_value
+    merge exactly (hash-equal to batch ``hourly_stats``); the distinct
+    user count rides as a mergeable HLL sketch whose estimate is
+    error-bounded vs the exact batch ``n_users``. This is the upgrade
+    over ``hourly_stats_stream``'s approx_count_distinct column, which
+    exposes no state and cannot be merged across re-runs."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        hourly_stats_from_store,
+        hourly_stats_job,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    q = hourly_stats_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    got = hourly_stats_from_store(spark, str(tmp_path / "store"))
+    batch = plans.query_map()["hourly_stats"](spark, sf_dir)
+    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols) and batch.count() > 0
+    exact = {
+        (r["hour_start"], r["event_type"]): r["n_users"] for r in batch.collect()
+    }
+    for r in got.collect():
+        e = exact[(r["hour_start"], r["event_type"])]
+        assert abs(r["approx_users"] - e) <= max(2, 0.05 * e), (r, e)
 
 
 def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_path):
