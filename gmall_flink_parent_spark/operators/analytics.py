@@ -31,10 +31,15 @@ WINDOW w AS (PARTITION BY event_type ORDER BY spend, user_id)
 """
 
 
-@register("user_value_distribution", oracle=VALUE_DIST_ORACLE, tags=("dws", "window-fn"))
-def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type spend distribution: percent_rank, cume_dist, quartiles —
+def value_distribution_frame(spark: SparkSession, spend: DataFrame) -> DataFrame:
+    """Per-type spend distribution over a (event_type, user_id, spend)
+    frame: percent_rank, cume_dist, quartiles —
     computed as a two-pass range-partition rank, NOT a per-type window.
+
+    Frame-level core shared by the batch ``user_value_distribution``
+    query and the ``user_value_distribution_from_store`` final pass
+    over ``topk_spend_job``'s partial store (``streaming/jobs.py``) —
+    one store, many heads.
 
     A naive ``Window.partitionBy(event_type)`` puts ALL users of one
     type on one task (~5 types ⇒ ≤5 tasks sort users-per-type rows); at
@@ -54,9 +59,6 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows arithmetically (first n mod 4 buckets get ⌈n/4⌉ rows) — no
     per-type sort task ever sees more than one range partition.
     """
-    from gmall_flink_parent_spark.operators.windows import spend_by_type_user
-
-    spend = spend_by_type_user(load_table(spark, sf_dir, "events"))
     n_ranges = spark.sparkContext.defaultParallelism
     # persisted (query-scoped): both the ranked path and the offsets
     # summary consume it, and it is the REDUCED frame (one row per
@@ -97,6 +99,18 @@ def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_rank"),
         F.round(p.cast("double") / n, 6).alias("cume"),
         quartile.cast("int").alias("quartile"),
+    )
+
+
+@register("user_value_distribution", oracle=VALUE_DIST_ORACLE, tags=("dws", "window-fn"))
+def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type spend distribution (percent_rank / cume_dist / ntile)
+    over the shared ``spend_by_type_user`` grain — the scalable
+    two-pass rank lives in ``value_distribution_frame``."""
+    from gmall_flink_parent_spark.operators.windows import spend_by_type_user
+
+    return value_distribution_frame(
+        spark, spend_by_type_user(load_table(spark, sf_dir, "events"))
     )
 
 

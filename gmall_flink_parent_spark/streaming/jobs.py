@@ -353,17 +353,38 @@ def topk_spend_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     )
 
 
+def merged_spend_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merge ``topk_spend_job``'s per-batch decimal partials back to the
+    (event_type, user_id) spend grain — the shared read under every
+    head served by that ONE store (top-k rank, value distribution).
+    Exact: decimal sums are associative."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("spend").alias("spend"))
+    )
+
+
 def topk_spend_from_store(spark: SparkSession, store_path: str, k: int = 5) -> DataFrame:
     """Final pass over ``topk_spend_job``'s partial store: merge the
     per-batch decimal partials, then the shared two-pass rank."""
     from gmall_flink_parent_spark.operators.windows import rank_topk_spend
 
-    spend = (
-        spark.read.parquet(store_path)
-        .groupBy("event_type", "user_id")
-        .agg(F.sum("spend").alias("spend"))
-    )
-    return rank_topk_spend(spend, k)
+    return rank_topk_spend(merged_spend_from_store(spark, store_path), k)
+
+
+def user_value_distribution_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Second head over the SAME ``topk_spend_job`` store: the full
+    per-type spend distribution (percent_rank / cume_dist / ntile via
+    the shared ``value_distribution_frame`` core) from the partials one
+    ingest pass already landed — no second scan of the fact stream.
+    This is the point of the partial-store shape at 100 TB: the store
+    is the (event_type, user_id) grain, and every DWS head that needs
+    that grain reads ~#groups rows instead of re-aggregating the
+    corpus. Hash-equal to batch ``user_value_distribution``."""
+    from gmall_flink_parent_spark.operators.analytics import value_distribution_frame
+
+    return value_distribution_frame(spark, merged_spend_from_store(spark, store_path))
 
 
 def dau_hll_job(events: DataFrame, store_path: str, checkpoint_dir: str):

@@ -759,10 +759,14 @@ def _two_file_stream(spark, tmp_path, df, split_col, schema, subdir="in"):
 def test_topk_spend_job_matches_batch(spark, sf_dir, tmp_path):
     """DWS streaming twin: per-batch (type, user) decimal partials +
     the shared rank pass must equal batch ``topk_users_by_spend``
-    exactly — spends, users, AND ranks."""
+    exactly — spends, users, AND ranks. One store, many heads: the SAME
+    store directory must also serve the full value-distribution head
+    (``user_value_distribution_from_store``) hash-equal to its batch
+    query — one ingest pass, two DWS answers."""
     from gmall_flink_parent_spark.streaming.jobs import (
         topk_spend_from_store,
         topk_spend_job,
+        user_value_distribution_from_store,
     )
 
     events = load_table(spark, sf_dir, "events").select(
@@ -782,6 +786,13 @@ def test_topk_spend_job_matches_batch(spark, sf_dir, tmp_path):
     got = _rows(topk_spend_from_store(spark, str(tmp_path / "store")), cols)
     want = _rows(plans.query_map()["topk_users_by_spend"](spark, sf_dir), cols)
     assert got == want and len(want) > 0
+    # second head, same store: full distribution ranks from the partials
+    dcols = ["event_type", "user_id", "spend", "pct_rank", "cume", "quartile"]
+    dgot = _rows(
+        user_value_distribution_from_store(spark, str(tmp_path / "store")), dcols
+    )
+    dwant = _rows(plans.query_map()["user_value_distribution"](spark, sf_dir), dcols)
+    assert dgot == dwant and len(dwant) > len(want)
 
 
 def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
