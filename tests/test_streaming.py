@@ -1590,16 +1590,33 @@ def test_chained_layered_pipeline_with_restart(spark, sf_dir, tmp_path):
     a RESTART of every stage between them:
 
         raw events (ODS) → log_split_job (DWD page branch)
-          → uv_dedup_stream (DWM) → DAU aggregate (DWS)
+          → uv_dedup_stream (DWM) → DAU aggregate + dau_hll_job (DWS)
 
     The chained streaming output must equal composing the batch queries
     (page filter → uv_dedup → dau) on the same input — both the DWM UV
     rows and the DWS daily-active counts. The input is split at the ts
     median so replayed order respects event time per key (the in-order
-    Kafka-replay contract the reference also assumes)."""
+    Kafka-replay contract the reference also assumes).
+
+    Between the two rounds, ``compact_partial_store`` folds the DWS
+    sketch store against its LIVE checkpoint — the mid-pipeline
+    maintenance DEPLOY.md prescribes — and the resumed stream lands its
+    next batch beside the reserved base partition with final parity
+    unchanged."""
     import os
 
-    from gmall_flink_parent_spark.operators.uv_dedup import uv_dedup_frame
+    from gmall_flink_parent_spark.operators.uv_dedup import (
+        dau_hll_estimate,
+        uv_dedup_frame,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import (
+        dau_by_day_from_store,
+        dau_hll_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_partial_store,
+    )
 
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -1638,15 +1655,39 @@ def test_chained_layered_pipeline_with_restart(spark, sf_dir, tmp_path):
         )
         q.awaitTermination(120)
 
+    dws_store = str(tmp_path / "dws_store")
+
+    def run_stage3():
+        uvs = spark.readStream.schema(
+            "user_id long, visit_ymd string, first_event_id long, "
+            "first_ts timestamp"
+        ).parquet(str(tmp_path / "dwm_uv"))
+        q = dau_hll_job(
+            uvs.select(F.col("first_ts").alias("ts"), "user_id"),
+            dws_store,
+            str(tmp_path / "ck3"),
+        )
+        q.awaitTermination(120)
+
     # --- micro-batch 1: first half of the stream flows down the chain
     land("f1.parquet", F.unix_micros("ts") <= m)
     run_stage1()
     run_stage2()
+    run_stage3()
+    # --- mid-pipeline maintenance: fold the DWS store against its LIVE
+    # checkpoint between rounds; the committed batch moves into the
+    # reserved base partition the resumed stream can never overwrite
+    compact_partial_store(spark, dws_store, ["ymd"], str(tmp_path / "ck3" / "dau_hll"))
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(dws_store).select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
     # --- RESTART: second half arrives, every stage resumes from its
     # checkpoint (keyed UV state included) and processes only the delta
     land("f2.parquet", F.unix_micros("ts") > m)
     run_stage1()
     run_stage2()
+    run_stage3()
 
     # both stages really ran ≥2 committed micro-batches across the restart
     assert len(os.listdir(tmp_path / "ck1" / "log_split" / "commits")) >= 2
@@ -1669,6 +1710,23 @@ def test_chained_layered_pipeline_with_restart(spark, sf_dir, tmp_path):
     )
     got, want = _rows(dau_stream, dau_cols), _rows(dau_batch, dau_cols)
     assert got == want and len(want) > 0
+
+    # DWS sketch-store parity, base partition included: the folded base
+    # (round-1 batch) plus the post-compaction batch must estimate
+    # exactly what a one-shot sketch over the composed batch UV rows
+    # gives — fold-then-resume changed nothing
+    store_ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(dws_store).select("batch_id").distinct().collect()
+    )
+    assert store_ids[0] == COMPACT_BASE_ID and len(store_ids) == 2
+    hll_cols = ["ymd", "approx_dau"]
+    hll_got = _rows(dau_by_day_from_store(spark, dws_store), hll_cols)
+    hll_want = _rows(
+        dau_hll_estimate(uv_batch.select(F.col("first_ts").alias("ts"), "user_id")),
+        hll_cols,
+    )
+    assert hll_got == hll_want and len(hll_want) > 0
 
 
 def test_text_profile_job_matches_batch(spark, sf_dir, tmp_path):
