@@ -722,10 +722,31 @@ def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
     ).option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).withColumn(
         "l_shipdate", F.col("l_shipdate").cast("timestamp")
     )
-    out = _run_to_memory(order_wide_stream(orders, details), spark, "ow_out")
+    q = (
+        order_wide_stream(orders, details)
+        .writeStream.format("memory")
+        .queryName("ow_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.lastProgress
+    out = spark.sql("SELECT * FROM ow_out")
     batch = plans.query_map()["order_detail_interval_join"](spark, sf_dir)
     cols = ["o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "extended_price"]
     assert _rows(out, cols) == _rows(batch, cols)
+    # State sizing (SCALE.md "order_wide_stream state"): the interval
+    # join buffers BOTH sides until the watermark clears the 30-day
+    # band, so state is ∝ a month of facts — the one streaming operator
+    # here whose state is months-of-rows rather than #groups. Pin the
+    # bound: never more than every order + detail row in flight.
+    ops = progress["stateOperators"]
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_details = load_table(spark, sf_dir, "lineitem").count()
+    assert ops, "interval join reported no state operator"
+    state_rows = sum(op["numRowsTotal"] for op in ops)
+    assert 0 < state_rows <= n_orders + n_details, (state_rows, n_orders, n_details)
 
 
 def _two_file_stream(spark, tmp_path, df, split_col, schema, subdir="in"):
