@@ -343,6 +343,12 @@ def _pil_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
             img = img.convert("RGB")
         w, h = img.size
         return w, h, img.tobytes()
+    except MemoryError:
+        # a genuine allocation failure is a resource condition, not a
+        # malformed payload — let it surface so retries/rescheduling see
+        # it (Pillow's bomb CHECK raises DecompressionBombError, which
+        # is a plain Exception and takes the branch below)
+        raise
     except Exception as exc:
         # Pillow's failure surface is wider than (OSError, ValueError):
         # plugin parsers raise struct.error / SyntaxError on truncated

@@ -13,13 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.operators.routing import ROUTING_CONFIG
-from gmall_flink_parent_spark.streaming.store import (  # noqa: F401  re-exported
+# Public store API re-exported for existing call sites; the private
+# swap internals (_clear_swap_leftovers/_swap_parquet_dir/
+# _max_committed_batch_id) are NOT re-exported — patching a jobs-side
+# alias of those would silently no-op, since store.py functions resolve
+# their own module globals. Patch/import them from streaming.store.
+from gmall_flink_parent_spark.streaming.store import (  # noqa: F401
     COMPACT_BASE_ID,
-    _clear_swap_leftovers,
     _hadoop_fs,
-    _max_committed_batch_id,
     _partial_store_job,
-    _swap_parquet_dir,
     compact_partial_store,
     upsert_parquet,
 )
@@ -381,9 +383,16 @@ def user_value_distribution_from_store(spark: SparkSession, store_path: str) -> 
     This is the point of the partial-store shape at 100 TB: the store
     is the (event_type, user_id) grain, and every DWS head that needs
     that grain reads ~#groups rows instead of re-aggregating the
-    corpus. Hash-equal to batch ``user_value_distribution``."""
-    from gmall_flink_parent_spark.operators.analytics import value_distribution_frame
+    corpus. Hash-equal to batch ``user_value_distribution``.
 
+    The rank core persists an intermediate (``scoped_persist``), so
+    this head follows the registry's construct-releases-previous
+    cadence: a long-lived refresh loop holds at most ONE live cache
+    instead of accumulating one per call."""
+    from gmall_flink_parent_spark.operators.analytics import value_distribution_frame
+    from gmall_flink_parent_spark.plans.registry import release_caches
+
+    release_caches()
     return value_distribution_frame(spark, merged_spend_from_store(spark, store_path))
 
 

@@ -17,6 +17,7 @@ every name is re-exported there, so call sites and tests are unchanged.
 
 from __future__ import annotations
 
+from pyspark.errors import ArithmeticException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -243,9 +244,20 @@ def compact_partial_store(
             return F.sum(F.col(f.name).cast("decimal(38,0)")).alias(f.name)
         return F.sum(f.name).alias(f.name)
 
+    # (binary sketch columns skip the overflow guard: hll_union_agg
+    # already returns the stored binary type and cannot overflow)
+    guarded = [f for f in value_cols if not isinstance(f.dataType, BinaryType)]
     raw = (
         fold.groupBy(*group_cols)
-        .agg(*[_merge_expr(f) for f in value_cols])
+        .agg(
+            *[_merge_expr(f) for f in value_cols],
+            # per-column non-null input counts: a decimal column with
+            # precision >= 29 can overflow INSIDE F.sum itself (result
+            # precision caps at 38, → NULL in non-ANSI mode) before any
+            # cast-back runs, so "inputs existed but the sum is NULL"
+            # must also read as overflow, not as a legitimate total
+            *[F.count(F.col(f.name)).alias(f"__nn_{f.name}") for f in guarded],
+        )
         .persist()
     )
     try:
@@ -254,18 +266,30 @@ def compact_partial_store(
         # die mid-swap with a raw JVM error (ANSI cast). try_cast is
         # NULL-on-overflow under BOTH modes, so the pre-check raises
         # one well-defined error before any write happens.
-        # (binary sketch columns skip the guard: hll_union_agg already
-        # returns the stored binary type and cannot overflow)
-        guarded = [f for f in value_cols if not isinstance(f.dataType, BinaryType)]
         overflowed = [
-            F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull()
+            (
+                F.col(f.name).isNotNull()
+                & F.col(f.name).try_cast(f.dataType).isNull()
+            )
+            | ((F.col(f"__nn_{f.name}") > 0) & F.col(f.name).isNull())
             for f in guarded
         ]
         if guarded:
             cond = overflowed[0]
             for c in overflowed[1:]:
                 cond = cond | c
-            if raw.filter(cond).limit(1).count():
+            # Under ANSI mode (the Spark 4 default) a decimal sum at the
+            # 38-digit cap throws inside this very evaluation rather
+            # than returning NULL — same defect, same uniform error.
+            try:
+                hit = bool(raw.filter(cond).limit(1).count())
+            except ArithmeticException as exc:
+                raise ArithmeticError(
+                    "compact_partial_store: a merged total overflows its "
+                    "stored column type; widen the store schema before "
+                    "compacting"
+                ) from exc
+            if hit:
                 raise ArithmeticError(
                     "compact_partial_store: a merged total overflows its "
                     "stored column type; widen the store schema before "

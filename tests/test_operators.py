@@ -1092,12 +1092,16 @@ def test_pil_adapter_seam_routes_compressed_image_mimes(monkeypatch):
 
     # Pillow's failure surface is wider than OSError/ValueError: plugin
     # parsers raise struct.error or SyntaxError on truncated streams,
-    # and the bomb check raises Image.DecompressionBombError. All of
-    # them must land in the same uniform ValueError.
+    # and the bomb check raises Image.DecompressionBombError (a plain
+    # Exception subclass). All of them must land in the same uniform
+    # ValueError.
+    class FakeDecompressionBombError(Exception):
+        pass
+
     for raw_exc in (
         struct.error("unpack requires a buffer"),
         SyntaxError("broken PNG file"),
-        MemoryError("decompression bomb"),
+        FakeDecompressionBombError("bomb check tripped"),
     ):
 
         def explode_typed(fp, _exc=raw_exc):
@@ -1106,6 +1110,15 @@ def test_pil_adapter_seam_routes_compressed_image_mimes(monkeypatch):
         fake_image_mod.open = explode_typed
         with pytest.raises(ValueError, match="could not decode"):
             decode_media(b"garbage", "image/webp")
+
+    # ...but a genuine MemoryError is a resource condition, not a data
+    # defect — it must escape UNwrapped so retries see the real cause
+    def explode_oom(fp):
+        raise MemoryError("allocation failed")
+
+    fake_image_mod.open = explode_oom
+    with pytest.raises(MemoryError):
+        decode_media(b"garbage", "image/webp")
 
     # and with PIL genuinely absent the image seam refuses loudly.
     # sys.modules[name] = None makes the import itself raise ImportError

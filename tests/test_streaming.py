@@ -25,7 +25,7 @@ from gmall_flink_parent_spark.streaming.jobs import (
 from gmall_flink_parent_spark.sources.tables import load_table
 
 
-def _run_to_memory(df, spark, name: str):
+def _run_to_memory(df, spark, name: str, with_query: bool = False):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -33,8 +33,9 @@ def _run_to_memory(df, spark, name: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    return spark.sql(f"SELECT * FROM {name}")
+    assert q.awaitTermination(120), f"stream {name} timed out"
+    out = spark.sql(f"SELECT * FROM {name}")
+    return (out, q) if with_query else out
 
 
 def _rows(df, cols):
@@ -722,17 +723,10 @@ def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
     ).option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).withColumn(
         "l_shipdate", F.col("l_shipdate").cast("timestamp")
     )
-    q = (
-        order_wide_stream(orders, details)
-        .writeStream.format("memory")
-        .queryName("ow_out")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    out, q = _run_to_memory(
+        order_wide_stream(orders, details), spark, "ow_out", with_query=True
     )
-    q.awaitTermination(120)
     progress = q.lastProgress
-    out = spark.sql("SELECT * FROM ow_out")
     batch = plans.query_map()["order_detail_interval_join"](spark, sf_dir)
     cols = ["o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "extended_price"]
     assert _rows(out, cols) == _rows(batch, cols)
@@ -1141,6 +1135,22 @@ def test_compact_partial_store_null_keys_and_idempotence(spark, tmp_path):
     with pytest.raises(ArithmeticError, match="overflows"):
         compact_partial_store(spark, lv, ["k"])
     assert spark.read.parquet(lv).count() == 2
+
+    # decimal columns at the precision cap overflow inside F.sum itself
+    # (sum precision caps at 38 → NULL in non-ANSI mode, before any
+    # cast-back): "inputs existed but the merged sum is NULL" must read
+    # as overflow too, not fold a NULL total into the base
+    capv = str(tmp_path / "cap_overflow_store")
+    big = [("a", decimal.Decimal("9" * 38))]
+    spark.createDataFrame(big, "k string, v decimal(38,0)").write.parquet(
+        f"{capv}/batch_id=0"
+    )
+    spark.createDataFrame(big, "k string, v decimal(38,0)").write.parquet(
+        f"{capv}/batch_id=1"
+    )
+    with pytest.raises(ArithmeticError, match="overflows"):
+        compact_partial_store(spark, capv, ["k"])
+    assert spark.read.parquet(capv).count() == 2
 
     # compaction racing first deployment: no batch has landed, no store
     # directory exists — quiet no-op, not a raw AnalysisException
