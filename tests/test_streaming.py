@@ -808,6 +808,15 @@ def test_topk_spend_job_matches_batch(spark, sf_dir, tmp_path):
     )
     dwant = _rows(plans.query_map()["user_value_distribution"](spark, sf_dir), dcols)
     assert dgot == dwant and len(dwant) > len(want)
+    # the head persists an intermediate; repeated refreshes (the
+    # long-lived dashboard loop) must hold at most ONE live cache —
+    # each construction releases the previous call's frame
+    from gmall_flink_parent_spark.plans import registry
+
+    for _ in range(3):
+        user_value_distribution_from_store(spark, str(tmp_path / "store")).count()
+    assert len(registry._LIVE_CACHES) <= 1
+    registry.release_caches()
 
 
 def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
