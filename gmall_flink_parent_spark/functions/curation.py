@@ -698,3 +698,75 @@ def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
     )
+
+
+# ------------------------------------------------------------ data mixing
+
+
+def corpus_mix_weighted(
+    docs: DataFrame, weights: dict[str, float], seed: str = "mix-v1"
+) -> DataFrame:
+    """Deterministic weighted data mixing — the per-source sampling step
+    that turns a curated corpus into a training mixture (e.g. wiki 3.0x,
+    web 0.3x, code 1.0x).
+
+    Weight semantics per source ``s`` with ``w = weights[s]`` (sources
+    absent from ``weights`` default to 0.0 — excluded):
+
+    - ``w < 1``: downsample — keep each doc with probability ``w``;
+    - ``w >= 1``: epoched upsample — ``floor(w)`` full copies of every
+      doc plus one extra copy with probability ``w - floor(w)``.
+
+    Output grain is (doc_id, source, epoch): epoch numbers the copies
+    0..floor(w), so downstream packing/shuffling can interleave epochs
+    instead of concatenating them.
+
+    Scale design (the properties that matter at 100 TB):
+
+    - **Hash-decided, not RNG-decided.** Keep/drop for (doc, epoch)
+      comes from ``md5(seed:epoch:doc_id)`` — the same content-stable
+      trick as ``doc_sample_split`` — so the mixture is reproducible
+      across runs, engines, partitionings, and restarts, and a re-run
+      over yesterday's corpus + today's delta makes exactly the same
+      decisions about yesterday's docs (no global state to carry).
+    - **No shuffle.** The weight table rides a broadcast join; epochs
+      come from ``explode(sequence(...))``; the fractional-copy filter
+      is whole-stage codegen. Cost is one corpus scan.
+    - **Per-source counts concentrate**: kept-count per source is a sum
+      of independent per-doc indicators, so observed/expected deviates
+      by O(1/sqrt(n)) — the property test pins a 5-sigma envelope.
+    """
+    wrows = [(s, int(w), float(w - int(w))) for s, w in weights.items() if w > 0]
+    if not wrows:  # every source weighted 0 (or no weights): empty mixture
+        return (
+            docs.select("doc_id", "source")
+            .withColumn("epoch", F.lit(0).cast("int"))
+            .limit(0)
+        )
+    wdf = docs.sparkSession.createDataFrame(
+        wrows, "source string, n_full int, frac double"
+    )
+    # u ∈ [0,1): first 8 md5 hex digits of (seed:epoch:doc_id) / 2^32
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        docs.join(F.broadcast(wdf), "source")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("n_full"))))
+        .filter((F.col("epoch") < F.col("n_full")) | (u < F.col("frac")))
+        .select("doc_id", "source", "epoch")
+    )

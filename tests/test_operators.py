@@ -1319,3 +1319,73 @@ def test_day_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     }
     assert read_files and all(f"ymd={days[0]}" in f for f in read_files), read_files
     assert one_day.count() == part.filter(F.col("ymd") == days[0]).count()
+
+
+def test_corpus_mix_weighted_deterministic_epoched_and_concentrated(spark, sf_dir):
+    """Data-mixing contract: hash-decided (bit-identical across runs and
+    across corpus partitionings), epoch-structured upsampling (floor(w)
+    full copies + fractional extra), excluded sources absent, per-group
+    kept-counts inside a 5-sigma binomial envelope, and a
+    broadcast-join/codegen plan with no Python evaluation."""
+    import math
+    from collections import Counter
+
+    from gmall_flink_parent_spark.functions.curation import corpus_mix_weighted
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    assert len(srcs) >= 20
+    up, down = {s: 2.5 for s in srcs[:10]}, {s: 0.3 for s in srcs[10:18]}
+    weights = {**up, **down, srcs[18]: 0.0}  # srcs[19] left unlisted
+
+    mix = corpus_mix_weighted(docs, weights)
+    rows = sorted((r["doc_id"], r["source"], r["epoch"]) for r in mix.collect())
+    again = sorted(
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in corpus_mix_weighted(docs, weights).collect()
+    )
+    assert rows == again and len(rows) > 0  # deterministic
+
+    # partition-independence / no global state: mixing two disjoint
+    # halves separately gives exactly the whole-corpus mixture
+    h1 = corpus_mix_weighted(docs.filter(F.col("doc_id") % 2 == 0), weights)
+    h2 = corpus_mix_weighted(docs.filter(F.col("doc_id") % 2 == 1), weights)
+    halves = sorted(
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in h1.unionByName(h2).collect()
+    )
+    assert halves == rows
+
+    # weight-0 and unlisted sources are excluded outright
+    assert {s for _, s, _ in rows} <= set(srcs[:18])
+
+    # upsampled sources: every doc appears exactly 2 or 3 times, with
+    # epochs forming a prefix 0..k
+    per_doc = Counter((d, s) for d, s, _ in rows if s in up)
+    n_up = docs.filter(F.col("source").isin(*up)).count()
+    assert len(per_doc) == n_up  # every doc kept at least floor(2.5)=2 times
+    assert set(per_doc.values()) <= {2, 3}
+    epochs_of = {}
+    for d, s, e in rows:
+        epochs_of.setdefault((d, s), []).append(e)
+    assert all(
+        sorted(v) == list(range(len(v))) for v in epochs_of.values()
+    )  # prefix epochs
+
+    # 5-sigma binomial envelopes on the fractional decisions
+    n_extra = sum(1 for v in per_doc.values() if v == 3)
+    exp, sd = 0.5 * n_up, math.sqrt(n_up * 0.25)
+    assert abs(n_extra - exp) <= 5 * sd, (n_extra, exp, sd)
+    n_down_corpus = docs.filter(F.col("source").isin(*down)).count()
+    n_down_kept = sum(1 for _, s, _ in rows if s in down)
+    exp_d, sd_d = 0.3 * n_down_corpus, math.sqrt(n_down_corpus * 0.3 * 0.7)
+    assert abs(n_down_kept - exp_d) <= 5 * sd_d, (n_down_kept, exp_d, sd_d)
+
+    # plan: broadcast weight join, no Python eval, no shuffle exchange
+    physical = mix._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
+    assert "BatchEvalPython" not in physical and "Exchange hashpartitioning" not in physical
+
+    # all-zero weights → empty mixture with the same schema
+    assert corpus_mix_weighted(docs, {srcs[0]: 0.0}).count() == 0
