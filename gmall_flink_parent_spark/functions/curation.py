@@ -770,3 +770,53 @@ def corpus_mix_weighted(
         .filter((F.col("epoch") < F.col("n_full")) | (u < F.col("frac")))
         .select("doc_id", "source", "epoch")
     )
+
+
+def training_order(mix: DataFrame, seed: str = "order-v1") -> DataFrame:
+    """Deterministic global shuffle of a (doc_id, source, epoch) mixture
+    into training order — the step after ``corpus_mix_weighted``.
+
+    The order key is ``md5(seed:epoch:doc_id)``: content-stable, so the
+    order is reproducible across runs/clusters (resumable training needs
+    to know exactly which sample was step N), and statistically uniform,
+    so consecutive samples are decorrelated — epochs and sources
+    interleave instead of concatenating, and a doc's repeat copies land
+    far apart with overwhelming probability. ``sample_idx`` is the
+    0-based global position.
+
+    Scale shape: ONE range-partitioned sort (Spark samples key bounds,
+    each partition sorts locally — no single-reducer total sort), then a
+    partition-offset pass (the same tiny-summary trick as
+    ``user_value_distribution``'s rank) to number rows globally without
+    collapsing to one partition. At 100 TB this is the standard
+    sort-by-random-key global shuffle, with the "random" key auditable
+    and replayable.
+    """
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.col("epoch").cast("string"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    keyed = mix.withColumn("__k", key).repartitionByRange(
+        mix.sparkSession.sparkContext.defaultParallelism, "__k"
+    )
+    part = keyed.withColumn("pid", F.spark_partition_id())
+    counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("__k", "doc_id", "epoch")
+    return (
+        part.withColumn("lrnk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("off") + F.col("lrnk") - 1).alias("sample_idx"),
+            "doc_id",
+            "source",
+            "epoch",
+        )
+    )

@@ -1389,3 +1389,58 @@ def test_corpus_mix_weighted_deterministic_epoched_and_concentrated(spark, sf_di
 
     # all-zero weights → empty mixture with the same schema
     assert corpus_mix_weighted(docs, {srcs[0]: 0.0}).count() == 0
+
+
+def test_training_order_deterministic_contiguous_and_interleaved(spark, sf_dir):
+    """Global-shuffle contract: the order is a pure function of
+    (seed, epoch, doc_id) — identical across runs; sample_idx is a
+    contiguous 0..N-1 numbering; the mixture's row multiset is
+    preserved exactly; different seeds give different orders; and the
+    shuffled stream interleaves sources rather than concatenating
+    them."""
+    from gmall_flink_parent_spark.functions.curation import (
+        corpus_mix_weighted,
+        training_order,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    mix = corpus_mix_weighted(docs, {s: 1.5 for s in srcs})
+
+    ordered = training_order(mix)
+    rows = [
+        (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
+        for r in ordered.orderBy("sample_idx").collect()
+    ]
+    again = [
+        (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
+        for r in training_order(mix).orderBy("sample_idx").collect()
+    ]
+    assert rows == again and len(rows) > 0
+
+    # contiguous global numbering, no gaps or dups
+    assert [i for i, *_ in rows] == list(range(len(rows)))
+
+    # exact multiset preservation of the mixture
+    assert sorted((d, s, e) for _, d, s, e in rows) == sorted(
+        (r["doc_id"], r["source"], r["epoch"]) for r in mix.collect()
+    )
+
+    # a different seed reorders (deterministically different)
+    other = [
+        (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
+        for r in training_order(mix, seed="order-v2").orderBy("sample_idx").collect()
+    ]
+    assert other != rows and sorted(r[1:] for r in other) == sorted(
+        r[1:] for r in rows
+    )
+
+    # interleaving: a uniform shuffle of >=20 sources puts many distinct
+    # sources in any 100-sample window (a concatenated layout would not)
+    first_sources = {s for _, _, s, _ in rows[:100]}
+    assert len(first_sources) >= 5
+
+    # JVM-side end to end
+    physical = ordered._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in physical
