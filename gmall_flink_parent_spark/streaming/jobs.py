@@ -236,6 +236,12 @@ def hourly_stats_stream(events: DataFrame) -> DataFrame:
     the exact columns (n_events, sum_value) match the batch query
     bit-for-bit for every closed window (asserted in
     ``tests/test_streaming.py``).
+
+    Note: ``approx_count_distinct`` emits only the ESTIMATE — its HLL
+    state is never exposed, so two runs' outputs cannot be merged. When
+    the count must merge across re-runs/backfills, use the
+    partial-store twin ``hourly_stats_job``, which stores the
+    DataSketches sketch itself as a column.
     """
     return (
         events.withWatermark("ts", "1 minute")
