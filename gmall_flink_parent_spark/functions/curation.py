@@ -820,3 +820,37 @@ def training_order(mix: DataFrame, seed: str = "order-v1") -> DataFrame:
             "epoch",
         )
     )
+
+
+def assemble_training_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, float],
+    seed: str = "pipe-v1",
+) -> DataFrame:
+    """The composed end-to-end assembly a training run consumes:
+    curation verdict → canonical keepers → weighted mixing → training
+    order. Returns (sample_idx, doc_id, source, epoch) — the exact
+    sample stream a data loader would read.
+
+    Composition of already-tested stages, sharing their guarantees:
+    ``corpus_filter_pipeline``'s keep verdict (quality ∧ repetition ∧
+    length ∧ exact-dup canonicality, 1 scan + 1 fingerprint shuffle),
+    ``corpus_mix_weighted`` (hash-decided, shuffle-free), and
+    ``training_order`` (one range sort + tiny offset pass). End to end
+    that is two corpus scans (verdict, mix) + the keep semi-join + one
+    range sort — and the whole stream is reproducible from (corpus,
+    weights, seed) alone, so a crashed training job can re-derive
+    sample N exactly.
+    """
+    kept = (
+        corpus_filter_pipeline(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .join(kept, "doc_id", "left_semi")
+    )
+    return training_order(corpus_mix_weighted(docs, weights, seed), seed)

@@ -1444,3 +1444,53 @@ def test_training_order_deterministic_contiguous_and_interleaved(spark, sf_dir):
     # JVM-side end to end
     physical = ordered._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in physical
+
+
+def test_assemble_training_mixture_end_to_end(spark, sf_dir):
+    """The composed pipeline (verdict → canonical keep → mix → order)
+    is reproducible from (corpus, weights, seed) alone, contains only
+    keep-verdict docs, honors the mixture weights' epoch structure, and
+    numbers samples contiguously."""
+    from collections import Counter
+
+    from gmall_flink_parent_spark.functions.curation import (
+        assemble_training_mixture,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    weights = {s: (2.0 if i % 2 else 0.5) for i, s in enumerate(srcs)}
+
+    stream = assemble_training_mixture(spark, sf_dir, weights)
+    rows = [
+        (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
+        for r in stream.orderBy("sample_idx").collect()
+    ]
+    again = [
+        (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
+        for r in assemble_training_mixture(spark, sf_dir, weights)
+        .orderBy("sample_idx")
+        .collect()
+    ]
+    assert rows == again and len(rows) > 0
+    assert [i for i, *_ in rows] == list(range(len(rows)))
+
+    # only keep-verdict docs appear, and every keeper with w=2.0 source
+    # appears exactly twice
+    kept = {
+        r["doc_id"]
+        for r in plans.query_map()["corpus_filter_pipeline"](spark, sf_dir)
+        .filter("keep")
+        .collect()
+    }
+    assert {d for _, d, _, _ in rows} <= kept
+    per_doc = Counter(d for _, d, s, _ in rows if weights[s] == 2.0)
+    assert per_doc and set(per_doc.values()) == {2}
+    w2_keepers = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("source").isin(*[s for s in srcs if weights[s] == 2.0])
+        ).collect()
+    } & kept
+    assert set(per_doc) == w2_keepers

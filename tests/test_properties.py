@@ -358,3 +358,58 @@ def test_jpeg_subsampled_roundtrip_property(data, geom, mode, restart):
         - np.frombuffer(px, np.uint8).astype(int)
     )
     assert diff.max() <= 4, (mode, restart, diff.max())
+
+
+mix_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # doc_id (unique below)
+        st.integers(min_value=0, max_value=3),  # source index
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+mix_weights_strategy = st.tuples(
+    *[
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False, width=32)
+        for _ in range(4)
+    ]
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=mix_docs_strategy, ws=mix_weights_strategy, split_at=st.integers(0, 60))
+def test_corpus_mix_weighted_properties(spark, rows, ws, split_at):
+    """For ANY corpus, ANY weights in [0,3], ANY split point: the
+    mixture of the whole equals the union of the mixtures of the parts
+    (no global state — the incremental-reprocessing guarantee), every
+    doc appears floor(w) or floor(w)+1 times (never more, never fewer),
+    and weight-0 sources are absent."""
+    import math
+
+    from gmall_flink_parent_spark.functions.curation import corpus_mix_weighted
+
+    docs = spark.createDataFrame(
+        [(d, f"s{i}") for d, i in rows], "doc_id long, source string"
+    )
+    weights = {f"s{i}": float(w) for i, w in enumerate(ws)}
+    got = sorted(
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in corpus_mix_weighted(docs, weights).collect()
+    )
+
+    lo = corpus_mix_weighted(docs.filter(F.col("doc_id") < split_at), weights)
+    hi = corpus_mix_weighted(docs.filter(F.col("doc_id") >= split_at), weights)
+    assert got == sorted(
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in lo.unionByName(hi).collect()
+    )
+
+    from collections import Counter
+
+    per_doc = Counter((d, s) for d, s, _ in got)
+    for d, i in rows:
+        w = weights[f"s{i}"]
+        c = per_doc.get((d, f"s{i}"), 0)
+        lo_c, frac = math.floor(w), w - math.floor(w)
+        assert c in ({lo_c} if frac == 0 else {lo_c, lo_c + 1}), (d, w, c)
