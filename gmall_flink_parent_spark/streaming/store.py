@@ -193,7 +193,11 @@ def compact_partial_store(
     (``F.hll_sketch_agg``) merged here with ``F.hll_union_agg`` —
     union is register-wise max, so folding batches is estimate-
     identical to one sketch over all the data. A binary column that is
-    not an HLL sketch has no defined merge and must not be stored.
+    not an HLL sketch has no defined merge and must not be stored, and
+    a sketch column must keep ONE ``lgConfigK`` across batches (the
+    union is called without ``allowDifferentLgConfigK``, so a mid-
+    stream precision change fails loudly instead of silently degrading
+    every merged sketch to the coarser precision).
     """
     _clear_swap_leftovers(spark, store_path)  # may restore a half-swapped store
     # A scheduled compaction can race first deployment: no batch has

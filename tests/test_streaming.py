@@ -971,13 +971,40 @@ def test_hourly_stats_job_matches_batch(spark, sf_dir, tmp_path):
     got = hourly_stats_from_store(spark, str(tmp_path / "store"))
     batch = plans.query_map()["hourly_stats"](spark, sf_dir)
     cols = ["hour_start", "event_type", "n_events", "sum_value"]
-    assert _rows(got, cols) == _rows(batch, cols) and batch.count() > 0
+    want = _rows(batch, cols)
+    assert _rows(got, cols) == want and len(want) > 0
     exact = {
         (r["hour_start"], r["event_type"]): r["n_users"] for r in batch.collect()
     }
-    for r in got.collect():
+    got_rows = got.collect()
+    for r in got_rows:
         e = exact[(r["hour_start"], r["event_type"])]
         assert abs(r["approx_users"] - e) <= max(2, 0.05 * e), (r, e)
+
+    # compaction must fold all three value classes of this ONE store —
+    # long count, decimal sum, binary sketch — with the head unchanged
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_partial_store,
+    )
+
+    compact_partial_store(
+        spark,
+        str(tmp_path / "store"),
+        ["hour_start", "event_type"],
+        f"{tmp_path}/ck/hourly_stats",
+    )
+    after = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in after.select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
+    compacted = hourly_stats_from_store(spark, str(tmp_path / "store"))
+    assert _rows(compacted, cols) == want
+    assert sorted(
+        (r["hour_start"], r["event_type"], r["approx_users"]) for r in compacted.collect()
+    ) == sorted(
+        (r["hour_start"], r["event_type"], r["approx_users"]) for r in got_rows
+    )
 
 
 def test_compact_partial_store_preserves_totals_and_resumes(spark, sf_dir, tmp_path):
