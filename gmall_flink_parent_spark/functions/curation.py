@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.functions.stopwords import _STOP_SQL, STOPWORDS
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # ------------------------------------------------------------ repetition
@@ -782,15 +782,27 @@ def training_order(mix: DataFrame, seed: str = "order-v1") -> DataFrame:
     so consecutive samples are decorrelated — epochs and sources
     interleave instead of concatenating, and a doc's repeat copies land
     far apart with overwhelming probability. ``sample_idx`` is the
-    0-based global position.
+    0-based global position. When composing with ``corpus_mix_weighted``
+    the two seeds MUST differ (``assemble_training_mixture`` salts
+    them): with the same seed the mixing keep-variate IS the sort key,
+    so every fractionally-kept row sorts into the low end of the stream
+    instead of interleaving.
 
     Scale shape: ONE range-partitioned sort (Spark samples key bounds,
-    each partition sorts locally — no single-reducer total sort), then a
-    partition-offset pass (the same tiny-summary trick as
-    ``user_value_distribution``'s rank) to number rows globally without
-    collapsing to one partition. At 100 TB this is the standard
-    sort-by-random-key global shuffle, with the "random" key auditable
-    and replayable.
+    each partition sorts locally — no single-reducer total sort). Local
+    positions come from ``monotonically_increasing_id`` over the sorted
+    partitions — (partition << 33) | row-offset, read back with a shift
+    and mask — NOT from a ``row_number`` window, which would demand a
+    second full-data hash exchange on the partition id that the range
+    exchange already clustered. Global position = local offset + the
+    partition's cumulative count (the same tiny-summary offset trick as
+    ``user_value_distribution``'s rank). The sorted frame is persisted
+    (query-scoped) because BOTH the counts summary and the final select
+    read it: without one materialization the two branches could
+    re-execute the range exchange with different sampled bounds and
+    disagree on partition membership. ``sample_idx`` itself is
+    boundary-independent either way — it reproduces the total
+    (__k, doc_id, epoch) order wherever the range bounds fall.
     """
     key = F.md5(
         F.concat_ws(
@@ -800,21 +812,26 @@ def training_order(mix: DataFrame, seed: str = "order-v1") -> DataFrame:
             F.col("doc_id").cast("string"),
         )
     )
-    keyed = mix.withColumn("__k", key).repartitionByRange(
-        mix.sparkSession.sparkContext.defaultParallelism, "__k"
+    part = scoped_persist(
+        mix.withColumn("__k", key)
+        .repartitionByRange(
+            mix.sparkSession.sparkContext.defaultParallelism, "__k", "doc_id", "epoch"
+        )
+        .sortWithinPartitions("__k", "doc_id", "epoch")
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    part = keyed.withColumn("pid", F.spark_partition_id())
-    counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    pid = F.shiftright("__mid", 33)
+    lrnk = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = part.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
     )
-    w_local = Window.partitionBy("pid").orderBy("__k", "doc_id", "epoch")
     return (
-        part.withColumn("lrnk", F.row_number().over(w_local))
+        part.withColumn("pid", pid)
         .join(F.broadcast(offsets), "pid")
         .select(
-            (F.col("off") + F.col("lrnk") - 1).alias("sample_idx"),
+            (F.col("off") + lrnk).alias("sample_idx"),
             "doc_id",
             "source",
             "epoch",
@@ -842,6 +859,12 @@ def assemble_training_mixture(
     range sort — and the whole stream is reproducible from (corpus,
     weights, seed) alone, so a crashed training job can re-derive
     sample N exactly.
+
+    The two stages are salted with DIFFERENT derived seeds: both hash
+    ``md5(seed:epoch:doc_id)``, so feeding one seed to both would make
+    the mixing keep-variate equal the sort key — every fractionally
+    kept row (downsampled sources, fractional epochs) would sort into
+    the front of the stream instead of interleaving uniformly.
     """
     kept = (
         corpus_filter_pipeline(spark, sf_dir)
@@ -853,4 +876,6 @@ def assemble_training_mixture(
         .select("doc_id", "source")
         .join(kept, "doc_id", "left_semi")
     )
-    return training_order(corpus_mix_weighted(docs, weights, seed), seed)
+    return training_order(
+        corpus_mix_weighted(docs, weights, f"{seed}:mix"), f"{seed}:order"
+    )

@@ -1441,9 +1441,32 @@ def test_training_order_deterministic_contiguous_and_interleaved(spark, sf_dir):
     first_sources = {s for _, _, s, _ in rows[:100]}
     assert len(first_sources) >= 5
 
-    # JVM-side end to end
+    # JVM-side end to end, and the full data crosses the cluster ONCE:
+    # both consumers (counts summary, final select) read the SAME
+    # persisted range-sorted frame — the plan shows InMemoryTableScan in
+    # each branch, and the cached frame itself holds the single range
+    # exchange; local positions come from monotonically_increasing_id
+    # over the sorted partitions, not a row_number window (which would
+    # add a full-data hash exchange)
     physical = ordered._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in physical
+    assert physical.count("InMemoryTableScan") >= 2
+    # the branches may reprint the cached child plan, but every range
+    # exchange line must be the SAME exchange (one distinct shuffle of
+    # the full data), and no full-data hash exchange exists: the only
+    # hashpartitioning allowed is the #partitions-row counts aggregate
+    range_lines = {
+        line.strip().split(", [plan_id")[0]
+        for line in physical.splitlines()
+        if "Exchange rangepartitioning" in line
+    }
+    assert len(range_lines) == 1, range_lines
+    hash_lines = [
+        line for line in physical.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert all(
+        "pid" in line or "_groupingexpression" in line for line in hash_lines
+    ), hash_lines
 
 
 def test_assemble_training_mixture_end_to_end(spark, sf_dir):
@@ -1494,3 +1517,11 @@ def test_assemble_training_mixture_end_to_end(spark, sf_dir):
         ).collect()
     } & kept
     assert set(per_doc) == w2_keepers
+
+    # the composed stream must interleave END TO END: with decorrelated
+    # stage seeds, downsampled (w=0.5) sources appear in the TAIL of the
+    # stream too — a same-seed composition sorts every fractionally-kept
+    # row into the front, emptying the tail of those sources entirely
+    tail = rows[-min(100, len(rows) // 3):]
+    assert any(weights[s] == 0.5 for _, _, s, _ in tail), "tail lost w<1 sources"
+    assert len({s for _, _, s, _ in tail}) >= 5
