@@ -879,3 +879,65 @@ def assemble_training_mixture(
     return training_order(
         corpus_mix_weighted(docs, weights, f"{seed}:mix"), f"{seed}:order"
     )
+
+
+def pack_sequences(stream: DataFrame, cap: int = _PACK_CAP) -> DataFrame:
+    """Concat-and-chunk the ORDERED training stream into fixed-token
+    sequences: every sample gets (seq_id, seq_offset) from the global
+    running token count over ``sample_idx`` order — the last stage of
+    mix → order → pack. Input needs (sample_idx, doc_id, n_tokens);
+    output adds ``seq_id = cum_before // cap`` and
+    ``seq_offset = cum_before % cap`` (the same chunk math as
+    ``doc_pack_bins``, but over the training order instead of per
+    source).
+
+    The global prefix sum never serializes: range-partition on
+    ``sample_idx`` (each partition holds a contiguous index range),
+    cumsum WITHIN each partition via an Arrow ``mapInPandas`` pass that
+    preserves partitioning and order (a window by partition id would
+    re-shuffle the full stream just to prove clustering Catalyst
+    already has), then add each partition's broadcast cumulative token
+    offset — a #partitions-row summary. One range exchange moves the
+    data; the persisted frame keeps the counts and output branches on
+    one materialization.
+    """
+    n_parts = stream.sparkSession.sparkContext.defaultParallelism
+    part = scoped_persist(
+        stream.repartitionByRange(n_parts, "sample_idx")
+        .sortWithinPartitions("sample_idx")
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright("__mid", 33)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
+    ) + ", cum_in_part long"
+
+    def cumsum(batches):
+        offset = 0
+        for pdf in batches:
+            run = pdf["n_tokens"].cumsum()
+            pdf = pdf.assign(cum_in_part=offset + run - pdf["n_tokens"])
+            offset += int(pdf["n_tokens"].sum())
+            yield pdf
+
+    cum = part.mapInPandas(cumsum, schema=schema)
+    totals = part.groupBy(pid.alias("pid")).agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tok").over(w_off), F.lit(0)).alias("part_off")
+    )
+    cum_before = F.col("part_off") + F.col("cum_in_part")
+    return (
+        cum.withColumn("pid", pid)
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "sample_idx",
+            "doc_id",
+            "n_tokens",
+            (cum_before / cap).cast("long").alias("seq_id"),
+            (cum_before % cap).cast("long").alias("seq_offset"),
+        )
+    )

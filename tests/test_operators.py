@@ -1525,3 +1525,51 @@ def test_assemble_training_mixture_end_to_end(spark, sf_dir):
     tail = rows[-min(100, len(rows) // 3):]
     assert any(weights[s] == 0.5 for _, _, s, _ in tail), "tail lost w<1 sources"
     assert len({s for _, _, s, _ in tail}) >= 5
+
+
+def test_pack_sequences_matches_driver_reference(spark, sf_dir):
+    """Global training-stream packing: (seq_id, seq_offset) must equal
+    the single-threaded reference (running token sum over sample_idx
+    order, chunked at cap) exactly, with the one-range-exchange /
+    Arrow-cumsum plan (no row-at-a-time Python, no full-data hash
+    exchange)."""
+    from gmall_flink_parent_spark.functions.curation import (
+        assemble_training_mixture,
+        pack_sequences,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    stream = assemble_training_mixture(spark, sf_dir, {s: 1.2 for s in srcs})
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    cap = 512
+    packed = pack_sequences(stream.join(toks, "doc_id"), cap=cap)
+    got = sorted(
+        (r["sample_idx"], r["doc_id"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in packed.collect()
+    )
+    assert len(got) > 0
+    # single-threaded reference over the same ordered stream
+    cum = 0
+    want = []
+    ordered = sorted(
+        (r["sample_idx"], r["doc_id"], r["n_tokens"])
+        for r in stream.join(toks, "doc_id").collect()
+    )
+    assert [i for i, *_ in ordered] == list(range(len(ordered)))
+    for idx, d, n in ordered:
+        want.append((idx, d, n, cum // cap, cum % cap))
+        cum += n
+    assert got == want
+
+    physical = packed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in physical and "MapInPandas" in physical
+    range_lines = {
+        line.strip().split(", [plan_id")[0]
+        for line in physical.splitlines()
+        if "Exchange rangepartitioning(sample_idx" in line
+    }
+    assert len(range_lines) == 1, range_lines
