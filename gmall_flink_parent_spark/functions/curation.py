@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.functions.stopwords import _STOP_SQL, STOPWORDS
-from gmall_flink_parent_spark.plans.registry import register, scoped_persist
+from gmall_flink_parent_spark.plans.registry import (
+    register,
+    release_caches,
+    scoped_persist,
+)
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # ------------------------------------------------------------ repetition
@@ -772,6 +776,49 @@ def corpus_mix_weighted(
     )
 
 
+def _mid_pid() -> Column:
+    """Partition id from the ``monotonically_increasing_id`` layout
+    (31-bit partition id << 33 | 33-bit record number)."""
+    return F.shiftright("__mid", 33)
+
+
+def _mid_local_offset() -> Column:
+    """Record offset within its partition, from the
+    ``monotonically_increasing_id`` layout (31-bit partition id << 33 |
+    33-bit record number)."""
+    return F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+
+
+def _range_sorted_positions(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """The shared global-position core of ``training_order`` and
+    ``pack_sequences``: range-partition on the sort key (Spark samples
+    bounds; each partition sorts locally — never a single-reducer total
+    sort), then stamp ``__mid`` = ``monotonically_increasing_id`` over
+    the sorted partitions. Decode with ``_mid_pid`` /
+    ``_mid_local_offset``. The frame is PERSISTED (query-scoped)
+    because every caller reads it from two branches (a tiny per-pid
+    summary and the full output): without one materialization the
+    branches could re-execute the range exchange with different sampled
+    bounds and disagree on partition membership."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return scoped_persist(
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+
+
+def _partition_offsets(part: DataFrame, value: Column, name: str) -> DataFrame:
+    """Cumulative per-partition offsets from a #partitions-row summary:
+    sum ``value`` per pid, then an exclusive running total in pid order.
+    The tiny-summary trick shared with ``user_value_distribution``."""
+    totals = part.groupBy(_mid_pid().alias("pid")).agg(F.sum(value).alias("v"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    return totals.select(
+        "pid", F.coalesce(F.sum("v").over(w_off), F.lit(0)).alias(name)
+    )
+
+
 def training_order(mix: DataFrame, seed: str = "order-v1") -> DataFrame:
     """Deterministic global shuffle of a (doc_id, source, epoch) mixture
     into training order — the step after ``corpus_mix_weighted``.
@@ -804,6 +851,9 @@ def training_order(mix: DataFrame, seed: str = "order-v1") -> DataFrame:
     boundary-independent either way — it reproduces the total
     (__k, doc_id, epoch) order wherever the range bounds fall.
     """
+    release_caches()  # one live full-data cache per call, like the
+    # registered-query cadence — a loop re-deriving streams must not
+    # accumulate a mixture-sized cache per iteration
     key = F.md5(
         F.concat_ws(
             ":",
@@ -812,26 +862,15 @@ def training_order(mix: DataFrame, seed: str = "order-v1") -> DataFrame:
             F.col("doc_id").cast("string"),
         )
     )
-    part = scoped_persist(
-        mix.withColumn("__k", key)
-        .repartitionByRange(
-            mix.sparkSession.sparkContext.defaultParallelism, "__k", "doc_id", "epoch"
-        )
-        .sortWithinPartitions("__k", "doc_id", "epoch")
-        .withColumn("__mid", F.monotonically_increasing_id())
+    part = _range_sorted_positions(
+        mix.withColumn("__k", key), ["__k", "doc_id", "epoch"]
     )
-    pid = F.shiftright("__mid", 33)
-    lrnk = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
-    counts = part.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    )
+    offsets = _partition_offsets(part, F.lit(1).cast("long"), "off")
     return (
-        part.withColumn("pid", pid)
+        part.withColumn("pid", _mid_pid())
         .join(F.broadcast(offsets), "pid")
         .select(
-            (F.col("off") + lrnk).alias("sample_idx"),
+            (F.col("off") + _mid_local_offset()).alias("sample_idx"),
             "doc_id",
             "source",
             "epoch",
@@ -891,23 +930,23 @@ def pack_sequences(stream: DataFrame, cap: int = _PACK_CAP) -> DataFrame:
     ``doc_pack_bins``, but over the training order instead of per
     source).
 
+    Every input column passes through (source/epoch accounting over
+    packed sequences needs no join back); only ``seq_id``/``seq_offset``
+    are added.
+
     The global prefix sum never serializes: range-partition on
     ``sample_idx`` (each partition holds a contiguous index range),
     cumsum WITHIN each partition via an Arrow ``mapInPandas`` pass that
     preserves partitioning and order (a window by partition id would
     re-shuffle the full stream just to prove clustering Catalyst
     already has), then add each partition's broadcast cumulative token
-    offset — a #partitions-row summary. One range exchange moves the
-    data; the persisted frame keeps the counts and output branches on
-    one materialization.
+    offset — a #partitions-row summary (``_partition_offsets``). One
+    range exchange moves the data; the persisted frame
+    (``_range_sorted_positions``) keeps the counts and output branches
+    on one materialization.
     """
-    n_parts = stream.sparkSession.sparkContext.defaultParallelism
-    part = scoped_persist(
-        stream.repartitionByRange(n_parts, "sample_idx")
-        .sortWithinPartitions("sample_idx")
-        .withColumn("__mid", F.monotonically_increasing_id())
-    )
-    pid = F.shiftright("__mid", 33)
+    release_caches()  # same one-live-cache cadence as training_order
+    part = _range_sorted_positions(stream, ["sample_idx"])
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
@@ -916,27 +955,21 @@ def pack_sequences(stream: DataFrame, cap: int = _PACK_CAP) -> DataFrame:
     def cumsum(batches):
         offset = 0
         for pdf in batches:
-            run = pdf["n_tokens"].cumsum()
-            pdf = pdf.assign(cum_in_part=offset + run - pdf["n_tokens"])
-            offset += int(pdf["n_tokens"].sum())
+            # accumulate in int64: an int32 n_tokens column would wrap
+            # silently once a partition's running total passes 2^31
+            toks = pdf["n_tokens"].astype("int64")
+            pdf = pdf.assign(cum_in_part=offset + toks.cumsum() - toks)
+            offset += int(toks.sum())
             yield pdf
 
     cum = part.mapInPandas(cumsum, schema=schema)
-    totals = part.groupBy(pid.alias("pid")).agg(
-        F.sum("n_tokens").alias("tok")
-    )
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "pid", F.coalesce(F.sum("tok").over(w_off), F.lit(0)).alias("part_off")
-    )
+    offsets = _partition_offsets(part, F.col("n_tokens").cast("long"), "part_off")
     cum_before = F.col("part_off") + F.col("cum_in_part")
     return (
-        cum.withColumn("pid", pid)
+        cum.withColumn("pid", _mid_pid())
         .join(F.broadcast(offsets), "pid")
         .select(
-            "sample_idx",
-            "doc_id",
-            "n_tokens",
+            *stream.columns,
             (cum_before / cap).cast("long").alias("seq_id"),
             (cum_before % cap).cast("long").alias("seq_offset"),
         )

@@ -212,7 +212,19 @@ def routing_job(
             # table, not the sum (the round-5 verdict's watch item).
             # pool.map propagates the first failure, failing the batch
             # before its checkpoint commit — replay semantics unchanged.
+            # Pool threads do NOT inherit the streaming run's job group
+            # (pinned-thread mode gives each Python thread a fresh JVM
+            # thread with empty local properties), so re-set it inside
+            # each worker — otherwise query.stop() could not cancel
+            # in-flight dim rewrites and a swap could land after stop().
+            sc = spark.sparkContext
+            group = sc.getLocalProperty("spark.jobGroup.id")
+            desc = sc.getLocalProperty("spark.job.description")
+            interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+
             def _upsert(tbl: str) -> str:
+                if group is not None:
+                    sc.setJobGroup(group, desc, interrupt == "true")
                 rows = dims.filter(F.col("sink_table") == tbl).drop("sink_table")
                 upsert_rows(spark, rows, f"{out_dir}/dims/{tbl}", key="event_id")
                 return tbl
@@ -223,10 +235,14 @@ def routing_job(
                 with ThreadPoolExecutor(max_workers=min(4, len(tables))) as pool:
                     list(pool.map(_upsert, tables))
                 # catalog DDL stays serial: embedded metastores (Derby)
-                # reject concurrent DDL, and it is metadata-cheap anyway
+                # reject concurrent DDL, and it is metadata-cheap anyway.
+                # Every table shares one column schema (the projection
+                # above), so derive it once.
+                schema_frame = dims.drop("sink_table")
                 for tbl in tables:
-                    rows = dims.filter(F.col("sink_table") == tbl).drop("sink_table")
-                    ensure_dim_table(spark, tbl, f"{out_dir}/dims/{tbl}", rows)
+                    ensure_dim_table(
+                        spark, tbl, f"{out_dir}/dims/{tbl}", schema_frame
+                    )
         finally:
             joined.unpersist()
 

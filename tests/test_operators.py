@@ -1413,6 +1413,36 @@ def test_training_order_deterministic_contiguous_and_interleaved(spark, sf_dir):
         (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
         for r in ordered.orderBy("sample_idx").collect()
     ]
+
+    # Plan assertions run NOW, while this call's query-scoped cache is
+    # still live — each training_order call releases the previous one's
+    # (the one-live-cache cadence, asserted below).
+    # JVM-side end to end, and the full data crosses the cluster ONCE:
+    # both consumers (counts summary, final select) read the SAME
+    # persisted range-sorted frame — the plan shows InMemoryTableScan in
+    # each branch, and every range exchange line is the one exchange;
+    # local positions come from monotonically_increasing_id over the
+    # sorted partitions, not a row_number window (which would add a
+    # full-data hash exchange)
+    physical = ordered._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in physical
+    assert physical.count("InMemoryTableScan") >= 2
+    range_lines = {
+        line.strip().split(", [plan_id")[0]
+        for line in physical.splitlines()
+        if "Exchange rangepartitioning" in line
+    }
+    assert len(range_lines) == 1, range_lines
+    hash_lines = [
+        line for line in physical.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert all(
+        "pid" in line or "_groupingexpression" in line for line in hash_lines
+    ), hash_lines
+
+    from gmall_flink_parent_spark.plans import registry
+
+    n_caches = len(registry._LIVE_CACHES)
     again = [
         (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
         for r in training_order(mix).orderBy("sample_idx").collect()
@@ -1436,37 +1466,15 @@ def test_training_order_deterministic_contiguous_and_interleaved(spark, sf_dir):
         r[1:] for r in rows
     )
 
+    # one-live-cache cadence: the two extra training_order calls above
+    # each released the previous call's full-data cache
+    assert len(registry._LIVE_CACHES) <= max(n_caches, 1)
+    registry.release_caches()
+
     # interleaving: a uniform shuffle of >=20 sources puts many distinct
     # sources in any 100-sample window (a concatenated layout would not)
     first_sources = {s for _, _, s, _ in rows[:100]}
     assert len(first_sources) >= 5
-
-    # JVM-side end to end, and the full data crosses the cluster ONCE:
-    # both consumers (counts summary, final select) read the SAME
-    # persisted range-sorted frame — the plan shows InMemoryTableScan in
-    # each branch, and the cached frame itself holds the single range
-    # exchange; local positions come from monotonically_increasing_id
-    # over the sorted partitions, not a row_number window (which would
-    # add a full-data hash exchange)
-    physical = ordered._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in physical
-    assert physical.count("InMemoryTableScan") >= 2
-    # the branches may reprint the cached child plan, but every range
-    # exchange line must be the SAME exchange (one distinct shuffle of
-    # the full data), and no full-data hash exchange exists: the only
-    # hashpartitioning allowed is the #partitions-row counts aggregate
-    range_lines = {
-        line.strip().split(", [plan_id")[0]
-        for line in physical.splitlines()
-        if "Exchange rangepartitioning" in line
-    }
-    assert len(range_lines) == 1, range_lines
-    hash_lines = [
-        line for line in physical.splitlines() if "Exchange hashpartitioning" in line
-    ]
-    assert all(
-        "pid" in line or "_groupingexpression" in line for line in hash_lines
-    ), hash_lines
 
 
 def test_assemble_training_mixture_end_to_end(spark, sf_dir):
