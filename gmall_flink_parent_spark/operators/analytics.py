@@ -48,27 +48,39 @@ def value_distribution_frame(spark: SparkSession, spend: DataFrame) -> DataFrame
     1. range-partition the (event_type, user_id) aggregates on the full
        sort key — every partition holds a contiguous key range, bounded
        by rows/partitions, regardless of type cardinality;
-    2. per-(range, type) row counts (a partitions×types-sized frame)
-       give each range's cumulative offset and each type's total via a
-       window over that TINY summary frame;
-    3. global position = within-range row_number + broadcast offset.
+    2. per-(range, type) row counts + first-row offsets (a
+       partitions×types-sized frame) give each range's cumulative
+       offset and each type's total via a window over that TINY
+       summary frame;
+    3. global position = within-range local offset + broadcast offset.
+       The local offset comes from ``monotonically_increasing_id``
+       stamped over the SORTED partitions ((partition << 33) |
+       row-offset, decoded with a shift and mask) minus the group's
+       first offset from the summary — NOT from a ``row_number``
+       window, which would re-shuffle the full frame on (pid, type)
+       to prove a clustering the range exchange already produced.
 
     Because (spend, user_id) is unique within a type (the aggregate's
-    grain), the order is total: rank == row_number == position ``p``,
+    grain), the order is total: rank == position ``p``,
     so percent_rank = (p-1)/(n-1), cume_dist = p/n, and ntile(4)
     follows arithmetically (first n mod 4 buckets get ⌈n/4⌉ rows) — no
     per-type sort task ever sees more than one range partition.
     """
     n_ranges = spark.sparkContext.defaultParallelism
     # persisted (query-scoped): both the ranked path and the offsets
-    # summary consume it, and it is the REDUCED frame (one row per
-    # (type, user)) — without the cache the scan + aggregate + range
-    # shuffle all run twice.
+    # summary consume it (and must agree on partition membership), and
+    # it is the REDUCED frame (one row per (type, user)) — without the
+    # cache the scan + aggregate + range shuffle all run twice.
     part = scoped_persist(
         spend.repartitionByRange(n_ranges, "event_type", "spend", "user_id")
-        .withColumn("pid", F.spark_partition_id())
+        .sortWithinPartitions("event_type", "spend", "user_id")
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    counts = part.groupBy("pid", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    pid = F.shiftright("__mid", 33)
+    mid_off = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = part.groupBy(pid.alias("pid"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(mid_off).alias("first_off")
+    )
     w_off = (
         Window.partitionBy("event_type")
         .orderBy("pid")
@@ -77,14 +89,14 @@ def value_distribution_frame(spark: SparkSession, spend: DataFrame) -> DataFrame
     offsets = counts.select(
         "pid",
         "event_type",
+        "first_off",
         F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
         F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
     )
-    w_local = Window.partitionBy("pid", "event_type").orderBy("spend", "user_id")
-    ranked = part.withColumn("lrnk", F.row_number().over(w_local)).join(
+    ranked = part.withColumn("pid", pid).join(
         F.broadcast(offsets), ["pid", "event_type"]
     )
-    p = F.col("off") + F.col("lrnk")
+    p = F.col("off") + (mid_off - F.col("first_off")) + 1
     n = F.col("n")
     big, small, rem = (n / 4).cast("long") + 1, (n / 4).cast("long"), n % 4
     quartile = F.when(p <= big * rem, F.ceil(p / big)).otherwise(
