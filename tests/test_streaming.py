@@ -930,6 +930,30 @@ def test_dau_hll_job_matches_batch_hll_twin(spark, sf_dir, tmp_path):
     assert set(exact) == {ymd for ymd, _ in got}
     for ymd, est in got:
         assert abs(est - exact[ymd]) <= max(2, 0.05 * exact[ymd]), (ymd, est)
+    # crash-between-batches: a landed-but-uncommitted sketch partition
+    # (poisoned here with a wrong-day sketch) is REPLACED when the
+    # replayed batch overwrites its own batch_id partition — estimates
+    # recover exactly
+    poisoned = load_table(spark, sf_dir, "events").limit(50).select(
+        F.lit("19700101").alias("ymd"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+    )
+    poisoned.write.mode("overwrite").parquet(f"{tmp_path}/store/batch_id=1")
+    assert _rows(dau_by_day_from_store(spark, str(tmp_path / "store")), cols) != want
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ck"))  # fresh checkpoint = full replay
+    q2 = dau_hll_job(
+        _two_file_stream(
+            spark, tmp_path, events, "event_id",
+            "event_id long, ts timestamp, user_id long", subdir="in2",
+        ),
+        str(tmp_path / "store"),
+        str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+    assert _rows(dau_by_day_from_store(spark, str(tmp_path / "store")), cols) == want
+
     # compaction folds the BINARY sketches (hll_union_agg, not sum):
     # both committed batches collapse into the base partition and every
     # estimate is unchanged
