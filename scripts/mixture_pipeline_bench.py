@@ -1,0 +1,80 @@
+"""Reproducible timing for the training-mixture pipeline.
+
+Runs the composed chain — curation keep verdict → canonical exact-dup
+keeper → weighted mixing → training order → sequence packing — at a
+given scale factor and reports warm min-of-reps wall time plus the
+stream/packing shape, so the SCALE.md claim ("the whole chain runs warm
+in ~3 s at sf0.1, dominated by the verdict's n-gram scan") stays a
+measurement, not an assertion.
+
+Usage:
+    python scripts/mixture_pipeline_bench.py [SF_DIR] [REPS]
+
+Defaults: /root/testdata/sf0.1, 3 reps. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.functions.curation import (
+        assemble_training_mixture,
+        pack_sequences,
+    )
+    from gmall_flink_parent_spark.session import get_spark
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    spark = get_spark("mixture-pipeline-bench")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    # a realistic mixture: upsample a third, downsample a third
+    weights = {
+        s: (2.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else 1.0))
+        for i, s in enumerate(srcs)
+    }
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+
+    best, n_samples, n_seqs = float("inf"), 0, 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        packed = pack_sequences(
+            assemble_training_mixture(spark, sf_dir, weights).join(toks, "doc_id")
+        )
+        stats = packed.agg(
+            F.count(F.lit(1)).alias("n"), (F.max("seq_id") + 1).alias("s")
+        ).collect()[0]
+        best = min(best, time.perf_counter() - t0)
+        n_samples, n_seqs = int(stats["n"]), int(stats["s"])
+
+    print(
+        json.dumps(
+            {
+                "metric": "mixture_pipeline_warm_sec",
+                "value": round(best, 3),
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "reps": reps,
+                "n_samples": n_samples,
+                "n_sequences": n_seqs,
+                "n_sources": len(srcs),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
