@@ -67,6 +67,8 @@ HEADLINE = [
     "vocab_top_tokens",
     "corpus_summary",
     "corpus_filter_pipeline",
+    "training_mix_weighted",
+    "packed_training_stream",
 ]
 
 

@@ -974,3 +974,205 @@ def pack_sequences(stream: DataFrame, cap: int = _PACK_CAP) -> DataFrame:
             (cum_before % cap).cast("long").alias("seq_offset"),
         )
     )
+
+
+# ------------------------------------- registered mixture-pipeline heads
+#
+# Driver-checkable forms of the mix → order → pack stages. The frame
+# functions above are the library surface; these registered heads pin
+# them against a DuckDB oracle, which is possible precisely BECAUSE the
+# pipeline is hash-decided (md5 — the one hash both engines compute
+# identically) rather than RNG-decided: the exact mixture, order, and
+# packing are reproducible from (corpus, weights, seed) alone on any
+# engine. An RNG-based sampler could never have a cross-engine oracle.
+
+# Fixed head weights covering all three weight regimes per source class:
+# src0,4,8,...  → 2.5 (epoched upsample with a fractional extra copy)
+# src1,5,9,...  → 1.0 (keep exactly once)
+# src2,6,10,... → 0.3 (downsample)
+# src3,7,11,... → 0.0 (excluded)
+_MIX_HEAD_WEIGHTS = {
+    f"src{i}": (2.5, 1.0, 0.3, 0.0)[i % 4] for i in range(20)
+}
+_MIX_HEAD_SEED = "mix-q1"
+_PIPE_HEAD_SEED = "pipe-q1"
+
+
+def _mix_weight_values_sql() -> str:
+    """The (source, n_full, frac) weight table as a SQL VALUES list,
+    generated from the SAME dict the Spark head uses so the two sides
+    cannot drift."""
+    rows = [
+        f"('{s}', {int(w)}, CAST({w - int(w)!r} AS DOUBLE))"
+        for s, w in _MIX_HEAD_WEIGHTS.items()
+        if w > 0
+    ]
+    return ", ".join(rows)
+
+
+def _mix_u_sql(seed: str) -> str:
+    """DuckDB expression for the keep-variate u ∈ [0,1): first 8 md5 hex
+    digits of seed:epoch:doc_id over 2^32 — byte-identical to the Spark
+    side's conv(substring(md5(...), 1, 8), 16, 10) / 2^32."""
+    return (
+        "CAST(CAST('0x' || substr(md5("
+        f"'{seed}' || ':' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+        "), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+    )
+
+
+def _mix_cte_sql(doc_source: str, seed: str) -> str:
+    """Shared mix CTE body: explode epochs 0..n_full per (doc, source)
+    against the weight table, keep full epochs plus the hash-decided
+    fractional copy."""
+    return f"""
+w(source, n_full, frac) AS (VALUES {_mix_weight_values_sql()}),
+exploded AS (
+    SELECT d.doc_id, d.source, CAST(t.e AS INT) AS epoch,
+           w.n_full, w.frac
+    FROM {doc_source} d JOIN w USING (source),
+         unnest(range(0, w.n_full + 1)) AS t(e)
+),
+mix AS (
+    SELECT doc_id, source, epoch FROM exploded
+    WHERE epoch < n_full OR {_mix_u_sql(seed)} < frac
+)"""
+
+
+MIX_HEAD_ORACLE = f"""
+WITH {_mix_cte_sql("documents", f"{_MIX_HEAD_SEED}")}
+SELECT doc_id, source, epoch FROM mix
+"""
+
+
+@register(
+    "training_mix_weighted",
+    oracle=MIX_HEAD_ORACLE,
+    tags=("text", "mixing"),
+    past_window=True,
+)
+def training_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered head of ``corpus_mix_weighted``: the deterministic
+    weighted training mixture over the raw corpus at fixed weights
+    spanning all three regimes (epoched upsample 2.5×, keep 1.0×,
+    downsample 0.3×, excluded 0.0×).
+
+    Scale shape is the library function's: broadcast weight table +
+    epoch explode + codegen hash filter — one corpus scan, no shuffle.
+    The oracle reproduces the mixture row-for-row in DuckDB because the
+    keep decision is md5-derived, not RNG-derived.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return corpus_mix_weighted(docs, _MIX_HEAD_WEIGHTS, seed=_MIX_HEAD_SEED)
+
+
+def _order_key_sql(seed: str) -> str:
+    """DuckDB expression for the training-order sort key."""
+    return (
+        f"md5('{seed}' || ':' || CAST(epoch AS VARCHAR)"
+        " || ':' || CAST(doc_id AS VARCHAR))"
+    )
+
+
+TRAINING_MIXTURE_ORACLE = f"""
+WITH verdict AS ({{filter_oracle}}),
+kept AS (
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN verdict v USING (doc_id)
+    WHERE v.keep
+),
+{_mix_cte_sql("kept", f"{_PIPE_HEAD_SEED}:mix")}
+SELECT CAST(row_number() OVER (
+           ORDER BY {_order_key_sql(f"{_PIPE_HEAD_SEED}:order")}, doc_id, epoch
+       ) - 1 AS BIGINT) AS sample_idx,
+       doc_id, source, epoch
+FROM mix
+"""
+
+
+@register(
+    "training_mixture",
+    oracle=TRAINING_MIXTURE_ORACLE.format(
+        filter_oracle=FILTER_PIPELINE_ORACLE.format(stop=_STOP_SQL)
+    ),
+    tags=("text", "mixing", "pipeline"),
+    past_window=True,
+)
+def training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered head of ``assemble_training_mixture``: curation
+    verdict → keepers → weighted mix → deterministic global training
+    order, returning the (sample_idx, doc_id, source, epoch) stream a
+    data loader would read.
+
+    The oracle recomputes the entire pipeline in DuckDB — filter CTE,
+    md5 mixture, and ``row_number() OVER (ORDER BY md5_key)`` — and
+    must agree on every sample's global position, which pins the range
+    -partitioned distributed sort (``training_order``) to the semantics
+    of a total order without ever building one reducer's total sort.
+    """
+    return assemble_training_mixture(
+        spark, sf_dir, _MIX_HEAD_WEIGHTS, seed=_PIPE_HEAD_SEED
+    )
+
+
+PACKED_STREAM_ORACLE = f"""
+WITH verdict AS ({{filter_oracle}}),
+kept AS (
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN verdict v USING (doc_id)
+    WHERE v.keep
+),
+{_mix_cte_sql("kept", f"{_PIPE_HEAD_SEED}:mix")},
+ordered AS (
+    SELECT CAST(row_number() OVER (
+               ORDER BY {_order_key_sql(f"{_PIPE_HEAD_SEED}:order")}, doc_id, epoch
+           ) - 1 AS BIGINT) AS sample_idx,
+           doc_id, source, epoch
+    FROM mix
+),
+stream AS (
+    SELECT o.sample_idx, o.doc_id, o.source, o.epoch,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM ordered o JOIN documents d USING (doc_id)
+),
+c AS (
+    SELECT *,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY sample_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM stream
+)
+SELECT sample_idx, doc_id, source, epoch, n_tokens,
+       CAST(cum_before // {_PACK_CAP} AS BIGINT) AS seq_id,
+       CAST(cum_before % {_PACK_CAP} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+@register(
+    "packed_training_stream",
+    oracle=PACKED_STREAM_ORACLE.format(
+        filter_oracle=FILTER_PIPELINE_ORACLE.format(stop=_STOP_SQL)
+    ),
+    tags=("text", "mixing", "packing", "pipeline"),
+    past_window=True,
+)
+def packed_training_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered head of the full mix → order → pack pipeline: the
+    ordered training stream with each sample's packed-sequence
+    assignment (seq_id, seq_offset) under the global running token sum.
+
+    This is the one head whose oracle checks a GLOBAL prefix sum (the
+    packing offsets) computed distributively on the Spark side — range
+    partitioning on sample_idx, per-partition Arrow cumsum, broadcast
+    partition offsets (``pack_sequences``) — against DuckDB's
+    single-node window. Agreement on every (seq_id, seq_offset) proves
+    the distributed prefix sum is exact, not approximately ordered.
+    """
+    stream = assemble_training_mixture(
+        spark, sf_dir, _MIX_HEAD_WEIGHTS, seed=_PIPE_HEAD_SEED
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(stream.join(toks, "doc_id"))

@@ -77,13 +77,26 @@ class QuerySpec:
     oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
     tags: tuple[str, ...]
     doc: str
+    past_window: bool = False  # True → sorted after the driver's 50-query window
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator: register ``fn`` as a named query with its oracle SQL."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    past_window: bool = False,
+):
+    """Decorator: register ``fn`` as a named query with its oracle SQL.
+
+    ``past_window=True`` marks an oracle-backed query added AFTER the
+    driver's 50-query correctness window filled: it sorts behind every
+    windowed oracle-backed query so the long-green driver rows keep
+    their slots, and its hash parity is enforced by the local oracle
+    suite (``tests/test_oracle_parity.py``) instead of the driver.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
@@ -97,7 +110,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
             return fn(spark, sf_dir)
 
         _REGISTRY[name] = QuerySpec(
-            name, scoped, oracle, tuple(tags), (fn.__doc__ or "").strip()
+            name, scoped, oracle, tuple(tags), (fn.__doc__ or "").strip(), past_window
         )
         return fn
 
@@ -109,11 +122,15 @@ def all_queries() -> dict[str, QuerySpec]:
 
     The round driver checks the first 50 registry entries; emitting
     oracle-backed queries ahead of rows-only ones (stable within each
-    group by registration order) guarantees every query with a hash
-    oracle lands inside the checked window regardless of module import
-    order.
+    group by registration order) keeps the checked window entirely
+    hash-oracled regardless of module import order. Oracle-backed
+    queries beyond the 50th (``past_window=True``) sort directly after
+    the windowed ones so the driver's long-green rows keep their slots;
+    their parity is enforced by ``tests/test_oracle_parity.py``.
     """
-    ordered = sorted(_REGISTRY.values(), key=lambda s: s.oracle is None)
+    ordered = sorted(
+        _REGISTRY.values(), key=lambda s: (s.oracle is None, s.past_window)
+    )
     return {s.name: s for s in ordered}
 
 

@@ -55,3 +55,17 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_registry_driver_window_is_fully_oracle_backed():
+    """The driver hash-checks the first 50 registry entries; those slots
+    must all carry oracles, with past-window additions sorted directly
+    after them (before the rows-only group) so long-green driver rows
+    never lose their slot to a newly registered query."""
+    specs = list(plans.all_queries().values())
+    assert all(s.oracle is not None for s in specs[:50])
+    tail = specs[50:]
+    n_late = sum(1 for s in tail if s.oracle is not None)
+    assert all(s.oracle is not None and s.past_window for s in tail[:n_late])
+    assert all(s.oracle is None for s in tail[n_late:])
+    assert not any(s.past_window for s in specs[:50])
