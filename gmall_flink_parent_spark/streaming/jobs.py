@@ -784,3 +784,73 @@ def media_features_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mixture_job(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "mix-v1",
+):
+    """Mix-at-ingest: each micro-batch of (doc_id, source) rows passes
+    through ``corpus_mix_weighted`` and the kept (doc_id, source, epoch)
+    copies land in a ``batch_id=N`` partition — idempotent on replay
+    like ``text_profile_job``.
+
+    This job EXISTS because the mixing decision is hash-derived
+    (md5(seed:epoch:doc_id)), hence per-doc independent: mixing each
+    ingest batch separately produces exactly the rows a one-shot mix of
+    the full corpus would — no carried state, no RNG stream to
+    coordinate across batches (the any-split property the batch
+    function's Hypothesis test pins). At 100 TB the corpus is mixed
+    incrementally as it lands, and each training run pays only the
+    final global order pass (``training_order_from_store``), never a
+    re-mix of the accumulated corpus.
+
+    Defaults mirror the registered head ``training_mix_weighted``'s
+    weights when ``weights`` is None.
+    """
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        corpus_mix_weighted,
+    )
+
+    w = _MIX_HEAD_WEIGHTS if weights is None else weights
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        corpus_mix_weighted(batch, w, seed=seed).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/mixture")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def training_order_from_store(
+    spark: SparkSession, store_path: str, seed: str = "order-v1"
+) -> DataFrame:
+    """Per-training-run final pass over the accumulated mixture store:
+    one range-partitioned global sort (``training_order``) turning the
+    incrementally-mixed (doc_id, source, epoch) rows into the ordered
+    sample stream.
+
+    Because the order key is content-stable md5, the result is
+    IDENTICAL to ordering a one-shot batch mix of the same corpus —
+    stream/batch parity is pinned in ``tests/test_streaming.py`` — and
+    re-running it after more batches land extends the stream
+    deterministically. The store is corpus-sized, so this is the one
+    deliberately non-incremental stage: a global training order over
+    N+delta docs is a different permutation by definition, and one
+    range sort per training run is the honest cost.
+    """
+    from gmall_flink_parent_spark.functions.curation import training_order
+
+    return training_order(
+        spark.read.parquet(store_path).select("doc_id", "source", "epoch"),
+        seed=seed,
+    )

@@ -1887,3 +1887,86 @@ def test_media_features_job_matches_batch(spark, sf_dir, tmp_path):
     assert sorted(
         r["batch_id"] for r in feat.select("batch_id").distinct().collect()
     ) == [0, 1]
+
+
+def test_mixture_job_matches_batch_and_orders_from_store(spark, sf_dir, tmp_path):
+    """Mix-at-ingest over two micro-batches: the accumulated mixture
+    store holds exactly the rows a one-shot batch mix of the full
+    corpus produces (the any-split property, now exercised through the
+    real streaming job), and the per-training-run final pass
+    (``training_order_from_store``) reproduces the batch
+    ``training_order`` stream position-for-position."""
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        corpus_mix_weighted,
+        training_order,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import (
+        mixture_job,
+        training_order_from_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, source string"
+    )
+    q = mixture_job(stream, str(tmp_path / "mix"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    store = spark.read.parquet(str(tmp_path / "mix"))
+    got = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in store.select("doc_id", "source", "epoch").collect()
+    }
+    want = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in corpus_mix_weighted(docs, _MIX_HEAD_WEIGHTS).collect()
+    }
+    assert got == want and len(want) > 0
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+    got_order = [
+        (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
+        for r in training_order_from_store(spark, str(tmp_path / "mix"))
+        .orderBy("sample_idx")
+        .collect()
+    ]
+    want_order = [
+        (r["sample_idx"], r["doc_id"], r["source"], r["epoch"])
+        for r in training_order(corpus_mix_weighted(docs, _MIX_HEAD_WEIGHTS))
+        .orderBy("sample_idx")
+        .collect()
+    ]
+    assert got_order == want_order
+
+
+def test_mixture_job_recovers_from_crash_between_batches(spark, sf_dir, tmp_path):
+    """Kill-between-batches recovery for the mixing job: the replayed
+    batch 1 must replace the partial crash-time partition — the
+    accumulated mixture equals the one-shot batch mix exactly."""
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        corpus_mix_weighted,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import mixture_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    poison = spark.createDataFrame(
+        [(int(-1), "src0", 0)], "doc_id long, source string, epoch int"
+    )
+    out = _crash_recovery_harness(
+        spark, tmp_path, docs, "doc_id", "doc_id long, source string",
+        lambda stream, o, ck: mixture_job(stream, o, ck), poison,
+    )
+    store = spark.read.parquet(out)
+    got = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in store.select("doc_id", "source", "epoch").collect()
+    }
+    want = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in corpus_mix_weighted(docs, _MIX_HEAD_WEIGHTS).collect()
+    }
+    assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
