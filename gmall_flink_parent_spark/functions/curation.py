@@ -673,6 +673,33 @@ GROUP BY s.doc_id
 """
 
 
+def contamination_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-{_CONTAM_N}-gram shingles per document — the shared
+    core of batch ``contamination_4gram`` and the streaming
+    ``contamination_job`` (one construction, so batch and stream cannot
+    drift). Input needs (doc_id, text); output is (doc_id, g).
+
+    The token array is materialized in its own projection BEFORE
+    building shingles: inlining split(text) into the transform lambda
+    would re-split the document once per element_at (~5× per gram) — a
+    10× scan-stage slowdown observed at sf0.1.
+    """
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    grams = _ngrams(F.col("toks"), F.size("toks"), _CONTAM_N)
+    return t.select("doc_id", F.explode(grams).alias("g"))
+
+
+def contamination_counts(sh: DataFrame, bench: DataFrame) -> DataFrame:
+    """Per-doc contaminated-shingle counts: broadcast the (tiny)
+    benchmark shingle set, hash-join at scan speed, one per-doc agg —
+    shared by the batch query and the streaming job."""
+    return (
+        sh.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 @register("contamination_4gram", oracle=CONTAMINATION_ORACLE, tags=("text", "decontam"))
 def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
@@ -688,20 +715,9 @@ def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # fan_out: shingle construction + explode is the CPU-dominant stage.
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    # Materialize the token array in its own projection BEFORE building
-    # shingles: inlining split(text) into the transform lambda would
-    # re-split the document once per element_at (~5× per gram) — a 10×
-    # scan-stage slowdown observed at sf0.1.
-    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    grams = _ngrams(F.col("toks"), F.size("toks"), _CONTAM_N)
-    sh = t.select("doc_id", F.explode(grams).alias("g"))
+    sh = contamination_shingles(docs)
     bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
-    return (
-        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
-    )
+    return contamination_counts(sh.filter(F.col("doc_id") % _BENCH_MOD != 0), bench)
 
 
 # ------------------------------------------------------------ data mixing

@@ -854,3 +854,66 @@ def training_order_from_store(
         spark.read.parquet(store_path).select("doc_id", "source", "epoch"),
         seed=seed,
     )
+
+
+def write_benchmark_shingles(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the held-out benchmark's distinct word-4-gram set —
+    the fixed side of decontamination. In production this is built once
+    from the eval corpora (MMLU et al. — megabytes); here it is the
+    deterministic ``doc_id % _BENCH_MOD == 0`` slice the batch query
+    uses, so stream and batch probe the identical set."""
+    from gmall_flink_parent_spark.functions.curation import (
+        _BENCH_MOD,
+        contamination_shingles,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out, load_table
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    (
+        contamination_shingles(docs.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        .select("g")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def contamination_job(
+    docs: DataFrame, bench_path: str, store_path: str, checkpoint_dir: str
+):
+    """Decontamination-at-ingest: each micro-batch of documents is
+    shingled (shared core ``contamination_shingles``), probed against
+    the broadcast benchmark shingle set, and its per-doc contamination
+    counts land in a ``batch_id=N`` partition — idempotent on replay
+    like ``text_profile_job``.
+
+    Per-doc counts are independent of every other training doc, so
+    per-batch probing accumulates exactly the one-shot batch answer
+    (``contamination_4gram``), and a 100 TB corpus is decontaminated as
+    it lands instead of via a full-corpus scan per eval-set release.
+    The benchmark side is read once per batch and broadcast — it is
+    eval-corpus-sized (MB), not corpus-sized.
+    """
+    from gmall_flink_parent_spark.functions.curation import (
+        _BENCH_MOD,
+        contamination_counts,
+        contamination_shingles,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bench = spark.read.parquet(bench_path)
+        sh = contamination_shingles(fan_out(spark, batch)).filter(
+            F.col("doc_id") % _BENCH_MOD != 0
+        )
+        contamination_counts(sh, bench).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/contamination")
+        .trigger(availableNow=True)
+        .start()
+    )

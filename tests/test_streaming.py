@@ -1970,3 +1970,66 @@ def test_mixture_job_recovers_from_crash_between_batches(spark, sf_dir, tmp_path
         for r in corpus_mix_weighted(docs, _MIX_HEAD_WEIGHTS).collect()
     }
     assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
+
+
+def test_contamination_job_matches_batch(spark, sf_dir, tmp_path):
+    """Decontamination-at-ingest over two micro-batches: the
+    accumulated per-doc contamination counts equal the one-shot batch
+    ``contamination_4gram`` exactly (per-doc counts are independent of
+    other training docs, so per-batch probing loses nothing)."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        contamination_job,
+        write_benchmark_shingles,
+    )
+
+    write_benchmark_shingles(spark, sf_dir, str(tmp_path / "bench"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    q = contamination_job(
+        stream, str(tmp_path / "bench"), str(tmp_path / "contam"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "contam"))
+    got = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in store.collect()}
+    want = {
+        (r["doc_id"], r["n_contaminated_ngrams"])
+        for r in plans.query_map()["contamination_4gram"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+
+def test_contamination_job_recovers_from_crash_between_batches(
+    spark, sf_dir, tmp_path
+):
+    """Kill-between-batches recovery for the decontamination job: the
+    replayed batch 1 must replace the partial crash-time partition —
+    accumulated counts equal the batch query exactly."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        contamination_job,
+        write_benchmark_shingles,
+    )
+
+    write_benchmark_shingles(spark, sf_dir, str(tmp_path / "bench"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    poison = spark.createDataFrame(
+        [(int(-1), int(999))], "doc_id long, n_contaminated_ngrams long"
+    )
+    out = _crash_recovery_harness(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string",
+        lambda stream, o, ck: contamination_job(
+            stream, str(tmp_path / "bench"), o, ck
+        ),
+        poison,
+    )
+    store = spark.read.parquet(out)
+    got = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in store.collect()}
+    want = {
+        (r["doc_id"], r["n_contaminated_ngrams"])
+        for r in plans.query_map()["contamination_4gram"](spark, sf_dir).collect()
+    }
+    assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
