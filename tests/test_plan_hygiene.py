@@ -57,3 +57,19 @@ def test_plan_hygiene(spark, sf_dir, name):
 
 def test_plan_hygiene_cluster_keep(cluster_keep_df):
     _assert_hygienic(_physical_plan(cluster_keep_df), "dedup_cluster_keep")
+
+
+def test_training_mix_weighted_plan_is_shuffle_free(spark, sf_dir):
+    """SCALE.md claims the weighted mixture is one corpus scan with no
+    shuffle: broadcast weight join + epoch explode + codegen hash
+    filter. Pin it — the only Exchange allowed is the broadcast of the
+    (≤20-row) weight table."""
+    import re
+
+    plan = _physical_plan(
+        plans.all_queries()["training_mix_weighted"].fn(spark, sf_dir)
+    )
+    exchanges = re.findall(r"\w*Exchange\b", plan)
+    assert exchanges, "expected the broadcast weight-table exchange"
+    assert all(e == "BroadcastExchange" for e in exchanges), exchanges
+    assert "BroadcastHashJoin" in plan
