@@ -1192,3 +1192,75 @@ def packed_training_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     return pack_sequences(stream.join(toks, "doc_id"))
+
+
+# ------------------------------------------------ mixture weight planning
+
+_MIX_ALPHA = 0.3  # temperature exponent: <1 upweights low-resource sources
+_MIX_TOKEN_BUDGET = 500_000  # target mixture size in tokens
+
+
+MIX_BUDGET_ORACLE = f"""
+WITH tok AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total
+    FROM documents GROUP BY source
+), sm AS (
+    SELECT source, n_tokens_total,
+           POW(CAST(n_tokens_total AS DOUBLE) / SUM(n_tokens_total) OVER (),
+               {_MIX_ALPHA}) AS s
+    FROM tok
+)
+SELECT source, n_tokens_total,
+       ROUND(s / SUM(s) OVER (), 6) AS token_share,
+       ROUND({_MIX_TOKEN_BUDGET} * (s / SUM(s) OVER ()) / n_tokens_total, 6)
+           AS mix_weight
+FROM sm
+"""
+
+
+@register(
+    "mixture_budget_weights",
+    oracle=MIX_BUDGET_ORACLE,
+    tags=("text", "mixing", "planning"),
+    past_window=True,
+)
+def mixture_budget_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture weights from corpus statistics: the
+    planning step that turns per-source token totals into the
+    ``corpus_mix_weighted`` weight dict for a fixed token budget.
+
+    Standard multilingual/temperature sampling: source shares are
+    raised to alpha=0.3 (alpha < 1 upweights low-resource
+    sources, the mT5/XLM-R recipe), renormalized, and scaled so the
+    expected mixture hits the 500k-token budget —
+    ``mix_weight`` is directly the per-source keep/epoch multiplier the
+    mixing stage consumes (w<1 downsample, w≥1 epoched upsample).
+
+    Scale shape: one corpus scan → 20-group agg; the share/weight math
+    runs over the #sources-row summary (window over a constant-size
+    frame), so at 100 TB this costs exactly one map-side-combined
+    shuffle of (source, partial token sum) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens_total"))
+    )
+    w_all = Window.partitionBy()
+    s = F.pow(
+        F.col("n_tokens_total").cast("double")
+        / F.sum("n_tokens_total").over(w_all),
+        F.lit(_MIX_ALPHA),
+    )
+    sm = tok.select("source", "n_tokens_total", s.alias("s"))
+    share = F.col("s") / F.sum("s").over(w_all)
+    return sm.select(
+        "source",
+        "n_tokens_total",
+        F.round(share, 6).alias("token_share"),
+        F.round(
+            F.lit(_MIX_TOKEN_BUDGET) * share / F.col("n_tokens_total"), 6
+        ).alias("mix_weight"),
+    )
