@@ -1264,3 +1264,66 @@ def mixture_budget_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_MIX_TOKEN_BUDGET) * share / F.col("n_tokens_total"), 6
         ).alias("mix_weight"),
     )
+
+
+# -------------------------------------------------- training-stream I/O
+
+_SHARD_BLOCK = 100_000  # samples per shard directory
+
+
+def write_training_shards(
+    stream: DataFrame, path: str, block: int = _SHARD_BLOCK
+) -> None:
+    """Lay the ordered training stream down as ``sample_block=N/``
+    hive-partitioned parquet (block = ``sample_idx // block``), the
+    layout a resumable data loader reads.
+
+    Why this layout at 100 TB: a crashed training run resumes at step S
+    by reading ONLY the shard directories overlapping [S, end) —
+    partition pruning eliminates every earlier shard at plan time
+    (``read_training_slice`` pins this), so resume cost is proportional
+    to the remaining stream, not the full corpus. Blocks are contiguous
+    sample ranges because ``sample_idx`` is the loader's read order:
+    one shard = one sequential chunk of training.
+
+    The write repartitions by ``sample_block`` so each shard directory
+    is produced by one task writing one file — without it, every
+    upstream task would append a file to every shard directory
+    (#tasks × #shards small files, the classic partitionBy explosion).
+    ``sortWithinPartitions`` keeps rows in loader order inside each
+    file, which also gives parquet monotone ``sample_idx`` row-group
+    stats for the in-shard range filter.
+    """
+    (
+        stream.withColumn(
+            "sample_block", F.floor(F.col("sample_idx") / block).cast("long")
+        )
+        .repartition("sample_block")
+        .sortWithinPartitions("sample_idx")
+        .write.mode("overwrite")
+        .partitionBy("sample_block")
+        .parquet(path)
+    )
+
+
+def read_training_slice(
+    spark: SparkSession, path: str, lo: int, hi: int, block: int = _SHARD_BLOCK
+) -> DataFrame:
+    """Read samples ``lo <= sample_idx < hi`` from a sharded training
+    stream, touching only the shard directories that can contain them.
+
+    The slice filter is expressed on BOTH columns: the ``sample_block``
+    bounds are partition filters (directory pruning at plan time — no
+    file of an excluded shard is even listed into the scan), and the
+    ``sample_idx`` bounds push down to parquet row-group stats inside
+    the surviving shards. The resume-at-step-S read is therefore
+    O(remaining stream), never a corpus scan; the pruned plan shape is
+    pinned in tests.
+    """
+    df = spark.read.parquet(path)
+    return df.filter(
+        (F.col("sample_block") >= lo // block)
+        & (F.col("sample_block") <= max(hi - 1, lo) // block)
+        & (F.col("sample_idx") >= lo)
+        & (F.col("sample_idx") < hi)
+    )

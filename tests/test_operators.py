@@ -1581,3 +1581,66 @@ def test_pack_sequences_matches_driver_reference(spark, sf_dir):
         if "Exchange rangepartitioning(sample_idx" in line
     }
     assert len(range_lines) == 1, range_lines
+
+
+def test_training_shards_slice_correct_and_partition_pruned(spark, sf_dir, tmp_path):
+    """Resumable-loader layout: the ordered mixture written as
+    sample_block shards must (a) return exactly the requested
+    [lo, hi) slice, (b) prune excluded shard directories at PLAN time
+    (PartitionFilters on sample_block — resume cost ∝ remaining
+    stream), and (c) push the sample_idx bounds into the parquet scan
+    for in-shard row-group skipping."""
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        assemble_training_mixture,
+        read_training_slice,
+        write_training_shards,
+    )
+
+    stream = assemble_training_mixture(spark, sf_dir, _MIX_HEAD_WEIGHTS)
+    block = 40  # small blocks so sf0.001 spans several shards
+    path = str(tmp_path / "shards")
+    write_training_shards(stream, path, block=block)
+
+    n = stream.count()
+    assert n > 2 * block  # several shards actually exist
+    lo, hi = block + 7, 2 * block + 3  # straddles a shard boundary
+    sliced = read_training_slice(spark, path, lo, hi, block=block)
+
+    got = [
+        (r["sample_idx"], r["doc_id"], r["epoch"])
+        for r in sliced.orderBy("sample_idx").collect()
+    ]
+    want = [
+        (r["sample_idx"], r["doc_id"], r["epoch"])
+        for r in stream.filter(
+            (F.col("sample_idx") >= lo) & (F.col("sample_idx") < hi)
+        )
+        .orderBy("sample_idx")
+        .collect()
+    ]
+    assert got == want and len(got) == hi - lo
+
+    # plan pins: directory pruning + parquet pushdown
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "sample_block" in m.group(1), plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "sample_idx" in m.group(1), plan
+    # files actually scanned = only the shards overlapping the slice
+    touched = {
+        r["f"]
+        for r in sliced.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert touched
+    blocks_touched = {
+        part.split("=")[1].split("/")[0]
+        for f in touched
+        for part in f.split("/")
+        if part.startswith("sample_block=")
+    }
+    assert blocks_touched <= {str(lo // block), str((hi - 1) // block)}
