@@ -28,6 +28,7 @@ from gmall_flink_parent_spark.functions.stopwords import _STOP_SQL, STOPWORDS
 from gmall_flink_parent_spark.plans.registry import (
     register,
     release_caches,
+    retain_latest,
     scoped_persist,
 )
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
@@ -805,7 +806,9 @@ def _mid_local_offset() -> Column:
     return F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
 
 
-def _range_sorted_positions(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+def _range_sorted_positions(
+    df: DataFrame, sort_cols: list[str], eager: bool = False
+) -> DataFrame:
     """The shared global-position core of ``training_order`` and
     ``pack_sequences``: range-partition on the sort key (Spark samples
     bounds; each partition sorts locally — never a single-reducer total
@@ -820,7 +823,8 @@ def _range_sorted_positions(df: DataFrame, sort_cols: list[str]) -> DataFrame:
     return scoped_persist(
         df.repartitionByRange(n_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__mid", F.monotonically_increasing_id()),
+        eager=eager,
     )
 
 
@@ -961,8 +965,14 @@ def pack_sequences(stream: DataFrame, cap: int = _PACK_CAP) -> DataFrame:
     (``_range_sorted_positions``) keeps the counts and output branches
     on one materialization.
     """
-    release_caches()  # same one-live-cache cadence as training_order
-    part = _range_sorted_positions(stream, ["sample_idx"])
+    # Downstream-stage cadence: persist + EAGER-fill the range-sorted
+    # frame while the upstream stage's cache (training_order's sorted
+    # mixture, when composed) is still alive — the shared lineage runs
+    # once — then drop everything but this frame (`retain_latest`):
+    # same one-live-cache end state as training_order, without
+    # recomputing the verdict/mix subtree during the fill.
+    part = _range_sorted_positions(stream, ["sample_idx"], eager=True)
+    retain_latest()
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
