@@ -1337,3 +1337,62 @@ def read_training_slice(
         & (F.col("sample_idx") >= lo)
         & (F.col("sample_idx") < hi)
     )
+
+
+# ------------------------------------------------- unigram LM scoring
+
+UNIGRAM_ORACLE = """
+WITH e AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+    SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM e GROUP BY tok
+), tot AS (
+    SELECT SUM(cnt) AS total FROM vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(log2(v.cnt / t.total)) / count(*), 6) AS bits_per_token
+FROM e JOIN vocab v USING (tok) CROSS JOIN tot t
+GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=UNIGRAM_ORACLE,
+    tags=("text", "quality", "lm"),
+    past_window=True,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document (bits/token) — the
+    perplexity-proxy quality signal of CCNet-style filtering: documents
+    whose tokens are improbable under the corpus unigram distribution
+    (gibberish, wrong-language, boilerplate-free spam) score high and
+    get filtered or bucketed.
+
+    Exact form: token probabilities from the full corpus vocabulary
+    (count/total), per-doc mean negative log2 — two map-side-combined
+    shuffles (vocab counts, per-doc agg) plus the token-keyed prob
+    join. The corpus-total scalar rides a 1-row broadcast (constant
+    side, the allowlisted BNLJ shape). At 100 TB the exact prob join
+    keys on the full vocabulary; the scale variant broadcasts the top-V
+    head of the (Zipfian) vocab with one OOV fallback probability —
+    same plan with the join replaced by a broadcast lookup, trading
+    tail-token exactness for zero vocab shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = e.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total")
+    probs = vocab.crossJoin(F.broadcast(total)).select("tok", p.alias("p"))
+    return (
+        e.join(probs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.sum(F.log2("p")) / F.count(F.lit(1)), 6).alias(
+                "bits_per_token"
+            ),
+        )
+    )

@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "cosine_topk_bruteforce",  # 8-vector query set × candidates (the baseline)
     "ivf_kmeans_assign",  # k=10 centroids × vectors (Lloyd assignment)
     "vocab_top_tokens",  # ≤50-row rank-offset frame × top tokens
+    "doc_unigram_logprob",  # 1-row corpus-total scalar × vocab
 }
 
 
