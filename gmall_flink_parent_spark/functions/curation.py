@@ -1396,3 +1396,63 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TOPV = 24  # broadcast vocabulary head size for the scale variant; the
+# synthetic corpus has a 31-token vocabulary, so 24 leaves a real tail —
+# both the head (byte-identical) and OOV paths execute at every SF
+
+
+@register(
+    "doc_unigram_logprob_topv",
+    oracle=None,  # approximation of doc_unigram_logprob; no exact SQL twin
+    tags=("text", "quality", "lm", "approx"),
+)
+def doc_unigram_logprob_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``doc_unigram_logprob``: broadcast the top-V
+    head of the (Zipfian) vocabulary and score tail tokens with one
+    shared OOV probability (the remaining probability mass spread over
+    the distinct tail tokens).
+
+    Replaces the full-vocabulary shuffle join with a broadcast hash
+    lookup: the corpus side is scored at scan speed, and the only
+    full-data shuffle left is the per-doc agg. Head-token probabilities
+    are IDENTICAL to the exact query's (count/total), so documents made
+    of head tokens score byte-identically — pinned in tests, with a
+    bounded deviation for tail-holding docs. Rows-only by design, like
+    ``doc_length_quantiles_approx``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = e.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    # One tiny agg computes every scalar the scorer needs: total tokens,
+    # head mass (top-V by count, ties broken by token for determinism),
+    # and the distinct-tail size that spreads the leftover mass.
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = vocab.withColumn("rnk", F.row_number().over(w_rank))
+    head = ranked.filter(F.col("rnk") <= _TOPV).drop("rnk")
+    stats = ranked.agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.when(F.col("rnk") <= _TOPV, F.col("cnt"))).alias("head_mass"),
+        F.sum(F.when(F.col("rnk") > _TOPV, F.lit(1.0))).alias("n_tail"),
+    )
+    scored = (
+        e.join(F.broadcast(head), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("cnt") / F.col("total"),
+                # OOV: leftover mass shared across the distinct tail
+                (F.col("total") - F.col("head_mass"))
+                / F.col("total")
+                / F.greatest(F.col("n_tail"), F.lit(1.0)),
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.sum(F.log2("p")) / F.count(F.lit(1)), 6).alias(
+            "bits_per_token"
+        ),
+    )

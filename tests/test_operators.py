@@ -1644,3 +1644,62 @@ def test_training_shards_slice_correct_and_partition_pruned(spark, sf_dir, tmp_p
         if part.startswith("sample_block=")
     }
     assert blocks_touched <= {str(lo // block), str((hi - 1) // block)}
+
+
+def test_unigram_topv_matches_exact_on_head_docs_and_bounds_tail(spark, sf_dir):
+    """The broadcast-head variant must score documents made entirely of
+    head tokens BYTE-identically to the exact full-vocab query (head
+    probabilities are the same count/total), and deviate boundedly on
+    docs holding tail tokens (the OOV mass is a probability, so scores
+    stay finite and positive)."""
+    exact = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in plans.query_map()["doc_unigram_logprob"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in plans.query_map()["doc_unigram_logprob_topv"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 0
+    # same token counts everywhere
+    assert all(exact[d][0] == approx[d][0] for d in exact)
+
+    from gmall_flink_parent_spark.functions.curation import _TOPV
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = e.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    head = {
+        r["tok"]
+        for r in vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(_TOPV).collect()
+    }
+    head_docs = {
+        r["doc_id"]
+        for r in e.groupBy("doc_id")
+        .agg(F.max(~F.col("tok").isin(head)).alias("has_tail"))
+        .filter(~F.col("has_tail"))
+        .collect()
+    }
+    assert head_docs, "fixture should contain at least one all-head document"
+    for d in head_docs:
+        assert exact[d] == approx[d]
+    for d in exact:
+        assert 0.0 < approx[d][1] < 64.0  # finite, sane bits/token
+
+
+def test_mixture_budget_weights_hit_the_token_budget(spark, sf_dir):
+    """The planner's contract: expected mixture size under the emitted
+    weights equals the token budget — sum(mix_weight_i × tokens_i) ≈
+    budget (exact up to the 6-decimal weight rounding)."""
+    from gmall_flink_parent_spark.functions.curation import _MIX_TOKEN_BUDGET
+
+    rows = plans.query_map()["mixture_budget_weights"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    expected = sum(r["mix_weight"] * r["n_tokens_total"] for r in rows)
+    assert abs(expected - _MIX_TOKEN_BUDGET) / _MIX_TOKEN_BUDGET < 1e-3
+    # shares are a distribution; smoothing keeps every source positive
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["mix_weight"] > 0 for r in rows)

@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "ivf_kmeans_assign",  # k=10 centroids × vectors (Lloyd assignment)
     "vocab_top_tokens",  # ≤50-row rank-offset frame × top tokens
     "doc_unigram_logprob",  # 1-row corpus-total scalar × vocab
+    "doc_unigram_logprob_topv",  # 1-row (total, head_mass, n_tail) scalar × tokens
 }
 
 
