@@ -1456,3 +1456,77 @@ def doc_unigram_logprob_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_token"
         ),
     )
+
+
+MIX_COMPOSITION_ORACLE = f"""
+WITH {_mix_cte_sql("documents", f"{_MIX_HEAD_SEED}")},
+tok AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), avail AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_available
+    FROM documents GROUP BY source
+)
+SELECT m.source,
+       a.n_docs_available,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(DISTINCT m.doc_id) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(count(*) AS DOUBLE) / a.n_docs_available, 6)
+           AS effective_epochs
+FROM mix m JOIN tok t USING (doc_id) JOIN avail a ON m.source = a.source
+GROUP BY m.source, a.n_docs_available
+"""
+
+
+@register(
+    "mixture_composition",
+    oracle=MIX_COMPOSITION_ORACLE,
+    tags=("text", "mixing", "stats"),
+    past_window=True,
+)
+def mixture_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics of the REALIZED training mixture: per
+    source, available docs, emitted samples (doc copies), distinct docs
+    kept, token total, and effective epochs (samples / available) —
+    what a run report prints next to the `mixture_budget_weights` plan
+    so drift between intended and realized mixture is visible.
+
+    Shape: the shuffle-free mix (broadcast weights + hash filter)
+    joined to per-doc token counts, then one 20-group agg — at 100 TB
+    the shuffle carries (source, partials), nothing doc-sized. The
+    effective-epochs column is the observability hook: it converges to
+    the configured weight by the mixture's 5-sigma concentration
+    property, and a persistent gap flags a corpus/weights mismatch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mix = corpus_mix_weighted(
+        docs.select("doc_id", "source"), _MIX_HEAD_WEIGHTS, seed=_MIX_HEAD_SEED
+    )
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    avail = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_available")
+    )
+    return (
+        mix.join(tok, "doc_id")
+        .join(F.broadcast(avail), "source")
+        .groupBy("source", "n_docs_available")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.countDistinct("doc_id").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.col("n_docs_available"), 6
+            ).alias("effective_epochs"),
+        )
+        .select(
+            "source",
+            "n_docs_available",
+            "n_samples",
+            "n_docs_kept",
+            "n_tokens",
+            "effective_epochs",
+        )
+    )
