@@ -1530,3 +1530,72 @@ def mixture_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_epochs",
         )
     )
+
+
+# ----------------------------------------------------- boilerplate spans
+
+_BOILER_DF = 5  # a 4-gram in >= this many docs is boilerplate
+
+
+BOILERPLATE_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {_CONTAM_N - 2}, 1)),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i + 1],
+                              string_split(text, ' ')[i + 2],
+                              string_split(text, ' ')[i + 3])))) AS g
+    FROM documents
+), boiler AS (
+    SELECT g FROM sh GROUP BY g HAVING count(*) >= {_BOILER_DF}
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.g) AS BIGINT) AS n_boilerplate,
+       ROUND(CAST(count(b.g) AS DOUBLE) / count(*), 6) AS boilerplate_frac
+FROM sh s LEFT JOIN boiler b USING (g)
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "doc_boilerplate_fraction",
+    oracle=BOILERPLATE_ORACLE,
+    tags=("text", "quality", "dedup"),
+    past_window=True,
+)
+def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span signal (RefinedWeb/Gopher family): a word
+    4-gram appearing in ≥ 5 documents is boilerplate (navigation
+    chrome, license headers, templated spam); each document reports how
+    much of it is made of such spans. High-fraction docs are filtered
+    or span-stripped before training.
+
+    Reuses the decontamination shingle core (distinct 4-grams per doc):
+    one shingle scan feeds a document-frequency agg (map-side combined;
+    shuffle carries (gram, partial count)), the boilerplate set comes
+    back as a semi-join side — corpus-frequency-thresholded so it is a
+    small fraction of the gram space — and a per-doc agg closes. Same
+    two-wide-op budget as ``contamination_4gram``, sharing its audited
+    CPU-stage shape (`fan_out` + single-projection token array).
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    sh = contamination_shingles(docs)
+    boiler = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        sh.join(boiler, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boilerplate"),
+            F.round(
+                F.count("is_boiler").cast("double") / F.count(F.lit(1)), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
