@@ -574,3 +574,61 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> 
         .filter(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+def minibatch_centroid_update(cents: DataFrame, batch: DataFrame) -> DataFrame:
+    """One mini-batch k-means step (the online form of Lloyd — Sculley,
+    "Web-scale k-means clustering", WWW'10): assign the batch to the
+    current centroids, then move each touched centroid to the exact
+    running mean of every vector ever assigned to it.
+
+    ``cents`` is (cell, centroid, n_total); ``batch`` is
+    (vec_id, embedding); returns the updated (cell, centroid, n_total).
+    Because the update weights by the stored count — c' = (c·n + Σ_b) /
+    (n + n_b) — the result after any sequence of batches is the exact
+    mean over assignment-time members, not a decaying approximation,
+    and the per-dim sums go through DECIMAL like ``_lloyd_centroids``
+    so the refresh is deterministic at any parallelism. Untouched cells
+    pass through unchanged.
+
+    Shared core of ``centroid_refresh_job`` and its parity test: both
+    sides call THIS function, so the job test verifies the streaming
+    machinery (fencing, swap, checkpoint), not a re-derivation of the
+    math. Per batch: one broadcast assign (k×64 floats) + one
+    (cell, dim) aggregate — scan-shaped, no corpus access.
+    """
+    assigned = _assign_cells(batch, cents.select("cell", "centroid"))
+    members = assigned.join(batch, "vec_id").select(
+        "cell", F.posexplode("embedding").alias("dim", "val")
+    )
+    bsums = members.groupBy("cell", "dim").agg(
+        F.sum(F.col("val").cast("decimal(30,15)")).alias("bsum")
+    )
+    bcounts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_b"))
+    cdims = cents.select(
+        "cell", "n_total", F.posexplode("centroid").alias("dim", "cval")
+    )
+    upd = (
+        cdims.join(bsums, ["cell", "dim"], "left")
+        .join(F.broadcast(bcounts), "cell", "left")
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
+        .withColumn(
+            "new_val",
+            F.when(F.col("n_b") == 0, F.col("cval").cast("double")).otherwise(
+                (
+                    (
+                        F.col("cval").cast("decimal(30,15)") * F.col("n_total")
+                        + F.coalesce(F.col("bsum"), F.lit(0).cast("decimal(30,15)"))
+                    )
+                    / (F.col("n_total") + F.col("n_b"))
+                ).cast("double")
+            ),
+        )
+    )
+    return upd.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", F.col("new_val").alias("v")))),
+            lambda s: s["v"].cast("float"),
+        ).alias("centroid"),
+        (F.first("n_total") + F.first("n_b")).alias("n_total"),
+    )

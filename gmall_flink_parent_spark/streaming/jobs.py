@@ -917,3 +917,79 @@ def contamination_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_initial_centroid_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Seed the online-centroid store from the offline training step:
+    Lloyd centroids over the embeddings table plus each cell's member
+    count (the running-mean weight) and ``last_batch = -1`` (no stream
+    batch applied yet)."""
+    from gmall_flink_parent_spark.functions.similarity import (
+        _assign_cells,
+        ivf_centroids,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    cents = ivf_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    counts = (
+        _assign_cells(emb, cents).groupBy("cell").agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    (
+        cents.join(counts, "cell", "left")
+        .select(
+            "cell",
+            "centroid",
+            F.coalesce("n_total", F.lit(0)).cast("long").alias("n_total"),
+            F.lit(-1).cast("long").alias("last_batch"),
+        )
+        .write.mode("overwrite")
+        .parquet(store_path)
+    )
+
+
+def centroid_refresh_job(emb: DataFrame, store_path: str, checkpoint_dir: str):
+    """Online IVF maintenance: each micro-batch of new embeddings moves
+    the coarse quantizer by one exact mini-batch k-means step
+    (``minibatch_centroid_update``) — the piece that turns the "train
+    once offline" centroid story into a drift-tracking index.
+
+    Unlike the per-batch_id partition sinks, the store here is a single
+    STATEFUL table (k rows) updated in place, so replay safety needs
+    the transactional-sink pattern instead of partition overwrite:
+    every store row carries ``last_batch``, a replayed batch with
+    ``batch_id <= last_batch`` is a committed-update no-op (fencing),
+    and the rewrite itself goes through the self-healing two-rename
+    swap (``upsert_parquet`` keyed on cell). Fencing + swap make
+    crash-replay exactly-once; parity with the library update chain is
+    pinned in tests.
+    """
+    from gmall_flink_parent_spark.functions.similarity import (
+        minibatch_centroid_update,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        store = spark.read.parquet(store_path)
+        last = store.agg(F.max("last_batch")).collect()[0][0]
+        if batch_id <= last:
+            return  # replayed batch whose update already committed
+        upd = minibatch_centroid_update(
+            store.select("cell", "centroid", "n_total"),
+            batch.select("vec_id", "embedding"),
+        )
+        upsert_parquet(
+            spark,
+            upd.withColumn("last_batch", F.lit(batch_id).cast("long")),
+            store_path,
+            "cell",
+        )
+
+    return (
+        emb.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/centroid_refresh")
+        .trigger(availableNow=True)
+        .start()
+    )

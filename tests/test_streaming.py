@@ -2033,3 +2033,94 @@ def test_contamination_job_recovers_from_crash_between_batches(
         for r in plans.query_map()["contamination_4gram"](spark, sf_dir).collect()
     }
     assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
+
+
+def test_centroid_refresh_job_matches_library_chain(spark, sf_dir, tmp_path):
+    """Online centroid maintenance over two micro-batches must equal
+    applying the SAME library update (`minibatch_centroid_update`) to
+    the same halves in the same order — verifying the streaming
+    machinery (fencing column, swap rewrite, checkpoint) around the
+    shared math, and pinning exact running-mean counts."""
+    from gmall_flink_parent_spark.functions.similarity import (
+        minibatch_centroid_update,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import (
+        centroid_refresh_job,
+        write_initial_centroid_store,
+    )
+
+    write_initial_centroid_store(spark, sf_dir, str(tmp_path / "cents"))
+    # materialize the seed NOW: the job's swap rewrite replaces the
+    # store files this lazy read would otherwise reference afterwards
+    init_df = spark.read.parquet(str(tmp_path / "cents")).select(
+        "cell", "centroid", "n_total"
+    )
+    init = spark.createDataFrame(init_df.collect(), init_df.schema)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+
+    stream = _two_file_stream(
+        spark, tmp_path, emb, "vec_id", "vec_id long, embedding array<float>"
+    )
+    q = centroid_refresh_job(stream, str(tmp_path / "cents"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
+        for r in spark.read.parquet(str(tmp_path / "cents")).collect()
+    }
+    s1 = minibatch_centroid_update(init, emb.filter(F.col("vec_id") <= median))
+    s2 = minibatch_centroid_update(s1, emb.filter(F.col("vec_id") > median))
+    want = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"])
+        for r in s2.collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for cell in want:
+        assert got[cell][0] == want[cell][0], cell  # float-exact centroids
+        assert got[cell][1] == want[cell][1], cell  # exact running counts
+        assert got[cell][2] == 1  # both batches applied
+    n_stream = emb.count()
+    n_initial = sum(r["n_total"] for r in init.collect())
+    assert sum(v[1] for v in got.values()) == n_initial + n_stream
+
+
+def test_centroid_refresh_job_replay_is_fenced(spark, sf_dir, tmp_path):
+    """Exactly-once for the stateful store: wipe the CHECKPOINT (so the
+    stream replays both batches from scratch) and re-run — the
+    last_batch fence must turn every replayed update into a no-op,
+    leaving the store byte-identical instead of double-counting."""
+    import shutil
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        centroid_refresh_job,
+        write_initial_centroid_store,
+    )
+
+    write_initial_centroid_store(spark, sf_dir, str(tmp_path / "cents"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stream = _two_file_stream(
+        spark, tmp_path, emb, "vec_id", "vec_id long, embedding array<float>"
+    )
+    centroid_refresh_job(
+        stream, str(tmp_path / "cents"), str(tmp_path / "ck")
+    ).awaitTermination(120)
+    before = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
+        for r in spark.read.parquet(str(tmp_path / "cents")).collect()
+    }
+
+    shutil.rmtree(str(tmp_path / "ck"))  # lose the offsets → full replay
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    centroid_refresh_job(
+        stream2, str(tmp_path / "cents"), str(tmp_path / "ck")
+    ).awaitTermination(120)
+    after = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
+        for r in spark.read.parquet(str(tmp_path / "cents")).collect()
+    }
+    assert after == before
