@@ -1309,15 +1309,27 @@ def write_training_shards(
             "sample_block", F.floor(F.col("sample_idx") / block).cast("long")
         )
         .repartition("sample_block")
-        .sortWithinPartitions("sample_idx")
+        # the partition column leads the sort: the dynamic-partition
+        # writer REQUIRES child ordering on [sample_block] — sorting by
+        # sample_idx alone makes Spark insert its own (stability-
+        # uncontracted) sort on top, and the in-file loader order would
+        # then be luck rather than guarantee
+        .sortWithinPartitions("sample_block", "sample_idx")
         .write.mode("overwrite")
         .partitionBy("sample_block")
         .parquet(path)
     )
+    # Record the block size beside the data (underscore-prefixed dirs
+    # are invisible to Spark's data-file listing): the reader's pruning
+    # math divides by it, and a mismatched divisor would silently skip
+    # shard directories mid-slice rather than erroring.
+    stream.sparkSession.createDataFrame([(block,)], "block long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_shard_meta")
 
 
 def read_training_slice(
-    spark: SparkSession, path: str, lo: int, hi: int, block: int = _SHARD_BLOCK
+    spark: SparkSession, path: str, lo: int, hi: int, block: int | None = None
 ) -> DataFrame:
     """Read samples ``lo <= sample_idx < hi`` from a sharded training
     stream, touching only the shard directories that can contain them.
@@ -1329,7 +1341,29 @@ def read_training_slice(
     the surviving shards. The resume-at-step-S read is therefore
     O(remaining stream), never a corpus scan; the pruned plan shape is
     pinned in tests.
+
+    The block size defaults to the ``_shard_meta`` sidecar the writer
+    recorded; passing one explicitly is validated against it, because a
+    mismatched divisor would prune directories that still hold rows of
+    [lo, hi) — a silently incomplete resume.
     """
+    stored: int | None = None
+    try:
+        stored = spark.read.parquet(f"{path}/_shard_meta").collect()[0]["block"]
+    except Exception:  # pre-sidecar layout: caller must supply the size
+        pass
+    if block is None:
+        if stored is None:
+            raise ValueError(
+                f"{path} has no _shard_meta sidecar; pass the block size it "
+                "was written with"
+            )
+        block = stored
+    elif stored is not None and block != stored:
+        raise ValueError(
+            f"slice block={block} != store's written block={stored}: the "
+            "pruning math would silently skip shard directories"
+        )
     df = spark.read.parquet(path)
     return df.filter(
         (F.col("sample_block") >= lo // block)
@@ -1424,17 +1458,29 @@ def doc_unigram_logprob_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = e.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    # One tiny agg computes every scalar the scorer needs: total tokens,
-    # head mass (top-V by count, ties broken by token for determinism),
-    # and the distinct-tail size that spreads the leftover mass.
-    w_rank = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    ranked = vocab.withColumn("rnk", F.row_number().over(w_rank))
-    head = ranked.filter(F.col("rnk") <= _TOPV).drop("rnk")
-    stats = ranked.agg(
-        F.sum("cnt").alias("total"),
-        F.sum(F.when(F.col("rnk") <= _TOPV, F.col("cnt"))).alias("head_mass"),
-        F.sum(F.when(F.col("rnk") > _TOPV, F.lit(1.0))).alias("n_tail"),
+    # The vocab agg feeds both the head pick and the totals — persist it
+    # (query-scoped) so the corpus explode+agg runs once, not per branch.
+    vocab = scoped_persist(
+        e.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    # Head via orderBy+limit = TakeOrderedAndProject (per-partition
+    # partial top-V, NO single-reducer sort of the vocabulary — an
+    # unpartitioned row_number window would plan Exchange
+    # SinglePartition over every distinct token, exactly the
+    # vocabulary-wide bottleneck this variant exists to avoid). Ties
+    # break on token for determinism.
+    head = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(_TOPV)
+    # Scalars from two tiny aggs (full-vocab totals; _TOPV-row head
+    # totals); n_tail falls out as the difference.
+    totals = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).cast("double").alias("n_vocab")
+    )
+    head_totals = head.agg(
+        F.sum("cnt").alias("head_mass"),
+        F.count(F.lit(1)).cast("double").alias("n_head"),
+    )
+    stats = totals.crossJoin(head_totals).select(
+        "total", "head_mass", (F.col("n_vocab") - F.col("n_head")).alias("n_tail")
     )
     scored = (
         e.join(F.broadcast(head), "tok", "left")
@@ -1581,15 +1627,22 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     CPU-stage shape (`fan_out` + single-projection token array).
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    sh = contamination_shingles(docs)
+    # Persist the shingle frame (query-scoped): it feeds BOTH the
+    # document-frequency agg and the probe side, and the explode is the
+    # CPU-dominant stage — without the persist it runs twice per query.
+    sh = scoped_persist(contamination_shingles(docs))
     boiler = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= _BOILER_DF)
         .select("g", F.lit(1).alias("is_boiler"))
     )
+    # Broadcast like contamination_counts' bench side: the set is
+    # df-thresholded to a small slice of the gram space, and without
+    # the hint a size misestimate would shuffle the corpus-side
+    # shingles at scale.
     return (
-        sh.join(boiler, "g", "left")
+        sh.join(F.broadcast(boiler), "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -944,13 +944,19 @@ def write_initial_centroid_store(
             "centroid",
             F.coalesce("n_total", F.lit(0)).cast("long").alias("n_total"),
             F.lit(-1).cast("long").alias("last_batch"),
+            F.lit("").alias("run_id"),  # no stream batch applied yet
         )
         .write.mode("overwrite")
         .parquet(store_path)
     )
 
 
-def centroid_refresh_job(emb: DataFrame, store_path: str, checkpoint_dir: str):
+def centroid_refresh_job(
+    emb: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    run_id: str | None = None,
+):
     """Online IVF maintenance: each micro-batch of new embeddings moves
     the coarse quantizer by one exact mini-batch k-means step
     (``minibatch_centroid_update``) — the piece that turns the "train
@@ -959,22 +965,38 @@ def centroid_refresh_job(emb: DataFrame, store_path: str, checkpoint_dir: str):
     Unlike the per-batch_id partition sinks, the store here is a single
     STATEFUL table (k rows) updated in place, so replay safety needs
     the transactional-sink pattern instead of partition overwrite:
-    every store row carries ``last_batch``, a replayed batch with
-    ``batch_id <= last_batch`` is a committed-update no-op (fencing),
-    and the rewrite itself goes through the self-healing two-rename
-    swap (``upsert_parquet`` keyed on cell). Fencing + swap make
-    crash-replay exactly-once; parity with the library update chain is
-    pinned in tests.
+    every store row carries (``run_id``, ``last_batch``), and a batch
+    is a committed-update no-op (fenced) only when BOTH match — batch
+    ids are checkpoint-scoped, so fencing on the bare id would silently
+    drop the first batches of a NEW stream instance (fresh checkpoint,
+    ids restarting at 0) that merely overlap a previous run's ids.
+    ``run_id`` defaults to the checkpoint dir: same checkpoint ⇒ same
+    numbering ⇒ fencing valid; a new checkpoint ⇒ new run ⇒ every
+    batch applies. The rewrite goes through the self-healing two-rename
+    swap (``upsert_parquet`` keyed on cell), and the swap's crash
+    states are HEALED before the fence read — a crash between the two
+    renames leaves the table under ``._old``, which the fence's own
+    ``spark.read.parquet`` would otherwise trip over forever. Fencing +
+    heal-first + swap make crash-replay exactly-once; parity with the
+    library update chain is pinned in tests.
     """
     from gmall_flink_parent_spark.functions.similarity import (
         minibatch_centroid_update,
     )
+    from gmall_flink_parent_spark.streaming.store import _clear_swap_leftovers
+
+    rid = checkpoint_dir if run_id is None else run_id
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # heal a half-completed swap BEFORE reading the store: the only
+        # crash state where store_path itself is missing is mid-swap,
+        # and upsert_parquet's own healing runs too late for the fence.
+        _clear_swap_leftovers(spark, store_path)
         store = spark.read.parquet(store_path)
-        last = store.agg(F.max("last_batch")).collect()[0][0]
-        if batch_id <= last:
+        head = store.select(F.max("last_batch"), F.first("run_id")).collect()[0]
+        last, stored_run = head[0], head[1]
+        if stored_run == rid and batch_id <= last:
             return  # replayed batch whose update already committed
         upd = minibatch_centroid_update(
             store.select("cell", "centroid", "n_total"),
@@ -982,7 +1004,9 @@ def centroid_refresh_job(emb: DataFrame, store_path: str, checkpoint_dir: str):
         )
         upsert_parquet(
             spark,
-            upd.withColumn("last_batch", F.lit(batch_id).cast("long")),
+            upd.withColumn("last_batch", F.lit(batch_id).cast("long")).withColumn(
+                "run_id", F.lit(rid)
+            ),
             store_path,
             "cell",
         )

@@ -1703,3 +1703,29 @@ def test_mixture_budget_weights_hit_the_token_budget(spark, sf_dir):
     # shares are a distribution; smoothing keeps every source positive
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
     assert all(r["mix_weight"] > 0 for r in rows)
+
+
+def test_training_slice_block_size_is_recorded_and_validated(spark, sf_dir, tmp_path):
+    """The shard layout records its block size; a sliced read defaults
+    to it and REFUSES a conflicting explicit size (a wrong divisor
+    would silently skip shard directories mid-slice)."""
+    import pytest as _pytest
+
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        assemble_training_mixture,
+        read_training_slice,
+        write_training_shards,
+    )
+
+    stream = assemble_training_mixture(spark, sf_dir, _MIX_HEAD_WEIGHTS)
+    path = str(tmp_path / "shards")
+    write_training_shards(stream, path, block=40)
+
+    # default: sidecar supplies the divisor
+    got = read_training_slice(spark, path, 10, 20).count()
+    assert got == 10
+    # explicit-but-matching is fine; conflicting refuses
+    assert read_training_slice(spark, path, 10, 20, block=40).count() == 10
+    with _pytest.raises(ValueError, match="block"):
+        read_training_slice(spark, path, 10, 20, block=50)

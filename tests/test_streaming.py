@@ -2124,3 +2124,91 @@ def test_centroid_refresh_job_replay_is_fenced(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "cents")).collect()
     }
     assert after == before
+
+
+def test_centroid_refresh_job_heals_half_swap_before_fencing(spark, sf_dir, tmp_path):
+    """The swap's worst crash point (between the two renames: the table
+    lives only under ``._old``) combined with an uncommitted checkpoint
+    (batch replays): the replayed batch must first HEAL the store, then
+    fence itself out — ending byte-identical to the committed state
+    instead of failing forever on the missing store path."""
+    import os
+    import shutil
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        centroid_refresh_job,
+        write_initial_centroid_store,
+    )
+
+    write_initial_centroid_store(spark, sf_dir, str(tmp_path / "cents"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stream = _two_file_stream(
+        spark, tmp_path, emb, "vec_id", "vec_id long, embedding array<float>"
+    )
+    centroid_refresh_job(
+        stream, str(tmp_path / "cents"), str(tmp_path / "ck")
+    ).awaitTermination(120)
+    committed = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
+        for r in spark.read.parquet(str(tmp_path / "cents")).collect()
+    }
+
+    # crash state: table only under ._old; checkpoint lost → full replay
+    os.rename(str(tmp_path / "cents"), str(tmp_path / "cents") + "._old")
+    shutil.rmtree(str(tmp_path / "ck"))
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    centroid_refresh_job(
+        stream2, str(tmp_path / "cents"), str(tmp_path / "ck")
+    ).awaitTermination(120)
+    healed = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
+        for r in spark.read.parquet(str(tmp_path / "cents")).collect()
+    }
+    assert healed == committed
+
+
+def test_centroid_refresh_job_new_run_applies_despite_overlapping_ids(
+    spark, sf_dir, tmp_path
+):
+    """Batch ids are checkpoint-scoped: a NEW stream instance (fresh
+    checkpoint + genuinely new embeddings) numbers its batches from 0
+    again. The run-scoped fence must let those batches APPLY — a bare
+    batch-id fence would silently drop them all."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        centroid_refresh_job,
+        write_initial_centroid_store,
+    )
+
+    write_initial_centroid_store(spark, sf_dir, str(tmp_path / "cents"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stream = _two_file_stream(
+        spark, tmp_path, emb, "vec_id", "vec_id long, embedding array<float>"
+    )
+    centroid_refresh_job(
+        stream, str(tmp_path / "cents"), str(tmp_path / "ck1")
+    ).awaitTermination(120)
+    n_after_run1 = sum(
+        r["n_total"] for r in spark.read.parquet(str(tmp_path / "cents")).collect()
+    )
+
+    # a second instance: new input dir, new checkpoint — ids restart at 0,
+    # which the store's last_batch (=1) would wrongly fence without run_id
+    new_emb = emb.limit(50).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    (tmp_path / "in2").mkdir()
+    new_emb.toPandas().to_parquet(str(tmp_path / "in2" / "f3.parquet"))
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in2"))
+    )
+    centroid_refresh_job(
+        stream2, str(tmp_path / "cents"), str(tmp_path / "ck2")
+    ).awaitTermination(120)
+    n_after_run2 = sum(
+        r["n_total"] for r in spark.read.parquet(str(tmp_path / "cents")).collect()
+    )
+    assert n_after_run2 == n_after_run1 + 50
