@@ -1017,3 +1017,88 @@ def centroid_refresh_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def shingle_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Shingle-at-ingest: each micro-batch of documents is shingled once
+    (``contamination_shingles`` — the CPU-dense distinct-4-gram stage)
+    and the (doc_id, g) rows land in a ``batch_id=N`` partition: an
+    inverted-index-shaped feature store every n-gram signal reads
+    INSTEAD of re-scanning text.
+
+    One store, two heads (the ``topk_spend_job`` theme applied to text):
+    ``boilerplate_fraction_from_store`` recomputes document-frequency
+    thresholds over the accumulated grams — a signal that legitimately
+    SHIFTS as the corpus grows, which is exactly why storing the grams
+    (stable per doc) and deriving the verdict per run beats storing the
+    verdict; and ``contamination_from_store`` probes the same rows
+    against a benchmark shingle set, so a new eval-set release costs a
+    store probe, not a corpus re-shingle. Both heads parity-pinned
+    against their one-shot batch queries.
+    """
+    from gmall_flink_parent_spark.functions.curation import (
+        contamination_shingles,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        contamination_shingles(
+            fan_out(batch.sparkSession, batch)
+        ).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/shingle_store")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def boilerplate_fraction_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Per-training-run boilerplate verdict over the shingle store:
+    document frequency + threshold + per-doc fraction, all from stored
+    (doc_id, g) rows — the text is never re-scanned. Hash-equal to the
+    one-shot ``doc_boilerplate_fraction`` over the same corpus."""
+    from gmall_flink_parent_spark.functions.curation import _BOILER_DF
+    from gmall_flink_parent_spark.plans.registry import scoped_persist
+
+    sh = scoped_persist(
+        spark.read.parquet(store_path).select("doc_id", "g")
+    )
+    boiler = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        sh.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boilerplate"),
+            F.round(
+                F.count("is_boiler").cast("double") / F.count(F.lit(1)), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+def contamination_from_store(
+    spark: SparkSession, store_path: str, bench_path: str
+) -> DataFrame:
+    """Decontamination over the shingle store: probe stored (doc_id, g)
+    rows against the materialized benchmark set — hash-equal to the
+    one-shot ``contamination_4gram``, with zero text re-scans."""
+    from gmall_flink_parent_spark.functions.curation import (
+        _BENCH_MOD,
+        contamination_counts,
+    )
+
+    sh = spark.read.parquet(store_path).select("doc_id", "g")
+    bench = spark.read.parquet(bench_path)
+    return contamination_counts(
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0), bench
+    )

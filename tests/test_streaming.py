@@ -2212,3 +2212,57 @@ def test_centroid_refresh_job_new_run_applies_despite_overlapping_ids(
         r["n_total"] for r in spark.read.parquet(str(tmp_path / "cents")).collect()
     )
     assert n_after_run2 == n_after_run1 + 50
+
+
+def test_shingle_store_serves_boilerplate_and_contamination(spark, sf_dir, tmp_path):
+    """One shingle store, two heads: documents shingled ONCE at ingest
+    (two micro-batches) must serve both the boilerplate verdict and the
+    decontamination counts hash-equal to their one-shot batch queries —
+    neither head ever re-scans text."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        boilerplate_fraction_from_store,
+        contamination_from_store,
+        shingle_store_job,
+        write_benchmark_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    q = shingle_store_job(stream, str(tmp_path / "sh"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "sh"))
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ) == [0, 1]
+
+    got_b = {
+        (r["doc_id"], r["n_grams"], r["n_boilerplate"], r["boilerplate_frac"])
+        for r in boilerplate_fraction_from_store(
+            spark, str(tmp_path / "sh")
+        ).collect()
+    }
+    want_b = {
+        (r["doc_id"], r["n_grams"], r["n_boilerplate"], r["boilerplate_frac"])
+        for r in plans.query_map()["doc_boilerplate_fraction"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got_b == want_b and len(want_b) > 0
+
+    write_benchmark_shingles(spark, sf_dir, str(tmp_path / "bench"))
+    got_c = {
+        (r["doc_id"], r["n_contaminated_ngrams"])
+        for r in contamination_from_store(
+            spark, str(tmp_path / "sh"), str(tmp_path / "bench")
+        ).collect()
+    }
+    want_c = {
+        (r["doc_id"], r["n_contaminated_ngrams"])
+        for r in plans.query_map()["contamination_4gram"](spark, sf_dir).collect()
+    }
+    assert got_c == want_c and len(want_c) > 0
