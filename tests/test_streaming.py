@@ -2266,3 +2266,35 @@ def test_shingle_store_serves_boilerplate_and_contamination(spark, sf_dir, tmp_p
         for r in plans.query_map()["contamination_4gram"](spark, sf_dir).collect()
     }
     assert got_c == want_c and len(want_c) > 0
+
+
+def test_shingle_store_job_recovers_from_crash_between_batches(
+    spark, sf_dir, tmp_path
+):
+    """Kill-between-batches recovery for the shingle store: the
+    replayed batch 1 must replace the partial crash-time partition —
+    the boilerplate head over the healed store equals the batch query."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        boilerplate_fraction_from_store,
+        shingle_store_job,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    poison = spark.createDataFrame(
+        [(int(-1), "crash junk gram")], "doc_id long, g string"
+    )
+    out = _crash_recovery_harness(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string",
+        shingle_store_job, poison,
+    )
+    got = {
+        (r["doc_id"], r["n_grams"], r["n_boilerplate"])
+        for r in boilerplate_fraction_from_store(spark, out).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_grams"], r["n_boilerplate"])
+        for r in plans.query_map()["doc_boilerplate_fraction"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
