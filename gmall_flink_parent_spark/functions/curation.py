@@ -1630,17 +1630,30 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the shingle frame (query-scoped): it feeds BOTH the
     # document-frequency agg and the probe side, and the explode is the
     # CPU-dominant stage — without the persist it runs twice per query.
-    sh = scoped_persist(contamination_shingles(docs))
+    return boilerplate_fraction_frame(
+        scoped_persist(contamination_shingles(docs))
+    )
+
+
+def boilerplate_fraction_frame(sh: DataFrame) -> DataFrame:
+    """Document-frequency threshold + per-doc boilerplate fraction over
+    a (doc_id, g) shingle frame — the shared core of the batch
+    ``doc_boilerplate_fraction`` and the shingle-store head
+    ``boilerplate_fraction_from_store`` (one aggregation, so batch and
+    store verdicts cannot drift). Callers persist ``sh``: both branches
+    (df agg, probe) read it.
+
+    The boilerplate side is broadcast like ``contamination_counts``'
+    bench side: the set is df-thresholded to a small slice of the gram
+    space, and without the hint a size misestimate would shuffle the
+    corpus-side shingles at scale.
+    """
     boiler = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= _BOILER_DF)
         .select("g", F.lit(1).alias("is_boiler"))
     )
-    # Broadcast like contamination_counts' bench side: the set is
-    # df-thresholded to a small slice of the gram space, and without
-    # the hint a size misestimate would shuffle the corpus-side
-    # shingles at scale.
     return (
         sh.join(F.broadcast(boiler), "g", "left")
         .groupBy("doc_id")

@@ -1061,28 +1061,13 @@ def boilerplate_fraction_from_store(
     document frequency + threshold + per-doc fraction, all from stored
     (doc_id, g) rows — the text is never re-scanned. Hash-equal to the
     one-shot ``doc_boilerplate_fraction`` over the same corpus."""
-    from gmall_flink_parent_spark.functions.curation import _BOILER_DF
+    from gmall_flink_parent_spark.functions.curation import (
+        boilerplate_fraction_frame,
+    )
     from gmall_flink_parent_spark.plans.registry import scoped_persist
 
-    sh = scoped_persist(
-        spark.read.parquet(store_path).select("doc_id", "g")
-    )
-    boiler = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= _BOILER_DF)
-        .select("g", F.lit(1).alias("is_boiler"))
-    )
-    return (
-        sh.join(F.broadcast(boiler), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("is_boiler").alias("n_boilerplate"),
-            F.round(
-                F.count("is_boiler").cast("double") / F.count(F.lit(1)), 6
-            ).alias("boilerplate_frac"),
-        )
+    return boilerplate_fraction_frame(
+        scoped_persist(spark.read.parquet(store_path).select("doc_id", "g"))
     )
 
 
