@@ -1665,3 +1665,58 @@ def boilerplate_fraction_frame(sh: DataFrame) -> DataFrame:
             ).alias("boilerplate_frac"),
         )
     )
+
+
+CURATION_FUNNEL_ORACLE = f"""
+WITH verdict AS ({{filter_oracle}})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_quality,
+       CAST(SUM(CASE WHEN pass_repetition THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_repetition,
+       CAST(SUM(CASE WHEN pass_length THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_length,
+       CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_rate
+FROM verdict
+"""
+
+
+@register(
+    "curation_funnel",
+    oracle=CURATION_FUNNEL_ORACLE.format(
+        filter_oracle=FILTER_PIPELINE_ORACLE.format(stop=_STOP_SQL)
+    ),
+    tags=("text", "quality", "stats", "pipeline"),
+    past_window=True,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter funnel every curation run logs: how many documents
+    survive each verdict axis (quality, repetition, length, exact-dup
+    canonicality) and the final keep rate — one row, the run-report
+    companion to ``corpus_filter_pipeline`` exactly as
+    ``mixture_composition`` is to the mixture.
+
+    Pure aggregation over the composed verdict (booleans summed
+    map-side; the only wide op is the verdict's own fingerprint
+    shuffle), so the funnel costs one scan more than nothing when run
+    beside the verdict itself. At 100 TB this is the dashboard number
+    that catches a mis-tuned threshold BEFORE a training run consumes
+    the corpus.
+    """
+    v = corpus_filter_pipeline(spark, sf_dir)
+    b = lambda c: F.sum(F.col(c).cast("long")).alias(f"n_{c}")  # noqa: E731
+    return v.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        b("pass_quality"),
+        b("pass_repetition"),
+        b("pass_length"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.round(
+            F.sum(F.col("keep").cast("long")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+    )

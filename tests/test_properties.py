@@ -413,3 +413,47 @@ def test_corpus_mix_weighted_properties(spark, rows, ws, split_at):
         c = per_doc.get((d, f"s{i}"), 0)
         lo_c, frac = math.floor(w), w - math.floor(w)
         assert c in ({lo_c} if frac == 0 else {lo_c, lo_c + 1}), (d, w, c)
+
+
+slice_stream_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id
+        st.integers(min_value=1, max_value=50),  # n_tokens
+    ),
+    min_size=5,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=slice_stream_strategy, block=st.integers(2, 9), cut=st.integers(1, 58))
+def test_training_slices_tile_the_stream(spark, tmp_path_factory, rows, block, cut):
+    """For ANY stream, ANY shard block size, ANY cut point: two
+    adjacent slices [0, cut) and [cut, n) concatenate to exactly the
+    full stream — no sample lost or duplicated at any shard boundary,
+    the invariant a resumed training run's correctness rests on."""
+    from gmall_flink_parent_spark.functions.curation import (
+        read_training_slice,
+        write_training_shards,
+    )
+
+    n = len(rows)
+    cut = min(cut, n)
+    stream = spark.createDataFrame(
+        [(i, d, t) for i, (d, t) in enumerate(sorted(rows))],
+        "sample_idx long, doc_id long, n_tokens long",
+    )
+    path = str(tmp_path_factory.mktemp("shards") / "s")
+    write_training_shards(stream, path, block=block)
+
+    def rows_of(df):
+        return [
+            (r["sample_idx"], r["doc_id"])
+            for r in df.orderBy("sample_idx").collect()
+        ]
+
+    left = rows_of(read_training_slice(spark, path, 0, cut))
+    right = rows_of(read_training_slice(spark, path, cut, n))
+    assert left + right == rows_of(stream)
+    assert len(left) == cut and len(right) == n - cut
