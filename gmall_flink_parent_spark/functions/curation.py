@@ -1720,3 +1720,82 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("long")).cast("double") / F.count(F.lit(1)), 6
         ).alias("keep_rate"),
     )
+
+
+SQL_MIXTURE_SEED = "sqlmix-v1"
+
+# Reuses the SAME CTE/key builders as TRAINING_MIXTURE_ORACLE — one
+# source of truth for the md5-mixture SQL on the oracle side.
+SQL_MIXTURE_ORACLE = f"""
+WITH {_mix_cte_sql("documents", f"{SQL_MIXTURE_SEED}:mix")}
+SELECT CAST(row_number() OVER (
+           ORDER BY {_order_key_sql(f"{SQL_MIXTURE_SEED}:order")}, doc_id, epoch
+       ) - 1 AS BIGINT) AS sample_idx,
+       doc_id, source, epoch
+FROM mix
+"""
+
+
+@register(
+    "sql_mixture_surface",
+    oracle=SQL_MIXTURE_ORACLE,
+    tags=("sql", "mixing"),
+    past_window=True,
+)
+def sql_mixture_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE weighted-mixture + training-order pipeline written by a
+    SQL-only user: weight table as VALUES, epoch explode, the
+    ``mix_u``/``sample_key`` macros (``functions/sql_macros.py``) for
+    the keep decision and order key, and a window for the global
+    position — no DataFrame code at all.
+
+    Runs the same md5-derived semantics as ``training_mixture`` (same
+    macros the engine itself uses, inlined into codegen), hash-checked
+    against the DuckDB oracle — which is BUILT from the same
+    ``_mix_cte_sql``/``_order_key_sql`` helpers as
+    ``TRAINING_MIXTURE_ORACLE``, and the VALUES list below from the
+    same ``_mix_weight_values_sql``, so neither side can drift from the
+    engine's mixing recipe. The ``row_number`` total-order window is
+    the SQL-surface simplification; the engine's ``training_order``
+    computes the identical positions with a range-partitioned sort
+    (plan-shape difference only — this query pins that the SEMANTICS
+    are available from pure SQL).
+
+    Lives in this module (not ``sql_macros``) because the oracle needs
+    the module-level mix-SQL builders: building it at registration time
+    from ``sql_macros`` would import a partially-initialized
+    ``curation`` whenever a consumer imports ``functions.curation``
+    first.
+    """
+    from gmall_flink_parent_spark.functions.sql_macros import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        f"""
+        WITH w AS (
+            SELECT * FROM VALUES {_mix_weight_values_sql()}
+                AS w(source, n_full, frac)
+        ),
+        exploded AS (
+            SELECT d.doc_id, d.source, CAST(e.epoch AS INT) AS epoch,
+                   w.n_full, w.frac
+            FROM documents_v d
+            JOIN w USING (source)
+            LATERAL VIEW explode(sequence(0, w.n_full)) e AS epoch
+        ),
+        mix AS (
+            SELECT doc_id, source, epoch FROM exploded
+            WHERE epoch < n_full
+               OR mix_u('{SQL_MIXTURE_SEED}:mix', epoch, doc_id) < frac
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY sample_key('{SQL_MIXTURE_SEED}:order', epoch, doc_id),
+                            doc_id, epoch
+               ) - 1 AS BIGINT) AS sample_idx,
+               doc_id, source, epoch
+        FROM mix
+        """
+    )

@@ -130,96 +130,3 @@ def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_v
         """
     )
-
-
-SQL_MIXTURE_ORACLE_TEMPLATE = """
-WITH w(source, n_full, frac) AS (VALUES {values}),
-exploded AS (
-    SELECT d.doc_id, d.source, CAST(t.e AS INT) AS epoch,
-           w.n_full, w.frac
-    FROM documents d JOIN w USING (source),
-         unnest(range(0, w.n_full + 1)) AS t(e)
-),
-mix AS (
-    SELECT doc_id, source, epoch FROM exploded
-    WHERE epoch < n_full
-       OR CAST(CAST('0x' || substr(md5('{seed}' || ':' ||
-              CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
-              1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 < frac
-)
-SELECT CAST(row_number() OVER (
-           ORDER BY md5('{order_seed}' || ':' || CAST(epoch AS VARCHAR)
-                    || ':' || CAST(doc_id AS VARCHAR)), doc_id, epoch
-       ) - 1 AS BIGINT) AS sample_idx,
-       doc_id, source, epoch
-FROM mix
-"""
-
-
-def _sql_mixture_oracle() -> str:
-    from gmall_flink_parent_spark.functions.curation import (
-        _mix_weight_values_sql,
-    )
-
-    return SQL_MIXTURE_ORACLE_TEMPLATE.format(
-        values=_mix_weight_values_sql(), seed="sqlmix-v1:mix",
-        order_seed="sqlmix-v1:order",
-    )
-
-
-@register(
-    "sql_mixture_surface",
-    oracle=_sql_mixture_oracle(),
-    tags=("sql", "mixing"),
-    past_window=True,
-)
-def sql_mixture_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE weighted-mixture + training-order pipeline written by a
-    SQL-only user: weight table as VALUES, epoch explode, the
-    ``mix_u``/``sample_key`` macros for the keep decision and order key,
-    and a window for the global position — no DataFrame code at all.
-
-    Runs the same md5-derived semantics as ``training_mixture`` (same
-    macros the engine itself uses, inlined into codegen), hash-checked
-    against the DuckDB oracle. The ``row_number`` total-order window is
-    the SQL-surface simplification; the engine's ``training_order``
-    computes the identical positions with a range-partitioned sort
-    (plan-shape difference only — this query pins the SEMANTICS are
-    available from pure SQL).
-    """
-    from gmall_flink_parent_spark.functions.curation import (
-        _MIX_HEAD_WEIGHTS,
-    )
-
-    register_sql_functions(spark)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
-    values = ", ".join(
-        f"('{s}', {int(w)}, CAST({float(w - int(w))!r} AS DOUBLE))"
-        for s, w in _MIX_HEAD_WEIGHTS.items()
-        if w > 0
-    )
-    return spark.sql(
-        f"""
-        WITH w AS (
-            SELECT * FROM VALUES {values} AS w(source, n_full, frac)
-        ),
-        exploded AS (
-            SELECT d.doc_id, d.source, CAST(e.epoch AS INT) AS epoch,
-                   w.n_full, w.frac
-            FROM documents_v d
-            JOIN w USING (source)
-            LATERAL VIEW explode(sequence(0, w.n_full)) e AS epoch
-        ),
-        mix AS (
-            SELECT doc_id, source, epoch FROM exploded
-            WHERE epoch < n_full
-               OR mix_u('sqlmix-v1:mix', epoch, doc_id) < frac
-        )
-        SELECT CAST(row_number() OVER (
-                   ORDER BY sample_key('sqlmix-v1:order', epoch, doc_id),
-                            doc_id, epoch
-               ) - 1 AS BIGINT) AS sample_idx,
-               doc_id, source, epoch
-        FROM mix
-        """
-    )

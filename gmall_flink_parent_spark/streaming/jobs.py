@@ -1064,8 +1064,15 @@ def boilerplate_fraction_from_store(
     from gmall_flink_parent_spark.functions.curation import (
         boilerplate_fraction_frame,
     )
-    from gmall_flink_parent_spark.plans.registry import scoped_persist
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
 
+    # one-live-cache cadence (same as user_value_distribution_from_store):
+    # a long-lived refresh loop holds at most ONE store-sized cache
+    # instead of accumulating one per call
+    release_caches()
     return boilerplate_fraction_frame(
         scoped_persist(spark.read.parquet(store_path).select("doc_id", "g"))
     )
