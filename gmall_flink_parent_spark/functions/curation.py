@@ -990,14 +990,18 @@ def pack_sequences(stream: DataFrame, cap: int = _PACK_CAP) -> DataFrame:
 
     cum = part.mapInPandas(cumsum, schema=schema)
     offsets = _partition_offsets(part, F.col("n_tokens").cast("long"), "part_off")
-    cum_before = F.col("part_off") + F.col("cum_in_part")
     return (
         cum.withColumn("pid", _mid_pid())
         .join(F.broadcast(offsets), "pid")
+        .withColumn("cum_before", F.col("part_off") + F.col("cum_in_part"))
         .select(
             *stream.columns,
-            (cum_before / cap).cast("long").alias("seq_id"),
-            (cum_before % cap).cast("long").alias("seq_offset"),
+            # `div` = long integral division: float `/` loses exactness
+            # past ~2^52 cumulative tokens (quotient rounds up at block
+            # boundaries), while div matches the oracle's `//` at any
+            # scale; `%` on longs is already exact
+            F.expr(f"cum_before div {int(cap)}").cast("long").alias("seq_id"),
+            (F.col("cum_before") % cap).cast("long").alias("seq_offset"),
         )
     )
 
@@ -1347,11 +1351,16 @@ def read_training_slice(
     mismatched divisor would prune directories that still hold rows of
     [lo, hi) — a silently incomplete resume.
     """
+    from pyspark.errors import AnalysisException
+
     stored: int | None = None
     try:
         stored = spark.read.parquet(f"{path}/_shard_meta").collect()[0]["block"]
-    except Exception:  # pre-sidecar layout: caller must supply the size
-        pass
+    except AnalysisException:  # sidecar absent (pre-sidecar layout):
+        pass  # caller must supply the size. Real I/O errors (throttle,
+        # permissions, corrupt footer) must PROPAGATE — swallowing them
+        # would silently disable the divisor validation this sidecar
+        # exists for, the exact incomplete-resume bug it guards against.
     if block is None:
         if stored is None:
             raise ValueError(

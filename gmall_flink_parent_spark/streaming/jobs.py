@@ -790,7 +790,7 @@ def mixture_job(
     docs: DataFrame,
     store_path: str,
     checkpoint_dir: str,
-    weights: dict[str, float] | None = None,
+    weights: dict[str, float],
     seed: str = "mix-v1",
 ):
     """Mix-at-ingest: each micro-batch of (doc_id, source) rows passes
@@ -808,20 +808,17 @@ def mixture_job(
     final global order pass (``training_order_from_store``), never a
     re-mix of the accumulated corpus.
 
-    Defaults mirror the registered head ``training_mix_weighted``'s
-    weights when ``weights`` is None.
+    ``weights`` is REQUIRED (no fixture default): sources absent from
+    the dict are excluded by the mixing semantics, so a dict that does
+    not match the stream's actual source names would silently mix every
+    batch to an empty store.
     """
-    from gmall_flink_parent_spark.functions.curation import (
-        _MIX_HEAD_WEIGHTS,
-        corpus_mix_weighted,
-    )
-
-    w = _MIX_HEAD_WEIGHTS if weights is None else weights
+    from gmall_flink_parent_spark.functions.curation import corpus_mix_weighted
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        corpus_mix_weighted(batch, w, seed=seed).write.mode("overwrite").parquet(
-            f"{store_path}/batch_id={batch_id}"
-        )
+        corpus_mix_weighted(batch, weights, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
 
     return (
         docs.writeStream.foreachBatch(process)
@@ -970,9 +967,15 @@ def centroid_refresh_job(
     ids are checkpoint-scoped, so fencing on the bare id would silently
     drop the first batches of a NEW stream instance (fresh checkpoint,
     ids restarting at 0) that merely overlap a previous run's ids.
-    ``run_id`` defaults to the checkpoint dir: same checkpoint ⇒ same
-    numbering ⇒ fencing valid; a new checkpoint ⇒ new run ⇒ every
-    batch applies. The rewrite goes through the self-healing two-rename
+    ``run_id`` defaults to the checkpoint's metadata UUID — the id
+    Spark mints per checkpoint INSTANCE, not the path: wiping and
+    recreating a checkpoint at the same path renumbers batches from 0
+    over possibly different file groupings, and a path-keyed fence
+    would silently drop that new work as "replays". Same checkpoint
+    instance ⇒ same numbering ⇒ fencing valid; a new instance (new
+    path OR recreated dir) ⇒ new run ⇒ every batch applies. Corollary:
+    deliberately reprocessing the same input under a fresh checkpoint
+    double-counts by design — reseed or point at a fresh store. The rewrite goes through the self-healing two-rename
     swap (``upsert_parquet`` keyed on cell), and the swap's crash
     states are HEALED before the fence read — a crash between the two
     renames leaves the table under ``._old``, which the fence's own
@@ -985,10 +988,24 @@ def centroid_refresh_job(
     )
     from gmall_flink_parent_spark.streaming.store import _clear_swap_leftovers
 
-    rid = checkpoint_dir if run_id is None else run_id
+    def _instance_id(spark: SparkSession) -> str:
+        if run_id is not None:
+            return run_id
+        try:
+            import json
+
+            line = spark.read.text(
+                f"{checkpoint_dir}/centroid_refresh/metadata"
+            ).collect()[0][0]
+            return str(json.loads(line)["id"])
+        except Exception:
+            # metadata unreadable (shouldn't happen inside a running
+            # stream) — fall back to the path, the weaker identity
+            return checkpoint_dir
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        rid = _instance_id(spark)
         # heal a half-completed swap BEFORE reading the store: the only
         # crash state where store_path itself is missing is mid-swap,
         # and upsert_parquet's own healing runs too late for the fence.

@@ -1910,7 +1910,9 @@ def test_mixture_job_matches_batch_and_orders_from_store(spark, sf_dir, tmp_path
     stream = _two_file_stream(
         spark, tmp_path, docs, "doc_id", "doc_id long, source string"
     )
-    q = mixture_job(stream, str(tmp_path / "mix"), str(tmp_path / "ck"))
+    q = mixture_job(
+        stream, str(tmp_path / "mix"), str(tmp_path / "ck"), _MIX_HEAD_WEIGHTS
+    )
     q.awaitTermination(120)
 
     store = spark.read.parquet(str(tmp_path / "mix"))
@@ -1958,7 +1960,8 @@ def test_mixture_job_recovers_from_crash_between_batches(spark, sf_dir, tmp_path
     )
     out = _crash_recovery_harness(
         spark, tmp_path, docs, "doc_id", "doc_id long, source string",
-        lambda stream, o, ck: mixture_job(stream, o, ck), poison,
+        lambda stream, o, ck: mixture_job(stream, o, ck, _MIX_HEAD_WEIGHTS),
+        poison,
     )
     store = spark.read.parquet(out)
     got = {
@@ -2086,39 +2089,63 @@ def test_centroid_refresh_job_matches_library_chain(spark, sf_dir, tmp_path):
 
 
 def test_centroid_refresh_job_replay_is_fenced(spark, sf_dir, tmp_path):
-    """Exactly-once for the stateful store: wipe the CHECKPOINT (so the
-    stream replays both batches from scratch) and re-run — the
-    last_batch fence must turn every replayed update into a no-op,
-    leaving the store byte-identical instead of double-counting."""
-    import shutil
+    """Exactly-once for the stateful store across the real crash
+    window: store update applied, crash before the checkpoint commit —
+    on restart the SAME instance replays that batch id, and the
+    (run_id, last_batch) fence must no-op it. Simulated from the store
+    side (editing Spark's commit log trips its concurrent-modification
+    guard): after batch 0 commits, the store is advanced to claim
+    batch 1 already applied under the live instance id; when file 2
+    then arrives as batch 1, the fence must skip it — the store stays
+    byte-identical rather than double-counting."""
+    import os
+    import time
 
     from gmall_flink_parent_spark.streaming.jobs import (
         centroid_refresh_job,
+        upsert_parquet,
         write_initial_centroid_store,
     )
 
     write_initial_centroid_store(spark, sf_dir, str(tmp_path / "cents"))
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    stream = _two_file_stream(
-        spark, tmp_path, emb, "vec_id", "vec_id long, embedding array<float>"
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    emb.filter(F.col("vec_id") <= median).toPandas().to_parquet(
+        str(tmp_path / "in" / "f1.parquet")
     )
-    centroid_refresh_job(
-        stream, str(tmp_path / "cents"), str(tmp_path / "ck")
-    ).awaitTermination(120)
+
+    def run():
+        return centroid_refresh_job(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in")),
+            str(tmp_path / "cents"),
+            str(tmp_path / "ck"),
+        )
+
+    run().awaitTermination(120)  # batch 0 applied + committed
+
+    # "batch 1's update already hit the store, its commit was lost":
+    # stamp last_batch=1 under the LIVE instance id
+    store = spark.read.parquet(str(tmp_path / "cents"))
+    bumped = spark.createDataFrame(
+        store.withColumn("last_batch", F.lit(1).cast("long")).collect(),
+        store.schema,
+    )
+    upsert_parquet(spark, bumped, str(tmp_path / "cents"), "cell")
     before = {
         r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
         for r in spark.read.parquet(str(tmp_path / "cents")).collect()
     }
 
-    shutil.rmtree(str(tmp_path / "ck"))  # lose the offsets → full replay
-    stream2 = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(tmp_path / "in"))
+    emb.filter(F.col("vec_id") > median).toPandas().to_parquet(
+        str(tmp_path / "in" / "f2.parquet")
     )
-    centroid_refresh_job(
-        stream2, str(tmp_path / "cents"), str(tmp_path / "ck")
-    ).awaitTermination(120)
+    t = time.time() + 5
+    os.utime(str(tmp_path / "in" / "f2.parquet"), (t, t))
+    run().awaitTermination(120)  # file 2 = batch 1 → fenced no-op
+
     after = {
         r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
         for r in spark.read.parquet(str(tmp_path / "cents")).collect()
@@ -2126,15 +2153,22 @@ def test_centroid_refresh_job_replay_is_fenced(spark, sf_dir, tmp_path):
     assert after == before
 
 
-def test_centroid_refresh_job_heals_half_swap_before_fencing(spark, sf_dir, tmp_path):
+def test_centroid_refresh_job_heals_half_swap_before_fencing(
+    spark, sf_dir, tmp_path
+):
     """The swap's worst crash point (between the two renames: the table
-    lives only under ``._old``) combined with an uncommitted checkpoint
-    (batch replays): the replayed batch must first HEAL the store, then
-    fence itself out — ending byte-identical to the committed state
-    instead of failing forever on the missing store path."""
+    lives only under ``._old``, the merged-but-uncommitted result under
+    ``._tmp``) with the checkpoint intact: the NEXT batch must first
+    HEAL the store (restore ``._old``, discard ``._tmp``), then apply
+    normally — ending exactly where an uninterrupted run would, instead
+    of failing forever on the missing store path."""
     import os
     import shutil
+    import time
 
+    from gmall_flink_parent_spark.functions.similarity import (
+        minibatch_centroid_update,
+    )
     from gmall_flink_parent_spark.streaming.jobs import (
         centroid_refresh_job,
         write_initial_centroid_store,
@@ -2142,33 +2176,52 @@ def test_centroid_refresh_job_heals_half_swap_before_fencing(spark, sf_dir, tmp_
 
     write_initial_centroid_store(spark, sf_dir, str(tmp_path / "cents"))
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    stream = _two_file_stream(
-        spark, tmp_path, emb, "vec_id", "vec_id long, embedding array<float>"
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    emb.filter(F.col("vec_id") <= median).toPandas().to_parquet(
+        str(tmp_path / "in" / "f1.parquet")
     )
-    centroid_refresh_job(
-        stream, str(tmp_path / "cents"), str(tmp_path / "ck")
-    ).awaitTermination(120)
-    committed = {
-        r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
-        for r in spark.read.parquet(str(tmp_path / "cents")).collect()
-    }
 
-    # crash state: table only under ._old; checkpoint lost → full replay
-    os.rename(str(tmp_path / "cents"), str(tmp_path / "cents") + "._old")
-    shutil.rmtree(str(tmp_path / "ck"))
-    stream2 = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(tmp_path / "in"))
+    def run():
+        return centroid_refresh_job(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in")),
+            str(tmp_path / "cents"),
+            str(tmp_path / "ck"),
+        )
+
+    run().awaitTermination(120)  # batch 0 applied + committed → S0
+    s0_df = spark.read.parquet(str(tmp_path / "cents")).select(
+        "cell", "centroid", "n_total"
     )
-    centroid_refresh_job(
-        stream2, str(tmp_path / "cents"), str(tmp_path / "ck")
-    ).awaitTermination(120)
-    healed = {
-        r["cell"]: (tuple(r["centroid"]), r["n_total"], r["last_batch"])
+    s0 = spark.createDataFrame(s0_df.collect(), s0_df.schema)
+
+    # crash state between the two renames of some in-flight update:
+    # dest missing, ._old = committed table, ._tmp = uncommitted merge
+    shutil.copytree(str(tmp_path / "cents"), str(tmp_path / "cents") + "._tmp")
+    os.rename(str(tmp_path / "cents"), str(tmp_path / "cents") + "._old")
+
+    emb.filter(F.col("vec_id") > median).toPandas().to_parquet(
+        str(tmp_path / "in" / "f2.parquet")
+    )
+    t = time.time() + 5
+    os.utime(str(tmp_path / "in" / "f2.parquet"), (t, t))
+    run().awaitTermination(120)  # batch 1: heal → apply
+
+    got = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"])
         for r in spark.read.parquet(str(tmp_path / "cents")).collect()
     }
-    assert healed == committed
+    want = {
+        r["cell"]: (tuple(r["centroid"]), r["n_total"])
+        for r in minibatch_centroid_update(
+            s0, emb.filter(F.col("vec_id") > median)
+        ).collect()
+    }
+    assert got == want
+    assert not os.path.exists(str(tmp_path / "cents") + "._old")
+    assert not os.path.exists(str(tmp_path / "cents") + "._tmp")
 
 
 def test_centroid_refresh_job_new_run_applies_despite_overlapping_ids(
