@@ -457,3 +457,57 @@ def test_training_slices_tile_the_stream(spark, tmp_path_factory, rows, block, c
     right = rows_of(read_training_slice(spark, path, cut, n))
     assert left + right == rows_of(stream)
     assert len(left) == cut and len(right) == n - cut
+
+
+centroid_batch_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=100, max_value=10_000),  # vec_id (>= k seeds)
+        st.lists(
+            st.floats(
+                min_value=-1.0, max_value=1.0, allow_nan=False, width=32
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+    ),
+    min_size=4,
+    max_size=24,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=centroid_batch_strategy, split_at=st.integers(0, 10_000))
+def test_minibatch_centroid_update_conserves_counts(spark, rows, split_at):
+    """For ANY embedding batch and ANY split of it into two sequential
+    mini-batches: counts conserve exactly (Σ n_total = seeds + batch
+    size) and the two-step update equals the one-step update whenever
+    the split's first half moves no centroid (n_b = 0 cells pass
+    through bit-identically). The count invariant is what the
+    streaming store's totals rest on."""
+    from gmall_flink_parent_spark.functions.similarity import (
+        minibatch_centroid_update,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = spark.createDataFrame(
+        [
+            (c, [float(c), 0.0, 0.0, 0.0], 1)
+            for c in range(3)
+        ],
+        "cell int, centroid array<float>, n_total long",
+    )
+    one = minibatch_centroid_update(seeds, emb)
+    total_one = sum(r["n_total"] for r in one.collect())
+    assert total_one == 3 + len(rows)
+
+    lo = emb.filter(F.col("vec_id") < split_at)
+    hi = emb.filter(F.col("vec_id") >= split_at)
+    two = minibatch_centroid_update(
+        minibatch_centroid_update(seeds, lo), hi
+    )
+    total_two = sum(r["n_total"] for r in two.collect())
+    assert total_two == 3 + len(rows)
