@@ -60,6 +60,30 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
         n_samples, n_seqs = int(stats["n"]), int(stats["s"])
 
+    # loader-path stage: shard the ordered stream, then time a
+    # resume-at-midpoint slice read (the partition-pruned path a
+    # crashed training run pays)
+    import tempfile
+
+    from gmall_flink_parent_spark.functions.curation import (
+        assemble_training_mixture as _asm,
+        read_training_slice,
+        write_training_shards,
+    )
+
+    shard_dir = tempfile.mkdtemp(prefix="mix-shards-")
+    block = max(1, n_samples // 16)
+    t0 = time.perf_counter()
+    write_training_shards(
+        _asm(spark, sf_dir, weights).join(toks, "doc_id"), shard_dir, block=block
+    )
+    shard_write_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_resumed = read_training_slice(
+        spark, shard_dir, n_samples // 2, n_samples
+    ).count()
+    slice_read_s = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -71,6 +95,10 @@ def main() -> None:
                 "n_samples": n_samples,
                 "n_sequences": n_seqs,
                 "n_sources": len(srcs),
+                "shard_write_sec": shard_write_s,
+                "resume_slice_read_sec": slice_read_s,
+                "n_resumed": n_resumed,
+                "shard_block": block,
             }
         )
     )
