@@ -511,3 +511,55 @@ def test_minibatch_centroid_update_conserves_counts(spark, rows, split_at):
     )
     total_two = sum(r["n_total"] for r in two.collect())
     assert total_two == 3 + len(rows)
+
+
+contam_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # doc_id
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=4,
+            max_size=12,
+        ),
+    ),
+    min_size=2,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=contam_docs_strategy, split_at=st.integers(0, 500))
+def test_contamination_counts_accumulate_over_any_split(spark, rows, split_at):
+    """For ANY corpus and ANY split into two ingest batches: per-doc
+    contamination counts against a FIXED benchmark set are identical
+    whether the corpus is probed in one shot or batch-by-batch — the
+    per-doc-independence invariant `contamination_job`'s accumulation
+    rests on."""
+    from gmall_flink_parent_spark.functions.curation import (
+        contamination_counts,
+        contamination_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in rows], "doc_id long, text string"
+    )
+    sh = contamination_shingles(docs)
+    # fixed benchmark: the even-doc shingle set (stand-in for an eval corpus)
+    bench = (
+        sh.filter(F.col("doc_id") % 2 == 0).select("g").distinct()
+    )
+    probe = sh.filter(F.col("doc_id") % 2 != 0)
+    whole = {
+        (r["doc_id"], r["n_contaminated_ngrams"])
+        for r in contamination_counts(probe, bench).collect()
+    }
+    parts = set()
+    for cond in (F.col("doc_id") < split_at, F.col("doc_id") >= split_at):
+        batch = docs.filter(cond)
+        bsh = contamination_shingles(batch).filter(F.col("doc_id") % 2 != 0)
+        parts |= {
+            (r["doc_id"], r["n_contaminated_ngrams"])
+            for r in contamination_counts(bsh, bench).collect()
+        }
+    assert whole == parts
