@@ -766,7 +766,7 @@ WITH mh AS (
     SELECT vec_id, embedding, sqrt({_CASCADE_NRM}) AS nrm FROM embeddings
 )
 SELECT m.doc_id_a, m.doc_id_b, m.est_jaccard,
-       ROUND(({_CASCADE_DOT}) / (a.nrm * b.nrm), 6) AS cos_sim
+       ROUND(({_CASCADE_DOT}) / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim
 FROM mh m
 JOIN eb a ON a.vec_id = m.doc_id_a
 JOIN eb b ON b.vec_id = m.doc_id_b
@@ -894,7 +894,11 @@ def _cascade_cosine_broadcast(
         "doc_id_a",
         "doc_id_b",
         "est_jaccard",
-        F.round("cos_sim", 6).alias("cos_sim"),
+        # + 0.0 canonicalizes IEEE signed zero: a ~-1e-18 dot rounds to
+        # -0.0, repr/hash-distinct from the oracle's +0.0 even though
+        # numerically equal (first seen at sf0.1 pair volume); the
+        # oracle side adds the same + 0.0
+        (F.round("cos_sim", 6) + F.lit(0.0)).alias("cos_sim"),
     )
 
 
@@ -934,7 +938,10 @@ def _cascade_cosine_join(pairs: DataFrame, emb: DataFrame) -> DataFrame:
             "doc_id_a",
             "doc_id_b",
             "est_jaccard",
-            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cos_sim"),
+            # + 0.0: same signed-zero canonicalization as the broadcast path
+            (F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
         )
     )
 
