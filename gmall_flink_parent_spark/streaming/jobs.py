@@ -1111,3 +1111,26 @@ def contamination_from_store(
     return contamination_counts(
         sh.filter(F.col("doc_id") % _BENCH_MOD != 0), bench
     )
+
+
+def reindex_index_store(
+    spark: SparkSession, emb: DataFrame, centroid_store_path: str, index_path: str
+) -> None:
+    """Periodic IVF reassignment — the maintenance pass that follows
+    centroid drift: ``centroid_refresh_job`` keeps the quantizer
+    tracking the stream, but vectors indexed by ``ann_index_job`` keep
+    their assignment-time cells. When refresh has moved centroids
+    materially, this runs ONE broadcast-assign pass over the vectors
+    (``ivf_assign_incremental`` — k×64 floats broadcast, scan-shaped)
+    and atomically replaces the index store via the self-healing swap
+    (``replace_parquet``): full-rebuild semantics, so vectors deleted
+    from the corpus also leave the index. Probes stay correct between
+    reassignments, just with gradually degrading recall.
+    """
+    from gmall_flink_parent_spark.functions.similarity import (
+        ivf_assign_incremental,
+    )
+    from gmall_flink_parent_spark.streaming.store import replace_parquet
+
+    cents = spark.read.parquet(centroid_store_path).select("cell", "centroid")
+    replace_parquet(spark, ivf_assign_incremental(emb, cents), index_path)

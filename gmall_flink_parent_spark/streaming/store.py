@@ -334,3 +334,26 @@ def _partial_store_job(stream: DataFrame, partials_fn, store_path: str, checkpoi
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replace_parquet(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Atomically replace the whole parquet table at ``path`` with
+    ``df`` through the self-healing two-rename swap.
+
+    Full-REBUILD semantics, unlike ``upsert_parquet``'s merge: rows
+    absent from ``df`` are gone afterwards — the shape for derived
+    stores that are recomputed wholesale (e.g. an IVF index
+    reassignment after centroid drift). Same crash contract as every
+    swap caller: leftovers heal on entry, a crash between the renames
+    leaves the previous table restorable under ``._old``, and the
+    caller must hold exclusive access to ``path``.
+    """
+    df = df.persist()
+    try:
+        _clear_swap_leftovers(spark, path)
+        df.count()  # materialize BEFORE the swap touches ``path``: the
+        # replacement frame may read the current table, which the swap
+        # renames away mid-write
+        _swap_parquet_dir(spark, df, path)
+    finally:
+        df.unpersist()

@@ -2351,3 +2351,62 @@ def test_shingle_store_job_recovers_from_crash_between_batches(
         ).collect()
     }
     assert got == want  # poisoned doc_id=-1 gone, nothing lost, no dupes
+
+
+def test_reindex_index_store_follows_centroid_drift(spark, sf_dir, tmp_path):
+    """After centroid refresh moved the quantizer, reassignment must
+    rebuild the index store to exactly the fresh-assignment result —
+    replacing stale cells AND dropping vectors no longer in the corpus
+    (full-rebuild semantics), with no swap leftovers."""
+    import os
+
+    from gmall_flink_parent_spark.functions.similarity import (
+        ivf_assign_incremental,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import (
+        centroid_refresh_job,
+        reindex_index_store,
+        write_initial_centroid_store,
+    )
+
+    write_initial_centroid_store(spark, sf_dir, str(tmp_path / "cents"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init_cents = spark.read.parquet(str(tmp_path / "cents")).select(
+        "cell", "centroid"
+    )
+    # the pre-drift index, including a vector later removed from the corpus
+    stale_cents = spark.createDataFrame(
+        init_cents.collect(), init_cents.schema
+    )
+    ivf_assign_incremental(emb, stale_cents).write.parquet(str(tmp_path / "index"))
+
+    # drift the quantizer with a refresh batch
+    (tmp_path / "in").mkdir()
+    emb.toPandas().to_parquet(str(tmp_path / "in" / "f1.parquet"))
+    centroid_refresh_job(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+            str(tmp_path / "in")
+        ),
+        str(tmp_path / "cents"),
+        str(tmp_path / "ck"),
+    ).awaitTermination(120)
+
+    kept = emb.filter(F.col("vec_id") % 7 != 0)  # some vectors deleted
+    reindex_index_store(
+        spark, kept, str(tmp_path / "cents"), str(tmp_path / "index")
+    )
+
+    got = {
+        (r["vec_id"], r["cell"], r["dist"])
+        for r in spark.read.parquet(str(tmp_path / "index")).collect()
+    }
+    fresh_cents = spark.read.parquet(str(tmp_path / "cents")).select(
+        "cell", "centroid"
+    )
+    want = {
+        (r["vec_id"], r["cell"], r["dist"])
+        for r in ivf_assign_incremental(kept, fresh_cents).collect()
+    }
+    assert got == want and len(got) == kept.count()
+    assert not os.path.exists(str(tmp_path / "index") + "._old")
+    assert not os.path.exists(str(tmp_path / "index") + "._tmp")
