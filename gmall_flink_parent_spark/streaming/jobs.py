@@ -1134,3 +1134,56 @@ def reindex_index_store(
 
     cents = spark.read.parquet(centroid_store_path).select("cell", "centroid")
     replace_parquet(spark, ivf_assign_incremental(emb, cents), index_path)
+
+
+def curation_ingest_job(
+    docs: DataFrame,
+    profile_path: str,
+    shingle_path: str,
+    mixture_path: str,
+    checkpoint_dir: str,
+    weights: dict[str, float],
+    mix_seed: str = "mix-v1",
+):
+    """The combined ingest pass: ONE scan of each micro-batch feeds the
+    text-profile store, the shingle store, and the mixture store
+    together — at 100 TB the scan (decompress + tokenize-adjacent CPU)
+    dominates ingest cost, so running `text_profile_job` +
+    `shingle_store_job` + `mixture_job` as separate streams would pay
+    it three times for the same rows.
+
+    The micro-batch is persisted for the span of the three writes
+    (memory-and-disk, batch-sized — bounded by trigger size, not
+    corpus), each landing in its own ``batch_id=N`` partition with the
+    same idempotent-replay contract as the individual jobs; per-store
+    parity against the one-shot batch queries is pinned in tests.
+    Requires (doc_id, text, source) columns.
+    """
+    from gmall_flink_parent_spark.functions.curation import (
+        contamination_shingles,
+        corpus_mix_weighted,
+    )
+    from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        wide = fan_out(batch.sparkSession, batch).persist()
+        try:
+            doc_text_profile_frame(wide.select("doc_id", "text")).write.mode(
+                "overwrite"
+            ).parquet(f"{profile_path}/batch_id={batch_id}")
+            contamination_shingles(wide.select("doc_id", "text")).write.mode(
+                "overwrite"
+            ).parquet(f"{shingle_path}/batch_id={batch_id}")
+            corpus_mix_weighted(
+                wide.select("doc_id", "source"), weights, seed=mix_seed
+            ).write.mode("overwrite").parquet(f"{mixture_path}/batch_id={batch_id}")
+        finally:
+            wide.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/curation_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2410,3 +2410,64 @@ def test_reindex_index_store_follows_centroid_drift(spark, sf_dir, tmp_path):
     assert got == want and len(got) == kept.count()
     assert not os.path.exists(str(tmp_path / "index") + "._old")
     assert not os.path.exists(str(tmp_path / "index") + "._tmp")
+
+
+def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
+    """The combined one-scan ingest pass must land all three stores
+    (profile, shingles, mixture) exactly equal to their one-shot batch
+    analogs — composing the three jobs without paying the text scan
+    three times."""
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        corpus_mix_weighted,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id",
+        "doc_id long, text string, source string",
+    )
+    q = curation_ingest_job(
+        stream,
+        str(tmp_path / "prof"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "mix"),
+        str(tmp_path / "ck"),
+        _MIX_HEAD_WEIGHTS,
+    )
+    q.awaitTermination(120)
+
+    prof = spark.read.parquet(str(tmp_path / "prof"))
+    batch_prof = plans.query_map()["doc_text_profile"](spark, sf_dir)
+    cols = list(batch_prof.columns)
+    assert {tuple(r[c] for c in cols) for r in prof.collect()} == {
+        tuple(r[c] for c in cols) for r in batch_prof.collect()
+    }
+
+    sh = spark.read.parquet(str(tmp_path / "sh"))
+    from gmall_flink_parent_spark.functions.curation import (
+        contamination_shingles,
+    )
+
+    assert {(r["doc_id"], r["g"]) for r in sh.select("doc_id", "g").collect()} == {
+        (r["doc_id"], r["g"])
+        for r in contamination_shingles(docs.select("doc_id", "text")).collect()
+    }
+
+    mix = spark.read.parquet(str(tmp_path / "mix"))
+    assert {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in mix.select("doc_id", "source", "epoch").collect()
+    } == {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in corpus_mix_weighted(
+            docs.select("doc_id", "source"), _MIX_HEAD_WEIGHTS
+        ).collect()
+    }
+    for store in (prof, sh, mix):
+        assert sorted(
+            r["batch_id"] for r in store.select("batch_id").distinct().collect()
+        ) == [0, 1]
