@@ -1124,16 +1124,32 @@ def reindex_index_store(
     (``ivf_assign_incremental`` — k×64 floats broadcast, scan-shaped)
     and atomically replaces the index store via the self-healing swap
     (``replace_parquet``): full-rebuild semantics, so vectors deleted
-    from the corpus also leave the index. Probes stay correct between
-    reassignments, just with gradually degrading recall.
+    from the corpus also leave the index. The rebuilt index lands as
+    the reserved ``batch_id=-1`` base partition, keeping
+    ``ann_index_job``'s layout intact so ingestion resumes writing
+    ``batch_id=N`` partitions beside it. Like ``compact_partial_store``
+    this REQUIRES a quiesced ingest stream and an ``emb`` of committed
+    vectors only: vectors from a not-yet-committed batch would land in
+    the base AND again when that batch replays. Probes stay correct
+    between reassignments, just with gradually degrading recall.
     """
     from gmall_flink_parent_spark.functions.similarity import (
         ivf_assign_incremental,
     )
     from gmall_flink_parent_spark.streaming.store import replace_parquet
 
-    cents = spark.read.parquet(centroid_store_path).select("cell", "centroid")
-    replace_parquet(spark, ivf_assign_incremental(emb, cents), index_path)
+    def build() -> DataFrame:
+        cents = spark.read.parquet(centroid_store_path).select("cell", "centroid")
+        # the rebuilt index lands as the reserved batch_id=-1 base
+        # partition (COMPACT_BASE_ID — an id the stream never writes),
+        # PRESERVING ann_index_job's hive layout: a flat swap would make
+        # the store root an unreadable mix of flat files and batch_id=N
+        # dirs on the next ingest batch
+        return ivf_assign_incremental(emb, cents).withColumn(
+            "batch_id", F.lit(COMPACT_BASE_ID).cast("int")
+        )
+
+    replace_parquet(spark, index_path, build, partition_by=["batch_id"])
 
 
 def curation_ingest_job(

@@ -17,6 +17,8 @@ every name is re-exported there, so call sites and tests are unchanged.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.errors import ArithmeticException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -336,24 +338,30 @@ def _partial_store_job(stream: DataFrame, partials_fn, store_path: str, checkpoi
     )
 
 
-def replace_parquet(spark: SparkSession, df: DataFrame, path: str) -> None:
-    """Atomically replace the whole parquet table at ``path`` with
-    ``df`` through the self-healing two-rename swap.
+def replace_parquet(
+    spark: SparkSession,
+    path: str,
+    build_df: Callable[[], DataFrame],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Atomically replace the whole parquet table at ``path`` with the
+    frame ``build_df()`` returns, through the self-healing two-rename
+    swap.
+
+    ``build_df`` is a zero-arg factory invoked AFTER swap-leftover
+    healing: a crash between a previous replace's renames leaves the
+    table only under ``._old``, and a factory that reads the current
+    table (derived stores usually do) would otherwise fail on the
+    missing path before healing could restore it. The swap itself
+    materializes the frame into ``._tmp`` before either rename touches
+    ``path``, so reads of the current table inside the factory's plan
+    are safe with no extra persist/count pass.
 
     Full-REBUILD semantics, unlike ``upsert_parquet``'s merge: rows
-    absent from ``df`` are gone afterwards — the shape for derived
-    stores that are recomputed wholesale (e.g. an IVF index
-    reassignment after centroid drift). Same crash contract as every
-    swap caller: leftovers heal on entry, a crash between the renames
-    leaves the previous table restorable under ``._old``, and the
-    caller must hold exclusive access to ``path``.
+    absent from the new frame are gone afterwards — the shape for
+    derived stores recomputed wholesale (e.g. an IVF index
+    reassignment after centroid drift). The caller must hold exclusive
+    access to ``path``.
     """
-    df = df.persist()
-    try:
-        _clear_swap_leftovers(spark, path)
-        df.count()  # materialize BEFORE the swap touches ``path``: the
-        # replacement frame may read the current table, which the swap
-        # renames away mid-write
-        _swap_parquet_dir(spark, df, path)
-    finally:
-        df.unpersist()
+    _clear_swap_leftovers(spark, path)
+    _swap_parquet_dir(spark, build_df(), path, partition_by)

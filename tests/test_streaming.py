@@ -2378,7 +2378,10 @@ def test_reindex_index_store_follows_centroid_drift(spark, sf_dir, tmp_path):
     stale_cents = spark.createDataFrame(
         init_cents.collect(), init_cents.schema
     )
-    ivf_assign_incremental(emb, stale_cents).write.parquet(str(tmp_path / "index"))
+    # seed the index the way ann_index_job lays it out: batch_id dirs
+    ivf_assign_incremental(emb, stale_cents).write.parquet(
+        str(tmp_path / "index" / "batch_id=0")
+    )
 
     # drift the quantizer with a refresh batch
     (tmp_path / "in").mkdir()
@@ -2396,9 +2399,9 @@ def test_reindex_index_store_follows_centroid_drift(spark, sf_dir, tmp_path):
         spark, kept, str(tmp_path / "cents"), str(tmp_path / "index")
     )
 
+    idx = spark.read.parquet(str(tmp_path / "index"))
     got = {
-        (r["vec_id"], r["cell"], r["dist"])
-        for r in spark.read.parquet(str(tmp_path / "index")).collect()
+        (r["vec_id"], r["cell"], r["dist"]) for r in idx.collect()
     }
     fresh_cents = spark.read.parquet(str(tmp_path / "cents")).select(
         "cell", "centroid"
@@ -2408,6 +2411,16 @@ def test_reindex_index_store_follows_centroid_drift(spark, sf_dir, tmp_path):
         for r in ivf_assign_incremental(kept, fresh_cents).collect()
     }
     assert got == want and len(got) == kept.count()
+    # layout preserved: everything in the reserved base partition, and a
+    # later ingest batch can land beside it without breaking discovery
+    assert [
+        r["batch_id"] for r in idx.select("batch_id").distinct().collect()
+    ] == [-1]
+    ivf_assign_incremental(emb.limit(3), fresh_cents).write.parquet(
+        str(tmp_path / "index" / "batch_id=1")
+    )
+    after_ingest = spark.read.parquet(str(tmp_path / "index"))
+    assert after_ingest.count() == kept.count() + 3
     assert not os.path.exists(str(tmp_path / "index") + "._old")
     assert not os.path.exists(str(tmp_path / "index") + "._tmp")
 
