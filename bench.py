@@ -130,6 +130,10 @@ def main() -> None:
     # BENCH_r05.json lost its head (total included) once per-query rep_spread
     # doubled the line length. Per-query mins + the stall verdict go to
     # stdout; the full spread diagnosis goes to a local file.
+    try:  # host pressure at sweep end — the stall-adjudication context
+        loadavg = [round(x, 1) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     compact = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -137,6 +141,7 @@ def main() -> None:
         "sf": sf,
         "stall_suspect": stall_suspect,
         "median_rep_spread": median_spread,
+        "loadavg": loadavg,
         "queries": timings,
     }
     detail_path = os.path.join(
