@@ -81,6 +81,11 @@ def main() -> None:
     from gmall_flink_parent_spark import plans
 
     spark = get_spark("gmall-bench")
+    # ERROR-only logging for the bench session: the driver's tail capture
+    # is finite, and benign WARNs (WindowExec on the tiny-summary frames —
+    # #partitions-row / 20-row windows, single-partition by construction)
+    # flooded the BENCH_r06 tail. The JSON line must own the tail.
+    spark.sparkContext.setLogLevel("ERROR")
     qmap = plans.query_map()
 
     # JVM/codegen warmup on the smallest SF so headline timings measure

@@ -1644,7 +1644,14 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def boilerplate_fraction_frame(sh: DataFrame) -> DataFrame:
+BOILER_BROADCAST_MAX_GRAMS = 1_000_000  # forced-broadcast cap on the
+# PROVEN upper bound of the df-thresholded gram set (~tens of MB of gram
+# strings) — the same order as spark's default broadcast-size comfort zone
+
+
+def boilerplate_fraction_frame(
+    sh: DataFrame, max_broadcast_grams: int = BOILER_BROADCAST_MAX_GRAMS
+) -> DataFrame:
     """Document-frequency threshold + per-doc boilerplate fraction over
     a (doc_id, g) shingle frame — the shared core of the batch
     ``doc_boilerplate_fraction`` and the shingle-store head
@@ -1652,10 +1659,25 @@ def boilerplate_fraction_frame(sh: DataFrame) -> DataFrame:
     store verdicts cannot drift). Callers persist ``sh``: both branches
     (df agg, probe) read it.
 
-    The boilerplate side is broadcast like ``contamination_counts``'
-    bench side: the set is df-thresholded to a small slice of the gram
-    space, and without the hint a size misestimate would shuffle the
-    corpus-side shingles at scale.
+    The probe join picks between two value-identical physical plans,
+    size-gated like ``dedup_cascade_verify``'s tier-2 switch — because
+    the boilerplate set is DATA-DEPENDENT (df-thresholded over the
+    corpus gram space), a forced broadcast is a corpus-shape assumption
+    that boilerplate-heavy web crawls at 100 TB would break:
+
+    - **forced broadcast** when the set is PROVABLY small:
+      ``rows(sh) // _BOILER_DF`` bounds the qualifying gram count from
+      above (each df ≥ threshold gram consumes at least threshold
+      shingle rows), costs only a count over the caller-persisted /
+      parquet-backed frame, and guards against a stats misestimate
+      shuffling the corpus-side shingles;
+    - **engine-decided join** otherwise: no hint, so AQE sizes the
+      REAL aggregated set at runtime and broadcasts iff it actually
+      fits — the corpus-side shuffle happens only when the set is
+      genuinely too big for the driver, which is exactly when the
+      forced broadcast would have OOMed it.
+
+    Both branches are pinned hash-equal against BOILERPLATE_ORACLE.
     """
     boiler = (
         sh.groupBy("g")
@@ -1663,9 +1685,12 @@ def boilerplate_fraction_frame(sh: DataFrame) -> DataFrame:
         .filter(F.col("df") >= _BOILER_DF)
         .select("g", F.lit(1).alias("is_boiler"))
     )
+    if sh.count() // _BOILER_DF <= max_broadcast_grams:
+        probe = sh.join(F.broadcast(boiler), "g", "left")
+    else:
+        probe = sh.join(boiler, "g", "left")
     return (
-        sh.join(F.broadcast(boiler), "g", "left")
-        .groupBy("doc_id")
+        probe.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count("is_boiler").alias("n_boilerplate"),

@@ -9,6 +9,7 @@ sinks from ``streaming/sources.py``.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -998,9 +999,15 @@ def centroid_refresh_job(
                 f"{checkpoint_dir}/centroid_refresh/metadata"
             ).collect()[0][0]
             return str(json.loads(line)["id"])
-        except Exception:
-            # metadata unreadable (shouldn't happen inside a running
-            # stream) — fall back to the path, the weaker identity
+        except AnalysisException:
+            # metadata genuinely absent (shouldn't happen inside a
+            # running stream) — fall back to the path, the weaker
+            # identity. Real I/O errors (object-store throttle,
+            # permissions) must PROPAGATE and fail the micro-batch for
+            # Spark to retry: falling back there would mint a rid that
+            # differs from the store's stamped run_id, bypassing the
+            # replay fence and double-applying a committed batch — the
+            # exactly-once hole the fence exists to close.
             return checkpoint_dir
 
     def process(batch: DataFrame, batch_id: int) -> None:

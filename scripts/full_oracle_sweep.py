@@ -51,12 +51,12 @@ def main() -> int:
                 assert n > 0, "rows-only query returned 0 rows"
                 print(f"{name} OK rows-only ({n})", flush=True)
             else:
-                n = assert_matches_oracle(
-                    spec.fn(spark, sf_dir), con, spec.oracle, name=name
-                )
-                assert_arrow_schema_matches(
-                    spec.fn(spark, sf_dir), con, spec.oracle, name=name
-                )
+                # build the frame ONCE: both assertions execute it, and a
+                # second spec.fn() call would re-run the whole query at
+                # the larger SFs this script exists to cover
+                df = spec.fn(spark, sf_dir)
+                n = assert_matches_oracle(df, con, spec.oracle, name=name)
+                assert_arrow_schema_matches(df, con, spec.oracle, name=name)
                 print(f"{name} OK ({n})", flush=True)
         except Exception as ex:  # noqa: BLE001 — report every query, then fail
             failures.append((name, str(ex)[:300]))

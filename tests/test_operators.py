@@ -1729,3 +1729,38 @@ def test_training_slice_block_size_is_recorded_and_validated(spark, sf_dir, tmp_
     assert read_training_slice(spark, path, 10, 20, block=40).count() == 10
     with _pytest.raises(ValueError, match="block"):
         read_training_slice(spark, path, 10, 20, block=50)
+
+
+def test_boilerplate_size_gate_branches_are_value_identical(spark, duck, sf_dir):
+    """`boilerplate_fraction_frame` picks between a forced-broadcast
+    probe (set provably small) and an engine-decided join (set size is
+    a corpus-shape unknown — AQE sizes the real aggregated set at
+    runtime). Both branches must hash-match BOILERPLATE_ORACLE, and the
+    threshold must actually steer the plan (hint present/absent)."""
+    from gmall_flink_parent_spark.functions.curation import (
+        BOILERPLATE_ORACLE,
+        boilerplate_fraction_frame,
+        contamination_shingles,
+    )
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out
+    from tests.oracle_harness import assert_matches_oracle
+
+    release_caches()
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    sh = scoped_persist(contamination_shingles(docs))
+
+    forced = boilerplate_fraction_frame(sh)  # default: provably small set
+    gated = boilerplate_fraction_frame(sh, max_broadcast_grams=0)
+
+    # the gate steers the plan: forced branch carries the broadcast hint,
+    # the gated branch leaves the strategy to the engine
+    assert "ResolvedHint" in forced._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+
+    assert_matches_oracle(forced, duck, BOILERPLATE_ORACLE, name="boiler-forced")
+    assert_matches_oracle(gated, duck, BOILERPLATE_ORACLE, name="boiler-gated")
+    release_caches()
