@@ -23,6 +23,7 @@ from gmall_flink_parent_spark.streaming.store import (  # noqa: F401
     COMPACT_BASE_ID,
     _hadoop_fs,
     _partial_store_job,
+    compact_fact_store,
     compact_partial_store,
     upsert_parquet,
 )

@@ -314,6 +314,62 @@ def compact_partial_store(
     return COMPACT_BASE_ID
 
 
+def compact_fact_store(
+    spark: SparkSession,
+    store_path: str,
+    checkpoint_location: str | None = None,
+) -> int:
+    """Maintenance pass for FACT-shaped ``batch_id=N`` stores — the
+    shingle / mixture / profile / contamination / media feature stores,
+    whose rows are per-doc facts with no fold aggregation (unlike
+    ``compact_partial_store``'s additive partials): committed batch
+    partitions are rewritten verbatim into the reserved
+    ``batch_id=-1`` base (``COMPACT_BASE_ID``, the
+    ``reindex_index_store`` layout convention), collapsing an
+    ingest-cadence pile of small per-batch directories into one base
+    the per-run heads list and scan cheaply. Rows are MOVED, never
+    merged or deduplicated — exactly-once landing is the ingest job's
+    contract (idempotent per-batch_id overwrite), so the store holds no
+    duplicates for compaction to resolve.
+
+    Same safety envelope as ``compact_partial_store``: pass the job's
+    ``checkpoint_location`` and only batches at or below the highest
+    COMMITTED id fold — a landed-but-uncommitted partition stays in
+    place for the stream to overwrite on replay, so a crash between
+    sink write and checkpoint commit can neither lose nor double-count
+    it, and a replayed batch can never resurrect beside its folded
+    copy (committed batches are no longer replayable). Crash-safe via
+    the two-rename swap; requires a quiesced stream (run between
+    ``availableNow`` rounds). Nothing new to fold → no-op. The rewrite
+    inherits scan bin-packing (``maxPartitionBytes``), so the base
+    comes out in full-sized files regardless of how small the input
+    batch files were. Returns ``COMPACT_BASE_ID``.
+    """
+    _clear_swap_leftovers(spark, store_path)  # may restore a half-swapped store
+    fs, dest = _hadoop_fs(spark, store_path)
+    if not fs.exists(dest):
+        return COMPACT_BASE_ID  # scheduled compaction before first batch
+    store = spark.read.parquet(store_path)
+    if checkpoint_location is None:
+        foldable = F.lit(True)
+    else:
+        max_committed = _max_committed_batch_id(spark, checkpoint_location)
+        foldable = F.col("batch_id") <= (
+            COMPACT_BASE_ID if max_committed is None else int(max_committed)
+        )
+    fold = store.filter(foldable)
+    keep = store.filter(~foldable)
+    if not fold.filter(F.col("batch_id") != COMPACT_BASE_ID).limit(1).count():
+        return COMPACT_BASE_ID  # nothing new — rewriting would be pure churn
+    data_cols = [c for c in store.columns if c != "batch_id"]
+    base = fold.select(*data_cols).withColumn(
+        "batch_id", F.lit(COMPACT_BASE_ID).cast("long")
+    )
+    merged = base.unionByName(keep.select(*data_cols, "batch_id"))
+    _swap_parquet_dir(spark, merged, store_path, partition_by=["batch_id"])
+    return COMPACT_BASE_ID
+
+
 def _partial_store_job(stream: DataFrame, partials_fn, store_path: str, checkpoint: str):
     """The shared DWS incremental shape: reduce each micro-batch to a
     COMPACT partial-aggregate frame (size ∝ #groups, independent of

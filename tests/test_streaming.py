@@ -2484,3 +2484,206 @@ def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
         assert sorted(
             r["batch_id"] for r in store.select("batch_id").distinct().collect()
         ) == [0, 1]
+
+
+def test_shingle_store_compaction_mid_ingest_preserves_heads(
+    spark, sf_dir, tmp_path
+):
+    """`compact_fact_store` between ingest rounds: the committed batch
+    folds into the reserved batch_id=-1 base, a landed-but-UNCOMMITTED
+    partial partition survives for the replay to overwrite, and after
+    the replay + a second compaction both store heads (boilerplate,
+    decontamination) stay hash-equal to their one-shot batch queries —
+    compaction moves rows, never loses/duplicates/resurrects them."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        boilerplate_fraction_from_store,
+        contamination_from_store,
+        shingle_store_job,
+        write_benchmark_shingles,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_fact_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    out, ck = str(tmp_path / "sh"), str(tmp_path / "ck")
+    ck_loc = f"{ck}/shingle_store"  # the job's checkpoint subdir
+
+    def land(fname, cond, off):
+        path = str(tmp_path / "in" / fname)
+        docs.filter(cond).toPandas().to_parquet(path)
+        t = time.time() + off
+        os.utime(path, (t, t))
+
+    def run():
+        return shingle_store_job(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                str(tmp_path / "in")
+            ),
+            out,
+            ck,
+        ).awaitTermination(120)
+
+    land("f1.parquet", F.col("doc_id") <= median, 0)
+    run()  # batch 0 commits
+    # crash mid batch 1: a partial partition the checkpoint never committed
+    spark.createDataFrame(
+        [(int(-1), "crash junk gram")], "doc_id long, g string"
+    ).write.mode("overwrite").parquet(f"{out}/batch_id=1")
+
+    # compaction folds ONLY committed batches: 0 → base; partial 1 stays
+    assert compact_fact_store(spark, out, ck_loc) == COMPACT_BASE_ID
+    ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    )
+    assert ids == [COMPACT_BASE_ID, 1]
+
+    land("f2.parquet", F.col("doc_id") > median, 5)
+    run()  # replays batch 1 (overwriting the partial), commits batch 1
+    # everything committed now: second compaction leaves one base partition
+    compact_fact_store(spark, out, ck_loc)
+    ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    )
+    assert ids == [COMPACT_BASE_ID]
+    # nothing new to fold → documented no-op
+    assert compact_fact_store(spark, out, ck_loc) == COMPACT_BASE_ID
+
+    got_b = {
+        (r["doc_id"], r["n_grams"], r["n_boilerplate"], r["boilerplate_frac"])
+        for r in boilerplate_fraction_from_store(spark, out).collect()
+    }
+    want_b = {
+        (r["doc_id"], r["n_grams"], r["n_boilerplate"], r["boilerplate_frac"])
+        for r in plans.query_map()["doc_boilerplate_fraction"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got_b == want_b and len(want_b) > 0  # poisoned -1 gone
+
+    write_benchmark_shingles(spark, sf_dir, str(tmp_path / "bench"))
+    got_c = {
+        (r["doc_id"], r["n_contaminated_ngrams"])
+        for r in contamination_from_store(
+            spark, out, str(tmp_path / "bench")
+        ).collect()
+    }
+    want_c = {
+        (r["doc_id"], r["n_contaminated_ngrams"])
+        for r in plans.query_map()["contamination_4gram"](spark, sf_dir).collect()
+    }
+    assert got_c == want_c and len(want_c) > 0
+
+
+def test_mixture_chain_end_to_end_under_restart_and_compaction(
+    spark, sf_dir, tmp_path
+):
+    """The full LLM-surface chain as one composed proof: verdict-kept
+    docs stream through `curation_ingest_job` across TWO separate runs
+    (a real restart on one checkpoint), with a `compact_fact_store`
+    pass on the mixture store between them; then
+    `training_order_from_store` → token join → `pack_sequences` →
+    `write_training_shards` → `read_training_slice`. The final sharded
+    slice must be row-identical to the one-shot registered
+    `packed_training_stream` over the same corpus — ingest-time mixing
+    + restart + compaction change NOTHING about what the loader reads."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        _PIPE_HEAD_SEED,
+        pack_sequences,
+        read_training_slice,
+        write_training_shards,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import (
+        curation_ingest_job,
+        training_order_from_store,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_fact_store,
+    )
+
+    # the chain's input: canonical keepers of the curation verdict (the
+    # same frame the one-shot head semi-joins against)
+    kept = (
+        plans.query_map()["corpus_filter_pipeline"](spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .join(kept, "doc_id", "left_semi")
+    )
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    (tmp_path / "in").mkdir()
+    prof, sh, mix = (str(tmp_path / d) for d in ("prof", "sh", "mix"))
+    ck = str(tmp_path / "ck")
+
+    def land(fname, cond, off):
+        path = str(tmp_path / "in" / fname)
+        docs.filter(cond).toPandas().to_parquet(path)
+        t = time.time() + off
+        os.utime(path, (t, t))
+
+    def run():
+        return curation_ingest_job(
+            spark.readStream.schema(
+                "doc_id long, text string, source string"
+            ).parquet(str(tmp_path / "in")),
+            prof,
+            sh,
+            mix,
+            ck,
+            weights=_MIX_HEAD_WEIGHTS,
+            mix_seed=f"{_PIPE_HEAD_SEED}:mix",
+        ).awaitTermination(120)
+
+    land("f1.parquet", F.col("doc_id") <= median, 0)
+    run()  # round 1: batch 0 commits, stream terminates (availableNow)
+    # maintenance between ingest rounds: fold the mixture store's batch
+    # partitions into the base
+    compact_fact_store(spark, mix, f"{ck}/curation_ingest")
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(mix).select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
+    land("f2.parquet", F.col("doc_id") > median, 5)
+    run()  # round 2: a fresh start() on the same checkpoint — the restart
+
+    # per-training-run tail of the chain over the accumulated store
+    ordered = training_order_from_store(spark, mix, seed=f"{_PIPE_HEAD_SEED}:order")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(ordered.join(toks, "doc_id"))
+    shards = str(tmp_path / "shards")
+    write_training_shards(packed, shards, block=64)
+
+    want_all = plans.query_map()["packed_training_stream"](spark, sf_dir)
+    cols = ["sample_idx", "doc_id", "source", "epoch", "n_tokens", "seq_id", "seq_offset"]
+    n = want_all.count()
+    assert n > 4  # the slice below must be non-trivial
+    lo, hi = n // 4, 3 * n // 4
+    got = {
+        tuple(r[c] for c in cols)
+        for r in read_training_slice(spark, shards, lo, hi).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in want_all.filter(
+            (F.col("sample_idx") >= lo) & (F.col("sample_idx") < hi)
+        ).collect()
+    }
+    assert got == want and len(want) == hi - lo
