@@ -1400,6 +1400,52 @@ GROUP BY doc_id
 """
 
 
+def doc_term_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf) doc-term counts — the unigram feature-store
+    grain. Per-doc independent AND mergeable (a doc's rows land whole
+    in whichever ingest batch carries the doc; corpus vocabulary counts
+    are sums of stored tf), so this one frame serves both run-once-at-
+    ingest accumulation (``vocab_store_job``) and the one-shot batch
+    query through the same scoring core. Map-side combine collapses
+    repeated tokens before the (doc_id, tok) shuffle — the frame is
+    distinct-terms-sized, smaller than the token-instance explode it
+    replaces."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def unigram_logprob_frame(tf: DataFrame) -> DataFrame:
+    """Corpus unigram probabilities + per-doc cross-entropy over a
+    (doc_id, tok, tf) doc-term frame — the shared core of the batch
+    ``doc_unigram_logprob`` and the store head
+    ``doc_unigram_logprob_from_store`` (one scoring implementation, so
+    batch and store verdicts cannot drift). Callers persist ``tf``
+    when it is not already materialized: both the vocab agg and the
+    prob join read it.
+
+    tf-weighted sums are exact: n_tokens = Σ tf, and the instance-level
+    Σ log2(p) equals Σ tf·log2(p) because every instance of a (doc,
+    tok) pair contributes the same log-probability.
+    """
+    vocab = tf.groupBy("tok").agg(F.sum("tf").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total")
+    probs = vocab.crossJoin(F.broadcast(total)).select("tok", p.alias("p"))
+    return (
+        tf.join(probs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.log2("p")) / F.sum("tf"), 6
+            ).alias("bits_per_token"),
+        )
+    )
+
+
 @register(
     "doc_unigram_logprob",
     oracle=UNIGRAM_ORACLE,
@@ -1414,31 +1460,23 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     get filtered or bucketed.
 
     Exact form: token probabilities from the full corpus vocabulary
-    (count/total), per-doc mean negative log2 — two map-side-combined
-    shuffles (vocab counts, per-doc agg) plus the token-keyed prob
-    join. The corpus-total scalar rides a 1-row broadcast (constant
-    side, the allowlisted BNLJ shape). At 100 TB the exact prob join
-    keys on the full vocabulary; the scale variant broadcasts the top-V
-    head of the (Zipfian) vocab with one OOV fallback probability —
-    same plan with the join replaced by a broadcast lookup, trading
-    tail-token exactness for zero vocab shuffle.
+    (count/total), per-doc tf-weighted mean negative log2 over the
+    shared ``doc_term_counts`` → ``unigram_logprob_frame`` core (the
+    same two stages ``vocab_store_job`` + its store head run, so batch
+    and store cannot drift) — two map-side-combined shuffles (doc-term
+    counts, vocab counts) plus the token-keyed prob join carrying
+    distinct (doc, tok) rows rather than token instances. The
+    corpus-total scalar rides a 1-row broadcast (constant side, the
+    allowlisted BNLJ shape). At 100 TB the exact prob join keys on the
+    full vocabulary; the scale variant broadcasts the top-V head of
+    the (Zipfian) vocab with one OOV fallback probability — same plan
+    with the join replaced by a broadcast lookup, trading tail-token
+    exactness for zero vocab shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = e.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    p = F.col("cnt") / F.col("total")
-    probs = vocab.crossJoin(F.broadcast(total)).select("tok", p.alias("p"))
-    return (
-        e.join(probs, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(-F.sum(F.log2("p")) / F.count(F.lit(1)), 6).alias(
-                "bits_per_token"
-            ),
-        )
-    )
+    # persisted (query-scoped): the vocab agg and the prob join both
+    # read the doc-term frame — without it the explode+count runs twice
+    return unigram_logprob_frame(scoped_persist(doc_term_counts(docs)))
 
 
 _TOPV = 24  # broadcast vocabulary head size for the scale variant; the

@@ -1103,6 +1103,64 @@ def boilerplate_fraction_from_store(
     )
 
 
+def vocab_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Unigram counts at ingest: each micro-batch of documents is
+    reduced to its (doc_id, tok, tf) doc-term counts
+    (``doc_term_counts`` — the tokenize + count CPU stage) landing in a
+    ``batch_id=N`` partition — idempotent on replay like
+    ``shingle_store_job``.
+
+    The rows are per-doc independent (accumulation ≡ one-shot counting,
+    the any-split property pinned in tests) AND mergeable upward:
+    corpus vocabulary counts are Σ tf over the store, so the
+    perplexity-proxy head (``doc_unigram_logprob_from_store``) derives
+    the moving corpus distribution per run while each document's terms
+    were counted exactly once at ingest — the same store-the-stable-
+    facts / derive-the-moving-verdict split as the shingle store's
+    boilerplate head. Compact with ``compact_fact_store``.
+    """
+    from gmall_flink_parent_spark.functions.curation import doc_term_counts
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        doc_term_counts(fan_out(batch.sparkSession, batch)).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/vocab_store")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def doc_unigram_logprob_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Per-training-run unigram cross-entropy over the vocab store:
+    corpus probabilities re-derived from the accumulated tf partials
+    (the distribution legitimately shifts as the corpus grows), per-doc
+    scoring through the SAME ``unigram_logprob_frame`` core as the
+    batch query — hash-equal to the one-shot ``doc_unigram_logprob``
+    over the same corpus, with zero text re-scans."""
+    from gmall_flink_parent_spark.functions.curation import (
+        unigram_logprob_frame,
+    )
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+
+    # one-live-cache cadence (same as boilerplate_fraction_from_store)
+    release_caches()
+    return unigram_logprob_frame(
+        scoped_persist(
+            spark.read.parquet(store_path).select("doc_id", "tok", "tf")
+        )
+    )
+
+
 def contamination_from_store(
     spark: SparkSession, store_path: str, bench_path: str
 ) -> DataFrame:
@@ -1168,15 +1226,17 @@ def curation_ingest_job(
     checkpoint_dir: str,
     weights: dict[str, float],
     mix_seed: str = "mix-v1",
+    vocab_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
-    text-profile store, the shingle store, and the mixture store
-    together — at 100 TB the scan (decompress + tokenize-adjacent CPU)
-    dominates ingest cost, so running `text_profile_job` +
-    `shingle_store_job` + `mixture_job` as separate streams would pay
-    it three times for the same rows.
+    text-profile store, the shingle store, the mixture store — and,
+    when ``vocab_path`` is given, the unigram doc-term store — together.
+    At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
+    ingest cost, so running `text_profile_job` + `shingle_store_job` +
+    `mixture_job` + `vocab_store_job` as separate streams would pay it
+    once per store for the same rows.
 
-    The micro-batch is persisted for the span of the three writes
+    The micro-batch is persisted for the span of the writes
     (memory-and-disk, batch-sized — bounded by trigger size, not
     corpus), each landing in its own ``batch_id=N`` partition with the
     same idempotent-replay contract as the individual jobs; per-store
@@ -1186,6 +1246,7 @@ def curation_ingest_job(
     from gmall_flink_parent_spark.functions.curation import (
         contamination_shingles,
         corpus_mix_weighted,
+        doc_term_counts,
     )
     from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
     from gmall_flink_parent_spark.sources.tables import fan_out
@@ -1202,6 +1263,10 @@ def curation_ingest_job(
             corpus_mix_weighted(
                 wide.select("doc_id", "source"), weights, seed=mix_seed
             ).write.mode("overwrite").parquet(f"{mixture_path}/batch_id={batch_id}")
+            if vocab_path is not None:
+                doc_term_counts(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{vocab_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 

@@ -563,3 +563,40 @@ def test_contamination_counts_accumulate_over_any_split(spark, rows, split_at):
             for r in contamination_counts(bsh, bench).collect()
         }
     assert whole == parts
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=contam_docs_strategy, split_at=st.integers(0, 500))
+def test_doc_term_counts_accumulate_over_any_split(spark, rows, split_at):
+    """For ANY corpus and ANY split into two ingest batches: the
+    accumulated (doc_id, tok, tf) rows equal the one-shot count, and
+    the unigram scoring head over the accumulated frame equals the
+    one-shot head — the per-doc-independence + upward-mergeability
+    invariant `vocab_store_job`'s accumulation rests on."""
+    from gmall_flink_parent_spark.functions.curation import (
+        doc_term_counts,
+        unigram_logprob_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in rows], "doc_id long, text string"
+    )
+    whole_tf = doc_term_counts(docs)
+    whole = {(r["doc_id"], r["tok"], r["tf"]) for r in whole_tf.collect()}
+    parts_frames = [
+        doc_term_counts(docs.filter(cond))
+        for cond in (F.col("doc_id") < split_at, F.col("doc_id") >= split_at)
+    ]
+    acc = parts_frames[0].unionByName(parts_frames[1])
+    parts = {(r["doc_id"], r["tok"], r["tf"]) for r in acc.collect()}
+    assert whole == parts
+
+    score_whole = {
+        (r["doc_id"], r["n_tokens"], r["bits_per_token"])
+        for r in unigram_logprob_frame(whole_tf).collect()
+    }
+    score_acc = {
+        (r["doc_id"], r["n_tokens"], r["bits_per_token"])
+        for r in unigram_logprob_frame(acc).collect()
+    }
+    assert score_whole == score_acc

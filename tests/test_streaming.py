@@ -2426,13 +2426,14 @@ def test_reindex_index_store_follows_centroid_drift(spark, sf_dir, tmp_path):
 
 
 def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
-    """The combined one-scan ingest pass must land all three stores
-    (profile, shingles, mixture) exactly equal to their one-shot batch
-    analogs — composing the three jobs without paying the text scan
-    three times."""
+    """The combined one-scan ingest pass must land all four stores
+    (profile, shingles, mixture, vocab) exactly equal to their one-shot
+    batch analogs — composing the jobs without paying the text scan
+    once per store."""
     from gmall_flink_parent_spark.functions.curation import (
         _MIX_HEAD_WEIGHTS,
         corpus_mix_weighted,
+        doc_term_counts,
     )
     from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
 
@@ -2450,8 +2451,18 @@ def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
         str(tmp_path / "mix"),
         str(tmp_path / "ck"),
         _MIX_HEAD_WEIGHTS,
+        vocab_path=str(tmp_path / "tf"),
     )
     q.awaitTermination(120)
+
+    tf = spark.read.parquet(str(tmp_path / "tf"))
+    assert {
+        (r["doc_id"], r["tok"], r["tf"])
+        for r in tf.select("doc_id", "tok", "tf").collect()
+    } == {
+        (r["doc_id"], r["tok"], r["tf"])
+        for r in doc_term_counts(docs.select("doc_id", "text")).collect()
+    }
 
     prof = spark.read.parquet(str(tmp_path / "prof"))
     batch_prof = plans.query_map()["doc_text_profile"](spark, sf_dir)
@@ -2480,7 +2491,7 @@ def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
             docs.select("doc_id", "source"), _MIX_HEAD_WEIGHTS
         ).collect()
     }
-    for store in (prof, sh, mix):
+    for store in (prof, sh, mix, tf):
         assert sorted(
             r["batch_id"] for r in store.select("batch_id").distinct().collect()
         ) == [0, 1]
@@ -2687,3 +2698,43 @@ def test_mixture_chain_end_to_end_under_restart_and_compaction(
         ).collect()
     }
     assert got == want and len(want) == hi - lo
+
+
+def test_vocab_store_serves_unigram_logprob(spark, sf_dir, tmp_path):
+    """Count terms ONCE at ingest (two micro-batches), compact, then
+    derive the corpus unigram distribution per run: the store head must
+    be hash-equal to the one-shot `doc_unigram_logprob` — the
+    perplexity-proxy signal joins the run-once-at-ingest family with
+    zero text re-scans."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        doc_unigram_logprob_from_store,
+        vocab_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_fact_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    out, ck = str(tmp_path / "tf"), str(tmp_path / "ck")
+    vocab_store_job(stream, out, ck).awaitTermination(120)
+    # the fact-store compaction applies here too: fold both committed
+    # batches into the base before the head reads the store
+    compact_fact_store(spark, out, f"{ck}/vocab_store")
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
+
+    got = {
+        (r["doc_id"], r["n_tokens"], r["bits_per_token"])
+        for r in doc_unigram_logprob_from_store(spark, out).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tokens"], r["bits_per_token"])
+        for r in plans.query_map()["doc_unigram_logprob"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
