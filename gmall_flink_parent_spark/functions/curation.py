@@ -1374,6 +1374,31 @@ def read_training_slice(
             "pruning math would silently skip shard directories"
         )
     df = spark.read.parquet(path)
+    if stored is None:
+        # Sidecar-less store with a caller-supplied divisor: a crash
+        # between the data write and the sidecar write leaves exactly
+        # this state, and accepting the block unvalidated would let a
+        # wrong divisor silently prune shard directories that still
+        # hold rows of [lo, hi) — the incomplete-resume bug the sidecar
+        # guards against. The layout itself is the check: under the
+        # true divisor every row satisfies
+        # blk*block <= sample_idx < (blk+1)*block for its directory.
+        # One column-pruned scan, paid only on legacy/crashed stores.
+        inconsistent = (
+            df.filter(
+                (F.col("sample_idx") < F.col("sample_block") * block)
+                | (F.col("sample_idx") >= (F.col("sample_block") + 1) * block)
+            )
+            .limit(1)
+            .count()
+        )
+        if inconsistent:
+            raise ValueError(
+                f"slice block={block} contradicts {path}'s observed "
+                "sample_block boundaries (no _shard_meta sidecar to "
+                "validate against): the pruning math would silently "
+                "skip shard directories mid-slice"
+            )
     return df.filter(
         (F.col("sample_block") >= lo // block)
         & (F.col("sample_block") <= max(hi - 1, lo) // block)

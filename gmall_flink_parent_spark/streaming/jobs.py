@@ -963,12 +963,20 @@ def centroid_refresh_job(
 
     Unlike the per-batch_id partition sinks, the store here is a single
     STATEFUL table (k rows) updated in place, so replay safety needs
-    the transactional-sink pattern instead of partition overwrite:
-    every store row carries (``run_id``, ``last_batch``), and a batch
-    is a committed-update no-op (fenced) only when BOTH match — batch
-    ids are checkpoint-scoped, so fencing on the bare id would silently
-    drop the first batches of a NEW stream instance (fresh checkpoint,
-    ids restarting at 0) that merely overlap a previous run's ids.
+    the transactional-sink pattern instead of partition overwrite: a
+    ``_fence`` sidecar INSIDE the store directory keeps one
+    (``run_id``, high-water ``last_batch``) row PER RUN that ever
+    touched the store, committed atomically with the data by the same
+    two-rename swap (no separate write ordering can be
+    crash-consistent), and a batch is a committed-update no-op (fenced)
+    when its own run's high-water already covers its id — batch ids are
+    checkpoint-scoped, so fencing on the bare id would silently drop
+    the first batches of a NEW stream instance (fresh checkpoint, ids
+    restarting at 0) that merely overlap a previous run's ids, and
+    per-run rows (rather than one latest stamp) fence even INTERLEAVED
+    instances: an old instance resumed after a newer one has touched
+    the store still skips its already-committed replays. Pre-fence
+    stores fall back to the stamped per-row pair until first write.
     ``run_id`` defaults to the checkpoint's metadata UUID — the id
     Spark mints per checkpoint INSTANCE, not the path: wiping and
     recreating a checkpoint at the same path renumbers batches from 0
@@ -1019,13 +1027,41 @@ def centroid_refresh_job(
         # and upsert_parquet's own healing runs too late for the fence.
         _clear_swap_leftovers(spark, store_path)
         store = spark.read.parquet(store_path)
-        head = store.select(F.max("last_batch"), F.first("run_id")).collect()[0]
-        last, stored_run = head[0], head[1]
-        if stored_run == rid and batch_id <= last:
+        # Per-run high-water fence: one (run_id, last_batch) row PER RUN
+        # that ever touched the store, riding the `_fence` sidecar inside
+        # the swapped directory — atomic with the data, invisible to
+        # readers. The single stamped pair cannot fence INTERLEAVED
+        # instances: if A applies batch N, crashes before checkpoint
+        # commit, and a new instance B then stamps the store, A's restart
+        # replays N with stored_run == B != A and would re-apply — the
+        # per-run row (A, N) survives B's updates and still fences it.
+        fs, fence_path = _hadoop_fs(spark, f"{store_path}/_fence")
+        if fs.exists(fence_path):
+            fence = {
+                r["run_id"]: r["last_batch"]
+                for r in spark.read.parquet(f"{store_path}/_fence").collect()
+            }
+        else:
+            # pre-fence store: fall back to the stamped pair (fences the
+            # latest instance only); the sidecar is minted on first write.
+            # The seed writer's ("", -1) sentinel means "no stream batch
+            # applied yet" — it fences nothing, so it is not carried.
+            head = store.select(F.max("last_batch"), F.first("run_id")).collect()[0]
+            fence = (
+                {head[1]: head[0]}
+                if head[1] is not None and head[0] is not None and head[0] >= 0
+                else {}
+            )
+        if fence.get(rid, -1) >= batch_id:
             return  # replayed batch whose update already committed
         upd = minibatch_centroid_update(
             store.select("cell", "centroid", "n_total"),
             batch.select("vec_id", "embedding"),
+        )
+        fence[rid] = max(batch_id, fence.get(rid, -1))
+        fence_df = spark.createDataFrame(
+            [(k, int(v)) for k, v in fence.items() if k is not None],
+            "run_id string, last_batch long",
         )
         upsert_parquet(
             spark,
@@ -1034,6 +1070,7 @@ def centroid_refresh_job(
             ),
             store_path,
             "cell",
+            sidecars={"fence": fence_df},
         )
 
     return (

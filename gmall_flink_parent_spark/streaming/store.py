@@ -32,7 +32,13 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
-def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str) -> None:
+def upsert_parquet(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    key: str,
+    sidecars: dict[str, DataFrame] | None = None,
+) -> None:
     """K3 (DimSink Phoenix upsert) without Delta: anti-join + union rewrite.
 
     Emulates MERGE for plain parquet — read current, keep rows whose key
@@ -45,6 +51,15 @@ def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str
     ``._old`` from a previous crash are cleared on entry, so the op is
     self-healing across retries (idempotent per batch). With Delta/
     Iceberg on the classpath this is one transactional ``MERGE INTO``.
+
+    ``sidecars`` maps names to small frames landed at
+    ``path/_<name>`` INSIDE the swapped directory — committed
+    atomically with the data by the same rename pair (the mechanism
+    ``centroid_refresh_job``'s per-run replay fence rides on: no write
+    ordering between store and fence can be crash-consistent, so they
+    must travel in one swap). Underscore-prefixed, so reads of ``path``
+    never see them. NOTE a swap WITHOUT a sidecar drops any existing
+    one — sidecar-bearing stores must pass theirs on every upsert.
     """
     new_rows = new_rows.dropDuplicates([key]).persist()
     try:
@@ -55,7 +70,7 @@ def upsert_parquet(spark: SparkSession, new_rows: DataFrame, path: str, key: str
             merged = cur.join(new_rows, on=key, how="left_anti").unionByName(new_rows)
         else:
             merged = new_rows
-        _swap_parquet_dir(spark, merged, path)
+        _swap_parquet_dir(spark, merged, path, sidecars=sidecars)
     finally:
         new_rows.unpersist()
 
@@ -96,6 +111,7 @@ def _swap_parquet_dir(
     merged: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    sidecars: dict[str, DataFrame] | None = None,
 ) -> None:
     """Write ``merged`` beside ``path`` then swap directories with two
     filesystem renames (metadata ops, not data copies) — the shared
@@ -105,7 +121,14 @@ def _swap_parquet_dir(
     the crash landed between the renames). Callers must have healed
     leftovers before building ``merged``, and must hold exclusive
     access: a concurrent writer recreating ``path`` mid-swap is
-    undetectable corruption."""
+    undetectable corruption.
+
+    ``sidecars`` land at ``<path>._tmp/_<name>`` AFTER the data write
+    (the overwrite wipes the tmp dir) and BEFORE either rename — so
+    data + sidecars become visible, and survive crashes, strictly
+    together. Their plans may read the current ``path`` contents:
+    nothing under ``path`` moves until every sidecar is materialized.
+    """
     fs, dest = _hadoop_fs(spark, path)
     _, tmp = _hadoop_fs(spark, path + "._tmp")
     _, old = _hadoop_fs(spark, path + "._old")
@@ -113,6 +136,8 @@ def _swap_parquet_dir(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path + "._tmp")  # materializes any read of `path`
+    for name, frame in (sidecars or {}).items():
+        frame.write.mode("overwrite").parquet(f"{path}._tmp/_{name}")
     # Hadoop FileSystem.rename signals failure by returning false, not by
     # throwing — an unchecked false on the second rename would leave the
     # table vanished from `path` while reporting success.

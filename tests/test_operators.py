@@ -1764,3 +1764,36 @@ def test_boilerplate_size_gate_branches_are_value_identical(spark, duck, sf_dir)
     assert_matches_oracle(forced, duck, BOILERPLATE_ORACLE, name="boiler-forced")
     assert_matches_oracle(gated, duck, BOILERPLATE_ORACLE, name="boiler-gated")
     release_caches()
+
+
+def test_training_slice_sidecar_less_store_validates_block_by_layout(
+    spark, sf_dir, tmp_path
+):
+    """A store missing its _shard_meta sidecar (crash between data and
+    sidecar writes, or a pre-sidecar layout) must cross-check the
+    caller-supplied divisor against the observed shard boundaries: the
+    true block reads fine, a wrong one raises instead of silently
+    pruning shard directories mid-slice."""
+    import shutil
+
+    import pytest as _pytest
+
+    from gmall_flink_parent_spark.functions.curation import (
+        _MIX_HEAD_WEIGHTS,
+        assemble_training_mixture,
+        read_training_slice,
+        write_training_shards,
+    )
+
+    stream = assemble_training_mixture(spark, sf_dir, _MIX_HEAD_WEIGHTS)
+    path = str(tmp_path / "shards")
+    write_training_shards(stream, path, block=40)
+    shutil.rmtree(f"{path}/_shard_meta")  # simulate the crash state
+
+    with _pytest.raises(ValueError, match="_shard_meta"):
+        read_training_slice(spark, path, 10, 20)  # no divisor at all
+    # the written divisor is consistent with the layout — accepted
+    assert read_training_slice(spark, path, 10, 20, block=40).count() == 10
+    # a wrong divisor contradicts some directory's observed bounds
+    with _pytest.raises(ValueError, match="boundaries"):
+        read_training_slice(spark, path, 10, 20, block=64)

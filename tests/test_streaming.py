@@ -2738,3 +2738,67 @@ def test_vocab_store_serves_unigram_logprob(spark, sf_dir, tmp_path):
         for r in plans.query_map()["doc_unigram_logprob"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_centroid_refresh_fences_interleaved_instances(spark, sf_dir, tmp_path):
+    """The crash interleaving a single latest stamp cannot fence:
+    instance A applies its batch, loses the checkpoint commit, and a
+    NEWER instance B touches the store before A restarts. A's replay
+    then sees a store last-stamped by B — the per-run `_fence` sidecar
+    row (A, high-water) must still no-op it, conserving n_total
+    exactly (no double-counted vectors)."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        centroid_refresh_job,
+        write_initial_centroid_store,
+    )
+
+    cents = str(tmp_path / "cents")
+    write_initial_centroid_store(spark, sf_dir, cents)
+    n_seed = sum(
+        r["n_total"] for r in spark.read.parquet(cents).collect()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def land(sub, df):
+        (tmp_path / sub).mkdir(exist_ok=True)
+        p = str(tmp_path / sub / "f.parquet")
+        df.toPandas().to_parquet(p)
+        t = time.time()
+        os.utime(p, (t, t))
+
+    def run(sub, ck, rid):
+        return centroid_refresh_job(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(str(tmp_path / sub)),
+            cents,
+            str(tmp_path / ck),
+            run_id=rid,
+        ).awaitTermination(120)
+
+    a_in = emb.limit(60)
+    land("inA", a_in)
+    run("inA", "ckA", "run-A")  # A: batch 0 applied + committed
+
+    b_in = emb.limit(40).withColumn("vec_id", F.col("vec_id") + 5_000_000)
+    land("inB", b_in)
+    run("inB", "ckB", "run-B")  # B: a newer instance touches the store
+
+    # simulate A's lost commit: drop its commit record (and Hadoop's
+    # checksum twin — a stale .crc blocks the recommit rename) so a
+    # restart replays batch 0 against a store last-stamped by run-B
+    commits = tmp_path / "ckA" / "centroid_refresh" / "commits"
+    for f in ("0", ".0.crc"):
+        if (commits / f).exists():
+            os.remove(str(commits / f))
+    run("inA", "ckA", "run-A")  # replay — must be fenced
+
+    n_after = sum(r["n_total"] for r in spark.read.parquet(cents).collect())
+    assert n_after == n_seed + 60 + 40  # A's 60 counted once, not twice
+    fence = {
+        r["run_id"]: r["last_batch"]
+        for r in spark.read.parquet(f"{cents}/_fence").collect()
+    }
+    assert fence == {"run-A": 0, "run-B": 0}
