@@ -21,6 +21,7 @@ from gmall_flink_parent_spark.operators import (  # noqa: F401  (import for side
 from gmall_flink_parent_spark.functions import (  # noqa: F401
     curation,
     dedup,
+    mixture,
     multimodal,
     similarity,
     sql_macros,
