@@ -69,6 +69,8 @@ HEADLINE = [
     "corpus_filter_pipeline",
     "training_mix_weighted",
     "packed_training_stream",
+    "winnow_near_dup",
+    "span_dedup_rewrite",
 ]
 
 

@@ -23,6 +23,7 @@ from gmall_flink_parent_spark.functions import (  # noqa: F401
     dedup,
     mixture,
     multimodal,
+    spans,
     similarity,
     sql_macros,
     text,

