@@ -207,6 +207,15 @@ def winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     fp = scoped_persist(winnow_fp_frame(docs))
+    return winnow_pairs_frame(fp)
+
+
+def winnow_pairs_frame(fp: DataFrame) -> DataFrame:
+    """Near-dup pairs over an exploded (doc_id, n_fps, fp) fingerprint
+    frame — the shared core of the batch ``winnow_near_dup`` and the
+    ingest-store head ``winnow_near_dup_from_store`` (one pair
+    implementation, so batch and store verdicts cannot drift). Callers
+    persist ``fp``: both self-join sides read it."""
     a = fp.select(
         F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("fa"), "fp"
     )

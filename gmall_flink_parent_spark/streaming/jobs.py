@@ -731,6 +731,7 @@ def text_profile_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
     text. Batch analog: ``doc_text_profile`` (driver hash-checked);
     stream/batch parity pinned in ``tests/test_streaming.py``.
     """
+    from gmall_flink_parent_spark.functions.spans import winnow_fp_frame
     from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
     from gmall_flink_parent_spark.sources.tables import fan_out
 
@@ -1198,6 +1199,57 @@ def doc_unigram_logprob_from_store(
     )
 
 
+def winnow_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Winnowing fingerprints at ingest: each micro-batch of documents
+    runs the k-gram-hash + window-minima selection ONCE (the CPU-dense
+    stage) and its exploded (doc_id, n_fps, fp) rows land in a
+    ``batch_id=N`` partition — idempotent on replay like
+    ``shingle_store_job``.
+
+    The rows are per-doc independent (a doc's fingerprint set depends
+    only on its own text — accumulation ≡ one-shot selection by
+    construction), so the store serves the near-dup posting-list join
+    (``winnow_near_dup_from_store``) with zero text re-scans, at
+    ~2/(w+1) the row count the full shingle store pays for the same
+    coverage guarantee. Compact with ``compact_fact_store``.
+    """
+    from gmall_flink_parent_spark.functions.spans import winnow_fp_frame
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        winnow_fp_frame(fan_out(batch.sparkSession, batch)).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/winnow_store")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def winnow_near_dup_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Near-dup pairs over the winnowing-fingerprint store: the
+    posting-list self-join + pair agg through the SAME
+    ``winnow_pairs_frame`` core as the batch query — hash-equal to the
+    one-shot ``winnow_near_dup`` over the same corpus, with zero text
+    re-scans (documents were fingerprinted once, at ingest)."""
+    from gmall_flink_parent_spark.functions.spans import winnow_pairs_frame
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+
+    # one-live-cache cadence (same as boilerplate_fraction_from_store)
+    release_caches()
+    return winnow_pairs_frame(
+        scoped_persist(
+            spark.read.parquet(store_path).select("doc_id", "n_fps", "fp")
+        )
+    )
+
+
 def contamination_from_store(
     spark: SparkSession, store_path: str, bench_path: str
 ) -> DataFrame:
@@ -1264,10 +1316,12 @@ def curation_ingest_job(
     weights: dict[str, float],
     mix_seed: str = "mix-v1",
     vocab_path: str | None = None,
+    winnow_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
     text-profile store, the shingle store, the mixture store — and,
-    when ``vocab_path`` is given, the unigram doc-term store — together.
+    when ``vocab_path`` / ``winnow_path`` are given, the unigram
+    doc-term store and the winnowing-fingerprint store — together.
     At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
     ingest cost, so running `text_profile_job` + `shingle_store_job` +
     `mixture_job` + `vocab_store_job` as separate streams would pay it
@@ -1285,6 +1339,7 @@ def curation_ingest_job(
         corpus_mix_weighted,
         doc_term_counts,
     )
+    from gmall_flink_parent_spark.functions.spans import winnow_fp_frame
     from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
     from gmall_flink_parent_spark.sources.tables import fan_out
 
@@ -1304,6 +1359,10 @@ def curation_ingest_job(
                 doc_term_counts(wide.select("doc_id", "text")).write.mode(
                     "overwrite"
                 ).parquet(f"{vocab_path}/batch_id={batch_id}")
+            if winnow_path is not None:
+                winnow_fp_frame(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{winnow_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 

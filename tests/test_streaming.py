@@ -2802,3 +2802,90 @@ def test_centroid_refresh_fences_interleaved_instances(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{cents}/_fence").collect()
     }
     assert fence == {"run-A": 0, "run-B": 0}
+
+
+def test_winnow_store_serves_near_dup_head_across_compaction(
+    spark, sf_dir, tmp_path
+):
+    """Winnowing fingerprints computed ONCE at ingest (two micro-batches)
+    must serve the near-dup posting-list head hash-equal to the one-shot
+    batch query — before AND after a `compact_fact_store` pass folds the
+    per-batch partitions into the batch_id=-1 base (the head never
+    re-scans text, and compaction moves rows without changing any pair)."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        winnow_near_dup_from_store,
+        winnow_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_fact_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    out, ck = str(tmp_path / "win"), str(tmp_path / "ck")
+    winnow_store_job(stream, out, ck).awaitTermination(120)
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+    def pairs(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["n_shared"], r["fp_overlap"])
+            for r in df.collect()
+        }
+
+    want = pairs(plans.query_map()["winnow_near_dup"](spark, sf_dir))
+    assert len(want) > 0
+    assert pairs(winnow_near_dup_from_store(spark, out)) == want
+
+    # fold both committed batches into the base; the head is unchanged
+    assert (
+        compact_fact_store(spark, out, f"{ck}/winnow_store") == COMPACT_BASE_ID
+    )
+    ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    )
+    assert ids == [COMPACT_BASE_ID]
+    assert pairs(winnow_near_dup_from_store(spark, out)) == want
+
+
+def test_curation_ingest_job_also_lands_winnow_store(spark, sf_dir, tmp_path):
+    """The combined ingest pass with `winnow_path` set: the one-scan
+    micro-batch also lands winnowing fingerprints, and the near-dup head
+    over that store equals the batch query — same contract as the
+    dedicated `winnow_store_job`, one fewer corpus scan."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        curation_ingest_job,
+        winnow_near_dup_from_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string, source string"
+    )
+    curation_ingest_job(
+        stream,
+        str(tmp_path / "prof"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "mix"),
+        str(tmp_path / "ck"),
+        weights={f"src{i}": 1.0 for i in range(20)},
+        winnow_path=str(tmp_path / "win"),
+    ).awaitTermination(120)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared"], r["fp_overlap"])
+        for r in winnow_near_dup_from_store(spark, str(tmp_path / "win")).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_shared"], r["fp_overlap"])
+        for r in plans.query_map()["winnow_near_dup"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
