@@ -1,0 +1,301 @@
+"""Repetition-rule quality filtering and hashed-feature classifier scoring.
+
+Not in the reference (SURVEY §2.7's string surface stops at parse/
+rewrite): the model-quality gates a 100 TB pretraining pipeline runs
+after dedup and before mixing —
+
+- **Repetition rules** (the Gopher / MassiveText heuristics, Rae et al.
+  2021 §A1.1): documents dominated by a single repeated n-gram, by
+  duplicated n-grams overall, or by literal token runs are machine
+  artifacts (scraper loops, SEO spam, templated chrome) and get dropped
+  before they poison the mixture. Everything is per-row higher-order
+  array math over ``text`` — shuffle-free, whole-stage codegen, the
+  same fused-scan shape as ``doc_text_profile``.
+- **Hashed linear classifier** (the fastText-style quality model,
+  Joulin et al. 2016): tokens are feature-hashed into a fixed bucket
+  space and scored against a WEIGHT TABLE — weights are data (a trained
+  model), not a formula, so the production shape is a broadcast join of
+  the (bucket, weight) table against the exploded token stream, partial
+  aggregation back to document grain. Here the weight table is derived
+  deterministically from md5 so DuckDB reproduces scoring end-to-end
+  (swap in real trained weights by replacing ``classifier_weights``;
+  every downstream line is unchanged).
+
+Both heads stay exact across engines by keeping cross-row arithmetic in
+integers (weight sums, counts) and dividing once at the end — no
+float-accumulation-order hazard between Spark's partial aggregates and
+DuckDB's single-node sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
+
+# --------------------------------------------------------------- thresholds
+#
+# Gopher's published cuts (top-2gram > 0.20, dup-3gram mass > 0.18,
+# symbol ratios …) target web text; the synthetic corpus is drawn from a
+# ~30-word vocabulary, so the SAME RULES need corpus-appropriate levels
+# to exercise both verdicts. The rule STRUCTURE is what's pinned.
+_TOP_BIGRAM_MAX = 0.05  # most frequent 2-gram may cover ≤ this fraction
+_DUP_TRIGRAM_MAX = 0.10  # duplicated-3-gram occurrence fraction cap
+_DUP_TOKEN_MAX = 0.60  # 1 - distinct/total cap (lexical diversity floor)
+_MAX_TOKEN_RUN = 2  # longest literal same-token run allowed
+
+_CLF_BUCKETS = 256  # feature-hash space (fastText uses 2M; shape is equal)
+_CLF_SCALE = 4.0  # logit scale before the sigmoid
+
+
+def _grams(toks: Column, n: Column, k: int) -> Column:
+    """Overlapping k-gram strings over a token array (empty when short)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run_col(toks: Column) -> Column:
+    """Longest run of consecutive identical tokens — one linear pass via
+    an ``aggregate`` struct accumulator (prev token, current run, best)."""
+    init = F.struct(
+        F.lit(" ").alias("prev"),  # space-sentinel: tokens are split on spaces
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        cur = F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            t.alias("prev"), cur.alias("cur"), F.greatest(acc["best"], cur).alias("best")
+        )
+
+    return F.aggregate(toks, init, step, lambda acc: acc["best"])
+
+
+REPETITION_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+    FROM documents
+), g AS (
+    SELECT doc_id, toks, n,
+        CASE WHEN n >= 2 THEN list_transform(range(1, n),
+            i -> concat(toks[i], ' ', toks[i + 1])) ELSE [] END AS bg,
+        CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+            i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) ELSE [] END AS tg
+    FROM t
+), m AS (
+    SELECT doc_id, n,
+        CASE WHEN len(bg) > 0 THEN CAST(list_max(list_transform(list_distinct(bg),
+            d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+            ELSE 0.0 END AS top_bigram_frac_raw,
+        CASE WHEN len(tg) > 0 THEN CAST(len(list_filter(tg,
+            x -> len(list_filter(tg, y -> y = x)) >= 2)) AS DOUBLE) / len(tg)
+            ELSE 0.0 END AS dup_trigram_frac_raw,
+        1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n AS dup_token_frac_raw,
+        CAST(list_max(list_transform(range(1, n + 1), i ->
+            coalesce(list_min(list_filter(range(i + 1, n + 1),
+                j -> toks[j] != toks[i])), n + 1) - i)) AS BIGINT) AS max_token_run
+    FROM g
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(top_bigram_frac_raw, 6) AS top_bigram_frac,
+       ROUND(dup_trigram_frac_raw, 6) AS dup_trigram_frac,
+       ROUND(dup_token_frac_raw, 6) AS dup_token_frac,
+       max_token_run,
+       (top_bigram_frac_raw <= {_TOP_BIGRAM_MAX}
+        AND dup_trigram_frac_raw <= {_DUP_TRIGRAM_MAX}
+        AND dup_token_frac_raw <= {_DUP_TOKEN_MAX}
+        AND max_token_run <= {_MAX_TOKEN_RUN}) AS gopher_keep
+FROM m
+"""
+
+
+def doc_repetition_profile_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of ``doc_repetition_profile`` (shared with the
+    ingest-time streaming form): one codegen projection per document."""
+    toks = F.split(F.col("text"), " ")
+    out = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    t, n = F.col("toks"), F.col("n")
+    bg, tg = _grams(t, n, 2), _grams(t, n, 3)
+
+    top_bigram = F.when(
+        F.size(bg) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg), lambda d: F.size(F.filter(bg, lambda x: x == d))
+            )
+        ).cast("double")
+        / F.size(bg),
+    ).otherwise(F.lit(0.0))
+    dup_trigram = F.when(
+        F.size(tg) > 0,
+        F.size(
+            F.filter(tg, lambda x: F.size(F.filter(tg, lambda y: y == x)) >= 2)
+        ).cast("double")
+        / F.size(tg),
+    ).otherwise(F.lit(0.0))
+    dup_token = F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n
+    max_run = _max_run_col(t)
+
+    return out.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(top_bigram, 6).alias("top_bigram_frac"),
+        F.round(dup_trigram, 6).alias("dup_trigram_frac"),
+        F.round(dup_token, 6).alias("dup_token_frac"),
+        max_run.alias("max_token_run"),
+        (
+            (top_bigram <= _TOP_BIGRAM_MAX)
+            & (dup_trigram <= _DUP_TRIGRAM_MAX)
+            & (dup_token <= _DUP_TOKEN_MAX)
+            & (max_run <= _MAX_TOKEN_RUN)
+        ).alias("gopher_keep"),
+    )
+
+
+@register(
+    "doc_repetition_profile",
+    oracle=REPETITION_ORACLE,
+    tags=("text", "quality", "gopher"),
+    past_window=True,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals + keep/drop verdict per document.
+
+    Four MassiveText repetition rules in one scan:
+
+    - ``top_bigram_frac`` — occurrence share of the single most frequent
+      2-gram (scraper-loop detector);
+    - ``dup_trigram_frac`` — fraction of 3-gram occurrences whose gram
+      appears ≥ 2× in the document (templated-text detector);
+    - ``dup_token_frac`` — ``1 − distinct/total`` lexical diversity;
+    - ``max_token_run`` — longest literal same-token run, computed in
+      ONE linear ``aggregate`` pass with a (prev, run, best) struct
+      accumulator (the oracle spells the same value O(n²) because DuckDB
+      lambdas don't thread struct state; values agree, shapes differ by
+      design).
+
+    ``gopher_keep`` conjoins the four thresholds. Everything is per-row
+    higher-order array math — shuffle-free, no explode, no Python; at
+    100 TB this fuses into the ingest scan beside ``doc_text_profile``
+    (same frame-function pattern, ``*_frame`` shared with streaming).
+    Verdict flips on threshold columns are exact: the comparison runs on
+    the unrounded rationals on both engines, not the displayed rounding.
+    """
+    return doc_repetition_profile_frame(fan_out(spark, load_table(spark, sf_dir, "documents")))
+
+
+# ------------------------------------------------------------- classifier
+
+# Portable token→bucket hash and bucket→weight derivation: first 8 md5
+# hex chars as a 32-bit integer (the engine-portable hash used across
+# the dedup/simhash family), bucket = hash mod buckets, integer weight
+# in [-128, 127] derived from the bucket id. Integer weights keep the
+# cross-row sum EXACT on both engines; the single final division is
+# correctly rounded to the same double.
+_W_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(concat('w:', CAST(bucket AS VARCHAR))), 1, 8)) "
+    f"AS BIGINT) % 256 - 128 AS BIGINT)"
+)
+
+CLASSIFIER_ORACLE = f"""
+WITH weights AS (
+    SELECT CAST(i AS BIGINT) AS bucket, {_W_DUCK} AS w
+    FROM (SELECT unnest(range({_CLF_BUCKETS})) AS i)
+), tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), feat AS (
+    SELECT doc_id, source,
+           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_CLF_BUCKETS} AS bucket
+    FROM tok
+), scored AS (
+    SELECT f.doc_id, f.source,
+           SUM(w.w) AS w_sum, COUNT(*) AS n_tok
+    FROM feat f JOIN weights w USING (bucket)
+    GROUP BY f.doc_id, f.source
+)
+SELECT doc_id, source,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(CAST(w_sum AS DOUBLE) / (128.0 * n_tok), 6) AS clf_margin,
+       ROUND(1.0 / (1.0 + exp(-{_CLF_SCALE} * (CAST(w_sum AS DOUBLE) / (128.0 * n_tok)))), 6)
+           AS clf_score,
+       w_sum > 0 AS clf_keep
+FROM scored
+"""
+
+
+def classifier_weights(spark: SparkSession) -> DataFrame:
+    """The (bucket, w) weight table — stand-in for a trained fastText /
+    logistic model's hashed weights. md5-derived so the oracle can
+    rebuild it; a real model drops in by replacing THIS function with a
+    read of its exported weights (same schema, same broadcast join)."""
+    return spark.range(_CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8), 16, 10)
+            .cast("long")
+            % 256
+            - 128
+        ).alias("w"),
+    )
+
+
+@register(
+    "doc_hash_classifier_score",
+    oracle=CLASSIFIER_ORACLE,
+    tags=("text", "quality", "classifier"),
+    past_window=True,
+)
+def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear quality classifier over the token stream.
+
+    The fastText-shaped scoring path (Joulin et al. 2016): explode
+    tokens, feature-hash each into ``bucket = hash32(token) mod 256``,
+    BROADCAST-join the (bucket, weight) model table, partial-aggregate
+    the integer weight sum back to document grain, then one division +
+    sigmoid for the margin/score. ``clf_keep`` thresholds the EXACT
+    integer sum (no float compare at the decision point).
+
+    Scale shape: the explode is narrow (no shuffle), the model join is a
+    broadcast hash join (a real 2M-bucket fastText table is ~16 MB —
+    still broadcast territory), and the only exchange is the map-side-
+    combined groupBy back to document grain, i.e. rows ≈ documents, not
+    tokens. A weight table too big to broadcast would switch to the
+    size-gated shuffle-join form ``dedup_cascade_verify`` uses. The
+    within-row alternative (weights as a formula via higher-order
+    functions, zero join) exists but hides the real contract: model
+    weights are DATA produced by training, so the join IS the operator.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % _CLF_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        feat.join(F.broadcast(classifier_weights(spark)), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("w_sum"), F.count("*").alias("n_tok"))
+    )
+    margin = F.col("w_sum").cast("double") / (128.0 * F.col("n_tok"))
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.round(margin, 6).alias("clf_margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_CLF_SCALE * margin)), 6).alias("clf_score"),
+        (F.col("w_sum") > 0).alias("clf_keep"),
+    )

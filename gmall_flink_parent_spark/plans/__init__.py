@@ -23,6 +23,7 @@ from gmall_flink_parent_spark.functions import (  # noqa: F401
     dedup,
     mixture,
     multimodal,
+    quality,
     spans,
     similarity,
     sql_macros,

@@ -1858,3 +1858,75 @@ def test_span_dedup_rewrite_removes_only_repeated_spans(spark, sf_dir):
             for piece in r["kept_text"].split(" "):
                 assert piece in original
     assert touched > 0, "fixture corpus should contain repeated spans"
+
+
+# ----------------------------------------------------- quality (Gopher + clf)
+
+
+def test_repetition_rules_flag_constructed_pathologies(spark):
+    """Each Gopher rule must fire on the artifact it exists to catch,
+    and a clean diverse document must pass all four."""
+    from gmall_flink_parent_spark.functions.quality import doc_repetition_profile_frame
+
+    rows = [
+        (1, "a b a b a b a b a b a b"),  # one bigram dominates
+        (2, "x x x x y z q r s t u v"),  # literal token run
+        (3, "p q r p q r p q r s t u"),  # duplicated trigrams
+        # clean: 30 distinct tokens → every fraction under its cap
+        (4, " ".join(f"tok{i}" for i in range(30))),
+        (5, "w w w w w w w w w w w w"),  # degenerate: everything fires
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_repetition_profile_frame(df).collect()}
+    assert out[1]["top_bigram_frac"] > 0.4 and not out[1]["gopher_keep"]
+    assert out[2]["max_token_run"] == 4 and not out[2]["gopher_keep"]
+    assert out[3]["dup_trigram_frac"] > 0.3 and not out[3]["gopher_keep"]
+    assert out[4]["gopher_keep"]
+    assert out[4]["dup_token_frac"] == 0.0 and out[4]["max_token_run"] == 1
+    assert out[5]["dup_token_frac"] == pytest.approx(1 - 1 / 12)
+    assert out[5]["max_token_run"] == 12 and not out[5]["gopher_keep"]
+
+
+def test_repetition_profile_single_token_doc(spark):
+    """Shorter-than-gram documents produce empty gram sets, zero
+    fractions, and a run of 1 — not nulls or errors."""
+    from gmall_flink_parent_spark.functions.quality import doc_repetition_profile_frame
+
+    df = spark.createDataFrame([(1, "solo"), (2, "two tokens")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_repetition_profile_frame(df).collect()}
+    assert out[1]["n_tokens"] == 1 and out[1]["top_bigram_frac"] == 0.0
+    assert out[1]["dup_trigram_frac"] == 0.0 and out[1]["max_token_run"] == 1
+    assert out[1]["gopher_keep"]
+    assert out[2]["top_bigram_frac"] == 1.0  # the only bigram is the mode
+    assert not out[2]["gopher_keep"]
+
+
+def test_classifier_margin_is_exact_integer_ratio(spark, sf_dir):
+    """The keep decision thresholds the exact integer weight sum; the
+    margin equals that sum over 128·n_tokens for every document."""
+    from gmall_flink_parent_spark.functions.quality import (
+        classifier_weights,
+        doc_hash_classifier_score,
+    )
+
+    w = {r["bucket"]: r["w"] for r in classifier_weights(spark).collect()}
+    assert len(w) == 256 and all(-128 <= v <= 127 for v in w.values())
+    docs = {
+        r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = doc_hash_classifier_score(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    import hashlib
+
+    checked = 0
+    for r in out:
+        if r["doc_id"] % 97:  # spot-check a deterministic subset
+            continue
+        toks = docs[r["doc_id"]].split(" ")
+        s = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 256] for t in toks
+        )
+        assert r["clf_keep"] == (s > 0)
+        assert r["clf_margin"] == pytest.approx(s / (128 * len(toks)), abs=1e-6)
+        checked += 1
+    assert checked > 0
