@@ -1930,3 +1930,79 @@ def test_classifier_margin_is_exact_integer_ratio(spark, sf_dir):
         assert r["clf_margin"] == pytest.approx(s / (128 * len(toks)), abs=1e-6)
         checked += 1
     assert checked > 0
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_windows_cover_without_containment(spark, sf_dir):
+    """Every token index lands in ≥1 chunk; chunk count matches
+    1 + ceil((n−C)/S); no window is fully contained in its predecessors."""
+    import math
+
+    from gmall_flink_parent_spark.functions.chunks import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunk_windows,
+    )
+
+    docs = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = doc_chunk_windows(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, n in docs.items():
+        ch = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        expect = 1 + math.ceil(max(0, n - CHUNK_TOKENS) / CHUNK_STRIDE)
+        assert len(ch) == expect, (doc_id, n)
+        last = ch[-1]
+        start = last["chunk_idx"] * CHUNK_STRIDE
+        assert start + last["n_chunk_tokens"] == n  # coverage reaches the end
+        for r in ch[1:]:  # every later window owns ≥1 new token
+            assert r["chunk_idx"] * CHUNK_STRIDE + CHUNK_TOKENS > (
+                (r["chunk_idx"] - 1) * CHUNK_STRIDE + CHUNK_TOKENS
+            )
+        # reassembling the non-overlapping tails reproduces the document
+        toks0 = ch[0]["chunk_text"].split(" ")
+        for r in ch[1:]:
+            t = r["chunk_text"].split(" ")
+            toks0.extend(t[-(r["n_chunk_tokens"] - (CHUNK_TOKENS - CHUNK_STRIDE)):])
+        assert len(toks0) == n
+
+
+def test_chunk_ids_stable_under_document_growth(spark):
+    """Appending text to a document must not shift existing chunk ids —
+    the property a vector store keys on for incremental re-embedding."""
+    from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
+
+    base = " ".join(f"t{i}" for i in range(40))
+    grown = base + " " + " ".join(f"x{i}" for i in range(30))
+    df1 = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    df2 = spark.createDataFrame([(7, grown)], "doc_id long, text string")
+    ids1 = [r["chunk_id"] for r in sorted(chunk_windows_frame(df1).collect(), key=lambda r: r["chunk_idx"])]
+    ids2 = [r["chunk_id"] for r in sorted(chunk_windows_frame(df2).collect(), key=lambda r: r["chunk_idx"])]
+    assert len(ids2) > len(ids1)
+    assert ids2[: len(ids1)] == ids1
+
+
+def test_chunk_dup_overlap_catches_shared_passage(spark):
+    """Two documents sharing an aligned 32-token window (a quoted
+    passage at a stride boundary) produce one duplicated fingerprint."""
+    from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
+
+    passage = " ".join(f"p{i}" for i in range(32))
+    a = passage + " " + " ".join(f"a{i}" for i in range(16))
+    b = passage + " " + " ".join(f"b{i}" for i in range(16))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    chunks = chunk_windows_frame(df)
+    dup = (
+        chunks.groupBy(F.md5("chunk_text").alias("fp"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert len(dup) == 1
