@@ -876,3 +876,187 @@ def sql_mixture_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+
+
+# ------------------------------------------------------------ curriculum
+
+# Two-phase curriculum: the bulk phase trains on the broad mixture, the
+# anneal phase (the final slice of training) re-mixes toward the
+# high-quality sources and drops the noisy ones entirely — the standard
+# end-of-pretraining move. Source classes follow the head-weight
+# convention (i % 4): upsampled / kept / downsampled / excluded in the
+# bulk phase; the anneal keeps only the first two classes, shrunk.
+_CURRICULUM_WEIGHTS: dict[int, dict[str, float]] = {
+    0: {f"src{i}": (1.5, 1.0, 0.5, 0.2)[i % 4] for i in range(20)},
+    1: {f"src{i}": (0.8, 0.4, 0.0, 0.0)[i % 4] for i in range(20)},
+}
+_CURRICULUM_SEED = "curr-q1"
+
+
+def corpus_mix_curriculum(
+    docs: DataFrame, phase_weights: dict[int, dict[str, float]], seed: str = "curr-v1"
+) -> DataFrame:
+    """Phase-aware weighted mixing in ONE corpus scan.
+
+    ``corpus_mix_weighted`` generalized over training phases: the
+    broadcast weight table carries (phase, source, n_full, frac) rows,
+    so a doc joins once per phase that wants its source and the epoch
+    explode + hash filter run per (phase, doc) — the corpus is NOT
+    re-scanned per phase (at 100 TB, scans dominate; a P-phase
+    curriculum must not cost P scans). The keep-variate seed includes
+    the phase, so phase mixtures are independent draws.
+    """
+    rows = [
+        (p, s, int(w), float(w - int(w)))
+        for p, ws in phase_weights.items()
+        for s, w in ws.items()
+        if w > 0
+    ]
+    if not rows:
+        return (
+            docs.select("doc_id", "source")
+            .withColumn("phase", F.lit(0).cast("int"))
+            .withColumn("epoch", F.lit(0).cast("int"))
+            .limit(0)
+        )
+    wdf = docs.sparkSession.createDataFrame(
+        rows, "phase int, source string, n_full int, frac double"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("phase").cast("string"),
+                        F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        docs.join(F.broadcast(wdf), "source")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("n_full"))))
+        .filter((F.col("epoch") < F.col("n_full")) | (u < F.col("frac")))
+        .select("doc_id", "source", "phase", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+def curriculum_order(mix: DataFrame, seed: str = "curr-order-v1") -> DataFrame:
+    """Global training order across curriculum phases — ONE range sort.
+
+    The naive composition (order each phase, count phase 0, offset
+    phase 1) needs a scalar count join and two sorts; sorting on
+    ``(phase, md5_key)`` instead gives phase-0 samples every position
+    before any phase-1 sample and uniform interleaving WITHIN each
+    phase, from the same single range exchange + tiny-summary offset
+    pass as ``training_order``. Positions are continuous across the
+    phase boundary by construction.
+    """
+    release_caches()
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.col("phase").cast("string"),
+            F.col("epoch").cast("string"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    part = _range_sorted_positions(
+        mix.withColumn("__k", key), ["phase", "__k", "doc_id", "epoch"]
+    )
+    offsets = _partition_offsets(part, F.lit(1).cast("long"), "off")
+    return (
+        part.withColumn("pid", _mid_pid())
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("off") + _mid_local_offset()).alias("sample_idx"),
+            F.col("phase").cast("int").alias("phase"),
+            "doc_id",
+            "source",
+            "epoch",
+        )
+    )
+
+
+def _curriculum_weight_values_sql() -> str:
+    rows = [
+        f"({p}, '{s}', {int(w)}, CAST({w - int(w)!r} AS DOUBLE))"
+        for p, ws in _CURRICULUM_WEIGHTS.items()
+        for s, w in ws.items()
+        if w > 0
+    ]
+    return ", ".join(rows)
+
+
+def _curriculum_u_sql(seed: str) -> str:
+    return (
+        "CAST(CAST('0x' || substr(md5("
+        f"'{seed}' || ':' || CAST(phase AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+        " || ':' || CAST(doc_id AS VARCHAR)"
+        "), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+    )
+
+
+def _curriculum_key_sql(seed: str) -> str:
+    return (
+        f"md5('{seed}' || ':' || CAST(phase AS VARCHAR) || ':' || "
+        "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+    )
+
+
+CURRICULUM_ORACLE = f"""
+WITH w(phase, source, n_full, frac) AS (VALUES {_curriculum_weight_values_sql()}),
+exploded AS (
+    SELECT d.doc_id, d.source, w.phase, CAST(t.e AS INT) AS epoch,
+           w.n_full, w.frac
+    FROM documents d JOIN w USING (source),
+         unnest(range(0, w.n_full + 1)) AS t(e)
+),
+mix AS (
+    SELECT doc_id, source, phase, epoch FROM exploded
+    WHERE epoch < n_full OR {_curriculum_u_sql(f"{_CURRICULUM_SEED}:mix")} < frac
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY phase, {_curriculum_key_sql(f"{_CURRICULUM_SEED}:order")},
+                    doc_id, epoch
+       ) - 1 AS BIGINT) AS sample_idx,
+       CAST(phase AS INT) AS phase, doc_id, source, epoch
+FROM mix
+"""
+
+
+@register(
+    "curriculum_mixture",
+    oracle=CURRICULUM_ORACLE,
+    tags=("text", "mixing", "curriculum"),
+    past_window=True,
+)
+def curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase curriculum training stream: bulk mixture first, then
+    the annealed high-quality re-mix, with one continuous global
+    ``sample_idx`` across the phase boundary.
+
+    Registered head of ``corpus_mix_curriculum`` → ``curriculum_order``
+    at fixed phase weights (bulk: 1.5/1.0/0.5/0.2 per source class;
+    anneal: 0.8/0.4/0/0). Every decision is md5-derived, so DuckDB
+    replays the entire schedule — phase membership, per-phase epochs,
+    and the exact global position of every sample — and the hash check
+    pins the distributed (phase, key) range sort to total-order
+    semantics. One corpus scan, one range exchange, tiny-summary
+    offsets; the phase column costs nothing extra at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return curriculum_order(
+        corpus_mix_curriculum(docs, _CURRICULUM_WEIGHTS, f"{_CURRICULUM_SEED}:mix"),
+        f"{_CURRICULUM_SEED}:order",
+    )

@@ -2006,3 +2006,42 @@ def test_chunk_dup_overlap_catches_shared_passage(spark):
         .collect()
     )
     assert len(dup) == 1
+
+
+# ----------------------------------------------------------- curriculum
+
+
+def test_curriculum_phases_partition_the_stream(spark, sf_dir):
+    """Phase 0 owns a contiguous position prefix, phase 1 the suffix;
+    positions are 0..N−1 with no gaps; the anneal phase contains only
+    the two high-quality source classes."""
+    from gmall_flink_parent_spark import plans
+
+    rows = plans.all_queries()["curriculum_mixture"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["sample_idx"] for r in rows) == list(range(n))
+    p0 = [r["sample_idx"] for r in rows if r["phase"] == 0]
+    p1 = [r["sample_idx"] for r in rows if r["phase"] == 1]
+    assert p0 and p1
+    assert max(p0) < min(p1)  # continuous boundary, bulk first
+    anneal_classes = {int(r["source"][3:]) % 4 for r in rows if r["phase"] == 1}
+    assert anneal_classes <= {0, 1}  # downsampled/excluded classes dropped
+    bulk_classes = {int(r["source"][3:]) % 4 for r in rows if r["phase"] == 0}
+    assert bulk_classes == {0, 1, 2, 3}  # bulk keeps every class
+
+
+def test_curriculum_single_scan_plan(spark, sf_dir):
+    """The two-phase mixture must read the corpus ONCE: the phase axis
+    rides the broadcast weight table, not a second scan/union. (The
+    ordered head's plan shows the lineage once per cached-branch read,
+    so the one-scan claim is pinned on the mix stage itself.)"""
+    from gmall_flink_parent_spark.functions.mixture import (
+        _CURRICULUM_WEIGHTS,
+        corpus_mix_curriculum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mix = corpus_mix_curriculum(docs, _CURRICULUM_WEIGHTS, "t:mix")
+    plan = mix._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
