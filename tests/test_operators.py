@@ -2045,3 +2045,53 @@ def test_curriculum_single_scan_plan(spark, sf_dir):
     plan = mix._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1, plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------- product quantization
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    """Every vector encodes to m codes in [0, k); re-deriving the
+    codebooks and codes reproduces them exactly (hash-ordered sample +
+    fixed-iteration Lloyd — no RNG anywhere)."""
+    from gmall_flink_parent_spark.functions.similarity import (
+        _PQ_K,
+        _PQ_M,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1, b2 = pq_train_codebooks(emb), pq_train_codebooks(emb)
+    assert (b1 == b2).all()
+    rows = pq_encode(emb, b1).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == _PQ_M
+        assert all(0 <= c < _PQ_K for c in r["codes"])
+
+
+def test_pq_adc_recall_floor_vs_bruteforce(spark, sf_dir):
+    """The ADC shortlist + exact re-rank must recover most of the true
+    cosine top-5 (deterministic pipeline → a hard floor, not a flaky
+    statistical bound), and recalled neighbors carry the EXACT cosine."""
+    from collections import defaultdict
+
+    from gmall_flink_parent_spark import plans
+
+    qs = plans.all_queries()
+    pq = qs["ann_pq_adc"].fn(spark, sf_dir).collect()
+    bf = qs["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+    pq_n, bf_n = defaultdict(dict), defaultdict(dict)
+    for r in pq:
+        pq_n[r["query_id"]][r["neighbor_id"]] = r["cos_sim"]
+    for r in bf:
+        bf_n[r["query_id"]][r["neighbor_id"]] = r["cos_sim"]
+    recalls = []
+    for q, true in bf_n.items():
+        hit = set(pq_n[q]) & set(true)
+        recalls.append(len(hit) / len(true))
+        for n in hit:  # exact re-rank: same cosine as brute force
+            assert pq_n[q][n] == true[n]
+    assert sum(recalls) / len(recalls) >= 0.8
+    assert min(recalls) >= 0.6
