@@ -1317,11 +1317,15 @@ def curation_ingest_job(
     mix_seed: str = "mix-v1",
     vocab_path: str | None = None,
     winnow_path: str | None = None,
+    quality_path: str | None = None,
+    chunk_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
     text-profile store, the shingle store, the mixture store — and,
-    when ``vocab_path`` / ``winnow_path`` are given, the unigram
-    doc-term store and the winnowing-fingerprint store — together.
+    when ``vocab_path`` / ``winnow_path`` / ``quality_path`` /
+    ``chunk_path`` are given, the unigram doc-term store, the
+    winnowing-fingerprint store, the Gopher repetition-verdict store,
+    and the retrieval-chunk store — together.
     At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
     ingest cost, so running `text_profile_job` + `shingle_store_job` +
     `mixture_job` + `vocab_store_job` as separate streams would pay it
@@ -1339,6 +1343,8 @@ def curation_ingest_job(
         corpus_mix_weighted,
         doc_term_counts,
     )
+    from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
+    from gmall_flink_parent_spark.functions.quality import doc_repetition_profile_frame
     from gmall_flink_parent_spark.functions.spans import winnow_fp_frame
     from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
     from gmall_flink_parent_spark.sources.tables import fan_out
@@ -1363,6 +1369,14 @@ def curation_ingest_job(
                 winnow_fp_frame(wide.select("doc_id", "text")).write.mode(
                     "overwrite"
                 ).parquet(f"{winnow_path}/batch_id={batch_id}")
+            if quality_path is not None:
+                doc_repetition_profile_frame(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{quality_path}/batch_id={batch_id}")
+            if chunk_path is not None:
+                chunk_windows_frame(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{chunk_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 

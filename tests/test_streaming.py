@@ -2889,3 +2889,42 @@ def test_curation_ingest_job_also_lands_winnow_store(spark, sf_dir, tmp_path):
         for r in plans.query_map()["winnow_near_dup"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_curation_ingest_job_lands_quality_and_chunk_stores(spark, sf_dir, tmp_path):
+    """The combined ingest pass with quality_path/chunk_path set: the
+    one-scan micro-batch also lands the Gopher repetition verdicts and
+    the retrieval chunks, each equal to its one-shot batch query
+    (per-doc independence ⇒ accumulation ≡ one-shot)."""
+    from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string, source string"
+    )
+    curation_ingest_job(
+        stream,
+        str(tmp_path / "prof"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "mix"),
+        str(tmp_path / "ck"),
+        weights={f"src{i}": 1.0 for i in range(20)},
+        quality_path=str(tmp_path / "qual"),
+        chunk_path=str(tmp_path / "chunk"),
+    ).awaitTermination(120)
+
+    qual = spark.read.parquet(str(tmp_path / "qual"))
+    batch_q = plans.query_map()["doc_repetition_profile"](spark, sf_dir)
+    cols = list(batch_q.columns)
+    assert {tuple(r[c] for c in cols) for r in qual.collect()} == {
+        tuple(r[c] for c in cols) for r in batch_q.collect()
+    }
+
+    chunk = spark.read.parquet(str(tmp_path / "chunk"))
+    batch_c = plans.query_map()["doc_chunk_windows"](spark, sf_dir)
+    ccols = list(batch_c.columns)
+    assert {tuple(r[c] for c in ccols) for r in chunk.collect()} == {
+        tuple(r[c] for c in ccols) for r in batch_c.collect()
+    }
