@@ -247,6 +247,37 @@ def classifier_weights(spark: SparkSession) -> DataFrame:
     )
 
 
+def hash_classifier_frame(
+    tf: DataFrame, group_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Shared scoring core over a (…, tok, tf) doc-term frame — one
+    implementation serving the batch query and the vocab-store head, so
+    the two verdicts cannot drift. ``Σ tf·w`` equals the token-instance
+    weight sum because every instance of a (doc, tok) pair hashes to
+    the same bucket; both factors are integers, so the cross-row sum is
+    exact on any engine and at any parallelism."""
+    feat = tf.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _CLF_BUCKETS,
+    )
+    scored = (
+        feat.join(F.broadcast(classifier_weights(tf.sparkSession)), "bucket")
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("w_sum"),
+            F.sum("tf").alias("n_tok"),
+        )
+    )
+    margin = F.col("w_sum").cast("double") / (128.0 * F.col("n_tok"))
+    return scored.select(
+        *group_cols,
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.round(margin, 6).alias("clf_margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_CLF_SCALE * margin)), 6).alias("clf_score"),
+        (F.col("w_sum") > 0).alias("clf_keep"),
+    )
+
+
 @register(
     "doc_hash_classifier_score",
     oracle=CLASSIFIER_ORACLE,
@@ -256,46 +287,35 @@ def classifier_weights(spark: SparkSession) -> DataFrame:
 def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed linear quality classifier over the token stream.
 
-    The fastText-shaped scoring path (Joulin et al. 2016): explode
-    tokens, feature-hash each into ``bucket = hash32(token) mod 256``,
-    BROADCAST-join the (bucket, weight) model table, partial-aggregate
-    the integer weight sum back to document grain, then one division +
-    sigmoid for the margin/score. ``clf_keep`` thresholds the EXACT
-    integer sum (no float compare at the decision point).
+    The fastText-shaped scoring path (Joulin et al. 2016): doc-term
+    counts (map-side-combined — the frame is distinct-terms-sized, not
+    instance-sized), feature-hash each term into ``bucket =
+    hash32(token) mod 256``, BROADCAST-join the (bucket, weight) model
+    table, tf-weighted integer partial sums back to document grain,
+    then one division + sigmoid for the margin/score. ``clf_keep``
+    thresholds the EXACT integer sum (no float compare at the decision
+    point).
 
-    Scale shape: the explode is narrow (no shuffle), the model join is a
-    broadcast hash join (a real 2M-bucket fastText table is ~16 MB —
-    still broadcast territory), and the only exchange is the map-side-
-    combined groupBy back to document grain, i.e. rows ≈ documents, not
-    tokens. A weight table too big to broadcast would switch to the
-    size-gated shuffle-join form ``dedup_cascade_verify`` uses. The
-    within-row alternative (weights as a formula via higher-order
-    functions, zero join) exists but hides the real contract: model
-    weights are DATA produced by training, so the join IS the operator.
+    Scale shape: the explode is narrow, the model join is a broadcast
+    hash join (a real 2M-bucket fastText table is ~16 MB — still
+    broadcast territory), and the only exchanges are the doc-term
+    combine and the doc-grain aggregate — rows ≈ documents, not tokens.
+    A weight table too big to broadcast would switch to the size-gated
+    shuffle-join form ``dedup_cascade_verify`` uses. The within-row
+    alternative (weights as a formula via higher-order functions, zero
+    join) exists but hides the real contract: model weights are DATA
+    produced by training, so the join IS the operator. Scoring runs
+    with zero text re-scans over the ingest-time vocab store via
+    ``streaming/jobs.py::doc_hash_classifier_from_store`` — same
+    ``hash_classifier_frame`` core.
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    feat = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.split("text", " ")).alias("t"),
-    ).select(
-        "doc_id",
-        "source",
-        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % _CLF_BUCKETS).alias(
-            "bucket"
-        ),
+    tf = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = (
-        feat.join(F.broadcast(classifier_weights(spark)), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(F.sum("w").alias("w_sum"), F.count("*").alias("n_tok"))
-    )
-    margin = F.col("w_sum").cast("double") / (128.0 * F.col("n_tok"))
-    return scored.select(
-        "doc_id",
-        "source",
-        F.col("n_tok").cast("long").alias("n_tokens"),
-        F.round(margin, 6).alias("clf_margin"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_CLF_SCALE * margin)), 6).alias("clf_score"),
-        (F.col("w_sum") > 0).alias("clf_keep"),
+    out = hash_classifier_frame(tf, group_cols=("doc_id", "source"))
+    return out.select(
+        "doc_id", "source", "n_tokens", "clf_margin", "clf_score", "clf_keep"
     )

@@ -1199,6 +1199,24 @@ def doc_unigram_logprob_from_store(
     )
 
 
+def doc_hash_classifier_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Feature-hash classifier scoring over the vocab store — the THIRD
+    head the one (doc_id, tok, tf) store serves (after perplexity-proxy
+    scoring and top-V budgeting): tf-weighted integer weight sums
+    through the SAME ``hash_classifier_frame`` core as the batch query,
+    with zero text re-scans. A retrained model (new weight table) costs
+    one pass over the distinct-terms-sized store, never a corpus
+    re-tokenize — exactly why the store keys on terms, not scores."""
+    from gmall_flink_parent_spark.functions.quality import hash_classifier_frame
+
+    return hash_classifier_frame(
+        spark.read.parquet(store_path).select("doc_id", "tok", "tf"),
+        group_cols=("doc_id",),
+    )
+
+
 def winnow_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     """Winnowing fingerprints at ingest: each micro-batch of documents
     runs the k-gram-hash + window-minima selection ONCE (the CPU-dense

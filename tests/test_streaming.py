@@ -2928,3 +2928,33 @@ def test_curation_ingest_job_lands_quality_and_chunk_stores(spark, sf_dir, tmp_p
     assert {tuple(r[c] for c in ccols) for r in chunk.collect()} == {
         tuple(r[c] for c in ccols) for r in batch_c.collect()
     }
+
+
+def test_vocab_store_serves_hash_classifier(spark, sf_dir, tmp_path):
+    """The one (doc_id, tok, tf) store's THIRD head: feature-hash
+    classifier scoring from the store (two micro-batches + compaction)
+    must equal the one-shot batch query on every column but `source`
+    (the store keys on terms; source stays with the corpus)."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        doc_hash_classifier_from_store,
+        vocab_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    out, ck = str(tmp_path / "tf"), str(tmp_path / "ck")
+    vocab_store_job(stream, out, ck).awaitTermination(120)
+    compact_fact_store(spark, out, f"{ck}/vocab_store")
+
+    got = {
+        (r["doc_id"], r["n_tokens"], r["clf_margin"], r["clf_score"], r["clf_keep"])
+        for r in doc_hash_classifier_from_store(spark, out).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tokens"], r["clf_margin"], r["clf_score"], r["clf_keep"])
+        for r in plans.query_map()["doc_hash_classifier_score"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
