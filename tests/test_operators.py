@@ -2095,3 +2095,85 @@ def test_pq_adc_recall_floor_vs_bruteforce(spark, sf_dir):
             assert pq_n[q][n] == true[n]
     assert sum(recalls) / len(recalls) >= 0.8
     assert min(recalls) >= 0.6
+
+
+# ------------------------------------------------------------------- BPE
+
+
+def test_bpe_classic_fixture(spark):
+    """The Sennrich paper's fixture: lower-family words merge common
+    stems; training is deterministic with lexicographic tie-break."""
+    from gmall_flink_parent_spark.functions.bpe import (
+        bpe_encode,
+        bpe_train_merges,
+        _encode_word,
+    )
+
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    m1 = bpe_train_merges(wf, n_merges=10)
+    m2 = bpe_train_merges(wf, n_merges=10)
+    assert m1 == m2 and len(m1) == 10
+    ranks = {p: i for i, p in enumerate(m1)}
+    # 'newest' (freq 6) fully merges into one piece within 10 rounds
+    assert _encode_word("newest", ranks) == ["newest</w>"]
+    # unseen word with no matching pairs stays character-split
+    assert len(_encode_word("zq", {})) == 3  # z, q, </w>
+
+
+def test_bpe_encode_matches_reference_implementation(spark, sf_dir):
+    """The Arrow encoder must agree with an independent single-threaded
+    reference (fold-based, no cache) on every document."""
+    from gmall_flink_parent_spark.functions.bpe import (
+        _EOW,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), n_merges=32)
+    assert merges == bpe_train(docs.select("text"), n_merges=32)  # deterministic
+
+    def ref_pieces(word: str) -> int:
+        # independent formulation: apply merges in TABLE order, each
+        # exhaustively, instead of repeatedly taking the lowest rank —
+        # equivalent for BPE because earlier merges never recreate the
+        # preconditions of later scans within one pass ordering.
+        sym = list(word) + [_EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    got = {r["doc_id"]: (r["n_tokens"], r["n_bpe_pieces"]) for r in bpe_encode(docs, merges).collect()}
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(raw)
+    for doc_id, text in raw.items():
+        words = [w for w in text.split(" ") if w]
+        want = sum(ref_pieces(w) for w in words)
+        assert got[doc_id] == (len(words), want), doc_id
+
+
+def test_bpe_piece_counts_bounded(spark, sf_dir):
+    """Pieces per doc sit between token count (full merges) and
+    char+word count (no merges), and merging strictly beats the
+    character baseline on a natural corpus."""
+    from gmall_flink_parent_spark import plans
+
+    rows = plans.all_queries()["doc_bpe_tokens"].fn(spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    assert len(rows) == len(docs)
+    total_pieces = total_chars = 0
+    for r in rows:
+        words = [w for w in docs[r["doc_id"]].split(" ") if w]
+        n_char_syms = sum(len(w) + 1 for w in words)  # chars + </w>
+        assert r["n_tokens"] <= r["n_bpe_pieces"] <= n_char_syms
+        total_pieces += r["n_bpe_pieces"]
+        total_chars += n_char_syms
+    assert total_pieces < total_chars * 0.6  # merges actually compress
