@@ -889,6 +889,99 @@ def doc_unigram_logprob_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ------------------------------------------------- bigram LM scoring
+
+BIGRAM_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+    FROM t, unnest(range(1, len(toks))) AS r(i)
+), dtf AS (
+    SELECT doc_id, bg, CAST(count(*) AS DOUBLE) AS tf FROM bg GROUP BY doc_id, bg
+), c12 AS (
+    SELECT bg, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY bg
+), c1 AS (
+    SELECT string_split(bg, ' ')[1] AS w1, SUM(c12) AS c1 FROM c12 GROUP BY w1
+), v AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+), probs AS (
+    SELECT c12.bg, (c12.c12 + 1.0) / (c1.c1 + v.v) AS p
+    FROM c12 JOIN c1 ON string_split(c12.bg, ' ')[1] = c1.w1 CROSS JOIN v
+)
+SELECT dtf.doc_id,
+       CAST(SUM(dtf.tf) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(dtf.tf * log2(p.p)) / SUM(dtf.tf), 6) AS bits_per_bigram
+FROM dtf JOIN probs p USING (bg)
+GROUP BY dtf.doc_id
+"""
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=BIGRAM_ORACLE,
+    tags=("text", "quality", "lm"),
+    past_window=True,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (bits/bigram, Laplace
+    smoothing) — the context-aware step up from ``doc_unigram_logprob``:
+    a document of individually-common tokens in improbable ORDER
+    (shuffled text, keyword stuffing, word-salad spam) scores high here
+    while the unigram head cannot see it.
+
+    Model: ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` with corpus
+    bigram counts, outgoing-unigram totals, and vocabulary size V.
+    Plan: the bigram stream is built NARROWLY (``zip_with`` of the
+    token array against its own shift — no positional self-join), then
+    per-doc and corpus counts are two map-side-combined shuffles over
+    distinct-bigram rows; the w1-total join is vocabulary-sized and the
+    V scalar rides a 1-row broadcast. The scoring join keys on distinct
+    (doc, bigram) pairs, not bigram instances — the same tf-weighting
+    exactness argument as ``unigram_logprob_frame``. At 100 TB, the
+    model tables are vocabulary²-bounded (≪ corpus) and every join is
+    an equi-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.expr("slice(toks, 1, size(toks) - 1)"),
+        F.expr("slice(toks, 2, size(toks) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = scoped_persist(
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    c12 = bg.groupBy("bg").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c12").alias("c1")
+    )
+    v = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    probs = (
+        c12.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("bg", ((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))).alias("p"))
+    )
+    return (
+        bg.join(probs, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(F.col("tf") * F.log2("p")) / F.sum("tf"), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+
+
 # ----------------------------------------------------- boilerplate spans
 
 _BOILER_DF = 5  # a 4-gram in >= this many docs is boilerplate

@@ -1,0 +1,237 @@
+"""Lexical retrieval scoring over the chunk grain — BM25 and the
+inverted-index statistics an index build ships.
+
+Not in the reference (SURVEY §2.7): a retrieval stack needs a lexical
+ranker next to the ANN family (`similarity.py`) — BM25 is the standard
+first-stage ranker and the sparse half of hybrid retrieval. Two heads:
+
+- ``term_postings_stats`` — the index-build statistics head: per term,
+  its chunk document frequency, collection frequency, distinct source
+  documents, and Robertson idf. This is the tiny table an index build
+  publishes once and every query-time scorer broadcasts.
+- ``chunk_bm25_topk`` — BM25 top-k for a fixed query-term set. Because
+  the query is a handful of terms, per-chunk term frequencies come from
+  ``array``-filter expressions on the chunk token array — NO explode,
+  NO per-term shuffle: the whole scoring pass is a narrow codegen scan
+  over the chunker, and the only exchanges are the 1-row corpus-stats
+  broadcast and the final ``TakeOrderedAndProject`` partial top-k.
+
+Scale shape: at query time the corpus constants (N, avgdl, per-term df)
+come from the published postings stats, so scoring 100 TB of chunks is
+one scan → broadcast-join → partial top-k; nothing here is proportional
+to the vocabulary or requires a global sort. In these self-contained
+batch heads the constants are derived in-query from a second narrow
+pass over a query-scoped persisted tf projection (a few ints per
+chunk). Both heads are md5/ln-deterministic and DuckDB-oracle-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.functions.chunks import _CHUNK_CTE, chunk_windows_frame
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
+
+# The fixed demo query; any term set works — scoring cost is O(|terms|)
+# array filters per chunk, so a real query-time path is the same plan.
+QUERY_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def _tf_col(term: str):
+    """Occurrences of ``term`` in the chunk token array — an array
+    filter, not an explode, so it stays inside whole-stage codegen."""
+    return F.size(F.filter(F.col("ctoks"), lambda x: x == F.lit(term)))
+
+
+def bm25_topk_frame(chunks: DataFrame) -> DataFrame:
+    """BM25 top-k over any (doc_id, chunk_idx, chunk_id, chunk_text)
+    chunk frame for the fixed ``QUERY_TERMS``."""
+    tf_names = [f"tf_{i}" for i in range(len(QUERY_TERMS))]
+    base = scoped_persist(
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_id",
+            F.split(F.col("chunk_text"), " ").alias("ctoks"),
+        ).select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_id",
+            F.size("ctoks").cast("double").alias("dl"),
+            *[_tf_col(t).cast("double").alias(n) for t, n in zip(QUERY_TERMS, tf_names)],
+        )
+    )
+    # 1-row corpus stats: N, avgdl, and per-term chunk df — at scale
+    # this row IS the published postings-stats table.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_chunks"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(n) > 0).cast("double")).alias(f"df_{i}")
+            for i, n in enumerate(tf_names)
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i, n in enumerate(tf_names):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_chunks") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        norm = F.col(n) + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        term_score = idf * F.col(n) * F.lit(BM25_K1 + 1.0) / norm
+        score = term_score if score is None else score + term_score
+    # Rank on the ROUNDED score (the value the oracle hashes) with a
+    # chunk_id tiebreak, so the top-k SET is engine-independent even
+    # when ln() differs in the last ulp.
+    return (
+        scored.select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_id",
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("chunk_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _duck_tf(term: str) -> str:
+    return f"len(list_filter(ctoks, x -> x = '{term}'))"
+
+
+_BM25_TERM_SQL = " + ".join(
+    f"""(
+        ln(1.0 + (s.n_chunks - s.df_{i} + 0.5) / (s.df_{i} + 0.5))
+        * b.tf_{i} * {BM25_K1 + 1.0}
+        / (b.tf_{i} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * b.dl / s.avgdl))
+    )"""
+    for i in range(len(QUERY_TERMS))
+)
+
+BM25_ORACLE = (
+    _CHUNK_CTE
+    + f"""
+, b AS (
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           chunk_id,
+           CAST(len(ctoks) AS DOUBLE) AS dl,
+           {", ".join(f"CAST({_duck_tf(t)} AS DOUBLE) AS tf_{i}" for i, t in enumerate(QUERY_TERMS))}
+    FROM ch
+), s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_chunks,
+           avg(dl) AS avgdl,
+           {", ".join(f"SUM(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}" for i in range(len(QUERY_TERMS)))}
+    FROM b
+)
+SELECT doc_id, chunk_idx, chunk_id,
+       ROUND({_BM25_TERM_SQL}, 6) AS bm25
+FROM b CROSS JOIN s
+ORDER BY bm25 DESC, chunk_id ASC
+LIMIT {BM25_TOPK}
+"""
+)
+
+
+@register(
+    "chunk_bm25_topk",
+    oracle=BM25_ORACLE,
+    tags=("text", "chunk", "retrieval"),
+    past_window=True,
+)
+def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-50 chunks for a fixed 3-term query —
+    the lexical first-stage ranker of a hybrid retrieval stack, run at
+    the same chunk grain the ANN family indexes.
+
+    Plan: the chunker's narrow explode feeds a codegen projection that
+    computes each query term's tf via an array filter (no token
+    explode, no per-term shuffle), corpus constants ride one 1-row
+    broadcast (the allowlisted constant-BNLJ shape), and the top-k is
+    ``TakeOrderedAndProject`` — per-partition partial top-50, no global
+    sort. The ranking key is the ROUNDED score with a chunk_id
+    tiebreak, making the top-k set reproducible across engines. At
+    100 TB the constants come from ``term_postings_stats`` instead of
+    the in-query second pass, leaving exactly one scan over the corpus.
+    """
+    chunks = chunk_windows_frame(fan_out(spark, load_table(spark, sf_dir, "documents")))
+    return bm25_topk_frame(chunks)
+
+
+POSTINGS_ORACLE = (
+    _CHUNK_CTE
+    + """
+, e AS (
+    SELECT doc_id, chunk_id, unnest(ctoks) AS term
+    FROM ch
+), g AS (
+    SELECT term,
+           CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS df_chunks,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM e
+    GROUP BY term
+), n AS (
+    SELECT CAST(COUNT(DISTINCT chunk_id) AS DOUBLE) AS n_chunks FROM e
+)
+SELECT term, df_chunks, cf, n_docs,
+       ROUND(ln(1.0 + (n.n_chunks - g.df_chunks + 0.5) / (g.df_chunks + 0.5)), 6) AS idf
+FROM g CROSS JOIN n
+"""
+)
+
+
+@register(
+    "term_postings_stats",
+    oracle=POSTINGS_ORACLE,
+    tags=("text", "chunk", "retrieval"),
+    past_window=True,
+)
+def term_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics per term over the chunk corpus: chunk
+    document frequency, collection frequency, distinct source docs, and
+    Robertson idf ``ln(1 + (N − df + ½)/(df + ½))``.
+
+    This is the vocabulary-sized table an index build publishes once;
+    query-time scorers (``chunk_bm25_topk`` at scale) broadcast it
+    instead of re-deriving corpus constants. Plan: chunker → token
+    explode → one map-side-combined groupBy on term (the only
+    data-proportional shuffle), with the chunk count riding a 1-row
+    broadcast. Output is vocabulary-sized — tiny relative to the corpus
+    at any scale.
+    """
+    chunks = chunk_windows_frame(fan_out(spark, load_table(spark, sf_dir, "documents")))
+    e = scoped_persist(
+        chunks.select(
+            "doc_id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("term")
+        )
+    )
+    g = e.groupBy("term").agg(
+        F.countDistinct("chunk_id").cast("long").alias("df_chunks"),
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    n = e.agg(F.countDistinct("chunk_id").cast("double").alias("n_chunks"))
+    return g.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df_chunks",
+        "cf",
+        "n_docs",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_chunks") - F.col("df_chunks") + F.lit(0.5))
+                / (F.col("df_chunks") + F.lit(0.5))
+            ),
+            6,
+        ).alias("idf"),
+    )

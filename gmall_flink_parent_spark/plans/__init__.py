@@ -26,6 +26,7 @@ from gmall_flink_parent_spark.functions import (  # noqa: F401
     mixture,
     multimodal,
     quality,
+    retrieval,
     spans,
     similarity,
     sql_macros,

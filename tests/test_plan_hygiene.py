@@ -26,6 +26,9 @@ BNLJ_ALLOWED = {
     "vocab_top_tokens",  # ≤50-row rank-offset frame × top tokens
     "doc_unigram_logprob",  # 1-row corpus-total scalar × vocab
     "doc_unigram_logprob_topv",  # 1-row (total, head_mass, n_tail) scalar × tokens
+    "chunk_bm25_topk",  # 1-row (N, avgdl, df…) corpus stats × chunks
+    "doc_bigram_logprob",  # 1-row vocabulary-size scalar × bigram model
+    "term_postings_stats",  # 1-row chunk-count scalar × vocabulary
 }
 
 
