@@ -894,7 +894,10 @@ _CURRICULUM_SEED = "curr-q1"
 
 
 def corpus_mix_curriculum(
-    docs: DataFrame, phase_weights: dict[int, dict[str, float]], seed: str = "curr-v1"
+    docs: DataFrame,
+    phase_weights: dict[int, dict[str, float]],
+    seed: str = "curr-v1",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Phase-aware weighted mixing in ONE corpus scan.
 
@@ -914,7 +917,7 @@ def corpus_mix_curriculum(
     ]
     if not rows:
         return (
-            docs.select("doc_id", "source")
+            docs.select("doc_id", "source", *carry)
             .withColumn("phase", F.lit(0).cast("int"))
             .withColumn("epoch", F.lit(0).cast("int"))
             .limit(0)
@@ -946,7 +949,13 @@ def corpus_mix_curriculum(
         docs.join(F.broadcast(wdf), "source")
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("n_full"))))
         .filter((F.col("epoch") < F.col("n_full")) | (u < F.col("frac")))
-        .select("doc_id", "source", "phase", F.col("epoch").cast("int").alias("epoch"))
+        .select(
+            "doc_id",
+            "source",
+            "phase",
+            F.col("epoch").cast("int").alias("epoch"),
+            *carry,
+        )
     )
 
 
@@ -1059,4 +1068,93 @@ def curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(
         corpus_mix_curriculum(docs, _CURRICULUM_WEIGHTS, f"{_CURRICULUM_SEED}:mix"),
         f"{_CURRICULUM_SEED}:order",
+    )
+
+
+# ----------------------------------------------------- token budgeting
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH w(phase, source, n_full, frac) AS (VALUES {{weights}}),
+d AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+    FROM documents
+),
+exploded AS (
+    SELECT d.doc_id, d.source, d.n_toks, w.phase, CAST(t.e AS INT) AS epoch,
+           w.n_full, w.frac
+    FROM d JOIN w USING (source),
+         unnest(range(0, w.n_full + 1)) AS t(e)
+),
+mix AS (
+    SELECT doc_id, source, phase, n_toks FROM exploded
+    WHERE epoch < n_full OR {{u}} < frac
+),
+per AS (
+    SELECT CAST(phase AS INT) AS phase, source,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM mix GROUP BY phase, source
+),
+tot AS (
+    SELECT phase, SUM(n_tokens) AS tot FROM per GROUP BY phase
+)
+SELECT per.phase, per.source, n_samples, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share
+FROM per JOIN tot USING (phase)
+""".format(
+    weights=_curriculum_weight_values_sql(),
+    u=_curriculum_u_sql(f"{_CURRICULUM_SEED}:mix"),
+)
+
+
+@register(
+    "curriculum_token_budget",
+    oracle=TOKEN_BUDGET_ORACLE,
+    tags=("text", "mixing", "curriculum", "report"),
+    past_window=True,
+)
+def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per (phase, source) for the curriculum mixture:
+    samples drawn, distinct documents touched, total TOKENS contributed
+    (epochs counted — an upsampled doc spends its tokens every epoch),
+    and each source's share of its phase's token budget.
+
+    The planning report a training run reads before launch: budgets are
+    set in tokens, not documents, and a weight plan that looks balanced
+    by document count can be dominated by one long-document source.
+    Re-uses ``corpus_mix_curriculum`` with the per-doc token count
+    CARRIED through the mix (the hash decisions are per-doc, so the
+    count rides the same scan — no join back to the corpus), then one
+    map-side-combined groupBy to |phases|×|sources| rows and a
+    broadcast join of the |phases|-row totals for shares. Everything
+    after the scan is bounded by the weight-table size, so the report
+    is free at any corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    mix = corpus_mix_curriculum(
+        docs, _CURRICULUM_WEIGHTS, f"{_CURRICULUM_SEED}:mix", carry=("n_toks",)
+    )
+    per = scoped_persist(
+        mix.groupBy("phase", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.groupBy("phase").agg(F.sum("n_tokens").alias("tot"))
+    return per.join(F.broadcast(tot), "phase").select(
+        "phase",
+        "source",
+        "n_samples",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias(
+            "token_share"
+        ),
     )

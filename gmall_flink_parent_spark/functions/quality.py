@@ -319,3 +319,88 @@ def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "n_tokens", "clf_margin", "clf_score", "clf_keep"
     )
+
+
+# --------------------------------------------------------- threshold sweep
+
+_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+SWEEP_ORACLE = f"""
+WITH weights AS (
+    SELECT CAST(i AS BIGINT) AS bucket, {_W_DUCK} AS w
+    FROM (SELECT unnest(range({_CLF_BUCKETS})) AS i)
+), tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), feat AS (
+    SELECT doc_id, source,
+           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_CLF_BUCKETS} AS bucket
+    FROM tok
+), scored AS (
+    SELECT f.doc_id, f.source,
+           ROUND(1.0 / (1.0 + exp(-{_CLF_SCALE} *
+               (CAST(SUM(w.w) AS DOUBLE) / (128.0 * COUNT(*))))), 6) AS clf_score
+    FROM feat f JOIN weights w USING (bucket)
+    GROUP BY f.doc_id, f.source
+), sweep AS (
+    SELECT source, CAST(t.threshold AS DOUBLE) AS threshold, clf_score
+    FROM scored, unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t(threshold)
+)
+SELECT source, threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN clf_score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(SUM(CASE WHEN clf_score >= threshold THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+           AS keep_rate
+FROM sweep
+GROUP BY source, threshold
+"""
+
+
+@register(
+    "quality_threshold_sweep",
+    oracle=SWEEP_ORACLE,
+    tags=("text", "quality", "classifier", "report"),
+    past_window=True,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-threshold calibration grid: per (source, threshold),
+    how many documents the quality gate would keep.
+
+    The report a curation run reads BEFORE picking its cut — a
+    threshold that keeps 90% of one source and 5% of another reshapes
+    the mixture silently, so keep-rates are surfaced per source across
+    the candidate grid. The grid rides a narrow ``explode`` of a
+    5-element literal array (no join of any kind — each scored doc row
+    fans out to |grid| rows in place), and the aggregate is one
+    map-side-combined groupBy on (source, threshold), output bounded by
+    |sources| × |grid|. The compare runs on the ROUNDED score — the
+    same value the oracle hashes — so verdict flips at a boundary are
+    engine-identical. Upstream is the shared ``hash_classifier_frame``
+    core; at 100 TB the sweep adds one narrow stage to the scoring scan
+    it already pays.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = hash_classifier_frame(tf, group_cols=("doc_id", "source"))
+    grid = F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+    return (
+        scored.select(
+            "source", "clf_score", F.explode(grid).alias("threshold")
+        )
+        .groupBy("source", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("clf_score") >= F.col("threshold")).cast("long")).alias(
+                "n_keep"
+            ),
+            F.round(
+                F.sum((F.col("clf_score") >= F.col("threshold")).cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
