@@ -1,0 +1,151 @@
+"""One-call end-to-end pretraining-dataset build — the engine's
+user-facing composition.
+
+Every stage below is an already-tested, individually-registered
+operator; this module is the API a user of the engine actually calls:
+one function that takes a corpus and a weight plan and leaves behind a
+resumable sharded training stream plus a funnel manifest. Nothing here
+introduces new semantics — it wires the curation verdict
+(``corpus_filter_pipeline``), benchmark decontamination
+(``contamination_shingles``/``contamination_counts``), hash-decided
+weighted mixing, the global training order, sequence packing, and the
+pruned shard layout (``write_training_shards``) in their contract
+order, with the funnel counted along the way.
+
+Scale shape of the composition (the sum of its audited parts): two
+corpus scans (verdict+shingles share one logical pass each), the
+fingerprint shuffle, the broadcast benchmark semi-join, one range sort,
+and the one-task-per-shard write. All decisions are md5-derived, so the
+entire dataset is reproducible from (corpus, weights, seed) — a crashed
+build re-run lands byte-identical shards, and a crashed TRAINING run
+re-derives sample N from the manifest alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Populate the registry FIRST: the operator modules below are wired for
+# the plans-package import order (mixture reads curation's oracle SQL at
+# import time), so entering through a function module directly would hit
+# the partially-initialized-module cycle. Importing ``plans`` makes this
+# module a safe standalone entry point.
+from gmall_flink_parent_spark import plans as _plans  # noqa: F401
+
+from gmall_flink_parent_spark.functions.curation import (
+    _BENCH_MOD,
+    contamination_counts,
+    contamination_shingles,
+    corpus_filter_pipeline,
+)
+from gmall_flink_parent_spark.functions.mixture import (
+    _PACK_CAP,
+    _SHARD_BLOCK,
+    corpus_mix_weighted,
+    mixture_budget_weights,
+    pack_sequences,
+    training_order,
+    write_training_shards,
+)
+from gmall_flink_parent_spark.plans.registry import release_caches, scoped_persist
+from gmall_flink_parent_spark.sources.tables import load_table
+
+
+def build_pretraining_dataset(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "pretrain-v1",
+    bench_mod: int = _BENCH_MOD,
+    pack_cap: int = _PACK_CAP,
+    block: int = _SHARD_BLOCK,
+) -> dict:
+    """Curate → decontaminate → mix → order → pack → shard, returning
+    the build manifest.
+
+    ``weights`` maps source → mixture weight (epoched upsample ≥ 1,
+    fractional downsample < 1); ``None`` derives the plan from
+    ``mixture_budget_weights`` (temperature-smoothed token budgeting) —
+    a |sources|-row collect, the same O(1)-bounded driver read the
+    weight planner itself is. ``bench_mod`` selects the stand-in
+    benchmark slice (``doc_id % bench_mod == 0``), which is both the
+    decontamination reference AND excluded from training, matching
+    ``contamination_4gram``'s convention.
+
+    The manifest records the funnel (corpus → quality-kept →
+    decontaminated), the stream totals read back from the WRITTEN
+    shards (count/sequences/tokens verified post-write, not assumed),
+    and the (weights, seed, cap, block) tuple that makes the build
+    reproducible.
+    """
+    if weights is None:
+        plan = mixture_budget_weights(spark, sf_dir).collect()
+        weights = {r["source"]: float(r["mix_weight"]) for r in plan}
+
+    # --- funnel: quality verdict ∧ not benchmark ∧ not contaminated
+    verdict = corpus_filter_pipeline(spark, sf_dir).select("doc_id", "keep")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = contamination_shingles(docs)
+    bench = sh.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
+    contaminated = contamination_counts(
+        sh.filter(F.col("doc_id") % bench_mod != 0), bench
+    ).select("doc_id")
+    flags = scoped_persist(
+        verdict.withColumn("is_bench", F.col("doc_id") % bench_mod == 0).join(
+            contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left"
+        )
+    )
+    trainable = F.col("keep") & ~F.col("is_bench")
+    final_keep = trainable & F.col("is_contam").isNull()
+    funnel = flags.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality_kept"),
+        F.sum(trainable.cast("long")).alias("n_trainable"),
+        F.sum((trainable & F.col("is_contam").isNotNull()).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.sum(final_keep.cast("long")).alias("n_final"),
+    ).collect()[0]
+
+    # --- assemble: mix (hash-decided) → order (one range sort) → pack
+    kept = flags.filter(final_keep).select("doc_id")
+    mix_in = docs.select("doc_id", "source").join(kept, "doc_id", "left_semi")
+    stream = training_order(
+        corpus_mix_weighted(mix_in, weights, f"{seed}:mix"), f"{seed}:order"
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(stream.join(toks, "doc_id"), cap=pack_cap)
+    write_training_shards(packed, out_path, block=block)
+    release_caches()
+
+    # --- totals from the WRITTEN store: the manifest describes what is
+    # on disk, not what the plan intended to put there.
+    totals = (
+        spark.read.parquet(out_path)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            (F.max("seq_id") + 1).alias("n_sequences"),
+            F.sum("n_tokens").alias("n_stream_tokens"),
+        )
+        .collect()[0]
+    )
+    return {
+        "out_path": out_path,
+        "seed": seed,
+        "weights": dict(sorted(weights.items())),
+        "pack_cap": int(pack_cap),
+        "shard_block": int(block),
+        "bench_mod": int(bench_mod),
+        "n_corpus": int(funnel["n_corpus"]),
+        "n_quality_kept": int(funnel["n_quality_kept"]),
+        "n_trainable": int(funnel["n_trainable"]),
+        "n_contaminated": int(funnel["n_contaminated"]),
+        "n_final_docs": int(funnel["n_final"]),
+        "n_samples": int(totals["n_samples"]),
+        "n_sequences": int(totals["n_sequences"]) if totals["n_sequences"] is not None else 0,
+        "n_stream_tokens": int(totals["n_stream_tokens"]) if totals["n_stream_tokens"] is not None else 0,
+    }

@@ -1,0 +1,74 @@
+"""End-to-end build_pretraining_dataset: the one-call user API wiring
+curate → decontaminate → mix → order → pack → shard. The stages are
+individually oracle-backed; these tests pin the COMPOSITION — funnel
+arithmetic, exclusion semantics, written-shard fidelity against the
+freshly computed chain, and build reproducibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark import plans  # noqa: F401  (import-order contract)
+from gmall_flink_parent_spark.functions.curation import corpus_filter_pipeline
+from gmall_flink_parent_spark.functions.mixture import read_training_slice
+from gmall_flink_parent_spark.pipeline import build_pretraining_dataset
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_build_pretraining_dataset_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "pretrain")
+    m = build_pretraining_dataset(spark, sf_dir, out, seed="t-e2e")
+
+    # Funnel is monotone and consistent.
+    assert m["n_corpus"] >= m["n_quality_kept"] >= m["n_trainable"]
+    assert m["n_trainable"] == m["n_final_docs"] + m["n_contaminated"]
+    assert m["n_final_docs"] > 0 and m["n_samples"] > 0
+    assert m["n_sequences"] >= 1
+
+    # The written stream IS the slice the loader reads: full-range
+    # slice returns every sample exactly once, ids 0..n-1.
+    sliced = read_training_slice(spark, out, 0, m["n_samples"])
+    assert sliced.count() == m["n_samples"]
+    idx = sliced.agg(
+        F.min("sample_idx"), F.max("sample_idx"), F.countDistinct("sample_idx")
+    ).collect()[0]
+    assert tuple(idx) == (0, m["n_samples"] - 1, m["n_samples"])
+
+    # Exclusion semantics: no benchmark-slice doc and no non-keep doc
+    # ever reaches the stream.
+    stream_docs = {r["doc_id"] for r in sliced.select("doc_id").distinct().collect()}
+    assert not any(d % m["bench_mod"] == 0 for d in stream_docs)
+    keep = {
+        r["doc_id"]
+        for r in corpus_filter_pipeline(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .collect()
+    }
+    assert stream_docs <= keep
+
+    # Token accounting survives the write: stream tokens are the sum of
+    # per-doc counts over the mixture (epochs counted).
+    assert m["n_stream_tokens"] == sliced.agg(F.sum("n_tokens")).collect()[0][0]
+    # Packing invariant on the written data: every offset < cap.
+    assert sliced.filter(F.col("seq_offset") >= m["pack_cap"]).count() == 0
+
+
+def test_build_is_reproducible(spark, sf_dir, tmp_path):
+    """Same (corpus, weights, seed) → byte-identical stream on a second
+    build into a different directory — the property a crashed build
+    relies on."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    wts = {f"src{i}": (1.5, 0.7)[i % 2] for i in range(20)}
+    ma = build_pretraining_dataset(spark, sf_dir, a, weights=wts, seed="t-repro")
+    mb = build_pretraining_dataset(spark, sf_dir, b, weights=wts, seed="t-repro")
+    assert {k: v for k, v in ma.items() if k != "out_path"} == {
+        k: v for k, v in mb.items() if k != "out_path"
+    }
+    cols = ["sample_idx", "doc_id", "source", "epoch", "n_tokens", "seq_id", "seq_offset"]
+    ra = _rows(read_training_slice(spark, a, 0, ma["n_samples"]).select(*cols))
+    rb = _rows(read_training_slice(spark, b, 0, mb["n_samples"]).select(*cols))
+    assert ra == rb
