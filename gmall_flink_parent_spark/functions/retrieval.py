@@ -210,6 +210,14 @@ def term_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale.
     """
     chunks = chunk_windows_frame(fan_out(spark, load_table(spark, sf_dir, "documents")))
+    return postings_stats_frame(chunks)
+
+
+def postings_stats_frame(chunks: DataFrame) -> DataFrame:
+    """Postings statistics over any (doc_id, chunk_id, chunk_text)
+    chunk frame — shared by the batch query and the chunk-store head
+    (``streaming/jobs.py::term_postings_from_store``), so index-build
+    stats cannot drift between the one-shot and ingest-time paths."""
     e = scoped_persist(
         chunks.select(
             "doc_id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("term")

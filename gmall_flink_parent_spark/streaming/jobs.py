@@ -1404,3 +1404,38 @@ def curation_ingest_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def term_postings_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Inverted-index statistics over the ingest-time chunk store
+    (``curation_ingest_job``'s ``chunk_path``): df/cf/idf per term from
+    stored (doc_id, chunk_id, chunk_text) rows — the chunking pass ran
+    once at ingest, and an index build derives its stats without ever
+    re-scanning document text. Same ``postings_stats_frame`` core as
+    the batch ``term_postings_stats``, so the two cannot drift."""
+    from gmall_flink_parent_spark.functions.retrieval import postings_stats_frame
+    from gmall_flink_parent_spark.plans.registry import release_caches
+
+    release_caches()
+    return postings_stats_frame(
+        spark.read.parquet(store_path).select("doc_id", "chunk_id", "chunk_text")
+    )
+
+
+def chunk_bm25_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """BM25 top-k over the ingest-time chunk store — query-time lexical
+    ranking with zero text re-scans: the store already holds the chunk
+    grain, so scoring is one narrow pass over stored rows (array-filter
+    term frequencies + 1-row corpus-stats broadcast + partial top-k),
+    exactly the batch ``chunk_bm25_topk`` plan minus the chunker. Same
+    ``bm25_topk_frame`` core, so store and batch rankings are
+    hash-identical over the same corpus."""
+    from gmall_flink_parent_spark.functions.retrieval import bm25_topk_frame
+    from gmall_flink_parent_spark.plans.registry import release_caches
+
+    release_caches()
+    return bm25_topk_frame(
+        spark.read.parquet(store_path).select(
+            "doc_id", "chunk_idx", "chunk_id", "chunk_text"
+        )
+    )

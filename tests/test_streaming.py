@@ -2958,3 +2958,45 @@ def test_vocab_store_serves_hash_classifier(spark, sf_dir, tmp_path):
         for r in plans.query_map()["doc_hash_classifier_score"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_chunk_store_serves_retrieval_heads(spark, sf_dir, tmp_path):
+    """The chunk store's retrieval heads: postings stats and BM25
+    top-k served from stored chunks (two micro-batches + compaction)
+    must equal the one-shot batch queries — the chunking pass runs once
+    at ingest, scoring never re-scans text."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        chunk_bm25_from_store,
+        curation_ingest_job,
+        term_postings_from_store,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string, source string"
+    )
+    chunk_store = str(tmp_path / "chunk")
+    curation_ingest_job(
+        stream,
+        str(tmp_path / "prof"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "mix"),
+        str(tmp_path / "ck"),
+        weights={f"src{i}": 1.0 for i in range(20)},
+        chunk_path=chunk_store,
+    ).awaitTermination(120)
+    compact_fact_store(spark, chunk_store, str(tmp_path / "ck" / "chunk"))
+
+    got_p = {tuple(r) for r in term_postings_from_store(spark, chunk_store).collect()}
+    want_p = {
+        tuple(r)
+        for r in plans.query_map()["term_postings_stats"](spark, sf_dir).collect()
+    }
+    assert got_p == want_p and len(want_p) > 0
+
+    got_b = {tuple(r) for r in chunk_bm25_from_store(spark, chunk_store).collect()}
+    want_b = {
+        tuple(r) for r in plans.query_map()["chunk_bm25_topk"](spark, sf_dir).collect()
+    }
+    assert got_b == want_b and len(want_b) > 0
