@@ -821,3 +821,44 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------- semantic dedup keep
+
+
+@register(
+    "embedding_dedup_keep",
+    oracle=None,  # iterative (connected components) — rows-only check;
+    # transitivity/keeper invariants pinned in tests/test_operators.py
+    tags=("dedup", "similarity", "iterative"),
+)
+def embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup decision (Abbas et al. 2023):
+    collapse the embedding near-dup pair graph into clusters and keep
+    one representative per cluster — the drop-list the embedding tier
+    actually executes, where ``dedup_embedding_cosine`` only reports
+    pairs.
+
+    Composition of two audited pieces: within-cell cosine pairs
+    (equi-join on the coarse k-means cell — n²/k work, never all-pairs)
+    feed ``connected_components``' min-label propagation with pointer
+    jumping (O(log diameter) rounds, lineage-truncated per round).
+    Keeper = lowest vec_id of the component, matching ``dedup_exact`` /
+    ``dedup_cluster_keep``'s canonical-copy rule, so the three dedup
+    tiers (exact, MinHash, semantic) elect representatives consistently.
+    Iterative ⇒ rows-only driver check, like ``dedup_cluster_keep``.
+    """
+    from gmall_flink_parent_spark.functions.dedup import connected_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    labels = connected_components(nodes, pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )

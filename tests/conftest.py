@@ -36,6 +36,15 @@ def cluster_keep_df(spark, sf_dir):
 
 
 @pytest.fixture(scope="session")
+def embedding_keep_df(spark, sf_dir):
+    """embedding_dedup_keep built ONCE per session — same rationale as
+    cluster_keep_df (iterative construction runs driver-side actions)."""
+    from gmall_flink_parent_spark import plans
+
+    return plans.query_map()["embedding_dedup_keep"](spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

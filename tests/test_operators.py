@@ -247,6 +247,43 @@ def test_dedup_cluster_keep_invariants(spark, sf_dir, cluster_keep_df):
     assert all(keeper == (d == cid) for d, (cid, keeper) in got.items())
 
 
+def test_embedding_dedup_keep_invariants(spark, sf_dir, embedding_keep_df):
+    """Semantic dedup keep-list: the component assignment over the
+    embedding-cosine pair graph must equal an independent union-find,
+    keepers are the cluster minima, and every vector is assigned."""
+    pairs = [
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in plans.query_map()["dedup_embedding_cosine"](spark, sf_dir).collect()
+    ]
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in embedding_keep_df.collect()
+    }
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(got) == n_vecs, "every vector must get a cluster assignment"
+    parent: dict[int, int] = {d: d for d in got}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_root = {d: find(d) for d in got}
+    comp_min: dict[int, int] = {}
+    for d, r in want_root.items():
+        comp_min[r] = min(comp_min.get(r, d), d)
+    assert {d: got[d][0] for d in got} == {d: comp_min[want_root[d]] for d in got}
+    assert all(keeper == (d == cid) for d, (cid, keeper) in got.items())
+    # one keeper per cluster, and clusters partition the id space
+    keepers = {cid for d, (cid, k) in got.items() if k}
+    assert keepers == {cid for cid, _ in got.values()}
+
+
 def test_ivf_kmeans_assign_invariants(spark, sf_dir):
     """The iterative cell builder: every vector gets exactly one cell in
     [0, k); the run is deterministic across invocations (decimal centroid

@@ -37,15 +37,21 @@ def test_query_arrow_dtypes_match_oracle(spark, duck, sf_dir, spec):
     assert_arrow_schema_matches(df, duck, spec.oracle, name=spec.name)
 
 
-def test_oracle_less_queries_have_nonempty_results(spark, sf_dir, cluster_keep_df):
+def test_oracle_less_queries_have_nonempty_results(
+    spark, sf_dir, cluster_keep_df, embedding_keep_df
+):
     """The nonempty pin for the rows-only queries. Oracle-backed queries
     are already executed (and nonempty-checked) by the parity sweep
     above, so re-running all 50 here would only re-pay their cost;
-    dedup_cluster_keep reuses the shared session fixture because its
-    iterative construction is the single most expensive build."""
+    the two iterative heads reuse shared session fixtures because their
+    constructions are the most expensive builds."""
     assert cluster_keep_df.count() > 0, "dedup_cluster_keep returned 0 rows"
+    assert embedding_keep_df.count() > 0, "embedding_dedup_keep returned 0 rows"
     for name, spec in plans.all_queries().items():
-        if spec.oracle is None and name != "dedup_cluster_keep":
+        if spec.oracle is None and name not in (
+            "dedup_cluster_keep",
+            "embedding_dedup_keep",
+        ):
             assert spec.fn(spark, sf_dir).count() > 0, f"{name} returned 0 rows"
 
 

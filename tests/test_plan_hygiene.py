@@ -52,7 +52,8 @@ def _assert_hygienic(plan: str, name: str) -> None:
 # built, so it rides the shared session fixture (test below) instead of
 # re-running here.
 @pytest.mark.parametrize(
-    "name", sorted(set(plans.all_queries()) - {"dedup_cluster_keep"})
+    "name",
+    sorted(set(plans.all_queries()) - {"dedup_cluster_keep", "embedding_dedup_keep"}),
 )
 def test_plan_hygiene(spark, sf_dir, name):
     _assert_hygienic(
@@ -62,6 +63,10 @@ def test_plan_hygiene(spark, sf_dir, name):
 
 def test_plan_hygiene_cluster_keep(cluster_keep_df):
     _assert_hygienic(_physical_plan(cluster_keep_df), "dedup_cluster_keep")
+
+
+def test_plan_hygiene_embedding_keep(embedding_keep_df):
+    _assert_hygienic(_physical_plan(embedding_keep_df), "embedding_dedup_keep")
 
 
 def test_training_mix_weighted_plan_is_shuffle_free(spark, sf_dir):
