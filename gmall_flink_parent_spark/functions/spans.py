@@ -45,33 +45,49 @@ def _empty_str_array() -> Column:
     return F.array().cast("array<string>")
 
 
-def winnow_fingerprint_sets(docs: DataFrame) -> Column:
-    """Winnowing fingerprint set per row as a JVM-side expression over
-    ``text`` — k-gram md5 hashes, then the distinct window minima.
+def winnow_sets_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_toks, fps) winnowing fingerprint sets — k-gram md5
+    hashes, then the distinct window minima, per document.
 
     Pure higher-order array functions (``transform``/``slice``/
-    ``array_min``) in one codegen projection: per-row, shuffle-free, the
-    map stage an ingest pipeline fuses into the scan. md5 hex compares
-    lexicographically the same in Spark and DuckDB (lowercase hex of
-    equal length), so the window minima — and therefore the selected
-    set — are engine-portable.
+    ``array_min``) over the scan: per-row, shuffle-free, the map stage
+    an ingest pipeline fuses into the scan. Each array (tokens, gram
+    hashes) is MATERIALIZED in its own projection before the next
+    lambda consumes it — inlining the gram expression into the
+    window-minima transform makes Catalyst re-evaluate the ENTIRE gram
+    array per window element (and the token split per gram element):
+    O(n²) md5s + O(n³)-ish splits per document, measured ~95 s at sf0.1
+    against ~2 s staged. The same pitfall ``contamination_shingles``
+    documents, one lambda deeper. md5 hex compares lexicographically
+    the same in Spark and DuckDB (lowercase hex of equal length), so
+    the window minima — and therefore the selected set — are
+    engine-portable.
     """
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).select(
+        "doc_id", F.size("toks").alias("n_toks"), "toks"
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), n - (_WIN_K - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _WIN_K))),
+        F.sequence(F.lit(1), F.col("n_toks") - (_WIN_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, _WIN_K))),
     )
-    hs = F.when(n >= _WIN_K, grams).otherwise(_empty_str_array())
-    m = F.size(hs)
-    mins = F.transform(
-        F.sequence(F.lit(1), m - (_WIN_W - 1)),
-        lambda i: F.array_min(F.slice(hs, i, _WIN_W)),
-    )
-    return (
-        F.when(m >= _WIN_W, F.array_distinct(mins))
-        .when(m > 0, F.array(F.array_min(hs)))
+    g = t.select(
+        "doc_id",
+        "n_toks",
+        F.when(F.col("n_toks") >= _WIN_K, grams)
         .otherwise(_empty_str_array())
+        .alias("hs"),
+    ).select("doc_id", "n_toks", F.size("hs").alias("m"), "hs")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.col("m") - (_WIN_W - 1)),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, _WIN_W)),
+    )
+    return g.select(
+        "doc_id",
+        "n_toks",
+        F.when(F.col("m") >= _WIN_W, F.array_distinct(mins))
+        .when(F.col("m") > 0, F.array(F.array_min("hs")))
+        .otherwise(_empty_str_array())
+        .alias("fps"),
     )
 
 
@@ -79,11 +95,27 @@ def winnow_fp_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, n_fps, fp) exploded winnowing fingerprints — the
     near-dup index grain (each row also carries its document's set size
     so overlap ratios need no second join). The frame a fingerprint
-    store accumulates at ingest."""
-    sets = docs.select(
-        "doc_id", winnow_fingerprint_sets(docs).alias("fps")
-    ).select("doc_id", F.size("fps").alias("n_fps"), F.explode("fps").alias("fp"))
-    return sets
+    store accumulates at ingest.
+
+    ``explode_outer`` + an explicit null filter, NOT plain ``explode``:
+    Catalyst's ``InferFiltersFromGenerate`` gives a plain explode a
+    ``size(fps) > 0`` filter below the Generate, and predicate pushdown
+    substitutes the ENTIRE staged fingerprint expression into it — the
+    O(n²) re-nesting ``winnow_sets_frame`` exists to avoid, evaluated
+    once more per document in the Filter node (measured 87 s of the
+    batch head's 91 s at sf0.1). The rule skips outer generates; the
+    null filter on the generator OUTPUT cannot push below the Generate,
+    so the staged projections keep their one-evaluation shape (~2 s).
+    Result rows are identical: explode_outer only adds the null rows
+    the filter then drops.
+    """
+    return (
+        winnow_sets_frame(docs)
+        .select(
+            "doc_id", F.size("fps").alias("n_fps"), F.explode_outer("fps").alias("fp")
+        )
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 # Shared oracle CTE: toks -> k-gram md5s -> window minima, the exact
@@ -144,15 +176,11 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: per-row k-gram hashing is the CPU-dense stage; a
     # single-split scan must not pin it to one task.
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    sets = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("_n"),
-        winnow_fingerprint_sets(docs).alias("fps"),
-    )
+    sets = winnow_sets_frame(docs)
     # gram count m = n - k + 1 when n >= k else 0 — recomputed from the
     # token count (cheaper than carrying the hash array twice).
     m = F.when(
-        F.col("_n") >= _WIN_K, (F.col("_n") - (_WIN_K - 1)).cast("long")
+        F.col("n_toks") >= _WIN_K, (F.col("n_toks") - (_WIN_K - 1)).cast("long")
     ).otherwise(F.lit(0).cast("long"))
     return sets.select(
         "doc_id",
@@ -247,13 +275,19 @@ def span_frame(docs: DataFrame) -> DataFrame:
     with their md5 key — the repeated-span grain. The md5 key, not the
     span text, is what shuffles through the corpus-frequency agg and
     the probe join (fixed 32 bytes vs arbitrary span width)."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    spans = F.transform(
-        F.sequence(F.lit(0), F.ceil(n / F.lit(float(_SPAN_LEN))).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * _SPAN_LEN + 1, _SPAN_LEN)),
+    # token array materialized in its own projection: inlining the
+    # split into the transform lambda re-splits the document once per
+    # span element (the contamination_shingles/winnow_sets_frame pitfall)
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).select(
+        "doc_id", F.size("toks").alias("n"), "toks"
     )
-    return docs.select(
+    spans = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.col("n") / F.lit(float(_SPAN_LEN))).cast("int") - 1
+        ),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * _SPAN_LEN + 1, _SPAN_LEN)),
+    )
+    return t.select(
         "doc_id", F.posexplode(spans).alias("pos", "span")
     ).withColumn("sk", F.md5("span"))
 
