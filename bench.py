@@ -71,6 +71,12 @@ HEADLINE = [
     "packed_training_stream",
     "winnow_near_dup",
     "span_dedup_rewrite",
+    "doc_repetition_profile",
+    "doc_hash_classifier_score",
+    "doc_chunk_windows",
+    "chunk_bm25_topk",
+    "curriculum_mixture",
+    "ann_pq_adc",
 ]
 
 

@@ -36,7 +36,7 @@ from gmall_flink_parent_spark.plans.registry import (
     retain_latest,
     scoped_persist,
 )
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # ------------------------------------------------------------ data mixing
 
@@ -1158,3 +1158,126 @@ def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+# ------------------------------------------- quality-annealed curriculum
+
+_QA_SEED = "qa-v1"
+_QA_P = 0.75  # anneal gate: docs at or above this clf_score quantile
+
+
+def _qa_oracle() -> str:
+    from gmall_flink_parent_spark.functions.quality import (
+        _CLF_BUCKETS,
+        _CLF_SCALE,
+        _W_DUCK,
+    )
+
+    bulk_rows = ", ".join(
+        f"(0, '{s}', {int(w)}, CAST({w - int(w)!r} AS DOUBLE))"
+        for s, w in _CURRICULUM_WEIGHTS[0].items()
+        if w > 0
+    )
+    return f"""
+WITH w(phase, source, n_full, frac) AS (VALUES {bulk_rows}),
+weights AS (
+    SELECT CAST(i AS BIGINT) AS bucket, {_W_DUCK} AS w
+    FROM (SELECT unnest(range({_CLF_BUCKETS})) AS i)
+), tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), feat AS (
+    SELECT doc_id, source,
+           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_CLF_BUCKETS} AS bucket
+    FROM tok
+), scored AS (
+    SELECT f.doc_id, f.source,
+           ROUND(1.0 / (1.0 + exp(-{_CLF_SCALE} *
+               (CAST(SUM(w.w) AS DOUBLE) / (128.0 * COUNT(*))))), 6) AS clf_score
+    FROM feat f JOIN weights w USING (bucket)
+    GROUP BY f.doc_id, f.source
+), thr AS (
+    SELECT quantile_cont(clf_score, {_QA_P}) AS thr FROM scored
+), bulkx AS (
+    SELECT d.doc_id, d.source, w.phase, CAST(t.e AS INT) AS epoch,
+           w.n_full, w.frac
+    FROM documents d JOIN w USING (source),
+         unnest(range(0, w.n_full + 1)) AS t(e)
+), mix AS (
+    SELECT doc_id, source, phase, epoch FROM bulkx
+    WHERE epoch < n_full OR {_curriculum_u_sql(f"{_QA_SEED}:mix")} < frac
+    UNION ALL
+    SELECT doc_id, source, 1 AS phase, 0 AS epoch
+    FROM scored CROSS JOIN thr WHERE clf_score >= thr
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY phase, {_curriculum_key_sql(f"{_QA_SEED}:order")},
+                    doc_id, epoch
+       ) - 1 AS BIGINT) AS sample_idx,
+       CAST(phase AS INT) AS phase, doc_id, source, epoch
+FROM mix
+"""
+
+
+@register(
+    "quality_annealed_mixture",
+    oracle=_qa_oracle(),
+    tags=("text", "mixing", "curriculum", "quality"),
+    past_window=True,
+)
+def quality_annealed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum whose anneal phase is gated by MODEL-SCORED quality,
+    not source identity: the bulk phase draws the broad source-weighted
+    mixture, then the final phase re-visits exactly the documents the
+    hash classifier puts in the corpus's top quartile — the
+    end-of-pretraining move when quality is a per-document signal (the
+    DataComp-LM/QuRating shape) rather than a per-source label
+    (``curriculum_mixture``).
+
+    The gate threshold is the corpus p75 of the ROUNDED classifier
+    score (one `percentile` agg, same interpolation as DuckDB's
+    `quantile_cont`, riding a 1-row broadcast). The gate is
+    ulp-robust by construction: every score differs from the
+    interpolated threshold by at least the rounding granularity unless
+    the threshold IS a score value, in which case both engines compute
+    it exactly. Downstream is the audited curriculum machinery — one
+    (phase, md5 key) range sort gives a continuous global sample_idx
+    across the bulk→anneal boundary.
+
+    Scale shape: classifier scoring is the broadcast-model join at doc
+    grain; the quantile is one aggregate; the union adds no exchange;
+    ordering is the single range sort. The only new cost over
+    ``curriculum_mixture`` is the scoring pass a curation pipeline has
+    already paid (serve it from the vocab store via
+    ``doc_hash_classifier_from_store`` at ingest cadence).
+    """
+    from gmall_flink_parent_spark.functions.quality import hash_classifier_frame
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = scoped_persist(
+        hash_classifier_frame(tf, group_cols=("doc_id", "source")).select(
+            "doc_id", "source", "clf_score"
+        )
+    )
+    thr = scored.agg(F.percentile("clf_score", F.lit(_QA_P)).alias("thr"))
+    anneal = (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("clf_score") >= F.col("thr"))
+        .select(
+            "doc_id",
+            "source",
+            F.lit(1).alias("phase"),
+            F.lit(0).cast("int").alias("epoch"),
+        )
+    )
+    bulk = corpus_mix_curriculum(
+        docs.select("doc_id", "source"),
+        {0: _CURRICULUM_WEIGHTS[0]},
+        f"{_QA_SEED}:mix",
+    )
+    return curriculum_order(bulk.unionByName(anneal), f"{_QA_SEED}:order")

@@ -37,6 +37,10 @@ def get_spark(app_name: str = "gmall_flink_parent_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Stage progress bars write \r-spam to stderr; the driver's
+        # finite bench tail capture must end with the JSON line, not
+        # [Stage N:===>] noise (the r6 WARN-flood lesson, same channel).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     spark = builder.getOrCreate()
