@@ -1,0 +1,93 @@
+"""JSONL corpus ingestion: pinned schema, corrupt-line quarantine,
+n_chars derivation, gzip transparency, and the streaming twin."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark import plans  # noqa: F401  (import-order contract)
+from gmall_flink_parent_spark.sources.documents import (
+    read_documents_jsonl,
+    split_corrupt,
+)
+
+_GOOD = [
+    {"doc_id": 1, "text": "a b c", "lang": "en", "source": "src0", "n_chars": 5},
+    {"doc_id": 2, "text": "d e", "lang": "en", "source": "src1"},  # no n_chars
+]
+_BAD_JSON = '{"doc_id": 3, "text": "broken'  # unterminated — parse failure
+_BAD_NULL = {"doc_id": None, "text": "orphan"}  # parses, fails the contract
+
+
+def _write_corpus(tmp_path, gz: bool = False) -> str:
+    lines = [json.dumps(r) for r in _GOOD] + [_BAD_JSON, json.dumps(_BAD_NULL)]
+    d = tmp_path / ("corpus_gz" if gz else "corpus")
+    d.mkdir()
+    if gz:
+        with gzip.open(d / "part-0.jsonl.gz", "wt") as f:
+            f.write("\n".join(lines))
+    else:
+        (d / "part-0.jsonl").write_text("\n".join(lines))
+    return str(d)
+
+
+def test_jsonl_clean_and_quarantine(spark, tmp_path):
+    raw = read_documents_jsonl(spark, _write_corpus(tmp_path))
+    clean, quarantine = split_corrupt(raw)
+
+    rows = {r["doc_id"]: r.asDict() for r in clean.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_chars"] == 5
+    assert rows[2]["n_chars"] == len("d e")  # derived when absent
+    assert clean.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+    q = quarantine.collect()
+    assert len(q) == 2
+    by_flag = {r["parse_failed"]: r["raw_line"] for r in q}
+    assert by_flag[True] == _BAD_JSON  # the unparseable line, verbatim
+    assert "orphan" in by_flag[False]  # the contract-failing parsed row
+
+
+def test_jsonl_gzip_transparent(spark, tmp_path):
+    clean, quarantine = split_corrupt(
+        read_documents_jsonl(spark, _write_corpus(tmp_path, gz=True))
+    )
+    assert clean.count() == 2 and quarantine.count() == 2
+
+
+def test_jsonl_streaming_twin_matches_batch(spark, tmp_path):
+    """The readStream form over the same schema lands the same clean
+    rows as the batch read — the front door of the ingest jobs."""
+    path = _write_corpus(tmp_path)
+    stream_clean, _ = split_corrupt(read_documents_jsonl(spark, path, streaming=True))
+    assert stream_clean.isStreaming
+    q = (
+        stream_clean.writeStream.format("memory")
+        .queryName("jsonl_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM jsonl_ingest").collect()
+    }
+    want = {
+        tuple(r)
+        for r in split_corrupt(read_documents_jsonl(spark, path))[0].collect()
+    }
+    assert got == want and len(want) == 2
+
+
+def test_jsonl_feeds_the_engine(spark, tmp_path):
+    """Clean JSONL rows satisfy the documents contract downstream — the
+    chunker runs unchanged on them."""
+    from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
+
+    clean, _ = split_corrupt(read_documents_jsonl(spark, _write_corpus(tmp_path)))
+    chunks = chunk_windows_frame(clean.select("doc_id", "text"))
+    assert chunks.count() == 2  # one short chunk per doc
+    assert chunks.filter(F.col("chunk_id").isNull()).count() == 0
