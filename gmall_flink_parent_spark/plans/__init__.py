@@ -27,6 +27,7 @@ from gmall_flink_parent_spark.functions import (  # noqa: F401
     multimodal,
     quality,
     retrieval,
+    selection,
     spans,
     similarity,
     sql_macros,

@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "doc_bigram_logprob",  # 1-row vocabulary-size scalar × bigram model
     "quality_annealed_mixture",  # 1-row p75-threshold scalar × scored docs
     "term_postings_stats",  # 1-row chunk-count scalar × vocabulary
+    "dsir_importance_weights",  # 1-row (t_t, t_r) gram-total scalar × buckets
+    "dsir_gumbel_resample",  # same 1-row totals scalar (shared weight core)
 }
 
 
