@@ -425,7 +425,14 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # fan_out: the 2-/3-gram construction per row is the CPU-dominant
     # stage — don't let a single-split scan pin it to one task.
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    return corpus_filter_frame(fan_out(spark, load_table(spark, sf_dir, "documents")))
+
+
+def corpus_filter_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of ``corpus_filter_pipeline`` — shared with
+    ``pipeline.build_pretraining_dataset`` so a JSONL-ingested corpus
+    (``sources/documents.py``) runs the identical verdict the parquet
+    query is oracle-checked against."""
     toks = F.split(F.col("text"), " ")
     sig = docs.select(
         "doc_id",

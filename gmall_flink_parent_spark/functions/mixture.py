@@ -573,7 +573,13 @@ def mixture_budget_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame), so at 100 TB this costs exactly one map-side-combined
     shuffle of (source, partial token sum) pairs.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return mixture_budget_frame(load_table(spark, sf_dir, "documents"))
+
+
+def mixture_budget_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of ``mixture_budget_weights`` — shared with
+    ``pipeline.build_pretraining_dataset`` so weight planning runs on
+    any documents-contract frame (parquet table or JSONL ingest)."""
     tok = (
         docs.select("source", F.size(F.split("text", " ")).alias("n"))
         .groupBy("source")

@@ -37,30 +37,31 @@ from gmall_flink_parent_spark.functions.curation import (
     _BENCH_MOD,
     contamination_counts,
     contamination_shingles,
-    corpus_filter_pipeline,
+    corpus_filter_frame,
 )
 from gmall_flink_parent_spark.functions.mixture import (
     _PACK_CAP,
     _SHARD_BLOCK,
     corpus_mix_weighted,
-    mixture_budget_weights,
+    mixture_budget_frame,
     pack_sequences,
     training_order,
     write_training_shards,
 )
 from gmall_flink_parent_spark.plans.registry import release_caches, scoped_persist
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 
 def build_pretraining_dataset(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None,
     out_path: str,
     weights: dict[str, float] | None = None,
     seed: str = "pretrain-v1",
     bench_mod: int = _BENCH_MOD,
     pack_cap: int = _PACK_CAP,
     block: int = _SHARD_BLOCK,
+    corpus: DataFrame | None = None,
 ) -> dict:
     """Curate → decontaminate → mix → order → pack → shard, returning
     the build manifest.
@@ -79,14 +80,21 @@ def build_pretraining_dataset(
     shards (count/sequences/tokens verified post-write, not assumed),
     and the (weights, seed, cap, block) tuple that makes the build
     reproducible.
+
+    The corpus comes from ``sf_dir``'s parquet documents table, or —
+    when ``corpus`` is given — from ANY frame carrying the documents
+    contract (``doc_id, text, lang, source, n_chars``), e.g. the clean
+    side of ``sources.documents.read_documents_jsonl`` →
+    ``split_corrupt``: the JSONL front door and the parquet table run
+    the identical build through the same frame-level stage cores.
     """
+    docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
     if weights is None:
-        plan = mixture_budget_weights(spark, sf_dir).collect()
+        plan = mixture_budget_frame(docs).collect()
         weights = {r["source"]: float(r["mix_weight"]) for r in plan}
 
     # --- funnel: quality verdict ∧ not benchmark ∧ not contaminated
-    verdict = corpus_filter_pipeline(spark, sf_dir).select("doc_id", "keep")
-    docs = load_table(spark, sf_dir, "documents")
+    verdict = corpus_filter_frame(fan_out(spark, docs)).select("doc_id", "keep")
     sh = contamination_shingles(docs)
     bench = sh.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
     contaminated = contamination_counts(

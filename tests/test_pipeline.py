@@ -72,3 +72,38 @@ def test_build_is_reproducible(spark, sf_dir, tmp_path):
     ra = _rows(read_training_slice(spark, a, 0, ma["n_samples"]).select(*cols))
     rb = _rows(read_training_slice(spark, b, 0, mb["n_samples"]).select(*cols))
     assert ra == rb
+
+
+def test_build_from_jsonl_corpus_matches_parquet_build(spark, sf_dir, tmp_path):
+    """The JSONL front door (`sources/documents.py`) feeds the SAME
+    build as the parquet table: ingest the corpus from JSONL (with
+    corrupt lines quarantined on the way in), run the one-call build on
+    the clean frame, and require the manifest and the written stream to
+    be byte-identical to the parquet-path build."""
+    from gmall_flink_parent_spark.sources.documents import (
+        read_documents_jsonl,
+        split_corrupt,
+    )
+
+    corpus_dir = str(tmp_path / "corpus_jsonl")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(2).write.json(corpus_dir)
+    with open(f"{tmp_path}/corpus_jsonl/zz_bad.json", "w") as fh:
+        fh.write('{"doc_id": 1, "text": unquoted}\n')  # parse failure
+        fh.write('{"doc_id": null, "text": "no id"}\n')  # contract failure
+
+    clean, quarantine = split_corrupt(read_documents_jsonl(spark, corpus_dir))
+    assert quarantine.count() == 2
+
+    wts = {f"src{i}": (1.5, 0.7)[i % 2] for i in range(20)}
+    a, b = str(tmp_path / "from_jsonl"), str(tmp_path / "from_parquet")
+    mj = build_pretraining_dataset(
+        spark, None, a, weights=wts, seed="t-jsonl", corpus=clean
+    )
+    mp = build_pretraining_dataset(spark, sf_dir, b, weights=wts, seed="t-jsonl")
+    assert {k: v for k, v in mj.items() if k != "out_path"} == {
+        k: v for k, v in mp.items() if k != "out_path"
+    }
+    cols = ["sample_idx", "doc_id", "source", "epoch", "n_tokens", "seq_id", "seq_offset"]
+    rj = _rows(read_training_slice(spark, a, 0, mj["n_samples"]).select(*cols))
+    rp = _rows(read_training_slice(spark, b, 0, mp["n_samples"]).select(*cols))
+    assert rj == rp
