@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
@@ -255,4 +257,71 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights.select("doc_id", "dsir_logw", score.alias("gumbel_score"))
         .orderBy(F.col("gumbel_score").desc(), "doc_id")
         .limit(_DSIR_K)
+    )
+
+
+# ------------------------------------------------------ per-source cap
+
+_CAP_N = 20  # max docs kept per source
+_CAP_SALT = 4  # phase-1 fan-out per source
+
+CAP_ORACLE = f"""
+SELECT source, doc_id, cap_rank
+FROM (
+    SELECT source, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_H32_DUCK.format(x="concat('cap:', CAST(doc_id AS VARCHAR))")}, doc_id
+           ) AS BIGINT) AS cap_rank
+    FROM documents
+)
+WHERE cap_rank <= {_CAP_N}
+"""
+
+
+@register(
+    "per_source_cap",
+    oracle=CAP_ORACLE,
+    tags=("text", "selection", "balancing"),
+    past_window=True,
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most N documents per source, chosen by
+    deterministic hash rank.
+
+    The web-corpus cap rule (a handful of hot domains otherwise dominate
+    a crawl): within each source, documents are ranked by
+    ``hash32('cap:' || doc_id)`` — a uniform, reproducible shuffle that
+    makes the cap an unbiased sample rather than a head-of-file
+    artifact — and ranks beyond the cap are dropped.
+
+    Scale shape — the naive spelling is one ``row_number`` window
+    partitioned by source, which serializes each source's ENTIRE
+    document set through one task; a hot domain with 10⁹ docs makes
+    that the job. This runs the exact two-phase grouped top-N instead:
+
+    1. rank within (source, salt) — ``_CAP_SALT`` parallel groups per
+       source, each keeping its own top N. The phase-1 windows are
+       bounded by the largest (source, salt) slice, 1/S of the hot key;
+    2. re-rank the ≤ S·N survivors per source — the phase-2 window
+       never sees more than ``_CAP_SALT × _CAP_N`` rows per source,
+       CONSTANT in corpus size.
+
+    Exact because ordering is doc-local (hash, doc_id): every global
+    top-N member is top-N within its own salt group, so phase 1 never
+    drops a winner. The oracle spells the single-window form; results
+    are identical, plans differ by design.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h32(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    ranked = docs.select("source", "doc_id", h.alias("h"))
+    w1 = Window.partitionBy("source", F.col("h") % _CAP_SALT).orderBy("h", "doc_id")
+    phase1 = ranked.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= _CAP_N
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        phase1.withColumn("cap_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("cap_rank") <= _CAP_N)
+        .select("source", "doc_id", "cap_rank")
     )
