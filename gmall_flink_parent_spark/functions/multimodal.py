@@ -62,7 +62,7 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 # Synthesized-payload geometry (fixed so headers are constant literals).
@@ -814,4 +814,156 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("long").alias("frame_len"),
         F.substring(F.hex("frame"), 1, 8).alias("frame_head_hex"),
         F.length("thumb").cast("long").alias("thumb_len"),
+    )
+
+
+# ------------------------------------------------ perceptual-hash dedup
+
+AHASH_PIXELS = BMP_WIDTH * BMP_HEIGHT  # 16 pixels → 16-bit average hash
+
+
+def ahash_value(payload: bytes, mime: str) -> int:
+    """Average-hash kernel over a DECODED image: per-pixel luminance
+    (R+G+B, integer) against the image mean, one bit per pixel in
+    content-region storage order. All-integer (``npix·lum > Σlum``
+    avoids the mean division), so the hash is engine- and
+    platform-exact."""
+    px = _content_region(payload, mime)[: AHASH_PIXELS * 3]
+    lums = [px[3 * i] + px[3 * i + 1] + px[3 * i + 2] for i in range(AHASH_PIXELS)]
+    total = sum(lums)
+    h = 0
+    for i, lum in enumerate(lums):
+        if AHASH_PIXELS * lum > total:
+            h |= 1 << i
+    return h
+
+
+def ahash_rows(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, ahash) via Arrow batches — the decode stage runs the
+    REAL per-mime parser (`_content_region`: BMP header offset/stride,
+    PNG chunk walk + inflate + unfilter), then the integer aHash
+    kernel. Partitioning is inherited from the scan; no shuffle."""
+
+    def hash_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "ahash": pd.Series(
+                        [
+                            ahash_value(p, m)
+                            for p, m in zip(pdf[payload_col], pdf["mime"])
+                        ],
+                        index=pdf.index,
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(hash_batch, "doc_id long, ahash long")
+
+
+_AH_BYTE = "CAST(concat('0x', substr(hx, 2*({i}) - 1, 2)) AS BIGINT)"
+
+IMAGE_AHASH_ORACLE = f"""
+{_ROUTING_CTE}
+, img AS (
+    SELECT doc_id, hx FROM p WHERE mime IN ('image/bmp', 'image/png')
+), lum AS (
+    SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+           {_AH_BYTE.format(i='3 * t.i + 1')}
+         + {_AH_BYTE.format(i='3 * t.i + 2')}
+         + {_AH_BYTE.format(i='3 * t.i + 3')} AS lum
+    FROM img, unnest(range({AHASH_PIXELS})) AS t(i)
+), tot AS (
+    SELECT doc_id, SUM(lum) AS s FROM lum GROUP BY doc_id
+), h AS (
+    SELECT l.doc_id,
+           CAST(SUM(CASE WHEN {AHASH_PIXELS} * l.lum > t.s
+                         THEN CAST(1 AS BIGINT) << l.i ELSE 0 END) AS BIGINT) AS ahash
+    FROM lum l JOIN tot t USING (doc_id)
+    GROUP BY l.doc_id
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM h a JOIN h b
+  ON a.doc_id < b.doc_id
+ AND (a.ahash % 256 = b.ahash % 256 OR a.ahash // 256 = b.ahash // 256)
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+"""
+
+
+@register(
+    "image_ahash_near_dup",
+    oracle=IMAGE_AHASH_ORACLE,
+    tags=("multimodal", "dedup"),
+    past_window=True,
+)
+def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: average-hash (aHash) over
+    the decoded pixels, Hamming(a, b) ≤ 1.
+
+    The image twin of ``simhash_near_dup`` — near-dup detection where
+    the signature comes from DECODED PIXELS, not tokens, so re-encoded
+    copies of the same image (the BMP and PNG routes wrap the same
+    pixel bytes) land in the same bucket even though their FILES share
+    no bytes. The decode stage is the real per-mime parser through
+    Arrow ``mapInPandas``; the hash is all-integer (npix·lum > Σlum
+    sidesteps the mean division), and the oracle recomputes it from
+    the construction's hex math — the whole path, Python decoders
+    included, is hash-checked.
+
+    Candidate generation mirrors the SimHash plan: each 16-bit hash
+    emits 2 (table, 8-bit block) probe keys; pigeonhole makes the probe
+    COMPLETE for Hamming ≤ 1, the exact Hamming filter after the join
+    is a rerank, and a pair colliding in both tables survives only in
+    its first matching table (codegen filter — no output-sized dedup
+    shuffle). Equi-join only; never a quadratic image self-join. At
+    100 TB the hashed frame is ~16 B/row regardless of image size —
+    the decode stage is the only part that touches pixels, and it runs
+    once per image at ingest in production (store the hash beside the
+    media row; the pair join reads only hashes).
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
+    media = docs.select("doc_id", payload.alias("payload"), mime.alias("mime")).filter(
+        F.col("mime").isin("image/bmp", "image/png")
+    )
+    hashed = scoped_persist(
+        ahash_rows(media).select(
+            "doc_id",
+            "ahash",
+            (F.col("ahash") % 256).alias("k0"),
+            (F.col("ahash") / 256).cast("long").alias("k1"),
+        )
+    )
+    exploded = hashed.select(
+        "doc_id",
+        "ahash",
+        "k0",
+        "k1",
+        F.posexplode(F.array("k0", "k1")).alias("tbl", "k"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    first_tbl = (
+        F.when(F.col("a.k0") == F.col("b.k0"), 0)
+        .when(F.col("a.k1") == F.col("b.k1"), 1)
+    )
+    hamming = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.tbl") == first_tbl)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
     )
