@@ -1217,6 +1217,65 @@ def doc_hash_classifier_from_store(
     )
 
 
+def dsir_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """DSIR hashed-gram counts at ingest: each micro-batch of documents
+    is reduced to its (doc_id, is_target, bucket, tf) hashed
+    unigram+bigram counts (``hashed_gram_frame`` — the tokenize +
+    hash CPU stage) landing in a ``batch_id=N`` partition — idempotent
+    on replay like ``shingle_store_job``.
+
+    The rows are per-doc independent (a doc's gram buckets depend only
+    on its own text — accumulation ≡ one-shot hashing) AND mergeable
+    upward: the target/raw bucket distributions are Σ tf over the
+    store, so the importance-weight head (``dsir_weights_from_store``)
+    re-derives the likelihood-ratio model per run — the target and raw
+    distributions legitimately shift as the corpus grows — while each
+    document's grams were hashed exactly once at ingest. The same
+    store-the-stable-facts / derive-the-moving-verdict split as the
+    vocab store's perplexity head. Compact with ``compact_fact_store``.
+    """
+    from gmall_flink_parent_spark.functions.selection import hashed_gram_frame
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        hashed_gram_frame(fan_out(batch.sparkSession, batch)).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/dsir_store")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dsir_weights_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Per-training-run DSIR importance weights over the gram store:
+    target/raw bucket distributions re-derived from the accumulated tf
+    partials, per-doc scoring through the SAME ``dsir_weight_frame``
+    core as the batch query — hash-equal to the one-shot
+    ``dsir_importance_weights`` over the same corpus, with zero text
+    re-scans. Swapping the target definition (a new trusted corpus
+    sample) costs one pass over the bucket-grain store, never a corpus
+    re-tokenize."""
+    from gmall_flink_parent_spark.functions.selection import dsir_weight_frame
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+
+    # one-live-cache cadence (same as boilerplate_fraction_from_store)
+    release_caches()
+    return dsir_weight_frame(
+        scoped_persist(
+            spark.read.parquet(store_path).select(
+                "doc_id", "is_target", "bucket", "tf"
+            )
+        )
+    )
+
+
 def winnow_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     """Winnowing fingerprints at ingest: each micro-batch of documents
     runs the k-gram-hash + window-minima selection ONCE (the CPU-dense

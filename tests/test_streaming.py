@@ -2740,6 +2740,44 @@ def test_vocab_store_serves_unigram_logprob(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_dsir_store_serves_importance_weights(spark, sf_dir, tmp_path):
+    """Hash grams ONCE at ingest (two micro-batches), compact, then
+    derive the likelihood-ratio model per run: the store head must be
+    hash-equal to the one-shot `dsir_importance_weights` — importance
+    resampling joins the run-once-at-ingest family with zero text
+    re-scans."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        dsir_store_job,
+        dsir_weights_from_store,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_fact_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string, lang string"
+    )
+    out, ck = str(tmp_path / "grams"), str(tmp_path / "ck")
+    dsir_store_job(stream, out, ck).awaitTermination(120)
+    compact_fact_store(spark, out, f"{ck}/dsir_store")
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
+
+    got = {
+        (r["doc_id"], r["n_grams"], r["dsir_logw"], r["dsir_keep"])
+        for r in dsir_weights_from_store(spark, out).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_grams"], r["dsir_logw"], r["dsir_keep"])
+        for r in plans.query_map()["dsir_importance_weights"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_centroid_refresh_fences_interleaved_instances(spark, sf_dir, tmp_path):
     """The crash interleaving a single latest stamp cannot fence:
     instance A applies its batch, loses the checkpoint commit, and a
