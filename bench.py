@@ -77,6 +77,9 @@ HEADLINE = [
     "chunk_bm25_topk",
     "curriculum_mixture",
     "ann_pq_adc",
+    "dsir_importance_weights",
+    "per_source_cap",
+    "image_ahash_near_dup",
 ]
 
 
