@@ -310,18 +310,27 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact because ordering is doc-local (hash, doc_id): every global
     top-N member is top-N within its own salt group, so phase 1 never
     drops a winner. The oracle spells the single-window form; results
-    are identical, plans differ by design.
+    are identical, plans differ by design (the two-phase ≡ single-window
+    equivalence is additionally Hypothesis-pinned over arbitrary
+    source-size skews in ``tests/test_properties.py``).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return per_source_cap_frame(load_table(spark, sf_dir, "documents"))
+
+
+def per_source_cap_frame(
+    docs: DataFrame, n: int = _CAP_N, salt: int = _CAP_SALT
+) -> DataFrame:
+    """Frame-level core of ``per_source_cap`` (see its docstring for the
+    two-phase exactness argument) — parameterized so tests can pin the
+    two-phase plan against the naive single window on adversarial
+    source-size skews."""
     h = _h32(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
     ranked = docs.select("source", "doc_id", h.alias("h"))
-    w1 = Window.partitionBy("source", F.col("h") % _CAP_SALT).orderBy("h", "doc_id")
-    phase1 = ranked.withColumn("r1", F.row_number().over(w1)).filter(
-        F.col("r1") <= _CAP_N
-    )
+    w1 = Window.partitionBy("source", F.col("h") % salt).orderBy("h", "doc_id")
+    phase1 = ranked.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= n)
     w2 = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
         phase1.withColumn("cap_rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("cap_rank") <= _CAP_N)
+        .filter(F.col("cap_rank") <= n)
         .select("source", "doc_id", "cap_rank")
     )

@@ -2214,3 +2214,42 @@ def test_bpe_piece_counts_bounded(spark, sf_dir):
         total_pieces += r["n_bpe_pieces"]
         total_chars += n_char_syms
     assert total_pieces < total_chars * 0.6  # merges actually compress
+
+
+def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
+    """DSIR's point: documents drawn from the target distribution must
+    score systematically higher than the rest of the raw corpus. On the
+    synthetic corpus the `lang='en'` slice IS the target sample, so its
+    mean log-importance-weight and keep rate must clearly dominate the
+    non-target slice (observed at sf0.001: keep 43% vs 3.9%)."""
+    w = plans.query_map()["dsir_importance_weights"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = {
+        r["t"]: (r["mean_logw"], r["keep_rate"])
+        for r in w.join(docs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("t"))
+        .agg(
+            F.avg("dsir_logw").alias("mean_logw"),
+            F.avg(F.col("dsir_keep").cast("int")).alias("keep_rate"),
+        )
+        .collect()
+    }
+    assert stats[True][0] > stats[False][0]
+    assert stats[True][1] > 2 * stats[False][1]
+
+
+def test_dsir_gumbel_resample_is_subset_with_valid_scores(spark, sf_dir):
+    """The Gumbel-top-k sample is k rows drawn from the weight frame:
+    every selected doc exists in the weights output with the same
+    dsir_logw, and the selection size is exactly k (the corpus is
+    larger than k at every SF)."""
+    from gmall_flink_parent_spark.functions.selection import _DSIR_K
+
+    sel = plans.query_map()["dsir_gumbel_resample"](spark, sf_dir).collect()
+    assert len(sel) == _DSIR_K
+    weights = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in plans.query_map()["dsir_importance_weights"](spark, sf_dir).collect()
+    }
+    for r in sel:
+        assert weights[r["doc_id"]] == r["dsir_logw"]

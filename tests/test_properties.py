@@ -633,3 +633,87 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(
     fp = winnow_fp_frame(df).toPandas()
     shared = set(fp[fp.doc_id == 0].fp) & set(fp[fp.doc_id == 1].fp)
     assert shared, "documents sharing a w+k-1 token run must share a fingerprint"
+
+
+# --------------------------------------------------- per-source cap
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=5),
+    n=st.integers(min_value=1, max_value=8),
+    salt=st.integers(min_value=1, max_value=6),
+)
+def test_per_source_cap_two_phase_matches_single_window(spark, sizes, n, salt):
+    """The two-phase grouped top-N must equal the naive single window
+    for EVERY source-size skew, cap, and salt width — including sources
+    smaller than the cap, a source holding nearly all rows (the hot
+    domain the two-phase plan exists for), and salt groups that end up
+    empty."""
+    from pyspark.sql import Window
+
+    from gmall_flink_parent_spark.functions.selection import (
+        _h32,
+        per_source_cap_frame,
+    )
+
+    rows = [
+        (src_idx * 1000 + i, f"s{src_idx}")
+        for src_idx, size in enumerate(sizes)
+        for i in range(size)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "source": [r[1] for r in rows]})
+    )
+
+    got = {
+        (r["source"], r["doc_id"], r["cap_rank"])
+        for r in per_source_cap_frame(df, n=n, salt=salt).collect()
+    }
+    h = _h32(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    want = {
+        (r["source"], r["doc_id"], r["cap_rank"])
+        for r in df.select("source", "doc_id", h.alias("h"))
+        .withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= n)
+        .collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------- perceptual hash
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pixels=st.binary(min_size=48, max_size=48))
+def test_ahash_invariant_across_codecs(pixels):
+    """The perceptual hash is a function of the PIXELS, not the file:
+    the same 48 pixel bytes wrapped as a BMP and as a PNG — two files
+    sharing no bytes — must produce the identical aHash. (This is the
+    property that makes the hash 'perceptual': re-encoded copies
+    collide.) Also pins the kernel's integer decision rule on a hand
+    case."""
+    from gmall_flink_parent_spark.functions.multimodal import (
+        ahash_value,
+        encode_bmp,
+        encode_png,
+    )
+
+    h_bmp = ahash_value(encode_bmp(pixels), "image/bmp")
+    h_png = ahash_value(encode_png(pixels), "image/png")
+    assert h_bmp == h_png
+    assert 0 <= h_bmp < 2**16
+
+
+def test_ahash_known_value():
+    """Hand-computed case: one bright pixel among black — only its bit
+    is set (16·lum > total for it alone; 16·0 > total fails for the
+    rest)."""
+    from gmall_flink_parent_spark.functions.multimodal import ahash_value, encode_bmp
+
+    px = bytearray(48)
+    px[3 * 5] = px[3 * 5 + 1] = px[3 * 5 + 2] = 255  # pixel 5 bright
+    assert ahash_value(encode_bmp(bytes(px)), "image/bmp") == 1 << 5
