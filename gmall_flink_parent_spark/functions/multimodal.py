@@ -967,3 +967,122 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 1)
     )
+
+
+# ------------------------------------------------- PCM audio features
+
+WAV_N_SAMPLES = WAV_DATA_BYTES // 2
+
+
+def pcm_features(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_samples, energy_sum, zero_crossings, fp_signdelta) over a
+    decoded PCM16 mono stream — the WAV twin of ``ahash_value``. All
+    integers: Σs² is exact in 64 bits (32 samples × 32767² ≪ 2⁶³), a
+    crossing is a sign-bit flip between neighbors, and the fingerprint
+    packs sign(s[i+1] − s[i]) — the melody-shape bit pattern audio
+    fingerprinters (Shazam-family constellation hashes) build on."""
+    data = _content_region(payload, "audio/wav")
+    n = len(data) // 2
+    samples = [
+        int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(n)
+    ]
+    energy = sum(s * s for s in samples)
+    crossings = sum(
+        1 for i in range(n - 1) if (samples[i] < 0) != (samples[i + 1] < 0)
+    )
+    fp = 0
+    for i in range(n - 1):
+        if samples[i + 1] > samples[i]:
+            fp |= 1 << i
+    return n, energy, crossings, fp
+
+
+# signed 16-bit LE sample i (1-based sample index) from the hex dump
+_PCM_S = (
+    "(CASE WHEN {b1} + 256 * {b2} >= 32768 THEN {b1} + 256 * {b2} - 65536 "
+    "ELSE {b1} + 256 * {b2} END)"
+)
+
+
+def _pcm_sample_sql(i: str) -> str:
+    b1 = _AH_BYTE.format(i=f"2 * ({i}) - 1")
+    b2 = _AH_BYTE.format(i=f"2 * ({i})")
+    return _PCM_S.format(b1=b1, b2=b2)
+
+
+AUDIO_PCM_ORACLE = f"""
+{_ROUTING_CTE}
+, wav AS (
+    SELECT doc_id, hx FROM p WHERE mime = 'audio/wav'
+), s AS (
+    SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+           CAST({_pcm_sample_sql('t.i + 1')} AS BIGINT) AS v
+    FROM wav, unnest(range({WAV_N_SAMPLES})) AS t(i)
+), nxt AS (
+    SELECT a.doc_id, a.i, a.v, b.v AS v_next
+    FROM s a LEFT JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+)
+SELECT doc_id,
+       CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy_sum,
+       CAST(SUM(CASE WHEN v_next IS NOT NULL
+                      AND (v < 0) != (v_next < 0) THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_crossings,
+       CAST(SUM(CASE WHEN v_next IS NOT NULL AND v_next > v
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+           AS fp_signdelta
+FROM nxt
+GROUP BY doc_id
+"""
+
+
+@register(
+    "audio_pcm_features",
+    oracle=AUDIO_PCM_ORACLE,
+    tags=("multimodal", "audio"),
+    past_window=True,
+)
+def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PCM16 audio features through the real RIFF chunk walk:
+    per-clip energy (Σs², the loudness/silence gate), zero-crossing
+    count (the cheapest spectral proxy — voiced vs noise), and the
+    31-bit sign-of-delta fingerprint (the melody-shape signature a
+    Shazam-style matcher would band-join, here the direct audio twin
+    of ``image_ahash_near_dup``'s probe keys).
+
+    All-integer math end to end, so the Arrow ``mapInPandas`` decode
+    stage (real ``data``-chunk walk via ``_content_region``) is
+    hash-checked against a hex-math oracle that re-derives each signed
+    little-endian sample from the construction — the same
+    decode-is-verified discipline as the image heads. Shuffle-free:
+    one scan, one narrow Python stage, features at clip grain. At
+    100 TB this is the run-once-at-ingest shape (store the 4-int row
+    beside the media; every downstream gate reads integers, not audio).
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
+    media = docs.select("doc_id", payload.alias("payload"), mime.alias("mime")).filter(
+        F.col("mime") == "audio/wav"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [pcm_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_samples": pd.Series([f[0] for f in feats], index=pdf.index, dtype="int64"),
+                    "energy_sum": pd.Series([f[1] for f in feats], index=pdf.index, dtype="int64"),
+                    "zero_crossings": pd.Series([f[2] for f in feats], index=pdf.index, dtype="int64"),
+                    "fp_signdelta": pd.Series([f[3] for f in feats], index=pdf.index, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        extract,
+        "doc_id long, n_samples long, energy_sum long, zero_crossings long, "
+        "fp_signdelta long",
+    )
