@@ -1396,13 +1396,15 @@ def curation_ingest_job(
     winnow_path: str | None = None,
     quality_path: str | None = None,
     chunk_path: str | None = None,
+    dsir_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
     text-profile store, the shingle store, the mixture store — and,
     when ``vocab_path`` / ``winnow_path`` / ``quality_path`` /
-    ``chunk_path`` are given, the unigram doc-term store, the
-    winnowing-fingerprint store, the Gopher repetition-verdict store,
-    and the retrieval-chunk store — together.
+    ``chunk_path`` / ``dsir_path`` are given, the unigram doc-term
+    store, the winnowing-fingerprint store, the Gopher
+    repetition-verdict store, the retrieval-chunk store, and the DSIR
+    hashed-gram store — together.
     At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
     ingest cost, so running `text_profile_job` + `shingle_store_job` +
     `mixture_job` + `vocab_store_job` as separate streams would pay it
@@ -1413,7 +1415,9 @@ def curation_ingest_job(
     corpus), each landing in its own ``batch_id=N`` partition with the
     same idempotent-replay contract as the individual jobs; per-store
     parity against the one-shot batch queries is pinned in tests.
-    Requires (doc_id, text, source) columns.
+    Requires (doc_id, text, source) columns — plus ``lang`` when
+    ``dsir_path`` is given (the target-membership flag rides the gram
+    rows).
     """
     from gmall_flink_parent_spark.functions.curation import (
         contamination_shingles,
@@ -1422,6 +1426,7 @@ def curation_ingest_job(
     )
     from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
     from gmall_flink_parent_spark.functions.quality import doc_repetition_profile_frame
+    from gmall_flink_parent_spark.functions.selection import hashed_gram_frame
     from gmall_flink_parent_spark.functions.spans import winnow_fp_frame
     from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
     from gmall_flink_parent_spark.sources.tables import fan_out
@@ -1454,6 +1459,10 @@ def curation_ingest_job(
                 chunk_windows_frame(wide.select("doc_id", "text")).write.mode(
                     "overwrite"
                 ).parquet(f"{chunk_path}/batch_id={batch_id}")
+            if dsir_path is not None:
+                hashed_gram_frame(
+                    wide.select("doc_id", "text", "lang")
+                ).write.mode("overwrite").parquet(f"{dsir_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 

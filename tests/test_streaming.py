@@ -2426,23 +2426,24 @@ def test_reindex_index_store_follows_centroid_drift(spark, sf_dir, tmp_path):
 
 
 def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
-    """The combined one-scan ingest pass must land all four stores
-    (profile, shingles, mixture, vocab) exactly equal to their one-shot
-    batch analogs — composing the jobs without paying the text scan
-    once per store."""
+    """The combined one-scan ingest pass must land all five stores
+    (profile, shingles, mixture, vocab, DSIR grams) exactly equal to
+    their one-shot batch analogs — composing the jobs without paying
+    the text scan once per store."""
     from gmall_flink_parent_spark.functions.curation import (
         _MIX_HEAD_WEIGHTS,
         corpus_mix_weighted,
         doc_term_counts,
     )
+    from gmall_flink_parent_spark.functions.selection import hashed_gram_frame
     from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
+        "doc_id", "text", "source", "lang"
     )
     stream = _two_file_stream(
         spark, tmp_path, docs, "doc_id",
-        "doc_id long, text string, source string",
+        "doc_id long, text string, source string, lang string",
     )
     q = curation_ingest_job(
         stream,
@@ -2452,8 +2453,20 @@ def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
         str(tmp_path / "ck"),
         _MIX_HEAD_WEIGHTS,
         vocab_path=str(tmp_path / "tf"),
+        dsir_path=str(tmp_path / "grams"),
     )
     q.awaitTermination(120)
+
+    grams = spark.read.parquet(str(tmp_path / "grams"))
+    assert {
+        (r["doc_id"], r["is_target"], r["bucket"], r["tf"])
+        for r in grams.select("doc_id", "is_target", "bucket", "tf").collect()
+    } == {
+        (r["doc_id"], r["is_target"], r["bucket"], r["tf"])
+        for r in hashed_gram_frame(
+            docs.select("doc_id", "text", "lang")
+        ).collect()
+    }
 
     tf = spark.read.parquet(str(tmp_path / "tf"))
     assert {
@@ -2491,7 +2504,7 @@ def test_curation_ingest_job_matches_each_batch_query(spark, sf_dir, tmp_path):
             docs.select("doc_id", "source"), _MIX_HEAD_WEIGHTS
         ).collect()
     }
-    for store in (prof, sh, mix, tf):
+    for store in (prof, sh, mix, tf, grams):
         assert sorted(
             r["batch_id"] for r in store.select("batch_id").distinct().collect()
         ) == [0, 1]
