@@ -931,15 +931,22 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", payload.alias("payload"), mime.alias("mime")).filter(
         F.col("mime").isin("image/bmp", "image/png")
     )
-    hashed = scoped_persist(
-        ahash_rows(media).select(
-            "doc_id",
-            "ahash",
-            (F.col("ahash") % 256).alias("k0"),
-            (F.col("ahash") / 256).cast("long").alias("k1"),
-        )
+    return ahash_pairs_frame(scoped_persist(ahash_rows(media)))
+
+
+def ahash_pairs_frame(hashed: DataFrame) -> DataFrame:
+    """Pair-join core of ``image_ahash_near_dup`` over a PERSISTED
+    (doc_id, ahash) frame — shared with the store head
+    (``streaming/jobs.py::ahash_near_dup_from_store``) so the batch and
+    fingerprint-at-ingest verdicts cannot drift. See the registered
+    query's docstring for the probe-table completeness argument."""
+    probed = hashed.select(
+        "doc_id",
+        "ahash",
+        (F.col("ahash") % 256).alias("k0"),
+        (F.col("ahash") / 256).cast("long").alias("k1"),
     )
-    exploded = hashed.select(
+    exploded = probed.select(
         "doc_id",
         "ahash",
         "k0",

@@ -1276,6 +1276,67 @@ def dsir_weights_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def media_fingerprint_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Perceptual image hashes at ingest: each micro-batch routes its
+    image rows through the REAL decoders (the Arrow ``ahash_rows``
+    stage — BMP header walk / PNG inflate+unfilter) exactly once, and
+    the 16-byte (doc_id, ahash) rows land in a ``batch_id=N`` partition
+    — idempotent on replay like ``shingle_store_job``.
+
+    This is the production shape ``image_ahash_near_dup``'s docstring
+    promises: pixels are touched once per image ever; every later
+    near-dup run joins stored hashes (``ahash_near_dup_from_store``)
+    without re-decoding a byte. Rows are per-doc independent
+    (accumulation ≡ one-shot hashing). Compact with
+    ``compact_fact_store``. Requires (doc_id, text) columns — the
+    payload routing mirrors the batch query's synthesized corpus; on a
+    real corpus, point ``ahash_rows`` at the binary media column.
+    """
+    from gmall_flink_parent_spark.functions.multimodal import (
+        _routed_payload,
+        ahash_rows,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        wide = fan_out(batch.sparkSession, batch)
+        payload, mime = _routed_payload(
+            F.col("doc_id"), F.encode(F.col("text"), "UTF-8")
+        )
+        media = wide.select(
+            "doc_id", payload.alias("payload"), mime.alias("mime")
+        ).filter(F.col("mime").isin("image/bmp", "image/png"))
+        ahash_rows(media).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/media_fingerprint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ahash_near_dup_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Perceptual near-dup pairs over the fingerprint store: the probe
+    tables and Hamming rerank run on stored 16-byte hash rows — no
+    image is ever re-decoded. Same ``ahash_pairs_frame`` core as the
+    batch ``image_ahash_near_dup``, so the two verdicts cannot drift
+    (hash-equal pinned, including across ``compact_fact_store``)."""
+    from gmall_flink_parent_spark.functions.multimodal import ahash_pairs_frame
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+
+    # one-live-cache cadence (same as boilerplate_fraction_from_store)
+    release_caches()
+    return ahash_pairs_frame(
+        scoped_persist(spark.read.parquet(store_path).select("doc_id", "ahash"))
+    )
+
+
 def winnow_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     """Winnowing fingerprints at ingest: each micro-batch of documents
     runs the k-gram-hash + window-minima selection ONCE (the CPU-dense

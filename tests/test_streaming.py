@@ -2791,6 +2791,43 @@ def test_dsir_store_serves_importance_weights(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_media_fingerprint_store_serves_ahash_near_dup(spark, sf_dir, tmp_path):
+    """Decode pixels ONCE at ingest (two micro-batches), compact, then
+    run the perceptual near-dup join on stored hashes: the store head
+    must be hash-equal to the one-shot `image_ahash_near_dup` — no
+    image re-decoded per run."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        ahash_near_dup_from_store,
+        media_fingerprint_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_fact_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    out, ck = str(tmp_path / "fp"), str(tmp_path / "ck")
+    media_fingerprint_job(stream, out, ck).awaitTermination(120)
+    compact_fact_store(spark, out, f"{ck}/media_fingerprint")
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in ahash_near_dup_from_store(spark, out).collect()
+    }
+    want = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in plans.query_map()["image_ahash_near_dup"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_centroid_refresh_fences_interleaved_instances(spark, sf_dir, tmp_path):
     """The crash interleaving a single latest stamp cannot fence:
     instance A applies its batch, loses the checkpoint commit, and a
