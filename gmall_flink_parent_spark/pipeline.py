@@ -62,6 +62,7 @@ def build_pretraining_dataset(
     pack_cap: int = _PACK_CAP,
     block: int = _SHARD_BLOCK,
     corpus: DataFrame | None = None,
+    keep_docs: DataFrame | None = None,
 ) -> dict:
     """Curate → decontaminate → mix → order → pack → shard, returning
     the build manifest.
@@ -87,6 +88,13 @@ def build_pretraining_dataset(
     side of ``sources.documents.read_documents_jsonl`` →
     ``split_corrupt``: the JSONL front door and the parquet table run
     the identical build through the same frame-level stage cores.
+
+    ``keep_docs`` plugs ANY selection head into the funnel: a
+    (doc_id, …) frame whose rows are the documents allowed to train —
+    a DSIR keep-list (``dsir_importance_weights`` filtered on
+    ``dsir_keep``), a domain cap (``per_source_cap``), a dedup cluster
+    keep-list — intersected after quality/benchmark/decontamination,
+    with the drop counted in the manifest (``n_selection_dropped``).
     """
     docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
     if weights is None:
@@ -94,25 +102,36 @@ def build_pretraining_dataset(
         weights = {r["source"]: float(r["mix_weight"]) for r in plan}
 
     # --- funnel: quality verdict ∧ not benchmark ∧ not contaminated
+    #     (∧ selection keep-list, when one is plugged in)
     verdict = corpus_filter_frame(fan_out(spark, docs)).select("doc_id", "keep")
     sh = contamination_shingles(docs)
     bench = sh.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
     contaminated = contamination_counts(
         sh.filter(F.col("doc_id") % bench_mod != 0), bench
     ).select("doc_id")
-    flags = scoped_persist(
-        verdict.withColumn("is_bench", F.col("doc_id") % bench_mod == 0).join(
-            contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left"
-        )
+    flagged = verdict.withColumn("is_bench", F.col("doc_id") % bench_mod == 0).join(
+        contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left"
     )
+    if keep_docs is not None:
+        flagged = flagged.join(
+            keep_docs.select("doc_id").distinct().withColumn("in_sel", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+    flags = scoped_persist(flagged)
     trainable = F.col("keep") & ~F.col("is_bench")
-    final_keep = trainable & F.col("is_contam").isNull()
+    survives_decontam = trainable & F.col("is_contam").isNull()
+    in_sel = F.col("in_sel").isNotNull() if keep_docs is not None else F.lit(True)
+    final_keep = survives_decontam & in_sel
     funnel = flags.agg(
         F.count(F.lit(1)).alias("n_corpus"),
         F.sum(F.col("keep").cast("long")).alias("n_quality_kept"),
         F.sum(trainable.cast("long")).alias("n_trainable"),
         F.sum((trainable & F.col("is_contam").isNotNull()).cast("long")).alias(
             "n_contaminated"
+        ),
+        F.sum((survives_decontam & ~in_sel).cast("long")).alias(
+            "n_selection_dropped"
         ),
         F.sum(final_keep.cast("long")).alias("n_final"),
     ).collect()[0]
@@ -152,6 +171,7 @@ def build_pretraining_dataset(
         "n_quality_kept": int(funnel["n_quality_kept"]),
         "n_trainable": int(funnel["n_trainable"]),
         "n_contaminated": int(funnel["n_contaminated"]),
+        "n_selection_dropped": int(funnel["n_selection_dropped"]),
         "n_final_docs": int(funnel["n_final"]),
         "n_samples": int(totals["n_samples"]),
         "n_sequences": int(totals["n_sequences"]) if totals["n_sequences"] is not None else 0,

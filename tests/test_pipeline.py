@@ -22,8 +22,9 @@ def test_build_pretraining_dataset_end_to_end(spark, sf_dir, tmp_path):
     out = str(tmp_path / "pretrain")
     m = build_pretraining_dataset(spark, sf_dir, out, seed="t-e2e")
 
-    # Funnel is monotone and consistent.
+    # Funnel is monotone and consistent (no selection gate → 0 dropped).
     assert m["n_corpus"] >= m["n_quality_kept"] >= m["n_trainable"]
+    assert m["n_selection_dropped"] == 0
     assert m["n_trainable"] == m["n_final_docs"] + m["n_contaminated"]
     assert m["n_final_docs"] > 0 and m["n_samples"] > 0
     assert m["n_sequences"] >= 1
@@ -107,3 +108,44 @@ def test_build_from_jsonl_corpus_matches_parquet_build(spark, sf_dir, tmp_path):
     rj = _rows(read_training_slice(spark, a, 0, mj["n_samples"]).select(*cols))
     rp = _rows(read_training_slice(spark, b, 0, mp["n_samples"]).select(*cols))
     assert rj == rp
+
+
+def test_build_with_selection_keep_list(spark, sf_dir, tmp_path):
+    """Any selection head gates the build: with the DSIR keep-list
+    plugged in, the written stream contains ONLY selected docs, the
+    funnel counts the selection drop explicitly, and the manifest
+    arithmetic closes (trainable = final + contaminated + dropped)."""
+    keep = (
+        plans.query_map()["dsir_importance_weights"](spark, sf_dir)
+        .filter(F.col("dsir_keep"))
+        .select("doc_id")
+    )
+    keep_ids = {r["doc_id"] for r in keep.collect()}
+    assert keep_ids  # the gate must actually bite
+
+    out = str(tmp_path / "sel")
+    m = build_pretraining_dataset(
+        spark, sf_dir, out, seed="t-sel", keep_docs=keep
+    )
+    assert m["n_selection_dropped"] > 0
+    assert (
+        m["n_trainable"]
+        == m["n_final_docs"] + m["n_contaminated"] + m["n_selection_dropped"]
+    )
+    sliced = read_training_slice(spark, out, 0, m["n_samples"])
+    stream_docs = {r["doc_id"] for r in sliced.select("doc_id").distinct().collect()}
+    assert stream_docs and stream_docs <= keep_ids
+
+    # Because mix decisions are per-doc hashes (a surviving doc's
+    # keep/epoch depends only on its own id), the gated stream must be
+    # the ungated stream minus the dropped docs, re-indexed — gating
+    # cannot perturb any other document's mixture membership.
+    m0 = build_pretraining_dataset(spark, sf_dir, str(tmp_path / "all"), seed="t-sel")
+    full = read_training_slice(spark, str(tmp_path / "all"), 0, m0["n_samples"])
+    want = {
+        (r["doc_id"], r["epoch"])
+        for r in full.collect()
+        if r["doc_id"] in keep_ids
+    }
+    got = {(r["doc_id"], r["epoch"]) for r in sliced.collect()}
+    assert got == want
