@@ -334,3 +334,70 @@ def per_source_cap_frame(
         .filter(F.col("cap_rank") <= n)
         .select("source", "doc_id", "cap_rank")
     )
+
+
+# ------------------------------------------------ stratified sampling
+
+_STRAT_FRAC = 0.1  # eval-split fraction per stratum
+
+STRATIFIED_ORACLE = f"""
+WITH c AS (
+    SELECT source, COUNT(*) AS n_stratum FROM documents GROUP BY source
+), r AS (
+    SELECT d.source, d.doc_id, c.n_stratum,
+           CAST(row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY {_H32_DUCK.format(x="concat('strat:', CAST(d.doc_id AS VARCHAR))")}, d.doc_id
+           ) AS BIGINT) AS strat_rank
+    FROM documents d JOIN c USING (source)
+)
+SELECT source, doc_id, strat_rank, CAST(n_stratum AS BIGINT) AS n_stratum
+FROM r
+WHERE strat_rank <= CAST(floor({_STRAT_FRAC} * n_stratum) AS BIGINT)
+"""
+
+
+@register(
+    "stratified_exact_sample",
+    oracle=STRATIFIED_ORACLE,
+    tags=("text", "selection", "sampling"),
+    past_window=True,
+)
+def stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: exactly ``⌊f·n⌋`` documents per
+    source, chosen by deterministic hash rank.
+
+    The complement to ``doc_sample_split``'s hash-threshold splits:
+    thresholding gives each doc an independent f-probability (split
+    sizes are binomial — fine for train/val at corpus scale, wrong for
+    an eval set that must have EXACTLY 5k examples per source). Here
+    the per-stratum counts (a |sources|-row broadcast) set a hard rank
+    cutoff, so sizes are exact by construction and membership is still
+    hash-deterministic — stable across runs and re-partitionings.
+
+    Scale shape is ``per_source_cap``'s two-phase grouped top-N with a
+    DATA-DEPENDENT N: phase 1 ranks within (source, salt) and keeps
+    ranks ≤ the stratum's cutoff (each salt group individually can
+    never contribute a winner beyond it), phase 2 re-ranks the ≤
+    salt·N survivors per source. The hot-stratum window stays bounded
+    by its own cutoff, not the corpus. The oracle spells the single
+    window; results identical, plans differ by design.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_stratum"))
+    n_keep = F.floor(F.lit(_STRAT_FRAC) * F.col("n_stratum")).cast("long")
+    h = _h32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    ranked = docs.select("source", "doc_id", h.alias("h")).join(
+        F.broadcast(counts.select("source", n_keep.alias("n_keep"), "n_stratum")),
+        "source",
+    )
+    w1 = Window.partitionBy("source", F.col("h") % _CAP_SALT).orderBy("h", "doc_id")
+    phase1 = ranked.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= F.col("n_keep")
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        phase1.withColumn("strat_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("strat_rank") <= F.col("n_keep"))
+        .select("source", "doc_id", "strat_rank", F.col("n_stratum").cast("long").alias("n_stratum"))
+    )
