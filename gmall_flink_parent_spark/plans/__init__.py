@@ -28,6 +28,7 @@ from gmall_flink_parent_spark.functions import (  # noqa: F401
     quality,
     retrieval,
     selection,
+    sketches,
     spans,
     similarity,
     sql_macros,

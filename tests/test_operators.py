@@ -2253,3 +2253,38 @@ def test_dsir_gumbel_resample_is_subset_with_valid_scores(spark, sf_dir):
     }
     for r in sel:
         assert weights[r["doc_id"]] == r["dsir_logw"]
+
+
+def test_cms_estimate_error_contract(spark, sf_dir):
+    """The count-min error contract, both sides: for EVERY probe gram
+    the estimate is ≥ the exact document frequency (collisions only
+    ever inflate a counter — the one-sided guarantee), and every
+    overestimate is within the εN bound (ε = e/w; Cormode &
+    Muthukrishnan's Markov argument per hash row, here deterministic
+    for the fixed corpus and md5 hashes — observed max error ≈ N/w
+    against the e·N/w bound at both sf0.001 and sf0.01)."""
+    import math
+
+    from gmall_flink_parent_spark.functions.curation import contamination_shingles
+    from gmall_flink_parent_spark.functions.sketches import _CMS_W
+
+    est = {
+        r["g"]: r["cms_df"]
+        for r in plans.query_map()["gram_df_cms_estimate"](spark, sf_dir).collect()
+    }
+    assert est
+    sh = contamination_shingles(load_table(spark, sf_dir, "documents"))
+    n_instances = sh.count()
+    true_df = {
+        r["g"]: r["df"]
+        for r in sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(
+            sh.filter(F.col("doc_id") % 97 == 0).select("g").distinct(), "g", "left_semi"
+        )
+        .collect()
+    }
+    assert set(est) == set(true_df)
+    assert all(est[g] >= true_df[g] for g in est)
+    eps_n = math.e * n_instances / _CMS_W
+    assert all(est[g] - true_df[g] <= eps_n for g in est)
