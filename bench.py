@@ -80,6 +80,9 @@ HEADLINE = [
     "dsir_importance_weights",
     "per_source_cap",
     "image_ahash_near_dup",
+    "audio_pcm_features",
+    "stratified_exact_sample",
+    "gram_df_cms_estimate",
 ]
 
 
