@@ -86,3 +86,54 @@ def test_training_mix_weighted_plan_is_shuffle_free(spark, sf_dir):
     assert exchanges, "expected the broadcast weight-table exchange"
     assert all(e == "BroadcastExchange" for e in exchanges), exchanges
     assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_topn_plans_have_no_single_partition_exchange(spark, sf_dir):
+    """The two-phase grouped top-N heads exist precisely so no window
+    serializes a hot stratum through one task — pin that neither plan
+    contains an `Exchange SinglePartition` (the signature of a global
+    window), and that both actually carry their two ranking passes."""
+    for name in ("per_source_cap", "stratified_exact_sample"):
+        plan = _physical_plan(plans.all_queries()[name].fn(spark, sf_dir))
+        assert "SinglePartition" not in plan, f"{name}: global window exchange"
+        assert plan.count("Window") >= 2, f"{name}: expected both ranking phases"
+
+
+def test_cms_counter_aggregate_is_partial(spark, sf_dir):
+    """SCALE.md claims the CMS shuffle is bounded by #partitions·d·w,
+    which requires MAP-SIDE partial aggregation of the (i, cell)
+    counters — pin that the counter aggregate runs as partial+final
+    HashAggregate pairs, and that the counter lookup is a broadcast
+    hash join (never a nested loop over the counter table)."""
+    plan = _physical_plan(
+        plans.all_queries()["gram_df_cms_estimate"].fn(spark, sf_dir)
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weight_plan_shape(spark, sf_dir):
+    """The DSIR scoring plan's docstring claims: the likelihood-ratio
+    model rides a broadcast hash join (feature-hash-bounded table), the
+    only FULL-DATA hash exchanges are the (doc, bucket) combine and the
+    doc-grain aggregate (bucket-grain exchanges are ≤ _DSIR_BUCKETS
+    keys by construction), and the only single-partition exchange is
+    the 1-row totals aggregate. Pin that inventory."""
+    import re
+
+    plan = _physical_plan(
+        plans.all_queries()["dsir_importance_weights"].fn(spark, sf_dir)
+    )
+    # model join: a broadcast HASH join (formatted plans put the
+    # HashedRelationBroadcastMode on the node's Arguments line)
+    assert "BroadcastHashJoin" in plan and "HashedRelationBroadcastMode" in plan
+    # full-data exchanges partition on doc_id; anything else hash-
+    # partitioned is bucket-grain (bounded at _DSIR_BUCKETS keys).
+    doc_exchanges = [
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "doc_id" in m
+    ]
+    assert len(doc_exchanges) <= 2, doc_exchanges
+    assert plan.count("SinglePartition") == 1  # the 1-row totals agg
