@@ -717,3 +717,43 @@ def test_ahash_known_value():
     px = bytearray(48)
     px[3 * 5] = px[3 * 5 + 1] = px[3 * 5 + 2] = 255  # pixel 5 bright
     assert ahash_value(encode_bmp(bytes(px)), "image/bmp") == 1 << 5
+
+
+# ----------------------------------------------------- count-min sketch
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=12
+    ),
+    split_at=st.integers(min_value=0, max_value=12),
+)
+def test_cms_counters_merge_across_any_split(spark, texts, split_at):
+    """The CMS is a MERGEABLE sketch: counters built over any split of
+    the corpus, summed cell-wise, equal the one-shot counters — the
+    property that lets the sketch accumulate at ingest (per-batch
+    partials in batch_id partitions, folded by sum) like every other
+    store in the engine."""
+    from gmall_flink_parent_spark import plans as _plans  # noqa: F401  (import-order contract)
+    from gmall_flink_parent_spark.functions.curation import contamination_shingles
+    from gmall_flink_parent_spark.functions.sketches import cms_counters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    cut = split_at % (len(texts) + 1)
+
+    def counters(df):
+        out = {}
+        for r in cms_counters(contamination_shingles(df)).collect():
+            out[(r["i"], r["cell"])] = out.get((r["i"], r["cell"]), 0) + r["n"]
+        return out
+
+    whole = counters(docs)
+    a = counters(docs.filter(F.col("doc_id") < cut))
+    b = counters(docs.filter(F.col("doc_id") >= cut))
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
