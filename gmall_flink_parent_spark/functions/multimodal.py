@@ -931,15 +931,70 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", payload.alias("payload"), mime.alias("mime")).filter(
         F.col("mime").isin("image/bmp", "image/png")
     )
-    return ahash_pairs_frame(scoped_persist(ahash_rows(media)))
+    # Structural skew fallback is opt-in via session config (see
+    # ahash_pairs_frame): unset compiles the plain single-join plan.
+    return ahash_pairs_frame(
+        scoped_persist(ahash_rows(media)),
+        hot_threshold=conf_hot_threshold(spark, AHASH_HOT_BUCKET_CONF),
+    )
 
 
-def ahash_pairs_frame(hashed: DataFrame) -> DataFrame:
+# Session config enabling the salted probe-table join: set to a
+# bucket-size threshold (hash rows per (table, block) bucket) to
+# activate. Unset → plain equi-join; AQE's skew split stays the runtime
+# defense. Mirrors ``dedup.HOT_BUCKET_CONF`` — one switch convention
+# across the dedup family's pair joins.
+AHASH_HOT_BUCKET_CONF = "spark.gmall_flink.ahash.hotBucketThreshold"
+# A probe bucket with more hash rows than the threshold gets the salted
+# join (its self-join would put threshold² candidate rows in one task);
+# same 2048² ≈ 4M-join-rows-per-task pain boundary as MinHash.
+AHASH_HOT_BUCKET = 2048
+# Salt fan-out for hot buckets — quadratic work per bucket divides by
+# this; probe-side replication multiplies by it (only for hot rows).
+N_AHASH_SALT = 16
+
+
+def conf_hot_threshold(spark: SparkSession, conf_key: str) -> int | None:
+    """Opt-in structural-skew threshold from session config — ``None``
+    (unset) compiles the plain single-join plan with zero added stages."""
+    raw = spark.conf.get(conf_key, None)
+    return int(raw) if raw is not None else None
+
+
+def ahash_pairs_frame(
+    hashed: DataFrame,
+    hot_threshold: int | None = None,
+    n_salt: int = N_AHASH_SALT,
+) -> DataFrame:
     """Pair-join core of ``image_ahash_near_dup`` over a PERSISTED
     (doc_id, ahash) frame — shared with the store head
     (``streaming/jobs.py::ahash_near_dup_from_store``) so the batch and
     fingerprint-at-ingest verdicts cannot drift. See the registered
-    query's docstring for the probe-table completeness argument."""
+    query's docstring for the probe-table completeness argument.
+
+    ``hot_threshold`` (wired to ``AHASH_HOT_BUCKET_CONF``) is the
+    salted fallback for hot probe buckets — the ``_band_pairs`` pattern
+    (`functions/dedup.py`) ported to the pigeonhole join: the probe key
+    is an 8-BIT hash half, so a degenerate corpus (millions of
+    near-uniform images whose aHashes collapse to a handful of values —
+    all-black thumbnails, solid-color placeholders) concentrates B²
+    join work on one task no matter how AQE splits partitions, because
+    every pair needs both rows. Bucket sizes are counted (256×2-row
+    aggregate — cheap), buckets above the threshold are broadcast as a
+    tag list, and hot rows take a salted self-join: probe side
+    replicated ``n_salt``× with an explicit probe group, build side
+    hashed into one group by doc_id — each hot bucket's quadratic work
+    spreads over ``n_salt`` tasks with a build side of B/n_salt rows.
+    Cold buckets keep the plain equi-join. Any salt assignment yields
+    identical pairs (each (a, b) joins exactly once: a's replica in
+    b's group), and the first-matching-table dedup filter is computed
+    from the carried k0/k1 columns — independent of the hot/cold split,
+    so a pair colliding in a cold table-0 bucket AND a hot table-1
+    bucket still survives exactly once. Both branches are pinned
+    hash-equal to IMAGE_AHASH_ORACLE; ``None`` (the default) compiles
+    the plain plan with ZERO added stages — like MinHash, the rewrite
+    is a switch for corpora known to be degenerate, not a default tax.
+    """
     probed = hashed.select(
         "doc_id",
         "ahash",
@@ -953,27 +1008,64 @@ def ahash_pairs_frame(hashed: DataFrame) -> DataFrame:
         "k1",
         F.posexplode(F.array("k0", "k1")).alias("tbl", "k"),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    first_tbl = (
-        F.when(F.col("a.k0") == F.col("b.k0"), 0)
-        .when(F.col("a.k1") == F.col("b.k1"), 1)
-    )
-    hamming = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    def project(a_side: DataFrame, b_side: DataFrame, extra: Column) -> DataFrame:
+        first_tbl = (
+            F.when(F.col("a.k0") == F.col("b.k0"), 0)
+            .when(F.col("a.k1") == F.col("b.k1"), 1)
         )
-        .filter(F.col("a.tbl") == first_tbl)
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            hamming.alias("hamming"),
+        hamming = F.bit_count(
+            F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+        ).cast("int")
+        return (
+            a_side.alias("a")
+            .join(
+                b_side.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & extra,
+            )
+            .filter(F.col("a.tbl") == first_tbl)
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 1)
         )
-        .filter(F.col("hamming") <= 1)
+
+    if hot_threshold is None:
+        return project(exploded, exploded, F.lit(True))
+    hot_buckets = (
+        exploded.groupBy("tbl", "k")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > hot_threshold)
+        .select("tbl", "k", F.lit(True).alias("is_hot"))
     )
+    # Four consumers read the tagged frame (both cold sides, probe,
+    # build) and AQE replans the tag join per consumer (no
+    # ReusedExchange under AQE) — the tagged frame is the hash frame
+    # + 1 bit, cheap to cache at any scale. Eager: the consumers run
+    # concurrently in one job and would race on a lazy fill.
+    tagged = scoped_persist(
+        exploded.join(F.broadcast(hot_buckets), ["tbl", "k"], "left"),
+        eager=True,
+    )
+    cold = tagged.filter(F.col("is_hot").isNull()).drop("is_hot")
+    hot = tagged.filter(F.col("is_hot").isNotNull()).drop("is_hot")
+    pairs = project(cold, cold, F.lit(True))
+    # Probe side replicated across all salt groups; build side hashed
+    # into one group by doc_id. xxhash64 is engine-local but the salt
+    # never reaches the output, so oracle portability is unaffected.
+    probe = hot.withColumn(
+        "probe_g", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    build = hot.withColumn(
+        "salt_g", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+    )
+    salted = project(probe, build, F.col("a.probe_g") == F.col("b.salt_g"))
+    return pairs.unionByName(salted)
 
 
 # ------------------------------------------------- PCM audio features

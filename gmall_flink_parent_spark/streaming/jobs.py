@@ -1323,8 +1323,14 @@ def ahash_near_dup_from_store(spark: SparkSession, store_path: str) -> DataFrame
     tables and Hamming rerank run on stored 16-byte hash rows — no
     image is ever re-decoded. Same ``ahash_pairs_frame`` core as the
     batch ``image_ahash_near_dup``, so the two verdicts cannot drift
-    (hash-equal pinned, including across ``compact_fact_store``)."""
-    from gmall_flink_parent_spark.functions.multimodal import ahash_pairs_frame
+    (hash-equal pinned, including across ``compact_fact_store``) —
+    including the opt-in salted hot-bucket fallback, read from the same
+    session config as the batch head."""
+    from gmall_flink_parent_spark.functions.multimodal import (
+        AHASH_HOT_BUCKET_CONF,
+        ahash_pairs_frame,
+        conf_hot_threshold,
+    )
     from gmall_flink_parent_spark.plans.registry import (
         release_caches,
         scoped_persist,
@@ -1333,7 +1339,8 @@ def ahash_near_dup_from_store(spark: SparkSession, store_path: str) -> DataFrame
     # one-live-cache cadence (same as boilerplate_fraction_from_store)
     release_caches()
     return ahash_pairs_frame(
-        scoped_persist(spark.read.parquet(store_path).select("doc_id", "ahash"))
+        scoped_persist(spark.read.parquet(store_path).select("doc_id", "ahash")),
+        hot_threshold=conf_hot_threshold(spark, AHASH_HOT_BUCKET_CONF),
     )
 
 

@@ -707,6 +707,88 @@ def test_minhash_salted_conf_wiring_result_invariant(spark, sf_dir):
     assert base == salted and len(base) > 0
 
 
+def test_ahash_pairs_salted_hot_bucket_invariant_and_bounded(spark):
+    """Skew-resistant aHash probe join: an adversarial corpus whose
+    hashes ALL share one 8-bit probe block (near-uniform images — the
+    all-black-thumbnail case) must produce IDENTICAL pairs through the
+    salted path and the plain join, while the salted build side splits
+    into many bounded groups instead of one B-row bucket."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.functions.multimodal import (
+        N_AHASH_SALT,
+        ahash_pairs_frame,
+    )
+    from gmall_flink_parent_spark.plans.registry import scoped_persist
+
+    # Every hash shares low byte 0x07 → table-0 bucket (0, 7) holds ALL
+    # rows (the hot bucket). High bytes: one distinct weight-2 byte per
+    # doc pair (xor of two distinct even-weight values has even weight
+    # >= 2, so no cross-pair Hamming<=1 survivor), docs 2k/2k+1 share
+    # their hash exactly (Hamming 0, first-match table 0).
+    two_bit = [
+        (1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)
+    ]  # 28 values
+    rows = [
+        (2 * g + p, hi * 256 + 0x07)
+        for g, hi in enumerate(two_bit)
+        for p in (0, 1)
+    ]
+    hashed = scoped_persist(
+        spark.createDataFrame(rows, "doc_id long, ahash long")
+    )
+
+    def collect_pairs(df):
+        return sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["hamming"]) for r in df.collect()
+        )
+
+    plain = collect_pairs(ahash_pairs_frame(hashed, hot_threshold=10**9))
+    salted = collect_pairs(ahash_pairs_frame(hashed, hot_threshold=10))
+    assert plain == salted
+    assert len(salted) == len(two_bit)  # exactly the within-pair matches
+    assert all(h == 0 for _, _, h in salted)
+    # the physical plan actually takes the two-branch shape
+    physical = (
+        ahash_pairs_frame(hashed, hot_threshold=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" in physical
+    # bounded build side: the hot bucket's B rows split across many salt
+    # groups, each far below B (xxhash spread is deterministic here —
+    # fixed doc_ids, fixed salt count — so these bounds cannot flake)
+    groups = (
+        hashed.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(N_AHASH_SALT)).alias("g")
+        )
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert len(groups) >= N_AHASH_SALT // 2
+    assert max(r["count"] for r in groups) <= len(rows) // 4
+
+
+def test_ahash_salted_conf_wiring_result_invariant(spark, sf_dir):
+    """Flipping the aHash hot-bucket config on the registered query (and
+    on the store head's shared core) must not change a single pair — the
+    salted rewrite is distribution-only."""
+    from gmall_flink_parent_spark.functions.multimodal import (
+        AHASH_HOT_BUCKET_CONF,
+    )
+
+    q = plans.query_map()["image_ahash_near_dup"]
+    base = sorted(map(tuple, q(spark, sf_dir).collect()))
+    spark.conf.set(AHASH_HOT_BUCKET_CONF, "2")  # absurdly low: everything hot
+    try:
+        salted = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset(AHASH_HOT_BUCKET_CONF)
+    assert base == salted and len(base) > 0
+
+
 def test_srp_multiprobe_recall_vs_bruteforce(spark, sf_dir):
     """Approximation quality pinned, not assumed: the multi-probe SRP
     top-1 must recover the exact brute-force top-1 neighbor for at
