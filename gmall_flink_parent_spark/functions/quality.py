@@ -261,10 +261,12 @@ FROM scored
 
 
 def classifier_weights(spark: SparkSession) -> DataFrame:
-    """The (bucket, w) weight table — stand-in for a trained fastText /
-    logistic model's hashed weights. md5-derived so the oracle can
-    rebuild it; a real model drops in by replacing THIS function with a
-    read of its exported weights (same schema, same broadcast join)."""
+    """The DEFAULT (bucket, w) weight table — stand-in for a trained
+    fastText / logistic model's hashed weights. md5-derived so the
+    oracle can rebuild it; a real model drops in by passing its
+    exported (bucket, w) table as ``hash_classifier_frame``'s
+    ``weights=`` argument (same schema, same broadcast join) or a
+    parquet path through ``load_classifier_weights``."""
     return spark.range(_CLF_BUCKETS).select(
         F.col("id").alias("bucket"),
         (
@@ -276,21 +278,53 @@ def classifier_weights(spark: SparkSession) -> DataFrame:
     )
 
 
+def load_classifier_weights(spark: SparkSession, path: str) -> DataFrame:
+    """External-model front door: a trained model's exported (bucket,
+    weight) table from parquet, validated against the scoring
+    contract — ``bucket`` (long, the feature-hash slot) and ``w``
+    (long, the integer-quantized weight; integer so Σ tf·w stays exact
+    at any parallelism, the same reason the default model is integer).
+    A fastText/logistic model lands here by hashing its vocabulary with
+    the engine's token hash (first 8 md5 hex chars mod ``_CLF_BUCKETS``)
+    and quantizing each dimension's weight — the standard
+    hashing-trick export. The table is feature-hash-BOUNDED
+    (≤ ``_CLF_BUCKETS`` rows) so it broadcasts at any corpus size."""
+    w = spark.read.parquet(path)
+    missing = {"bucket", "w"} - set(w.columns)
+    if missing:
+        raise ValueError(
+            f"classifier weights at {path} missing columns {sorted(missing)}; "
+            "expected (bucket long, w long)"
+        )
+    return w.select(F.col("bucket").cast("long"), F.col("w").cast("long"))
+
+
 def hash_classifier_frame(
-    tf: DataFrame, group_cols: tuple[str, ...] = ("doc_id",)
+    tf: DataFrame,
+    group_cols: tuple[str, ...] = ("doc_id",),
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring core over a (…, tok, tf) doc-term frame — one
     implementation serving the batch query and the vocab-store head, so
     the two verdicts cannot drift. ``Σ tf·w`` equals the token-instance
     weight sum because every instance of a (doc, tok) pair hashes to
     the same bucket; both factors are integers, so the cross-row sum is
-    exact on any engine and at any parallelism."""
+    exact on any engine and at any parallelism.
+
+    ``weights`` is the model: any (bucket, w) DataFrame — a trained
+    model's exported table (``load_classifier_weights``) or ``None``
+    for the md5-derived oracle default. Swapping models changes ONLY
+    the broadcast side; the corpus-side plan is identical, so a
+    retrain re-scores the distinct-terms-sized frame without touching
+    the scan or shuffle shape."""
+    if weights is None:
+        weights = classifier_weights(tf.sparkSession)
     feat = tf.withColumn(
         "bucket",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _CLF_BUCKETS,
     )
     scored = (
-        feat.join(F.broadcast(classifier_weights(tf.sparkSession)), "bucket")
+        feat.join(F.broadcast(weights), "bucket")
         .groupBy(*group_cols)
         .agg(
             F.sum(F.col("tf") * F.col("w")).alias("w_sum"),
@@ -415,6 +449,15 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     scored = hash_classifier_frame(tf, group_cols=("doc_id", "source"))
+    return quality_sweep_frame(scored)
+
+
+def quality_sweep_frame(scored: DataFrame) -> DataFrame:
+    """Threshold-grid core over any scored (…, source, clf_score) frame
+    — shared by the registered sweep and the external-model path
+    (``hash_classifier_frame(…, weights=<trained table>)`` feeds the
+    identical calibration report), so the md5-default and a real
+    trained model sweep through one implementation."""
     grid = F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
     return (
         scored.select(

@@ -1200,20 +1200,33 @@ def doc_unigram_logprob_from_store(
 
 
 def doc_hash_classifier_from_store(
-    spark: SparkSession, store_path: str
+    spark: SparkSession,
+    store_path: str,
+    weights_path: str | None = None,
 ) -> DataFrame:
     """Feature-hash classifier scoring over the vocab store — the THIRD
     head the one (doc_id, tok, tf) store serves (after perplexity-proxy
     scoring and top-V budgeting): tf-weighted integer weight sums
     through the SAME ``hash_classifier_frame`` core as the batch query,
-    with zero text re-scans. A retrained model (new weight table) costs
-    one pass over the distinct-terms-sized store, never a corpus
-    re-tokenize — exactly why the store keys on terms, not scores."""
-    from gmall_flink_parent_spark.functions.quality import hash_classifier_frame
+    with zero text re-scans. A retrained model costs one pass over the
+    distinct-terms-sized store, never a corpus re-tokenize — exactly
+    why the store keys on terms, not scores. ``weights_path`` is the
+    retrain hook: a parquet (bucket, w) table exported by training
+    (``load_classifier_weights`` validates the contract); ``None``
+    scores with the md5-derived oracle default."""
+    from gmall_flink_parent_spark.functions.quality import (
+        hash_classifier_frame,
+        load_classifier_weights,
+    )
 
     return hash_classifier_frame(
         spark.read.parquet(store_path).select("doc_id", "tok", "tf"),
         group_cols=("doc_id",),
+        weights=(
+            load_classifier_weights(spark, weights_path)
+            if weights_path is not None
+            else None
+        ),
     )
 
 

@@ -149,3 +149,104 @@ def test_build_with_selection_keep_list(spark, sf_dir, tmp_path):
     }
     got = {(r["doc_id"], r["epoch"]) for r in sliced.collect()}
     assert got == want
+
+
+def test_external_classifier_model_end_to_end(spark, sf_dir, tmp_path):
+    """A TRAINED quality model (any exported (bucket, weight) parquet —
+    NOT the md5-derived stand-in) drives the whole curation surface:
+    loaded through ``load_classifier_weights``, scored through the
+    shared ``hash_classifier_frame`` core (exact integer sums verified
+    against a pure-Python replay), calibrated through
+    ``quality_sweep_frame``, and gating ``build_pretraining_dataset``
+    via ``keep_docs=``. This is the day-one path of a real curation
+    user; the md5 default stays the oracle-checked fixture."""
+    import hashlib
+    import math
+
+    from gmall_flink_parent_spark.functions.quality import (
+        _CLF_BUCKETS,
+        hash_classifier_frame,
+        load_classifier_weights,
+        quality_sweep_frame,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    # "Trained" model: weights no md5 derivation could produce (odd
+    # buckets strongly negative, every 7th bucket zeroed) — if the
+    # default model leaked in anywhere, every assertion below flips.
+    model_rows = [
+        (b, 0 if b % 7 == 0 else (90 if b % 2 == 0 else -110))
+        for b in range(_CLF_BUCKETS)
+    ]
+    wpath = str(tmp_path / "trained_model")
+    spark.createDataFrame(model_rows, "bucket long, w long").write.parquet(wpath)
+    ext = load_classifier_weights(spark, wpath)
+
+    # contract validation: a wrong-schema export fails loudly
+    badpath = str(tmp_path / "bad_model")
+    spark.createDataFrame([(1, 2)], "bucket long, weight long").write.parquet(badpath)
+    try:
+        load_classifier_weights(spark, badpath)
+        raise AssertionError("wrong-schema model must be rejected")
+    except ValueError as e:
+        assert "w" in str(e)
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = hash_classifier_frame(tf, ("doc_id", "source"), weights=ext)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+
+    # default model must NOT have been used
+    default_rows = {
+        r["doc_id"]: r for r in hash_classifier_frame(tf, ("doc_id", "source")).collect()
+    }
+    assert any(
+        rows[d]["clf_margin"] != default_rows[d]["clf_margin"] for d in rows
+    )
+
+    # pure-Python replay of the scoring contract on a sample of docs
+    weights = {b: w for b, w in model_rows}
+    sample = docs.filter(F.col("doc_id") < 30).collect()
+    assert sample
+    for doc in sample:
+        toks = doc["text"].split(" ")
+        w_sum = sum(
+            weights[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _CLF_BUCKETS]
+            for t in toks
+        )
+        got = rows[doc["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        margin = w_sum / (128.0 * len(toks))
+        assert got["clf_margin"] == round(margin, 6)
+        assert got["clf_score"] == round(1.0 / (1.0 + math.exp(-4.0 * margin)), 6)
+        assert got["clf_keep"] == (w_sum > 0)
+
+    # calibration sweep over the trained scores: per-source keep counts
+    # must agree with direct recomputation from the scored frame
+    sweep = {
+        (r["source"], r["threshold"]): (r["n_docs"], r["n_keep"])
+        for r in quality_sweep_frame(scored).collect()
+    }
+    assert sweep
+    by_source: dict[str, list[float]] = {}
+    for r in rows.values():
+        by_source.setdefault(r["source"], []).append(r["clf_score"])
+    for (src, thr), (n_docs, n_keep) in sweep.items():
+        scores = by_source[src]
+        assert n_docs == len(scores)
+        assert n_keep == sum(1 for s in scores if s >= thr)
+
+    # the trained verdict gates the one-call build
+    keep = scored.filter(F.col("clf_keep")).select("doc_id")
+    keep_ids = {r["doc_id"] for r in keep.collect()}
+    assert keep_ids and len(keep_ids) < len(rows)  # the gate must bite
+    out = str(tmp_path / "ext_gated")
+    m = build_pretraining_dataset(spark, sf_dir, out, seed="t-ext", keep_docs=keep)
+    assert m["n_selection_dropped"] > 0
+    sliced = read_training_slice(spark, out, 0, m["n_samples"])
+    stream_docs = {r["doc_id"] for r in sliced.select("doc_id").distinct().collect()}
+    assert stream_docs and stream_docs <= keep_ids

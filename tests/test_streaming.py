@@ -3047,6 +3047,39 @@ def test_vocab_store_serves_hash_classifier(spark, sf_dir, tmp_path):
     }
     assert got == want and len(want) > 0
 
+    # the retrain hook: an EXTERNAL (bucket, w) parquet model scores
+    # the same store rows through the same core — no text re-scan, and
+    # the re-score must match a fresh batch scoring with that model
+    from gmall_flink_parent_spark.functions.quality import (
+        _CLF_BUCKETS,
+        hash_classifier_frame,
+        load_classifier_weights,
+    )
+
+    wpath = str(tmp_path / "trained")
+    spark.createDataFrame(
+        [(b, 90 if b % 2 == 0 else -110) for b in range(_CLF_BUCKETS)],
+        "bucket long, w long",
+    ).write.parquet(wpath)
+    got_ext = {
+        tuple(r)
+        for r in doc_hash_classifier_from_store(
+            spark, out, weights_path=wpath
+        ).collect()
+    }
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    want_ext = {
+        tuple(r)
+        for r in hash_classifier_frame(
+            tf, ("doc_id",), weights=load_classifier_weights(spark, wpath)
+        ).collect()
+    }
+    assert got_ext == want_ext and got_ext != got
+
 
 def test_chunk_store_serves_retrieval_heads(spark, sf_dir, tmp_path):
     """The chunk store's retrieval heads: postings stats and BM25
