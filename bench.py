@@ -7,13 +7,22 @@ Each query is materialized with a noop sink (full execution, no
 collect/driver cost). Timings are end-to-end per query including plan
 time — the same thing a user of the engine pays.
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 2) and reports
-the MIN: a 40-query single-JVM session occasionally hits multi-second
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the MIN: a 50-query single-JVM session occasionally hits multi-second
 environment stalls (GC/compilation pauses — the round-2 driver run
-recorded one query at 17× its reproducible time), and the min of two
+recorded one query at 17× its reproducible time), and the min of the
 runs measures the engine rather than the pause. Caches are query-scoped
 (plans/registry.py), so repetitions recompute from the source — the min
 is a true cold-cache time, not a cache hit.
+
+The artifact self-adjudicates host pressure (two driver rounds ran
+under loadavg 10-12 and produced 4-5× phantom outliers a human then
+re-ran by hand): per-query loadavg is recorded, and any query reading
+more than 2.5× its committed prior-round time (latest BENCH_r{N}.json)
+is re-measured min-of-3 AFTER the sweep before the JSON line is
+emitted — `queries` carries the adjudicated min, `reruns` carries the
+evidence either way (a phantom collapses to its prior time; a real
+regression survives the re-run and stays flagged).
 """
 
 from __future__ import annotations
@@ -86,6 +95,51 @@ HEADLINE = [
 ]
 
 
+def _prior_round_times() -> dict[str, float]:
+    """Per-query times from the latest committed BENCH_r{N}.json — the
+    outlier-adjudication baseline. Empty dict when no prior round exists
+    (round 1, or a fresh checkout without artifacts)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, str]] = []
+    for fn in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            rounds.append((int(m.group(1)), os.path.join(here, fn)))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            # the driver wraps the stdout line: {"n": ..., "parsed": {...}}
+            q = doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+            if q:
+                return {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError, AttributeError):
+            continue  # malformed artifact: fall back to the next round
+    return {}
+
+
+RERUN_RATIO = 2.5  # min > ratio x committed prior time → re-measure
+RERUN_CAP = 8  # under SUSTAINED load everything reads slow; re-running
+# the whole sweep would double a stalled run's wall time. 8 covers
+# every historical phantom count (<=5 per round) with margin.
+
+
+def _outlier_suspects(
+    timings: dict[str, float], prior: dict[str, float]
+) -> list[str]:
+    """Queries whose sweep min exceeds RERUN_RATIO x their committed
+    prior-round time — worst ratio first, capped at RERUN_CAP."""
+    ranked = sorted(
+        (
+            (timings[n] / prior[n], n)
+            for n in timings
+            if n in prior and prior[n] > 0 and timings[n] > RERUN_RATIO * prior[n]
+        ),
+        reverse=True,
+    )
+    return [n for _, n in ranked[:RERUN_CAP]]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -113,19 +167,52 @@ def main() -> None:
     # rep pollutes half the min-pool, with 3 the min survives a single
     # stall and the spread diagnosis keys off a real sample.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        worst = 0.0
-        for _ in range(reps):
+
+    def measure(name: str, n: int) -> tuple[float, float, float]:
+        """(min, max, loadavg-1min-at-finish) over n reps of the query."""
+        best, worst = float("inf"), 0.0
+        for _ in range(n):
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = min(best, dt)
             worst = max(worst, dt)
+        try:
+            la = round(os.getloadavg()[0], 1)
+        except OSError:
+            la = -1.0
+        return best, worst, la
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    load_per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        best, worst, la = measure(name, reps)
         timings[name] = round(best, 3)
         spreads[name] = round(worst / best, 2) if best > 0 else 1.0
+        load_per_query[name] = la
+
+    # Outlier self-adjudication: two driver rounds running, the sweep
+    # landed under loadavg ~10-12 and wrote 4-5x phantom outliers that a
+    # human then re-ran by hand (BENCH_r06/r07 -> VERDICT "Performance").
+    # Adjudicate inside the artifact instead: any query whose min exceeds
+    # RERUN_RATIO x its committed prior-round time is re-measured
+    # (min-of-3, sweep pressure gone) and the artifact records both
+    # numbers — the phantom never reaches `queries`, and a REAL
+    # regression survives the re-run and stays visible in `reruns`.
+    prior = _prior_round_times()
+    suspects = _outlier_suspects(timings, prior)
+    reruns: dict[str, dict] = {}
+    for name in suspects:
+        best, _, la = measure(name, 3)
+        reruns[name] = {
+            "sweep": timings[name],
+            "rerun": round(best, 3),
+            "prior": prior[name],
+            "loadavg": la,
+        }
+        timings[name] = min(timings[name], round(best, 3))
+        load_per_query[name] = la
 
     # Host-stall self-diagnosis: on this microVM a stalled sweep inflates
     # *every* query's slow rep uniformly (BENCH_r04 recorded 3-25x across
@@ -161,6 +248,7 @@ def main() -> None:
         "stall_suspect": stall_suspect,
         "median_rep_spread": median_spread,
         "loadavg": loadavg,
+        "reruns": reruns,
         "queries": timings,
     }
     detail_path = os.path.join(
@@ -168,10 +256,19 @@ def main() -> None:
     )
     try:
         with open(detail_path, "w") as fh:
-            json.dump({**compact, "rep_spread": spreads, "reps": reps}, fh, indent=1)
+            json.dump(
+                {
+                    **compact,
+                    "rep_spread": spreads,
+                    "loadavg_per_query": load_per_query,
+                    "reps": reps,
+                },
+                fh,
+                indent=1,
+            )
     except OSError:
         pass  # diagnosis file is best-effort; the stdout line is the artifact
-    print(json.dumps(compact))
+    print(json.dumps({**compact, "loadavg_per_query": load_per_query}))
 
 
 if __name__ == "__main__":
