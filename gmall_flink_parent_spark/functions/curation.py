@@ -1052,7 +1052,9 @@ BOILER_BROADCAST_MAX_GRAMS = 1_000_000  # forced-broadcast cap on the
 
 
 def boilerplate_fraction_frame(
-    sh: DataFrame, max_broadcast_grams: int = BOILER_BROADCAST_MAX_GRAMS
+    sh: DataFrame,
+    max_broadcast_grams: int = BOILER_BROADCAST_MAX_GRAMS,
+    row_count: int | None = None,
 ) -> DataFrame:
     """Document-frequency threshold + per-doc boilerplate fraction over
     a (doc_id, g) shingle frame — the shared core of the batch
@@ -1079,6 +1081,13 @@ def boilerplate_fraction_frame(
       genuinely too big for the driver, which is exactly when the
       forced broadcast would have OOMed it.
 
+    ``row_count`` lets the caller supply the shingle-row count (or any
+    upper bound on it) so the gate decides WITHOUT a count() action —
+    the store heads read it from parquet footers
+    (``streaming.store.store_row_count``: driver-side metadata, no
+    job); the batch query keeps the count() over its query-scoped
+    persisted frame, where it doubles as the cache fill.
+
     Both branches are pinned hash-equal against BOILERPLATE_ORACLE.
     """
     boiler = (
@@ -1087,7 +1096,9 @@ def boilerplate_fraction_frame(
         .filter(F.col("df") >= _BOILER_DF)
         .select("g", F.lit(1).alias("is_boiler"))
     )
-    if sh.count() // _BOILER_DF <= max_broadcast_grams:
+    if row_count is None:
+        row_count = sh.count()
+    if row_count // _BOILER_DF <= max_broadcast_grams:
         probe = sh.join(F.broadcast(boiler), "g", "left")
     else:
         probe = sh.join(boiler, "g", "left")

@@ -318,7 +318,9 @@ FROM k GROUP BY doc_id
 
 
 def span_dedup_frame(
-    sh: DataFrame, max_broadcast_spans: int = _SPAN_BROADCAST_MAX
+    sh: DataFrame,
+    max_broadcast_spans: int = _SPAN_BROADCAST_MAX,
+    row_count: int | None = None,
 ) -> DataFrame:
     """Repeated-span removal over a (doc_id, pos, span, sk) frame — the
     shared core of the batch ``span_dedup_rewrite`` and any ingest-time
@@ -337,6 +339,13 @@ def span_dedup_frame(
     - **engine-decided join** otherwise: AQE sizes the REAL aggregated
       set at runtime and broadcasts iff it actually fits.
 
+    ``row_count`` lets the caller supply the span-row count (or any
+    upper bound) so the gate decides WITHOUT a count() action — the
+    store head reads it from parquet footers
+    (``streaming.store.store_row_count``); the batch query keeps the
+    count() over its persisted frame, where it doubles as the cache
+    fill.
+
     The rewrite reassembles each document from its kept spans in
     position order with ``array_sort(collect_list(struct(pos, span)))``
     — collect_list over the per-doc group, never a global window; the
@@ -349,7 +358,9 @@ def span_dedup_frame(
         .filter(F.col("cnt") >= _SPAN_DF)
         .select("sk", F.lit(1).alias("is_rep"))
     )
-    if sh.count() // _SPAN_DF <= max_broadcast_spans:
+    if row_count is None:
+        row_count = sh.count()
+    if row_count // _SPAN_DF <= max_broadcast_spans:
         probe = sh.join(F.broadcast(rep), "sk", "left")
     else:
         probe = sh.join(rep, "sk", "left")

@@ -25,6 +25,7 @@ from gmall_flink_parent_spark.streaming.store import (  # noqa: F401
     _partial_store_job,
     compact_fact_store,
     compact_partial_store,
+    store_row_count,
     upsert_parquet,
 )
 
@@ -1136,8 +1137,12 @@ def boilerplate_fraction_from_store(
     # a long-lived refresh loop holds at most ONE store-sized cache
     # instead of accumulating one per call
     release_caches()
+    # broadcast gate decided from parquet FOOTERS (driver-side metadata,
+    # no count() job over the store) — at ingest cadence the gate count
+    # was a full store pass per head invocation before the cache filled
     return boilerplate_fraction_frame(
-        scoped_persist(spark.read.parquet(store_path).select("doc_id", "g"))
+        scoped_persist(spark.read.parquet(store_path).select("doc_id", "g")),
+        row_count=store_row_count(store_path),
     )
 
 
@@ -1387,6 +1392,67 @@ def winnow_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     )
 
 
+def span_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Repeated-span grain at ingest: each micro-batch of documents is
+    cut into its non-overlapping 8-token spans with md5 keys
+    (``span_frame`` — the tokenize + slice + hash CPU stage) and the
+    (doc_id, pos, span, sk) rows land in a ``batch_id=N`` partition —
+    idempotent on replay like ``shingle_store_job``.
+
+    The rows are per-doc independent (a doc's spans depend only on its
+    own text — accumulation ≡ one-shot spanning by construction), and
+    mergeable upward: the corpus-wide span frequencies that decide
+    which spans get CUT are Σ over the store, so the rewrite head
+    (``span_dedup_from_store``) re-derives the repeated set per run —
+    the set legitimately shifts as the corpus grows — while each
+    document was tokenized and hashed exactly once at ingest. The same
+    store-the-stable-facts / derive-the-moving-verdict split as the
+    shingle store's boilerplate head; completes the sub-document dedup
+    family's zero-re-scan coverage (winnowing had its store since r7,
+    the span rewrite re-scanned text per run). Compact with
+    ``compact_fact_store``.
+    """
+    from gmall_flink_parent_spark.functions.spans import span_frame
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        span_frame(fan_out(batch.sparkSession, batch)).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/span_store")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def span_dedup_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Repeated-span removal over the span store: corpus frequency +
+    size-gated probe join + per-doc reassembly through the SAME
+    ``span_dedup_frame`` core as the batch query — hash-equal to the
+    one-shot ``span_dedup_rewrite`` over the same corpus (pinned, incl.
+    across ``compact_fact_store``), with zero text re-scans. The
+    broadcast gate decides from parquet FOOTERS
+    (``store_row_count`` — driver-side metadata, no count() job), so
+    constructing this head launches no Spark action."""
+    from gmall_flink_parent_spark.functions.spans import span_dedup_frame
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+
+    # one-live-cache cadence (same as boilerplate_fraction_from_store)
+    release_caches()
+    return span_dedup_frame(
+        scoped_persist(
+            spark.read.parquet(store_path).select("doc_id", "pos", "span", "sk")
+        ),
+        row_count=store_row_count(store_path),
+    )
+
+
 def winnow_near_dup_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Near-dup pairs over the winnowing-fingerprint store: the
     posting-list self-join + pair agg through the SAME
@@ -1478,14 +1544,15 @@ def curation_ingest_job(
     quality_path: str | None = None,
     chunk_path: str | None = None,
     dsir_path: str | None = None,
+    span_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
     text-profile store, the shingle store, the mixture store — and,
     when ``vocab_path`` / ``winnow_path`` / ``quality_path`` /
-    ``chunk_path`` / ``dsir_path`` are given, the unigram doc-term
-    store, the winnowing-fingerprint store, the Gopher
-    repetition-verdict store, the retrieval-chunk store, and the DSIR
-    hashed-gram store — together.
+    ``chunk_path`` / ``dsir_path`` / ``span_path`` are given, the
+    unigram doc-term store, the winnowing-fingerprint store, the Gopher
+    repetition-verdict store, the retrieval-chunk store, the DSIR
+    hashed-gram store, and the repeated-span store — together.
     At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
     ingest cost, so running `text_profile_job` + `shingle_store_job` +
     `mixture_job` + `vocab_store_job` as separate streams would pay it
@@ -1508,7 +1575,7 @@ def curation_ingest_job(
     from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
     from gmall_flink_parent_spark.functions.quality import doc_repetition_profile_frame
     from gmall_flink_parent_spark.functions.selection import hashed_gram_frame
-    from gmall_flink_parent_spark.functions.spans import winnow_fp_frame
+    from gmall_flink_parent_spark.functions.spans import span_frame, winnow_fp_frame
     from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
     from gmall_flink_parent_spark.sources.tables import fan_out
 
@@ -1544,6 +1611,10 @@ def curation_ingest_job(
                 hashed_gram_frame(
                     wide.select("doc_id", "text", "lang")
                 ).write.mode("overwrite").parquet(f"{dsir_path}/batch_id={batch_id}")
+            if span_path is not None:
+                span_frame(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{span_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 

@@ -32,6 +32,47 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
+def store_row_count(store_path: str) -> int | None:
+    """Total row count of a parquet store from its file FOOTERS — a
+    driver-side metadata read (pyarrow), launching NO Spark job.
+
+    This is the store's own sidecar metadata: every parquet footer
+    carries its row count, compaction rewrites footers along with data,
+    and a half-landed batch the stream will overwrite on replay
+    over-counts only that batch — all of which is fine for the ONE
+    consumer this serves, the broadcast-gate upper bound in
+    ``boilerplate_fraction_frame`` / ``span_dedup_frame`` (the bound
+    must not UNDER-count; a replayed batch's transient double-count
+    only makes the gate more conservative). Footer reads are standard
+    metadata ops on object stores too (~8 bytes of the footer per
+    file); at ingest cadence this replaces a full count() action over
+    the store per head invocation. Returns ``None`` when the path
+    doesn't resolve to parquet files (caller falls back to counting).
+    """
+    import pathlib
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    root = pathlib.Path(store_path)
+    if not root.exists():
+        return None
+    total = 0
+    n_files = 0
+    for f in root.rglob("*.parquet"):
+        # skip swap leftovers from a crashed two-rename (healed on the
+        # next write; counting them would double the bound)
+        if any(part.endswith(("._tmp", "._old")) for part in f.parts):
+            continue
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+            n_files += 1
+        except OSError:
+            return None
+    return total if n_files else None
+
+
 def upsert_parquet(
     spark: SparkSession,
     new_rows: DataFrame,

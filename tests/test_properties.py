@@ -602,6 +602,48 @@ def test_doc_term_counts_accumulate_over_any_split(spark, rows, split_at):
     assert score_whole == score_acc
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=contam_docs_strategy, split_at=st.integers(0, 500))
+def test_span_frame_accumulates_over_any_split(spark, rows, split_at):
+    """For ANY corpus and ANY split into two ingest batches: the
+    accumulated (doc_id, pos, span, sk) rows equal the one-shot span
+    scan, and the repeated-span REWRITE over the accumulated frame —
+    whose cut set depends on CORPUS-WIDE frequencies — equals the
+    one-shot head, through both broadcast-gate branches. The per-doc-
+    independence + upward-mergeability invariant `span_store_job`'s
+    accumulation rests on (span facts are stable; the repeated set is
+    the moving verdict re-derived per run)."""
+    from gmall_flink_parent_spark.functions.spans import (
+        span_dedup_frame,
+        span_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in rows], "doc_id long, text string"
+    )
+    whole_sh = span_frame(docs)
+    whole = {tuple(r) for r in whole_sh.collect()}
+    parts_frames = [
+        span_frame(docs.filter(cond))
+        for cond in (F.col("doc_id") < split_at, F.col("doc_id") >= split_at)
+    ]
+    acc = parts_frames[0].unionByName(parts_frames[1])
+    assert {tuple(r) for r in acc.collect()} == whole
+
+    def rewrite(sh, **kw):
+        return {
+            (r["doc_id"], r["n_spans"], r["n_removed"], r["kept_text"])
+            for r in span_dedup_frame(sh, **kw).collect()
+        }
+
+    want = rewrite(whole_sh)
+    assert rewrite(acc) == want
+    # both gate branches, driven by an explicit row bound (no count())
+    n = len(whole)
+    assert rewrite(acc, row_count=n) == want  # broadcast branch
+    assert rewrite(acc, max_broadcast_spans=0, row_count=n) == want  # AQE branch
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     a_toks=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),

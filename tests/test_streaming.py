@@ -2942,6 +2942,107 @@ def test_winnow_store_serves_near_dup_head_across_compaction(
     assert pairs(winnow_near_dup_from_store(spark, out)) == want
 
 
+def test_span_store_serves_rewrite_head_across_compaction(
+    spark, sf_dir, tmp_path
+):
+    """Span facts computed ONCE at ingest (two micro-batches) must serve
+    the repeated-span rewrite head hash-equal to the one-shot batch
+    query — before AND after a `compact_fact_store` pass. The cut set
+    depends on corpus-wide frequencies, so this also pins the
+    store-the-facts / derive-the-verdict split: per-batch span rows
+    accumulate, the repeated set is re-derived over the union."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        span_dedup_from_store,
+        span_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        compact_fact_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    out, ck = str(tmp_path / "span"), str(tmp_path / "ck")
+    span_store_job(stream, out, ck).awaitTermination(120)
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+    def rows(df):
+        return {
+            (r["doc_id"], r["n_spans"], r["n_removed"], r["kept_text"])
+            for r in df.collect()
+        }
+
+    want = rows(plans.query_map()["span_dedup_rewrite"](spark, sf_dir))
+    assert len(want) > 0 and any(r[2] > 0 for r in want)  # the cut bites
+    assert rows(span_dedup_from_store(spark, out)) == want
+
+    # fold both committed batches into the base; the head is unchanged
+    assert (
+        compact_fact_store(spark, out, f"{ck}/span_store") == COMPACT_BASE_ID
+    )
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    ) == [COMPACT_BASE_ID]
+    assert rows(span_dedup_from_store(spark, out)) == want
+
+
+def test_store_head_gates_decide_without_count_action(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The span and boilerplate store heads must pick their broadcast
+    gate from parquet FOOTER metadata — constructing either head with
+    DataFrame.count forbidden must succeed (no Spark action), the
+    footer bound must equal the true row count on a clean store, and
+    the footer-gated result must match the batch query."""
+    from pyspark.sql import DataFrame
+
+    from gmall_flink_parent_spark.functions.curation import (
+        contamination_shingles,
+    )
+    from gmall_flink_parent_spark.functions.spans import span_frame
+    from gmall_flink_parent_spark.streaming.jobs import (
+        boilerplate_fraction_from_store,
+        span_dedup_from_store,
+    )
+    from gmall_flink_parent_spark.streaming.store import store_row_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    span_store = str(tmp_path / "span_store")
+    span_frame(docs).write.parquet(f"{span_store}/batch_id=0")
+    sh_store = str(tmp_path / "sh_store")
+    contamination_shingles(docs).write.parquet(f"{sh_store}/batch_id=0")
+
+    # footer bound == true count on a clean store
+    assert store_row_count(span_store) == spark.read.parquet(span_store).count()
+    assert store_row_count(sh_store) == spark.read.parquet(sh_store).count()
+    assert store_row_count(str(tmp_path / "missing")) is None
+
+    def no_count(self, *a, **k):  # any count() during construction fails
+        raise AssertionError("store head construction ran a count() action")
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    span_head = span_dedup_from_store(spark, span_store)
+    boiler_head = boilerplate_fraction_from_store(spark, sh_store)
+    monkeypatch.undo()
+
+    assert {tuple(r) for r in span_head.collect()} == {
+        tuple(r)
+        for r in plans.query_map()["span_dedup_rewrite"](spark, sf_dir).collect()
+    }
+    assert {tuple(r) for r in boiler_head.collect()} == {
+        tuple(r)
+        for r in plans.query_map()["doc_boilerplate_fraction"](
+            spark, sf_dir
+        ).collect()
+    }
+
+
 def test_curation_ingest_job_also_lands_winnow_store(spark, sf_dir, tmp_path):
     """The combined ingest pass with `winnow_path` set: the one-scan
     micro-batch also lands winnowing fingerprints, and the near-dup head
