@@ -104,6 +104,113 @@ def bm25_topk_frame(chunks: DataFrame) -> DataFrame:
     )
 
 
+def bm25_topk_multi(
+    chunks: DataFrame,
+    queries: DataFrame,
+    top_k: int = BM25_TOPK,
+    salt: int = 8,
+) -> DataFrame:
+    """BM25 top-k per query for a query TABLE — the real-workload form
+    of ``bm25_topk_frame``, which compiles ONE fixed term set into the
+    plan. ``queries`` is any (query_id, terms array<string>) frame (a
+    few rows to a few thousand — query sets are broadcast-bounded by
+    nature); duplicate terms within a query count once.
+
+    Returns (query_id, doc_id, chunk_idx, chunk_id, bm25, rnk) with
+    ``rnk`` 1..k per query, ranked on the ROUNDED score with a
+    chunk_id tiebreak — the same engine-portable ordering as the fixed
+    head. Only chunks matching ≥ 1 query term appear (postings
+    semantics: a zero-score chunk is not a retrieval result, while the
+    fixed head's global sort can pad its tail with zero-score rows
+    when fewer than k chunks match).
+
+    Scale shape: the distinct query-term table broadcasts against one
+    narrow pass over the chunks (per-(chunk, term) tf via an array
+    filter — no token explode; the crossJoin is the allowlisted
+    bounded-broadcast shape), rows with tf = 0 are dropped immediately
+    so what flows on is POSTINGS of the query vocabulary, not the
+    corpus × vocabulary product. Per-term df and the 1-row corpus
+    stats come back as broadcasts, scoring closes with one
+    map-side-combined (query, chunk) aggregate, and the per-query
+    top-k runs the exact two-phase grouped top-N
+    (``per_source_cap``'s shape): phase 1 ranks within (query, salt
+    of chunk_id) so a hot query's candidates split across ``salt``
+    tasks, phase 2 re-ranks the ≤ salt·k survivors — bounded by the
+    cutoff, never the corpus. Exact because the order is row-local:
+    a global top-k member is top-k within its own salt group.
+    """
+    from pyspark.sql import Window
+
+    base = scoped_persist(
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_id",
+            F.split(F.col("chunk_text"), " ").alias("ctoks"),
+        ).select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_id",
+            F.size("ctoks").cast("double").alias("dl"),
+            "ctoks",
+        )
+    )
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    dterms = qt.select("term").distinct()
+    postings = scoped_persist(
+        base.crossJoin(F.broadcast(dterms))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_id",
+            "dl",
+            "term",
+            F.size(F.filter(F.col("ctoks"), lambda x: x == F.col("term")))
+            .cast("double")
+            .alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_chunks"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tstats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_chunks") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(tstats), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id", "chunk_idx", "chunk_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / norm), 6
+            ).alias("bm25")
+        )
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
+    ).orderBy(F.desc("bm25"), F.asc("chunk_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("chunk_id"))
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= top_k)
+        .withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "doc_id", "chunk_idx", "chunk_id", "bm25", "rnk")
+    )
+
+
 def _duck_tf(term: str) -> str:
     return f"len(list_filter(ctoks, x -> x = '{term}'))"
 

@@ -91,20 +91,45 @@ WHERE rnk <= {top_k}
 """
 
 
-def _cosine_topk(
-    spark: SparkSession, sf_dir: str, top_k: int, same_label: bool
+def cosine_topk_frame(
+    emb: DataFrame,
+    queries: DataFrame,
+    top_k: int = TOP_K,
+    same_label: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Brute-force cosine top-k for a caller-supplied query TABLE — the
+    real-workload form of the registered heads, which fix the query set
+    to ``vec_id < 8``. ``queries`` is any (query_id, q_emb [, q_label])
+    frame; query sets are broadcast-bounded by nature (a few to a few
+    thousand vectors), so the plan is unchanged from the fixed heads:
+    query side broadcast, candidate side streams through one scan, the
+    64-term dot product stays fixed-order codegen arithmetic (same
+    bit-exactness argument as the module docstring), and the only
+    exchange is the tiny per-query top-k window.
+
+    ``same_label=True`` restricts candidates to the query's coarse
+    cell (``q_label`` required — the IVF-pruned form);
+    ``exclude_self=True`` drops the candidate whose vec_id equals
+    query_id (the self-match convention of the registered heads —
+    turn off for external query vectors, whose ids live in a
+    different space).
+    """
     base = emb.select(
         "vec_id", "label", "embedding", F.sqrt(_norm_sq("embedding")).alias("nrm")
     )
-    q = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    q_nrm = F.sqrt(
+        F.aggregate(
+            F.col("q_emb"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
-    cond = F.col("vec_id") != F.col("query_id")
+    q_cols = ["query_id", "q_emb"] + (["q_label"] if same_label else [])
+    q = queries.select(*q_cols, q_nrm.alias("q_nrm"))
+    cond = F.lit(True)
+    if exclude_self:
+        cond = F.col("vec_id") != F.col("query_id")
     if same_label:
         cond = cond & (F.col("label") == F.col("q_label"))
     scored = (
@@ -123,6 +148,18 @@ def _cosine_topk(
         .filter(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+def _cosine_topk(
+    spark: SparkSession, sf_dir: str, top_k: int, same_label: bool
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return cosine_topk_frame(emb, q, top_k, same_label=same_label)
 
 
 @register(

@@ -789,6 +789,91 @@ def test_ahash_salted_conf_wiring_result_invariant(spark, sf_dir):
     assert base == salted and len(base) > 0
 
 
+def test_bm25_multi_query_reproduces_fixed_head(spark, sf_dir):
+    """The query-table BM25 form with the fixed term set as its single
+    query must reproduce the registered head's ranking row for row —
+    and a genuinely multi-query table must rank each query
+    independently, through an equi/bounded-broadcast-only plan."""
+    from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
+    from gmall_flink_parent_spark.functions.retrieval import (
+        BM25_TOPK,
+        QUERY_TERMS,
+        bm25_topk_multi,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    chunks = chunk_windows_frame(
+        fan_out(spark, load_table(spark, sf_dir, "documents"))
+    )
+    head = plans.query_map()["chunk_bm25_topk"](spark, sf_dir).collect()
+    want = [(r["doc_id"], r["chunk_idx"], r["chunk_id"], r["bm25"]) for r in head]
+    # the comparison below is total only while every head row matched
+    # >= 1 term (multi returns no zero-score padding) — assert loudly
+    assert len(want) == BM25_TOPK and all(t[3] > 0 for t in want)
+
+    queries = spark.createDataFrame(
+        [(7, list(QUERY_TERMS)), (9, [QUERY_TERMS[0], QUERY_TERMS[0], "zzz-notaword"])],
+        "query_id long, terms array<string>",
+    )
+    multi = bm25_topk_multi(chunks, queries)
+    rows = multi.collect()
+    got7 = sorted(
+        ((r["rnk"], r["doc_id"], r["chunk_idx"], r["chunk_id"], r["bm25"])
+         for r in rows if r["query_id"] == 7)
+    )
+    assert [(d, ci, cid, b) for _, d, ci, cid, b in got7] == want
+
+    # second query: duplicate terms count once, unknown terms drop out,
+    # ranking is per-query (contiguous rnk, nonincreasing score)
+    got9 = sorted(
+        ((r["rnk"], r["bm25"]) for r in rows if r["query_id"] == 9)
+    )
+    assert [r for r, _ in got9] == list(range(1, len(got9) + 1))
+    assert all(got9[i][1] >= got9[i + 1][1] for i in range(len(got9) - 1))
+    assert len(got9) > 0
+
+    physical = multi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+
+
+def test_cosine_topk_frame_parameterized_queries(spark, sf_dir):
+    """The query-table ANN form with the fixed vec_id<8 set must
+    reproduce both registered heads (brute-force and IVF-pruned), and
+    an EXTERNAL query vector — ids outside the corpus space,
+    exclude_self off — must rank the whole corpus."""
+    from gmall_flink_parent_spark.functions.similarity import (
+        IVF_TOP_K,
+        N_QUERIES,
+        TOP_K,
+        cosine_topk_frame,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    for name, kw, k in (
+        ("cosine_topk_bruteforce", {}, TOP_K),
+        ("ann_ivf_bucketed", {"same_label": True}, IVF_TOP_K),
+    ):
+        got = sorted(
+            tuple(r) for r in cosine_topk_frame(emb, q, k, **kw).collect()
+        )
+        want = sorted(tuple(r) for r in plans.query_map()[name](spark, sf_dir).collect())
+        assert got == want and len(want) == N_QUERIES * k, name
+
+    novel = spark.createDataFrame(
+        [(10_000_000, [0.25] * 64)], "query_id long, q_emb array<float>"
+    )
+    res = cosine_topk_frame(emb, novel, top_k=5, exclude_self=False).collect()
+    assert [r["rnk"] for r in sorted(res, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+    sims = [r["cos_sim"] for r in sorted(res, key=lambda r: r["rnk"])]
+    assert all(sims[i] >= sims[i + 1] for i in range(4))
+    assert all(r["query_id"] == 10_000_000 for r in res)
+
+
 def test_srp_multiprobe_recall_vs_bruteforce(spark, sf_dir):
     """Approximation quality pinned, not assumed: the multi-probe SRP
     top-1 must recover the exact brute-force top-1 neighbor for at
