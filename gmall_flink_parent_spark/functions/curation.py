@@ -432,7 +432,23 @@ def corpus_filter_frame(docs: DataFrame) -> DataFrame:
     """Frame-level core of ``corpus_filter_pipeline`` — shared with
     ``pipeline.build_pretraining_dataset`` so a JSONL-ingested corpus
     (``sources/documents.py``) runs the identical verdict the parquet
-    query is oracle-checked against."""
+    query is oracle-checked against. Split as facts → election:
+    ``filter_flags_frame`` computes the per-doc signals (the stable
+    facts an ingest store lands batch-by-batch), ``filter_verdict_frame``
+    runs the corpus-wide canonical election on top (the moving verdict
+    a store head re-derives per run)."""
+    return filter_verdict_frame(filter_flags_frame(docs))
+
+
+def filter_flags_frame(docs: DataFrame) -> DataFrame:
+    """Per-document facts of the curation verdict: exact-dup
+    fingerprint, repetition ratios, and the quality/repetition/length
+    pass flags — everything that depends ONLY on the document's own
+    text, hence per-doc independent (accumulation over any ingest
+    split ≡ one-shot computation; Hypothesis-pinned). What it does NOT
+    contain is ``is_canonical``/``keep``: the canonical-copy election
+    compares fingerprints ACROSS the corpus and legitimately changes
+    as the corpus grows, so it belongs to ``filter_verdict_frame``."""
     toks = F.split(F.col("text"), " ")
     sig = docs.select(
         "doc_id",
@@ -466,7 +482,7 @@ def corpus_filter_frame(docs: DataFrame) -> DataFrame:
         n >= 3,
         F.lit(1.0) - F.size(_ngrams(F.col("toks"), n, 3)).cast("double") / (n - 2),
     ).otherwise(0.0)
-    flags = sig.select(
+    return sig.select(
         "doc_id",
         "fp",
         F.round(r1, 6).alias("dup_token_ratio"),
@@ -476,7 +492,17 @@ def corpus_filter_frame(docs: DataFrame) -> DataFrame:
         (dup2 <= _MAX_DUP2).alias("pass_repetition"),
         n.between(_MIN_TOKENS, _MAX_TOKENS).alias("pass_length"),
     )
-    keepers = sig.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+
+
+def filter_verdict_frame(flags: DataFrame) -> DataFrame:
+    """Corpus-wide close of the curation verdict over a
+    ``filter_flags_frame``-shaped frame: elect each fingerprint's
+    canonical copy (min doc_id — the one wide op, a (128-bit key,
+    min-id) shuffle) and conjoin it with the stored pass flags into
+    ``keep``. Shared by the batch ``corpus_filter_pipeline`` and the
+    filter-store head (``streaming/jobs.py::corpus_filter_from_store``),
+    so one-shot and ingest-store verdicts cannot drift."""
+    keepers = flags.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     j = flags.join(keepers, "fp")
     is_canon = F.col("doc_id") == F.col("keeper")
     return j.select(

@@ -38,6 +38,7 @@ from gmall_flink_parent_spark.functions.curation import (
     contamination_counts,
     contamination_shingles,
     corpus_filter_frame,
+    filter_verdict_frame,
 )
 from gmall_flink_parent_spark.functions.mixture import (
     _PACK_CAP,
@@ -52,6 +53,48 @@ from gmall_flink_parent_spark.plans.registry import release_caches, scoped_persi
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 
+def _check_mixture_store(
+    spark: SparkSession,
+    mix_store: DataFrame,
+    weights: dict[str, float],
+    mix_seed: str,
+    sample: int = 64,
+) -> None:
+    """Refuse to build from a mixture store landed under different
+    (weights, seed): replay the hash-decided mix for a BOUNDED sample
+    of stored docs and require their stored epoch sets to match
+    exactly. Per-doc independence makes the per-doc check exact — a
+    doc's epochs depend only on (weights[source], seed, doc_id) — so a
+    wrong seed flips essentially every upsampled doc's epoch pattern
+    and a wrong weight flips its source's docs; 64 docs catch either
+    with near-certainty while costing two tiny jobs, not a corpus
+    pass. (A store CONSISTENT with (weights, seed) that was landed
+    from a different corpus is caught downstream: the funnel joins it
+    against the filter store's doc set.)"""
+    probe = mix_store.select("doc_id", "source").distinct().limit(sample)
+    probe_rows = probe.collect()
+    if not probe_rows:
+        return  # empty store: nothing mixes in, nothing to contradict
+    replay = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in corpus_mix_weighted(
+            spark.createDataFrame(probe_rows, probe.schema), weights, mix_seed
+        ).collect()
+    }
+    ids = {r["doc_id"] for r in probe_rows}
+    stored = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in mix_store.filter(F.col("doc_id").isin(ids)).collect()
+    }
+    if stored != replay:
+        raise ValueError(
+            "mixture store is inconsistent with the requested (weights, "
+            f"seed={mix_seed!r}): a replay of {len(ids)} stored docs "
+            "produced different epoch sets — rebuild the store or pass "
+            "the weights/seed it was landed with"
+        )
+
+
 def build_pretraining_dataset(
     spark: SparkSession,
     sf_dir: str | None,
@@ -63,6 +106,7 @@ def build_pretraining_dataset(
     block: int = _SHARD_BLOCK,
     corpus: DataFrame | None = None,
     keep_docs: DataFrame | None = None,
+    stores_path: str | None = None,
 ) -> dict:
     """Curate → decontaminate → mix → order → pack → shard, returning
     the build manifest.
@@ -95,16 +139,57 @@ def build_pretraining_dataset(
     ``dsir_keep``), a domain cap (``per_source_cap``), a dedup cluster
     keep-list — intersected after quality/benchmark/decontamination,
     with the drop counted in the manifest (``n_selection_dropped``).
+
+    ``stores_path`` is the ZERO-RE-SCAN fast path: a directory whose
+    ``filter`` / ``shingles`` / ``mixture`` / ``profile`` subdirs were
+    landed by ``curation_ingest_job`` (``filter_path=…/filter`` etc.)
+    over the same corpus, with the mixture store mixed under THIS
+    build's ``weights`` and mix seed ``f"{seed}:mix"``. The build then
+    never reads document text: the verdict closes over stored filter
+    signals (``filter_verdict_frame``), decontamination probes stored
+    shingles, token counts come from the profile store, and the
+    mixture store replaces the re-mix (per-doc hash decisions make
+    store-rows ∩ kept-docs ≡ mixing the kept docs — the any-split
+    property). A bounded sample of stored mixture rows is REPLAYED
+    against (weights, seed) and the build refuses to run on a
+    mismatched store, because a silent mismatch would produce a valid-
+    looking but differently-mixed dataset. Explicit ``weights`` are
+    required (the budget planner needs document text). The result is
+    byte-identical to the scan-backed build (pinned at sf0.001/sf0.01)
+    and the manifest records which path ran (``built_from``).
     """
-    docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
-    if weights is None:
-        plan = mixture_budget_frame(docs).collect()
-        weights = {r["source"]: float(r["mix_weight"]) for r in plan}
+    if stores_path is not None:
+        if weights is None:
+            raise ValueError(
+                "stores_path builds need explicit weights matching the "
+                "mixture store (the budget planner reads document text)"
+            )
+        if corpus is not None:
+            raise ValueError("pass either corpus or stores_path, not both")
+        flags_store = spark.read.parquet(f"{stores_path}/filter")
+        verdict = filter_verdict_frame(flags_store).select("doc_id", "keep")
+        sh = spark.read.parquet(f"{stores_path}/shingles").select("doc_id", "g")
+        toks = spark.read.parquet(f"{stores_path}/profile").select(
+            "doc_id", "n_tokens"
+        )
+        mix_store = spark.read.parquet(f"{stores_path}/mixture").select(
+            "doc_id", "source", "epoch"
+        )
+        _check_mixture_store(spark, mix_store, weights, f"{seed}:mix")
+        docs = None
+    else:
+        docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
+        if weights is None:
+            plan = mixture_budget_frame(docs).collect()
+            weights = {r["source"]: float(r["mix_weight"]) for r in plan}
+        verdict = corpus_filter_frame(fan_out(spark, docs)).select("doc_id", "keep")
+        sh = contamination_shingles(docs)
+        toks = docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        )
 
     # --- funnel: quality verdict ∧ not benchmark ∧ not contaminated
     #     (∧ selection keep-list, when one is plugged in)
-    verdict = corpus_filter_frame(fan_out(spark, docs)).select("doc_id", "keep")
-    sh = contamination_shingles(docs)
     bench = sh.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
     contaminated = contamination_counts(
         sh.filter(F.col("doc_id") % bench_mod != 0), bench
@@ -138,13 +223,15 @@ def build_pretraining_dataset(
 
     # --- assemble: mix (hash-decided) → order (one range sort) → pack
     kept = flags.filter(final_keep).select("doc_id")
-    mix_in = docs.select("doc_id", "source").join(kept, "doc_id", "left_semi")
-    stream = training_order(
-        corpus_mix_weighted(mix_in, weights, f"{seed}:mix"), f"{seed}:order"
-    )
-    toks = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
-    )
+    if stores_path is not None:
+        # per-doc independence: the store's mixed copies filtered to
+        # kept docs ≡ mixing the kept docs (the any-split property the
+        # mixture_job family rests on)
+        mixed = mix_store.join(kept, "doc_id", "left_semi")
+    else:
+        mix_in = docs.select("doc_id", "source").join(kept, "doc_id", "left_semi")
+        mixed = corpus_mix_weighted(mix_in, weights, f"{seed}:mix")
+    stream = training_order(mixed, f"{seed}:order")
     packed = pack_sequences(stream.join(toks, "doc_id"), cap=pack_cap)
     write_training_shards(packed, out_path, block=block)
     release_caches()
@@ -162,6 +249,7 @@ def build_pretraining_dataset(
     )
     return {
         "out_path": out_path,
+        "built_from": "stores" if stores_path is not None else "scan",
         "seed": seed,
         "weights": dict(sorted(weights.items())),
         "pack_cap": int(pack_cap),

@@ -1392,6 +1392,63 @@ def winnow_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     )
 
 
+def filter_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Curation-verdict facts at ingest: each micro-batch of documents
+    is reduced to its per-doc filter signals (``filter_flags_frame`` —
+    fingerprint, repetition ratios, pass flags; the tokenize-heavy CPU
+    stage) landing in a ``batch_id=N`` partition — idempotent on
+    replay like ``shingle_store_job``.
+
+    The rows are per-doc independent (every signal depends only on the
+    document's own text — accumulation ≡ one-shot computation,
+    Hypothesis-pinned), while the exact-dup canonical election — which
+    compares fingerprints ACROSS documents and legitimately shifts as
+    the corpus grows — is re-derived per run by
+    ``corpus_filter_from_store``. The same store-the-stable-facts /
+    derive-the-moving-verdict split as the shingle store's boilerplate
+    head. Compact with ``compact_fact_store``.
+    """
+    from gmall_flink_parent_spark.functions.curation import filter_flags_frame
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        filter_flags_frame(fan_out(batch.sparkSession, batch)).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/filter_store")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_FILTER_FLAG_COLS = (
+    "doc_id",
+    "fp",
+    "dup_token_ratio",
+    "dup_2gram_ratio",
+    "dup_3gram_ratio",
+    "pass_quality",
+    "pass_repetition",
+    "pass_length",
+)
+
+
+def corpus_filter_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The composed curation verdict over the filter store: canonical
+    election + keep conjunction through the SAME ``filter_verdict_frame``
+    core as the batch query — hash-equal to the one-shot
+    ``corpus_filter_pipeline`` over the same corpus, with zero text
+    re-scans (signals were computed once, at ingest)."""
+    from gmall_flink_parent_spark.functions.curation import filter_verdict_frame
+
+    return filter_verdict_frame(
+        spark.read.parquet(store_path).select(*_FILTER_FLAG_COLS)
+    )
+
+
 def span_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     """Repeated-span grain at ingest: each micro-batch of documents is
     cut into its non-overlapping 8-token spans with md5 keys
@@ -1545,14 +1602,16 @@ def curation_ingest_job(
     chunk_path: str | None = None,
     dsir_path: str | None = None,
     span_path: str | None = None,
+    filter_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
     text-profile store, the shingle store, the mixture store — and,
     when ``vocab_path`` / ``winnow_path`` / ``quality_path`` /
-    ``chunk_path`` / ``dsir_path`` / ``span_path`` are given, the
-    unigram doc-term store, the winnowing-fingerprint store, the Gopher
-    repetition-verdict store, the retrieval-chunk store, the DSIR
-    hashed-gram store, and the repeated-span store — together.
+    ``chunk_path`` / ``dsir_path`` / ``span_path`` / ``filter_path``
+    are given, the unigram doc-term store, the winnowing-fingerprint
+    store, the Gopher repetition-verdict store, the retrieval-chunk
+    store, the DSIR hashed-gram store, the repeated-span store, and
+    the curation-filter-signal store — together.
     At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
     ingest cost, so running `text_profile_job` + `shingle_store_job` +
     `mixture_job` + `vocab_store_job` as separate streams would pay it
@@ -1571,6 +1630,7 @@ def curation_ingest_job(
         contamination_shingles,
         corpus_mix_weighted,
         doc_term_counts,
+        filter_flags_frame,
     )
     from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
     from gmall_flink_parent_spark.functions.quality import doc_repetition_profile_frame
@@ -1615,6 +1675,10 @@ def curation_ingest_job(
                 span_frame(wide.select("doc_id", "text")).write.mode(
                     "overwrite"
                 ).parquet(f"{span_path}/batch_id={batch_id}")
+            if filter_path is not None:
+                filter_flags_frame(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{filter_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 

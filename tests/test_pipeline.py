@@ -151,6 +151,104 @@ def test_build_with_selection_keep_list(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_build_from_stores_matches_scan_build(spark, sf_dir, tmp_path):
+    """The zero-re-scan build: stores landed by curation_ingest_job
+    (filter signals, shingles, mixture, profile — two micro-batches)
+    must drive a build whose manifest and written stream are
+    byte-identical to the scan-backed build, with the manifest
+    recording which path ran; a mixture store landed under a different
+    seed must be REFUSED, and stores builds require explicit weights."""
+    import pytest
+
+    from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
+    from gmall_flink_parent_spark.sources.tables import load_table
+    from tests.test_streaming import _two_file_stream
+
+    wts = {f"src{i}": (1.5, 0.7)[i % 2] for i in range(20)}
+    seed = "t-stores"
+    root = tmp_path / "stores"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string, source string"
+    )
+    curation_ingest_job(
+        stream,
+        str(root / "profile"),
+        str(root / "shingles"),
+        str(root / "mixture"),
+        str(tmp_path / "ck"),
+        weights=wts,
+        mix_seed=f"{seed}:mix",
+        filter_path=str(root / "filter"),
+    ).awaitTermination(120)
+
+    a, b = str(tmp_path / "from_stores"), str(tmp_path / "from_scan")
+    ms = build_pretraining_dataset(
+        spark, None, a, weights=wts, seed=seed, stores_path=str(root)
+    )
+    mp = build_pretraining_dataset(spark, sf_dir, b, weights=wts, seed=seed)
+    assert ms["built_from"] == "stores" and mp["built_from"] == "scan"
+    skip = {"out_path", "built_from"}
+    assert {k: v for k, v in ms.items() if k not in skip} == {
+        k: v for k, v in mp.items() if k not in skip
+    }
+    cols = ["sample_idx", "doc_id", "source", "epoch", "n_tokens", "seq_id", "seq_offset"]
+    rs = _rows(read_training_slice(spark, a, 0, ms["n_samples"]).select(*cols))
+    rp = _rows(read_training_slice(spark, b, 0, mp["n_samples"]).select(*cols))
+    assert rs == rp and len(rs) == ms["n_samples"] > 0
+
+    # a store mixed under a different seed must be refused loudly
+    with pytest.raises(ValueError, match="inconsistent"):
+        build_pretraining_dataset(
+            spark,
+            None,
+            str(tmp_path / "bad"),
+            weights=wts,
+            seed="other-seed",
+            stores_path=str(root),
+        )
+    # and different weights likewise
+    with pytest.raises(ValueError, match="inconsistent"):
+        build_pretraining_dataset(
+            spark,
+            None,
+            str(tmp_path / "bad2"),
+            weights={s: 3.0 for s in wts},
+            seed=seed,
+            stores_path=str(root),
+        )
+    # the budget planner needs text: stores builds require weights
+    with pytest.raises(ValueError, match="weights"):
+        build_pretraining_dataset(
+            spark, None, str(tmp_path / "bad3"), seed=seed, stores_path=str(root)
+        )
+
+
+def test_filter_store_serves_corpus_verdict(spark, sf_dir, tmp_path):
+    """The filter-signal store's verdict head: canonical election over
+    stored per-doc facts (two micro-batches + compaction) must equal
+    the one-shot corpus_filter_pipeline exactly."""
+    from gmall_flink_parent_spark.sources.tables import load_table
+    from gmall_flink_parent_spark.streaming.jobs import (
+        corpus_filter_from_store,
+        filter_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+    from tests.test_streaming import _two_file_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    out, ck = str(tmp_path / "filter"), str(tmp_path / "fck")
+    filter_store_job(stream, out, ck).awaitTermination(120)
+
+    want = _rows(corpus_filter_pipeline(spark, sf_dir))
+    assert _rows(corpus_filter_from_store(spark, out)) == want
+    compact_fact_store(spark, out, f"{ck}/filter_store")
+    assert _rows(corpus_filter_from_store(spark, out)) == want
+
+
 def test_external_classifier_model_end_to_end(spark, sf_dir, tmp_path):
     """A TRAINED quality model (any exported (bucket, weight) parquet —
     NOT the md5-derived stand-in) drives the whole curation surface:

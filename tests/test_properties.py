@@ -604,6 +604,35 @@ def test_doc_term_counts_accumulate_over_any_split(spark, rows, split_at):
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=contam_docs_strategy, split_at=st.integers(0, 500))
+def test_filter_flags_accumulate_over_any_split(spark, rows, split_at):
+    """For ANY corpus and ANY split into two ingest batches: the
+    accumulated per-doc filter signals equal the one-shot computation,
+    and the corpus-wide verdict (canonical election) over the
+    accumulated frame equals the one-shot corpus_filter_frame — the
+    invariant `filter_store_job`'s accumulation rests on."""
+    from gmall_flink_parent_spark import plans  # noqa: F401 (import-order contract)
+    from gmall_flink_parent_spark.functions.curation import (
+        corpus_filter_frame,
+        filter_flags_frame,
+        filter_verdict_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in rows], "doc_id long, text string"
+    )
+    whole_flags = filter_flags_frame(docs)
+    whole = {tuple(r) for r in whole_flags.collect()}
+    acc = filter_flags_frame(
+        docs.filter(F.col("doc_id") < split_at)
+    ).unionByName(filter_flags_frame(docs.filter(F.col("doc_id") >= split_at)))
+    assert {tuple(r) for r in acc.collect()} == whole
+    assert {tuple(r) for r in filter_verdict_frame(acc).collect()} == {
+        tuple(r) for r in corpus_filter_frame(docs).collect()
+    }
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=contam_docs_strategy, split_at=st.integers(0, 500))
 def test_span_frame_accumulates_over_any_split(spark, rows, split_at):
     """For ANY corpus and ANY split into two ingest batches: the
     accumulated (doc_id, pos, span, sk) rows equal the one-shot span
