@@ -378,6 +378,43 @@ def span_dedup_frame(
     )
 
 
+def span_rewrite_token_counts(
+    sh: DataFrame,
+    max_broadcast_spans: int = _SPAN_BROADCAST_MAX,
+    row_count: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed_spans) AFTER repeated-span removal —
+    the accounting face of ``span_dedup_frame`` for pipelines that need
+    the rewritten document's token budget but not the text itself
+    (``build_pretraining_dataset``'s packing stage stores token counts,
+    never text). Same frequency agg, same size-gated probe join, but
+    the per-doc close is a plain sum of kept-span token counts instead
+    of the ordered text reassembly — no collect_list. Consistent with
+    the rewrite by construction: ``concat_ws(' ', spans)`` over
+    non-empty spans has exactly Σ size(split(span)) tokens
+    (equality with the kept_text token count is pinned in tests).
+    Docs whose spans are ALL removed report n_tokens = 0."""
+    rep = (
+        sh.groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _SPAN_DF)
+        .select("sk", F.lit(1).alias("is_rep"))
+    )
+    if row_count is None:
+        row_count = sh.count()
+    if row_count // _SPAN_DF <= max_broadcast_spans:
+        probe = sh.join(F.broadcast(rep), "sk", "left")
+    else:
+        probe = sh.join(rep, "sk", "left")
+    kept_toks = F.when(
+        F.col("is_rep").isNull(), F.size(F.split("span", " "))
+    ).otherwise(0)
+    return probe.groupBy("doc_id").agg(
+        F.sum(kept_toks).cast("long").alias("n_tokens"),
+        F.count("is_rep").cast("long").alias("n_removed_spans"),
+    )
+
+
 @register(
     "span_dedup_rewrite",
     oracle=SPAN_DEDUP_ORACLE,

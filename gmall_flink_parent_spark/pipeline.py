@@ -107,6 +107,7 @@ def build_pretraining_dataset(
     corpus: DataFrame | None = None,
     keep_docs: DataFrame | None = None,
     stores_path: str | None = None,
+    span_rewrite: bool = False,
 ) -> dict:
     """Curate → decontaminate → mix → order → pack → shard, returning
     the build manifest.
@@ -157,6 +158,21 @@ def build_pretraining_dataset(
     required (the budget planner needs document text). The result is
     byte-identical to the scan-backed build (pinned at sf0.001/sf0.01)
     and the manifest records which path ran (``built_from``).
+
+    ``span_rewrite=True`` runs corpus-wide repeated-span removal
+    (``span_dedup_rewrite``'s surgery) as a build stage: every
+    document's token budget becomes its REWRITTEN count — the tokens
+    left after spans occurring ≥ 3 times corpus-wide are cut — so the
+    packed stream prices documents at their cleaned length (the shard
+    store carries token counts, never text; the counts-only form
+    ``span_rewrite_token_counts`` is pinned token-equal to the full
+    text rewrite). A document emptied by the surgery leaves the funnel
+    as its own counted stage (``n_empty_after_rewrite``), keeping
+    sample indices contiguous; the manifest totals the spans removed
+    from surviving docs (``n_spans_removed``). Works on both paths: the
+    scan path spans the corpus in-build, the stores path reads the
+    ``spans`` subdir (``curation_ingest_job`` ``span_path=…/spans``)
+    with the footer-decided broadcast gate.
     """
     if stores_path is not None:
         if weights is None:
@@ -177,6 +193,20 @@ def build_pretraining_dataset(
         )
         _check_mixture_store(spark, mix_store, weights, f"{seed}:mix")
         docs = None
+        if span_rewrite:
+            from gmall_flink_parent_spark.functions.spans import (
+                span_rewrite_token_counts,
+            )
+            from gmall_flink_parent_spark.streaming.store import store_row_count
+
+            rewrite_counts = span_rewrite_token_counts(
+                scoped_persist(
+                    spark.read.parquet(f"{stores_path}/spans").select(
+                        "doc_id", "pos", "span", "sk"
+                    )
+                ),
+                row_count=store_row_count(f"{stores_path}/spans"),
+            )
     else:
         docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
         if weights is None:
@@ -184,12 +214,27 @@ def build_pretraining_dataset(
             weights = {r["source"]: float(r["mix_weight"]) for r in plan}
         verdict = corpus_filter_frame(fan_out(spark, docs)).select("doc_id", "keep")
         sh = contamination_shingles(docs)
-        toks = docs.select(
-            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
-        )
+        if span_rewrite:
+            from gmall_flink_parent_spark.functions.spans import (
+                span_frame,
+                span_rewrite_token_counts,
+            )
+
+            rewrite_counts = span_rewrite_token_counts(
+                scoped_persist(span_frame(fan_out(spark, docs)))
+            )
+        else:
+            toks = docs.select(
+                "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+            )
+    if span_rewrite:
+        # three consumers (funnel flag, removed-span total, pack join)
+        rewrite_counts = scoped_persist(rewrite_counts)
+        toks = rewrite_counts.select("doc_id", "n_tokens")
 
     # --- funnel: quality verdict ∧ not benchmark ∧ not contaminated
-    #     (∧ selection keep-list, when one is plugged in)
+    #     (∧ selection keep-list, when one is plugged in
+    #      ∧ nonempty-after-rewrite, when the span surgery is on)
     bench = sh.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
     contaminated = contamination_counts(
         sh.filter(F.col("doc_id") % bench_mod != 0), bench
@@ -203,11 +248,23 @@ def build_pretraining_dataset(
             "doc_id",
             "left",
         )
+    if span_rewrite:
+        # a doc whose every span is cut has no tokens to train on — it
+        # leaves the funnel HERE (counted), not at the pack join, so
+        # sample indices stay contiguous
+        flagged = flagged.join(
+            rewrite_counts.filter(F.col("n_tokens") > 0)
+            .select("doc_id")
+            .withColumn("has_text", F.lit(True)),
+            "doc_id",
+            "left",
+        )
     flags = scoped_persist(flagged)
     trainable = F.col("keep") & ~F.col("is_bench")
     survives_decontam = trainable & F.col("is_contam").isNull()
     in_sel = F.col("in_sel").isNotNull() if keep_docs is not None else F.lit(True)
-    final_keep = survives_decontam & in_sel
+    nonempty = F.col("has_text").isNotNull() if span_rewrite else F.lit(True)
+    final_keep = survives_decontam & in_sel & nonempty
     funnel = flags.agg(
         F.count(F.lit(1)).alias("n_corpus"),
         F.sum(F.col("keep").cast("long")).alias("n_quality_kept"),
@@ -217,6 +274,9 @@ def build_pretraining_dataset(
         ),
         F.sum((survives_decontam & ~in_sel).cast("long")).alias(
             "n_selection_dropped"
+        ),
+        F.sum((survives_decontam & in_sel & ~nonempty).cast("long")).alias(
+            "n_empty_after_rewrite"
         ),
         F.sum(final_keep.cast("long")).alias("n_final"),
     ).collect()[0]
@@ -234,6 +294,14 @@ def build_pretraining_dataset(
     stream = training_order(mixed, f"{seed}:order")
     packed = pack_sequences(stream.join(toks, "doc_id"), cap=pack_cap)
     write_training_shards(packed, out_path, block=block)
+    n_spans_removed = 0
+    if span_rewrite:  # spans cut from the docs that made the stream
+        n_spans_removed = int(
+            rewrite_counts.join(kept, "doc_id", "left_semi")
+            .agg(F.sum("n_removed_spans"))
+            .collect()[0][0]
+            or 0
+        )
     release_caches()
 
     # --- totals from the WRITTEN store: the manifest describes what is
@@ -260,6 +328,9 @@ def build_pretraining_dataset(
         "n_trainable": int(funnel["n_trainable"]),
         "n_contaminated": int(funnel["n_contaminated"]),
         "n_selection_dropped": int(funnel["n_selection_dropped"]),
+        "span_rewrite": bool(span_rewrite),
+        "n_empty_after_rewrite": int(funnel["n_empty_after_rewrite"]),
+        "n_spans_removed": n_spans_removed,
         "n_final_docs": int(funnel["n_final"]),
         "n_samples": int(totals["n_samples"]),
         "n_sequences": int(totals["n_sequences"]) if totals["n_sequences"] is not None else 0,

@@ -2064,6 +2064,41 @@ def test_span_dedup_rewrite_removes_only_repeated_spans(spark, sf_dir):
     assert touched > 0, "fixture corpus should contain repeated spans"
 
 
+def test_span_rewrite_token_counts_match_full_rewrite(spark, sf_dir):
+    """The counts-only form (what the one-call build prices packing
+    with) must agree with the full text rewrite doc for doc: n_tokens
+    equals the kept_text token count and n_removed_spans equals the
+    rewrite's n_removed — through BOTH broadcast-gate branches."""
+    from gmall_flink_parent_spark.functions.spans import (
+        span_dedup_frame,
+        span_frame,
+        span_rewrite_token_counts,
+    )
+    from gmall_flink_parent_spark.plans.registry import (
+        release_caches,
+        scoped_persist,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out
+
+    release_caches()
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    sh = scoped_persist(span_frame(docs))
+    want = {
+        r["doc_id"]: (
+            len(r["kept_text"].split(" ")) if r["kept_text"] else 0,
+            r["n_removed"],
+        )
+        for r in span_dedup_frame(sh).collect()
+    }
+    for kw in ({}, {"max_broadcast_spans": 0}):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_spans"])
+            for r in span_rewrite_token_counts(sh, **kw).collect()
+        }
+        assert got == want and len(got) > 0
+    release_caches()
+
+
 # ----------------------------------------------------- quality (Gopher + clf)
 
 

@@ -55,6 +55,39 @@ def test_oracle_less_queries_have_nonempty_results(
             assert spec.fn(spark, sf_dir).count() > 0, f"{name} returned 0 rows"
 
 
+def test_driver_window_is_exactly_the_long_green_oracle_set():
+    """The driver checks the FIRST 50 registry entries. QUERIES.md
+    documents the ordering contract (oracle-backed first, past_window
+    additions behind the long-green rows); this pins it as CI so a new
+    registration cannot silently push one of the driver's green rows
+    out of its slot:
+
+    - exactly 50 oracle-backed queries carry past_window=False — a new
+      oracle query MUST be registered past_window=True (this assertion
+      is the loud reminder);
+    - the first 50 entries of the ordered registry are exactly that
+      set, each oracle-backed;
+    - everything after slot 50 is past-window-oracle first, then
+      rows-only — so the driver's weaker rows-only check never applies
+      to a query that has an oracle.
+    """
+    specs = list(plans.all_queries().values())
+    windowed = [s for s in specs if s.oracle is not None and not s.past_window]
+    assert len(windowed) == 50, (
+        f"{len(windowed)} oracle-backed queries claim a driver window slot; "
+        "the window holds exactly 50 — register new oracle queries with "
+        "past_window=True"
+    )
+    first_50 = specs[:50]
+    assert {s.name for s in first_50} == {s.name for s in windowed}
+    assert all(s.oracle is not None for s in first_50)
+    tail = specs[50:]
+    past = [s for s in tail if s.oracle is not None]
+    rows_only = [s for s in tail if s.oracle is None]
+    assert all(s.past_window for s in past)
+    assert tail[: len(past)] == past and tail[len(past):] == rows_only
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -180,6 +180,7 @@ def test_build_from_stores_matches_scan_build(spark, sf_dir, tmp_path):
         weights=wts,
         mix_seed=f"{seed}:mix",
         filter_path=str(root / "filter"),
+        span_path=str(root / "spans"),
     ).awaitTermination(120)
 
     a, b = str(tmp_path / "from_stores"), str(tmp_path / "from_scan")
@@ -222,6 +223,89 @@ def test_build_from_stores_matches_scan_build(spark, sf_dir, tmp_path):
         build_pretraining_dataset(
             spark, None, str(tmp_path / "bad3"), seed=seed, stores_path=str(root)
         )
+
+    # span surgery from the spans store: byte-identical to the
+    # scan-backed rewrite build
+    c, d = str(tmp_path / "rw_stores"), str(tmp_path / "rw_scan")
+    mrs = build_pretraining_dataset(
+        spark,
+        None,
+        c,
+        weights=wts,
+        seed=seed,
+        stores_path=str(root),
+        span_rewrite=True,
+    )
+    mrp = build_pretraining_dataset(
+        spark, sf_dir, d, weights=wts, seed=seed, span_rewrite=True
+    )
+    assert mrs["n_spans_removed"] > 0
+    assert {k: v for k, v in mrs.items() if k not in skip} == {
+        k: v for k, v in mrp.items() if k not in skip
+    }
+    assert _rows(read_training_slice(spark, c, 0, mrs["n_samples"]).select(*cols)) == _rows(
+        read_training_slice(spark, d, 0, mrp["n_samples"]).select(*cols)
+    )
+
+
+def test_build_with_span_rewrite_stage(spark, sf_dir, tmp_path):
+    """The optional in-build span surgery: with span_rewrite=True the
+    packed stream prices every doc at its REWRITTEN token count, the
+    funnel counts removed spans and emptied docs, the manifest
+    arithmetic still closes, and a rebuild is byte-identical."""
+    from gmall_flink_parent_spark.functions.spans import (
+        span_dedup_frame,
+        span_frame,
+    )
+    from gmall_flink_parent_spark.plans.registry import scoped_persist
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    wts = {f"src{i}": (1.5, 0.7)[i % 2] for i in range(20)}
+    a = str(tmp_path / "rw")
+    m = build_pretraining_dataset(
+        spark, sf_dir, a, weights=wts, seed="t-rw", span_rewrite=True
+    )
+    assert m["span_rewrite"] is True
+    assert m["n_spans_removed"] > 0  # the surgery must bite on this corpus
+    assert (
+        m["n_trainable"]
+        == m["n_final_docs"]
+        + m["n_contaminated"]
+        + m["n_selection_dropped"]
+        + m["n_empty_after_rewrite"]
+    )
+
+    # every stream sample's n_tokens is the doc's REWRITTEN count
+    docs = load_table(spark, sf_dir, "documents")
+    rewritten = {
+        r["doc_id"]: (len(r["kept_text"].split(" ")) if r["kept_text"] else 0)
+        for r in span_dedup_frame(scoped_persist(span_frame(docs))).collect()
+    }
+    sliced = read_training_slice(spark, a, 0, m["n_samples"]).collect()
+    assert sliced
+    assert all(r["n_tokens"] == rewritten[r["doc_id"]] for r in sliced)
+    assert all(r["n_tokens"] > 0 for r in sliced)
+
+    # a plain build prices docs at raw length — the stage must have
+    # actually changed the stream economics for some doc
+    m0 = build_pretraining_dataset(
+        spark, sf_dir, str(tmp_path / "plain"), weights=wts, seed="t-rw"
+    )
+    assert m0["span_rewrite"] is False and m0["n_spans_removed"] == 0
+    assert m["n_stream_tokens"] < m0["n_stream_tokens"]
+
+    # byte-identical rebuild
+    b = str(tmp_path / "rw2")
+    m2 = build_pretraining_dataset(
+        spark, sf_dir, b, weights=wts, seed="t-rw", span_rewrite=True
+    )
+    assert {k: v for k, v in m.items() if k != "out_path"} == {
+        k: v for k, v in m2.items() if k != "out_path"
+    }
+    cols = ["sample_idx", "doc_id", "source", "epoch", "n_tokens", "seq_id", "seq_offset"]
+    assert _rows(read_training_slice(spark, a, 0, m["n_samples"]).select(*cols)) == _rows(
+        read_training_slice(spark, b, 0, m2["n_samples"]).select(*cols)
+    )
 
 
 def test_filter_store_serves_corpus_verdict(spark, sf_dir, tmp_path):
