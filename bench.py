@@ -92,6 +92,8 @@ HEADLINE = [
     "audio_pcm_features",
     "stratified_exact_sample",
     "gram_df_cms_estimate",
+    "chunk_bm25_multiquery",
+    "cosine_topk_multiquery",
 ]
 
 

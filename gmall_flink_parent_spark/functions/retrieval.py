@@ -211,6 +211,93 @@ def bm25_topk_multi(
     )
 
 
+# Fixed query TABLE for the registered multi-query head — two queries
+# with overlapping vocabulary (shared "spark"/"join" terms make the df
+# sharing across queries observable) plus a guaranteed-absent term.
+MULTI_QUERIES = (
+    (0, ("spark", "join", "window")),
+    (1, ("scan", "merge", "join", "zzz-absent")),
+)
+MULTI_TOPK = 20
+
+
+def _multi_queries_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, ['" + "', '".join(terms) + "'])" for qid, terms in MULTI_QUERIES
+    )
+    return f"(VALUES {rows}) AS q(query_id, terms)"
+
+
+BM25_MULTI_ORACLE = (
+    _CHUNK_CTE
+    + f"""
+, q AS (
+    SELECT CAST(query_id AS BIGINT) AS query_id, unnest(terms) AS term
+    FROM {_multi_queries_sql()}
+), b AS (
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_id,
+           CAST(len(ctoks) AS DOUBLE) AS dl, ctoks
+    FROM ch
+), p AS (
+    SELECT b.doc_id, b.chunk_idx, b.chunk_id, b.dl, dt.term,
+           CAST(len(list_filter(b.ctoks, x -> x = dt.term)) AS DOUBLE) AS tf
+    FROM b CROSS JOIN (SELECT DISTINCT term FROM q) dt
+    WHERE len(list_filter(b.ctoks, x -> x = dt.term)) > 0
+), s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_chunks, avg(dl) AS avgdl FROM b
+), d AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY term
+), scored AS (
+    SELECT q.query_id, p.doc_id, p.chunk_idx, p.chunk_id,
+           ROUND(SUM(
+               ln(1.0 + (s.n_chunks - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * {BM25_K1 + 1.0}
+               / (p.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * p.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM p JOIN q USING (term) JOIN d USING (term) CROSS JOIN s
+    GROUP BY 1, 2, 3, 4
+)
+SELECT query_id, doc_id, chunk_idx, chunk_id, bm25, rnk
+FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY bm25 DESC, chunk_id
+    ) AS BIGINT) AS rnk
+    FROM scored
+)
+WHERE rnk <= {MULTI_TOPK}
+"""
+)
+
+
+@register(
+    "chunk_bm25_multiquery",
+    oracle=BM25_MULTI_ORACLE,
+    tags=("text", "chunk", "retrieval"),
+    past_window=True,
+)
+def chunk_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 per query for a query TABLE — the registered,
+    oracle-checked head of ``bm25_topk_multi`` (the real-workload form
+    behind the fixed-term ``chunk_bm25_topk``). Two queries with
+    overlapping vocabulary share the corpus-side postings pass: the
+    distinct union of query terms drives ONE array-filter scan, per-term
+    df is computed once and joined back per (query, term), and an
+    absent term exercises the drop-out path. Plan shape per
+    ``bm25_topk_multi``'s docstring: bounded broadcasts + one
+    map-side-combined (query, chunk) aggregate + the exact two-phase
+    grouped top-N. Duplicate terms count once; only matching chunks
+    rank (zero-score padding is not a retrieval result).
+    """
+    chunks = chunk_windows_frame(
+        fan_out(spark, load_table(spark, sf_dir, "documents"))
+    )
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in MULTI_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    return bm25_topk_multi(chunks, queries, top_k=MULTI_TOPK)
+
+
 def _duck_tf(term: str) -> str:
     return f"len(list_filter(ctoks, x -> x = '{term}'))"
 

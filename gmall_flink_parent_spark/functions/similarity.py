@@ -162,6 +162,74 @@ def _cosine_topk(
     return cosine_topk_frame(emb, q, top_k, same_label=same_label)
 
 
+# Fixed EXTERNAL query vectors for the registered multi-query head:
+# ids far outside the corpus vec_id space, components exact binary
+# fractions (k/16, k/32) so the float literals round-trip bit-identically
+# through Spark doubles and DuckDB list literals.
+EXTERNAL_QUERIES = (
+    (1_000_000, tuple(((i * 7) % 16 - 8) / 16 for i in range(DIM))),
+    (2_000_000, tuple(((i * 5) % 32 - 16) / 32 for i in range(DIM))),
+)
+
+
+def _external_queries_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, [" + ", ".join(str(v) for v in vec) + "])"
+        for qid, vec in EXTERNAL_QUERIES
+    )
+    return f"(VALUES {rows}) AS v(query_id, q_emb)"
+
+
+COSINE_MULTI_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+    FROM embeddings
+), q AS (
+    SELECT CAST(query_id AS BIGINT) AS query_id, q_emb,
+           sqrt({_dot_sql("q_emb", "q_emb")}) AS q_nrm
+    FROM {_external_queries_sql()}
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ({_dot_sql("q.q_emb", "c.embedding")}) / (q.q_nrm * c.nrm) AS cs
+    FROM base c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, rnk, ROUND(cs, 6) AS cos_sim
+FROM (
+    SELECT query_id, neighbor_id, cs,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+    FROM scored
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "cosine_topk_multiquery",
+    oracle=COSINE_MULTI_ORACLE,
+    tags=("similarity", "ann"),
+    past_window=True,
+)
+def cosine_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for EXTERNAL query vectors — the
+    registered, oracle-checked head of ``cosine_topk_frame``'s
+    query-table form (the real ANN workload: query embeddings arrive
+    from outside the indexed corpus, so there is no self-match to
+    exclude and no corpus row to borrow a norm from). Two fixed
+    vectors with exact-binary-fraction components ride the broadcast
+    query side; candidates stream through one scan with the
+    fixed-order codegen dot product, so cosines — including the
+    query-side norm computed from the raw ``q_emb`` array — are
+    bit-identical to the DuckDB oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(qid, list(vec)) for qid, vec in EXTERNAL_QUERIES],
+        "query_id long, q_emb array<double>",
+    )
+    return cosine_topk_frame(emb, queries, TOP_K, exclude_self=False)
+
+
 @register(
     "cosine_topk_bruteforce",
     oracle=_cosine_oracle(TOP_K, same_label=False),

@@ -22,6 +22,8 @@ from gmall_flink_parent_spark import plans
 # CONSTANT (not by data), so the "nested loop" is k comparisons per row.
 BNLJ_ALLOWED = {
     "cosine_topk_bruteforce",  # 8-vector query set × candidates (the baseline)
+    "cosine_topk_multiquery",  # 2 fixed external vectors × candidates
+    "chunk_bm25_multiquery",  # fixed query-term table + 1-row stats × chunks
     "ivf_kmeans_assign",  # k=10 centroids × vectors (Lloyd assignment)
     "vocab_top_tokens",  # ≤50-row rank-offset frame × top tokens
     "doc_unigram_logprob",  # 1-row corpus-total scalar × vocab
