@@ -149,3 +149,138 @@ def gram_df_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("g", F.col("p.i").alias("i"), F.col("p.cell").alias("cell"))
     joined = probe_cells.join(F.broadcast(counters), ["i", "cell"])
     return joined.groupBy("g").agg(F.min("n").cast("long").alias("cms_df"))
+
+
+# ---------------------------------------------------------------- bloom
+
+_BLOOM_K = 4  # hash functions per key
+_BLOOM_M = 131072  # bits (2^17)
+_BLOOM_BENCH_MOD = 97  # benchmark set = docs with doc_id % 97 == 0
+
+
+def _bloom_bit(j: int, g) -> "F.Column":
+    return _h32(F.concat(F.lit(f"bloom{j}:"), g)) % _BLOOM_M
+
+
+def bloom_bits(keys: DataFrame) -> DataFrame:
+    """Set-bit positions of a Bloom filter over a 1-column (g) key frame.
+
+    The sketch IS this frame: ≤ min(k·n, m) distinct ``bit`` rows,
+    bounded by the CONSTANT ``m`` no matter how many keys went in.
+    Bits are ``hash32('bloom<j>:' || g) % m`` over the engine-portable
+    md5 primitive, so the sketch content is deterministic at any
+    parallelism and DuckDB replays it bit-for-bit. Union-mergeable by
+    construction: ``bits(A ∪ B) = bits(A) ∪ bits(B)`` (a distinct-union
+    of set positions), pinned by the any-split property test.
+    """
+    inst = keys.select(
+        F.explode(
+            F.array(*[_bloom_bit(j, F.col("g")) for j in range(_BLOOM_K)])
+        ).alias("bit")
+    )
+    return inst.distinct()
+
+
+def bloom_member_hits(probe: DataFrame, bits: DataFrame) -> DataFrame:
+    """Rows of ``probe`` (any schema + a ``g`` column) whose ``g`` is a
+    Bloom member — all k bits set.
+
+    Each probe row explodes to its k (with multiplicity) bit positions
+    and equi-joins the **broadcast** bit set; a row survives iff every
+    one of its k exploded rows found its bit, i.e. ``count(*) = k``
+    after the join (a j-collision duplicates a MATCHING bit, so the
+    count still reaches k only when all distinct bits are set). No
+    nested loop, no corpus-side shuffle beyond the per-(row, g) count.
+    """
+    cols = probe.columns
+    exploded = probe.select(
+        *cols,
+        F.explode(
+            F.array(*[_bloom_bit(j, F.col("g")) for j in range(_BLOOM_K)])
+        ).alias("bit"),
+    )
+    return (
+        exploded.join(F.broadcast(bits), "bit")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == _BLOOM_K)
+        .drop("_hits")
+    )
+
+
+_BLOOM_BIT_DUCK = (
+    _H32_DUCK.format(x="concat('bloom', CAST(j AS VARCHAR), ':', g)")
+    + f" % {_BLOOM_M}"
+)
+
+CONTAMINATION_BLOOM_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN n >= {_CONTAM_N} THEN list_transform(
+            range(1, n - {_CONTAM_N - 2}),
+            i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3]))
+        ELSE [] END)) AS g
+    FROM t
+), bench AS (
+    SELECT DISTINCT g FROM sh WHERE doc_id % {_BLOOM_BENCH_MOD} = 0
+), bits AS (
+    SELECT DISTINCT {_BLOOM_BIT_DUCK} AS bit
+    FROM bench, unnest(range({_BLOOM_K})) AS tj(j)
+), probe AS (
+    SELECT s.doc_id, s.g, {_BLOOM_BIT_DUCK} AS bit
+    FROM sh s, unnest(range({_BLOOM_K})) AS tj(j)
+    WHERE s.doc_id % {_BLOOM_BENCH_MOD} <> 0
+), hits AS (
+    SELECT doc_id, g
+    FROM probe JOIN bits USING (bit)
+    GROUP BY doc_id, g
+    HAVING count(*) = {_BLOOM_K}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_ngrams
+FROM hits GROUP BY doc_id
+"""
+
+
+@register(
+    "contamination_bloom",
+    oracle=CONTAMINATION_BLOOM_ORACLE,
+    tags=("text", "decontam", "sketch", "approx"),
+    past_window=True,
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB form of
+    ``contamination_4gram`` for LARGE held-out corpora.
+
+    The exact query broadcasts the benchmark's distinct gram set, which
+    is fine for MMLU-sized benchmarks but unbounded when the held-out
+    side is itself a corpus (cross-dataset leakage checks, a full
+    validation split): the fourth member of the mergeable-sketch family
+    (HLL distincts, GK quantiles, CMS frequencies) bounds that broadcast
+    at ``m`` BITS regardless of benchmark size. Build: k md5 hashes per
+    benchmark gram → distinct set-bit positions (≤ min(k·n, m) rows,
+    union-mergeable so per-split benchmark sketches combine by distinct
+    union). Query: each training-doc gram probes its k bits through one
+    broadcast equi-join and survives iff all k are set, then one per-doc
+    agg — the corpus side never shuffles its grams. Error is one-sided
+    in the SAFE direction: a Bloom hit can be a false positive (a clean
+    doc over-flagged, rate (1−e^{{−kn/m}})^k ≈ 0.5% here) but a real
+    contaminated gram is NEVER missed, so nothing leaks; the superset
+    contract vs the exact query and the FP-rate ceiling are pinned in
+    ``tests/test_operators.py``. Sketch content is md5-derived, so the
+    flagged set is HASH-CHECKED against DuckDB, not rows-only.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    sh = contamination_shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") % _BLOOM_BENCH_MOD == 0).select("g").distinct()
+    )
+    bits = bloom_bits(bench)
+    train = sh.filter(F.col("doc_id") % _BLOOM_BENCH_MOD != 0)
+    flagged = bloom_member_hits(train, bits)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_ngrams")
+    )

@@ -2490,3 +2490,47 @@ def test_cms_estimate_error_contract(spark, sf_dir):
     assert all(est[g] >= true_df[g] for g in est)
     eps_n = math.e * n_instances / _CMS_W
     assert all(est[g] - true_df[g] <= eps_n for g in est)
+
+
+def test_bloom_contamination_no_false_negatives(spark, sf_dir):
+    """The Bloom error contract, safe side: every exactly-contaminated
+    document is Bloom-flagged with a gram count >= the exact count (a
+    real contaminated gram can never miss its own set bits), and the
+    over-flagging stays under a 2% false-positive gram rate (theory:
+    (1-e^{-kn/m})^k, ~0.5% at sf0.01's benchmark size)."""
+    from gmall_flink_parent_spark.functions.curation import contamination_shingles
+
+    exact = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in plans.query_map()["contamination_4gram"](spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_ngrams"]
+        for r in plans.query_map()["contamination_bloom"](spark, sf_dir).collect()
+    }
+    assert set(exact) <= set(bloom)
+    assert all(bloom[d] >= c for d, c in exact.items())
+    sh = contamination_shingles(load_table(spark, sf_dir, "documents"))
+    n_probe = sh.filter(F.col("doc_id") % 97 != 0).count()
+    fp_rate = (sum(bloom.values()) - sum(exact.values())) / n_probe
+    assert fp_rate <= 0.02, f"bloom FP gram rate {fp_rate:.4f} exceeds ceiling"
+
+
+@pytest.mark.parametrize("mod", [2, 3, 5])
+def test_bloom_bits_union_mergeable(spark, sf_dir, mod):
+    """bits(A ∪ B ∪ ...) == bits(A) ∪ bits(B) ∪ ... for any key split —
+    the property that lets per-split benchmark sketches (one per ingest
+    batch, one per benchmark file) combine by distinct union instead of
+    a rebuild."""
+    from gmall_flink_parent_spark.functions.curation import contamination_shingles
+    from gmall_flink_parent_spark.functions.selection import _h32
+    from gmall_flink_parent_spark.functions.sketches import bloom_bits
+
+    sh = contamination_shingles(load_table(spark, sf_dir, "documents"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    whole = {r["bit"] for r in bloom_bits(bench).collect()}
+    merged: set[int] = set()
+    for part in range(mod):
+        split = bench.filter(_h32(F.col("g")) % mod == part)
+        merged |= {r["bit"] for r in bloom_bits(split).collect()}
+    assert merged == whole
