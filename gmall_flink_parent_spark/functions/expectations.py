@@ -1,0 +1,224 @@
+"""Declarative data-quality expectations — "unit tests for data".
+
+Not in the reference (its validity handling is the per-record filter
+family, SURVEY §2.3 P4): production curation runs gate on DATASET-level
+invariants before anything downstream trains — null fractions, key
+uniqueness, value containment, volume/shape drift (the Deequ /
+Great-Expectations pattern: Schelter et al., VLDB 2018). The engine
+form: a check is (name, aggregate metric, [lo, hi] band); a suite of
+checks compiles to ONE single-scan aggregate whose partial aggregates
+are mergeable (sum/count/min/max + partial distincts), so the whole
+report costs one pass over the corpus and one 1-row final aggregate at
+any scale — the k report rows are exploded from that single row,
+never from the data. Metrics, bands, and pass/fail verdicts are plain
+doubles, so the registered head is hash-checked against DuckDB.
+
+Empty-input semantics are fail-safe: aggregates over zero rows yield
+NULL metrics, and a NULL metric is never ``between`` its band, so every
+check reports ``fail`` rather than vacuously passing (pinned in
+``tests/test_operators.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One dataset-level check: an aggregate metric and its accepted band.
+
+    ``metric`` is a zero-arg builder (Columns need a live session, and
+    suites are declared at module scope); ``sql`` is the same aggregate
+    in DuckDB dialect — both sides of every check live in ONE spec row,
+    so the engine metric and its oracle cannot drift.
+    """
+
+    name: str
+    metric: Callable[[], Column]
+    sql: str
+    lo: float
+    hi: float
+
+
+def expectation_report(df: DataFrame, checks: list[Expectation]) -> DataFrame:
+    """(check_name, metric, lo, hi, status) report for ``checks`` over ``df``.
+
+    All metrics ride one ``df.agg`` — a single corpus scan with
+    map-side partial aggregation (distinct-backed metrics add Spark's
+    Expand, still one scan) — and the per-check rows are exploded from
+    the resulting 1-row frame. Metrics are rounded to 6 places for
+    engine-portable hashing; ``status`` is ``pass`` iff the metric lies
+    in [lo, hi], and NULL metrics (empty input) fail.
+    """
+    one = df.agg(
+        *[
+            F.round(c.metric().cast("double"), 6).alias(f"m{i}")
+            for i, c in enumerate(checks)
+        ]
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name).alias("check_name"),
+                        F.col(f"m{i}").alias("metric"),
+                        F.lit(float(c.lo)).alias("lo"),
+                        F.lit(float(c.hi)).alias("hi"),
+                    )
+                    for i, c in enumerate(checks)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.withColumn(
+        "status",
+        F.when(
+            F.col("metric").between(F.col("lo"), F.col("hi")), F.lit("pass")
+        ).otherwise(F.lit("fail")),
+    )
+
+
+def expectations_oracle(checks: list[Expectation], table: str) -> str:
+    """DuckDB oracle for ``expectation_report`` — generated from the SAME
+    spec rows the Spark side consumes."""
+    metrics = ",\n           ".join(
+        f"ROUND(CAST({c.sql} AS DOUBLE), 6) AS m{i}" for i, c in enumerate(checks)
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{c.name}' AS check_name, m{i} AS metric,"
+        f" CAST({float(c.lo)} AS DOUBLE) AS lo, CAST({float(c.hi)} AS DOUBLE) AS hi,"
+        f" CASE WHEN m{i} BETWEEN {float(c.lo)} AND {float(c.hi)}"
+        f" THEN 'pass' ELSE 'fail' END AS status FROM m"
+        for i, c in enumerate(checks)
+    )
+    return f"WITH m AS (\n    SELECT {metrics}\n    FROM {table}\n)\n{branches}"
+
+
+# ------------------------------------------------ reusable check kinds
+
+
+def completeness(col: str, lo: float) -> Expectation:
+    """Fraction of rows with a non-null, non-empty value."""
+    return Expectation(
+        f"completeness({col})",
+        lambda: F.avg(
+            F.when(
+                F.col(col).isNotNull() & (F.col(col) != F.lit("")), 1.0
+            ).otherwise(0.0)
+        ),
+        f"avg(CASE WHEN {col} IS NOT NULL AND {col} <> '' THEN 1.0 ELSE 0.0 END)",
+        lo,
+        1.0,
+    )
+
+
+def uniqueness(col: str) -> Expectation:
+    """Distinct-to-total ratio; 1.0 ⟺ the column is a key."""
+    return Expectation(
+        f"uniqueness({col})",
+        # try_divide: 0 rows → NULL (→ 'fail'), not an ANSI divide error
+        lambda: F.try_divide(
+            F.countDistinct(F.col(col)).cast("double"), F.count(F.lit(1))
+        ),
+        f"CAST(count(DISTINCT {col}) AS DOUBLE) / count(*)",
+        1.0,
+        1.0,
+    )
+
+
+def satisfies(name: str, spark_cond: Callable[[], Column], sql_cond: str,
+              lo: float) -> Expectation:
+    """Fraction of rows satisfying a row predicate."""
+    return Expectation(
+        name,
+        lambda: F.avg(F.when(spark_cond(), 1.0).otherwise(0.0)),
+        f"avg(CASE WHEN {sql_cond} THEN 1.0 ELSE 0.0 END)",
+        lo,
+        1.0,
+    )
+
+
+def in_band(name: str, spark_agg: Callable[[], Column], sql_agg: str,
+            lo: float, hi: float) -> Expectation:
+    """Any aggregate held to a [lo, hi] band (means, minima, cardinalities)."""
+    return Expectation(name, spark_agg, sql_agg, lo, hi)
+
+
+# -------------------------------------------- the documents-table suite
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+_LANG_SQL = ", ".join(f"'{lang}'" for lang in _LANGS)
+
+DOCUMENT_CHECKS: list[Expectation] = [
+    completeness("text", 0.99),
+    uniqueness("doc_id"),
+    satisfies(
+        "consistency(n_chars = length(text))",
+        lambda: F.col("n_chars") == F.length("text"),
+        "n_chars = length(text)",
+        0.999,
+    ),
+    satisfies(
+        "containment(lang)",
+        lambda: F.col("lang").isin(*_LANGS),
+        f"lang IN ({_LANG_SQL})",
+        0.99,
+    ),
+    in_band(
+        "minimum(length(text))",
+        lambda: F.min(F.length("text")),
+        "min(length(text))",
+        16.0,
+        1e9,
+    ),
+    in_band(
+        "mean(n_chars)", lambda: F.avg("n_chars"), "avg(n_chars)", 64.0, 4096.0
+    ),
+    in_band(
+        "cardinality(source)",
+        lambda: F.countDistinct(F.col("source")),
+        "count(DISTINCT source)",
+        1.0,
+        10000.0,
+    ),
+    in_band(
+        "minimum(doc_id)", lambda: F.min("doc_id"), "min(doc_id)", 0.0, 0.0
+    ),
+]
+
+CORPUS_EXPECTATIONS_ORACLE = expectations_oracle(DOCUMENT_CHECKS, "documents")
+
+
+@register(
+    "corpus_expectations",
+    oracle=CORPUS_EXPECTATIONS_ORACLE,
+    tags=("text", "quality", "validation", "report"),
+    past_window=True,
+)
+def corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level quality gate over the documents table: the
+    declarative expectation suite (completeness, key uniqueness,
+    metadata consistency, language containment, shape bands) evaluated
+    in ONE corpus scan, reported as (check_name, metric, lo, hi, status)
+    rows.
+
+    The pre-training run's admission control: a curation build that
+    fails a check should stop before any downstream stage pays for the
+    corpus (``build_pretraining_dataset`` composes the same scan-grain
+    aggregates). Every metric is a mergeable aggregate, so at 100 TB
+    the report costs one scan + one 1-row final aggregate; report rows
+    explode from that single row. Custom suites plug in through
+    ``expectation_report(df, checks)`` with the same per-check
+    Spark/SQL spec rows, so the oracle is generated, never hand-kept.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return expectation_report(docs, DOCUMENT_CHECKS)

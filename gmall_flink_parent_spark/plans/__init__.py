@@ -23,6 +23,7 @@ from gmall_flink_parent_spark.functions import (  # noqa: F401
     chunks,
     curation,
     dedup,
+    expectations,
     mixture,
     multimodal,
     quality,

@@ -2534,3 +2534,44 @@ def test_bloom_bits_union_mergeable(spark, sf_dir, mod):
         split = bench.filter(_h32(F.col("g")) % mod == part)
         merged |= {r["bit"] for r in bloom_bits(split).collect()}
     assert merged == whole
+
+
+def test_expectation_report_empty_input_fails_closed(spark):
+    """Zero rows must never vacuously pass a gate: aggregates over an
+    empty frame are NULL, and a NULL metric fails its band — every
+    check reports 'fail' so a curation run halts on an empty corpus
+    instead of admitting it."""
+    from gmall_flink_parent_spark.functions.expectations import (
+        DOCUMENT_CHECKS,
+        expectation_report,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rows = expectation_report(empty, DOCUMENT_CHECKS).collect()
+    assert len(rows) == len(DOCUMENT_CHECKS)
+    assert all(r["status"] == "fail" for r in rows)
+
+
+def test_expectation_report_custom_suite_both_verdicts(spark, sf_dir):
+    """A caller-declared suite runs through the same core: one check
+    engineered to fail (impossible band) and one to pass, statuses per
+    row, metric values exact."""
+    from gmall_flink_parent_spark.functions.expectations import (
+        expectation_report,
+        in_band,
+        uniqueness,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    checks = [
+        uniqueness("doc_id"),
+        in_band("count(*)", lambda: F.count(F.lit(1)), "count(*)", -2.0, -1.0),
+    ]
+    rows = {r["check_name"]: r for r in expectation_report(docs, checks).collect()}
+    assert rows["uniqueness(doc_id)"]["status"] == "pass"
+    assert rows["uniqueness(doc_id)"]["metric"] == 1.0
+    assert rows["count(*)"]["status"] == "fail"
+    assert rows["count(*)"]["metric"] == float(n)
