@@ -1015,6 +1015,199 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- trigram stupid-backoff scoring
+
+_SB_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+_SB_MODEL_MOD = 7  # model slice = docs with doc_id % 7 == 0
+
+TRIGRAM_BACKOFF_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tri AS (
+    SELECT doc_id,
+           concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS tri,
+           concat_ws(' ', toks[i], toks[i + 1]) AS pre,
+           concat_ws(' ', toks[i + 1], toks[i + 2]) AS suf,
+           toks[i + 2] AS w3
+    FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS r(i)
+), bgs AS (
+    SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS bg
+    FROM t, unnest(range(1, greatest(len(toks), 1))) AS r(i)
+), dtf AS (
+    SELECT doc_id, tri, pre, suf, w3, CAST(count(*) AS DOUBLE) AS tf
+    FROM tri WHERE doc_id % {_SB_MODEL_MOD} <> 0
+    GROUP BY doc_id, tri, pre, suf, w3
+), mtri AS (
+    SELECT tri, pre, CAST(count(*) AS DOUBLE) AS c123
+    FROM tri WHERE doc_id % {_SB_MODEL_MOD} = 0 GROUP BY tri, pre
+), mbg AS (
+    SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+    FROM bgs WHERE doc_id % {_SB_MODEL_MOD} = 0 GROUP BY bg
+), muni AS (
+    SELECT tok, CAST(count(*) AS DOUBLE) AS c1
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE doc_id % {_SB_MODEL_MOD} = 0 GROUP BY tok
+), n AS (
+    SELECT SUM(c1) AS n FROM muni
+), p3 AS (
+    SELECT mtri.tri, mtri.c123 / mbg.c12 AS p3
+    FROM mtri JOIN mbg ON mtri.pre = mbg.bg
+), p2 AS (
+    SELECT mbg.bg, mbg.c12 / muni.c1 AS p2
+    FROM mbg JOIN muni ON string_split(mbg.bg, ' ')[1] = muni.tok
+), p1 AS (
+    SELECT tok, c1 / n.n AS p1 FROM muni CROSS JOIN n
+)
+SELECT d.doc_id,
+       CAST(SUM(d.tf) AS BIGINT) AS n_trigrams,
+       ROUND(-SUM(d.tf * log2(
+           COALESCE(p3.p3, {_SB_ALPHA} * p2.p2,
+                    {_SB_ALPHA * _SB_ALPHA} * COALESCE(p1.p1, 1.0 / n.n))
+       )) / SUM(d.tf), 6) AS bits_per_trigram,
+       ROUND(SUM(CASE WHEN p3.p3 IS NULL THEN d.tf ELSE 0 END) / SUM(d.tf), 6)
+           AS backoff_frac
+FROM dtf d
+LEFT JOIN p3 USING (tri)
+LEFT JOIN p2 ON d.suf = p2.bg
+LEFT JOIN p1 ON d.w3 = p1.tok
+CROSS JOIN n
+GROUP BY d.doc_id
+"""
+
+
+def trigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, tri, pre, suf, w3) trigram instances, built NARROWLY:
+    the token array zips against its own shifts (no positional
+    self-join), trigram structs explode straight off the scan. Docs
+    shorter than 3 tokens contribute nothing (the ``greatest`` guard
+    keeps the slice length non-negative instead of throwing)."""
+    toks = F.split(F.col("text"), " ")
+    bg_arr = F.zip_with(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = F.zip_with(
+        F.expr("slice(bg, 1, greatest(size(bg) - 1, 0))"),
+        F.expr("slice(bg, 2, greatest(size(bg) - 1, 0))"),
+        lambda p, s: F.struct(p.alias("pre"), s.alias("suf")),
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", bg_arr.alias("bg"))
+        .select("doc_id", F.explode(pairs).alias("g"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("g.pre"), F.substring_index(F.col("g.suf"), " ", -1)
+            ).alias("tri"),
+            F.col("g.pre").alias("pre"),
+            F.col("g.suf").alias("suf"),
+            F.substring_index(F.col("g.suf"), " ", -1).alias("w3"),
+        )
+    )
+
+
+@register(
+    "doc_trigram_backoff_logprob",
+    oracle=TRIGRAM_BACKOFF_ORACLE,
+    tags=("text", "quality", "lm"),
+    past_window=True,
+)
+def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff cross-entropy per held-out document — the
+    CCNet-shaped perplexity filter (Wenzek et al. 2020 score web text
+    against a clean-reference KenLM; Brants et al. 2007's stupid
+    backoff is the web-scale smoothing): the model is built from a
+    REFERENCE SLICE (doc_id % {_SB_MODEL_MOD} == 0, standing in for the
+    curated corpus), every other document is scored against it, so —
+    unlike the in-corpus unigram/bigram heads — unseen trigrams
+    genuinely occur and the backoff chain actually fires.
+
+    Model: S(w3|w1 w2) = c123/c12, else α·c23/c2, else α²·S(w3) with
+    S(w3) = c1/N (or the 1/N unseen floor); α = {_SB_ALPHA}. Plan: the
+    trigram/bigram/unigram model tables are gram-vocabulary-bounded
+    aggregates of the (small) reference slice; scoring is three LEFT
+    equi-joins keyed on distinct per-doc grams (tf-weighted, so join
+    cardinality is distinct grams, not instances) plus a 1-row
+    broadcast N scalar. ``backoff_frac`` — the tf-weighted fraction of
+    trigrams the model had never seen — is itself the novelty signal a
+    curation run thresholds on. At 100 TB the corpus side shuffles
+    once per distinct (doc, trigram) for the agg and joins
+    model-bounded tables; nothing quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    is_model = F.col("doc_id") % _SB_MODEL_MOD == 0
+    tri = scoped_persist(trigram_stream(docs))
+    dtf = (
+        tri.filter(~(F.col("doc_id") % _SB_MODEL_MOD == 0))
+        .groupBy("doc_id", "tri", "pre", "suf", "w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    mtri = (
+        tri.filter(F.col("doc_id") % _SB_MODEL_MOD == 0)
+        .groupBy("tri", "pre")
+        .agg(F.count(F.lit(1)).cast("double").alias("c123"))
+    )
+    bg_arr = F.zip_with(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    mbg = (
+        docs.filter(is_model)
+        .select("doc_id", toks.alias("toks"))
+        .select(F.explode(bg_arr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    )
+    muni = scoped_persist(
+        docs.filter(is_model)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    n = muni.agg(F.sum("c1").alias("n"))
+    p3 = mtri.join(mbg, mtri["pre"] == mbg["bg"]).select(
+        "tri", (F.col("c123") / F.col("c12")).alias("p3")
+    )
+    p2 = mbg.join(muni, F.substring_index(mbg["bg"], " ", 1) == muni["tok"]).select(
+        "bg", (F.col("c12") / F.col("c1")).alias("p2")
+    )
+    p1 = muni.crossJoin(F.broadcast(n)).select(
+        "tok", (F.col("c1") / F.col("n")).alias("p1")
+    )
+    scored = (
+        dtf.join(p3, "tri", "left")
+        .join(p2.withColumnRenamed("bg", "suf"), "suf", "left")
+        .join(p1.withColumnRenamed("tok", "w3"), "w3", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.coalesce(
+                F.col("p3"),
+                F.lit(_SB_ALPHA) * F.col("p2"),
+                F.lit(_SB_ALPHA * _SB_ALPHA)
+                * F.coalesce(F.col("p1"), F.lit(1.0) / F.col("n")),
+            ).alias("p"),
+            F.col("p3").isNull().alias("backed_off"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_trigrams"),
+        F.round(-F.sum(F.col("tf") * F.log2("p")) / F.sum("tf"), 6).alias(
+            "bits_per_trigram"
+        ),
+        F.round(
+            F.sum(F.when(F.col("backed_off"), F.col("tf")).otherwise(0.0))
+            / F.sum("tf"),
+            6,
+        ).alias("backoff_frac"),
+    )
+
+
 # ----------------------------------------------------- boilerplate spans
 
 _BOILER_DF = 5  # a 4-gram in >= this many docs is boilerplate

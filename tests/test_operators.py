@@ -2575,3 +2575,18 @@ def test_expectation_report_custom_suite_both_verdicts(spark, sf_dir):
     assert rows["uniqueness(doc_id)"]["metric"] == 1.0
     assert rows["count(*)"]["status"] == "fail"
     assert rows["count(*)"]["metric"] == float(n)
+
+
+def test_trigram_backoff_fires_on_held_out_docs(spark, sf_dir):
+    """The point of scoring against a reference-slice model: held-out
+    docs contain trigrams the model never saw, so the backoff chain
+    must actually fire (backoff_frac > 0 somewhere), fractions are
+    proper, cross-entropy is positive (every S(.) <= 1), and model-
+    slice docs never appear in the scored output."""
+    rows = plans.query_map()["doc_trigram_backoff_logprob"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["doc_id"] % 7 != 0 for r in rows)
+    assert all(0.0 <= r["backoff_frac"] <= 1.0 for r in rows)
+    assert max(r["backoff_frac"] for r in rows) > 0.0
+    assert all(r["bits_per_trigram"] > 0.0 for r in rows)
+    assert all(r["n_trigrams"] > 0 for r in rows)

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob_topv",  # 1-row (total, head_mass, n_tail) scalar × tokens
     "chunk_bm25_topk",  # 1-row (N, avgdl, df…) corpus stats × chunks
     "doc_bigram_logprob",  # 1-row vocabulary-size scalar × bigram model
+    "doc_trigram_backoff_logprob",  # 1-row model-token-total N scalar × unigrams/scored
     "quality_annealed_mixture",  # 1-row p75-threshold scalar × scored docs
     "term_postings_stats",  # 1-row chunk-count scalar × vocabulary
     "dsir_importance_weights",  # 1-row (t_t, t_r) gram-total scalar × buckets
