@@ -94,6 +94,9 @@ HEADLINE = [
     "gram_df_cms_estimate",
     "chunk_bm25_multiquery",
     "cosine_topk_multiquery",
+    "contamination_bloom",
+    "corpus_expectations",
+    "doc_trigram_backoff_logprob",
 ]
 
 

@@ -108,6 +108,7 @@ def build_pretraining_dataset(
     keep_docs: DataFrame | None = None,
     stores_path: str | None = None,
     span_rewrite: bool = False,
+    expectations: list | None = None,
 ) -> dict:
     """Curate → decontaminate → mix → order → pack → shard, returning
     the build manifest.
@@ -159,6 +160,15 @@ def build_pretraining_dataset(
     byte-identical to the scan-backed build (pinned at sf0.001/sf0.01)
     and the manifest records which path ran (``built_from``).
 
+    ``expectations`` is the admission gate: a list of
+    ``functions.expectations.Expectation`` checks (e.g. the
+    ``DOCUMENT_CHECKS`` suite) evaluated over the corpus frame in one
+    scan BEFORE any other stage runs. Any failing check raises with the
+    failing names and nothing is written; on pass, the full report rows
+    land in the manifest (``expectations``) so the dataset ships with
+    the evidence it was admitted on. Scan-path only — a stores build
+    never reads the corpus, so its suite belongs at ingest.
+
     ``span_rewrite=True`` runs corpus-wide repeated-span removal
     (``span_dedup_rewrite``'s surgery) as a build stage: every
     document's token budget becomes its REWRITTEN count — the tokens
@@ -179,6 +189,13 @@ def build_pretraining_dataset(
             raise ValueError(
                 "stores_path builds need explicit weights matching the "
                 "mixture store (the budget planner reads document text)"
+            )
+        if expectations is not None:
+            raise ValueError(
+                "the expectations admission gate validates the corpus "
+                "frame, which a stores build never reads — run the suite "
+                "at ingest (over the corpus feeding curation_ingest_job) "
+                "or on the scan path"
             )
         if corpus is not None:
             raise ValueError("pass either corpus or stores_path, not both")
@@ -209,6 +226,22 @@ def build_pretraining_dataset(
             )
     else:
         docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
+        if expectations is not None:
+            # admission control: one corpus scan, k report rows; a failed
+            # check halts the build BEFORE any downstream stage pays for
+            # the corpus, and the report lands in the manifest either way
+            from gmall_flink_parent_spark.functions.expectations import (
+                expectation_report,
+            )
+
+            expectation_rows = [
+                r.asDict() for r in expectation_report(docs, expectations).collect()
+            ]
+            failed = [r["check_name"] for r in expectation_rows if r["status"] != "pass"]
+            if failed:
+                raise ValueError(
+                    "corpus failed admission expectations: " + ", ".join(failed)
+                )
         if weights is None:
             plan = mixture_budget_frame(docs).collect()
             weights = {r["source"]: float(r["mix_weight"]) for r in plan}
@@ -318,6 +351,7 @@ def build_pretraining_dataset(
     return {
         "out_path": out_path,
         "built_from": "stores" if stores_path is not None else "scan",
+        "expectations": expectation_rows if expectations is not None else None,
         "seed": seed,
         "weights": dict(sorted(weights.items())),
         "pack_cap": int(pack_cap),

@@ -432,3 +432,46 @@ def test_external_classifier_model_end_to_end(spark, sf_dir, tmp_path):
     sliced = read_training_slice(spark, out, 0, m["n_samples"])
     stream_docs = {r["doc_id"] for r in sliced.select("doc_id").distinct().collect()}
     assert stream_docs and stream_docs <= keep_ids
+
+
+def test_build_with_expectations_gate(spark, sf_dir, tmp_path):
+    """Admission control composes into the one-call build: a passing
+    suite lets the build run and ships the evidence (report rows in the
+    manifest); a failing suite halts BEFORE anything is written; the
+    stores path refuses the gate outright (it never reads the corpus)."""
+    import pytest as _pytest
+
+    from gmall_flink_parent_spark.functions.expectations import (
+        DOCUMENT_CHECKS,
+        in_band,
+    )
+
+    out = str(tmp_path / "gated")
+    m = build_pretraining_dataset(
+        spark, sf_dir, out, seed="t-gate", expectations=DOCUMENT_CHECKS
+    )
+    assert m["n_samples"] > 0
+    report = m["expectations"]
+    assert len(report) == len(DOCUMENT_CHECKS)
+    assert all(r["status"] == "pass" for r in report)
+    assert {r["check_name"] for r in report} == {c.name for c in DOCUMENT_CHECKS}
+
+    bad = [in_band("count(*)", lambda: F.count(F.lit(1)), "count(*)", -2.0, -1.0)]
+    out2 = str(tmp_path / "halted")
+    with _pytest.raises(ValueError, match="admission expectations: count"):
+        build_pretraining_dataset(
+            spark, sf_dir, out2, seed="t-gate", expectations=bad
+        )
+    import os
+
+    assert not os.path.exists(out2), "failed admission must write nothing"
+
+    with _pytest.raises(ValueError, match="stores build never reads"):
+        build_pretraining_dataset(
+            spark,
+            None,
+            str(tmp_path / "x"),
+            weights={"src0": 1.0},
+            stores_path=str(tmp_path / "nostores"),
+            expectations=DOCUMENT_CHECKS,
+        )
