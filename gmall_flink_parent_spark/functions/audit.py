@@ -1,0 +1,183 @@
+"""Dedup-method audit: precision/recall of every cheap near-dup tier
+against the labeled exact-Jaccard ground truth.
+
+Not in the reference (its dedup is the keyed-state UV filter, SURVEY
+§2.6 W2): this is the surface a curation team actually tunes LSH
+configs with — "at these bands × rows, what fraction of true near-dup
+pairs does MinHash recover, and how much junk does it add?". Every
+input is an already-registered, individually-oracled pair query; this
+head only composes them with three bounded count aggregates per method,
+so the report costs the union of its parts plus 1-row joins. The
+labeled tiers are source-blocked (the documented quadratic-oracle
+design), so each method's corpus-wide candidates are restricted to the
+same-source subspace before scoring — the audit compares like with
+like and says so in the ``tier`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.functions.dedup import (
+    JACCARD_ORACLE,
+    NGRAM_JACCARD_ORACLE,
+    SIMHASH_PAIRS_ORACLE,
+    _minhash_oracle,
+    _minhash_pairs,
+    dedup_jaccard_blocked,
+    dedup_ngram_jaccard,
+    simhash_near_dup,
+)
+from gmall_flink_parent_spark.functions.spans import (
+    WINNOW_NEAR_DUP_ORACLE,
+    winnow_near_dup,
+)
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
+from gmall_flink_parent_spark.sources.tables import load_table
+
+
+def _same_source_pairs(pairs: DataFrame, src: DataFrame) -> DataFrame:
+    """Restrict a (doc_id_a, doc_id_b) pair frame to same-source pairs —
+    the subspace the blocked ground-truth tiers are defined on. Two
+    equi-joins against the (small) doc→source map."""
+    a = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .filter(F.col("_sa") == F.col("_sb"))
+        .select("doc_id_a", "doc_id_b")
+    )
+
+
+def _audit_row(
+    method: str, tier: str, pred: DataFrame, truth: DataFrame
+) -> DataFrame:
+    """One (method, tier, n_pred, n_truth, n_hit, precision, recall)
+    row from three bounded 1-row aggregates. Ratios are NULL when the
+    denominator is empty (nothing predicted / no true pairs at this
+    scale) — the CASE guard keeps ANSI division honest."""
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hit = pred.join(truth, ["doc_id_a", "doc_id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_pred.crossJoin(n_truth)
+        .crossJoin(n_hit)
+        .select(
+            F.lit(method).alias("method"),
+            F.lit(tier).alias("tier"),
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.when(
+                    F.col("n_pred") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_pred"),
+                ),
+                6,
+            ).alias("pair_precision"),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_truth"),
+                ),
+                6,
+            ).alias("pair_recall"),
+        )
+    )
+
+
+def _blocked(pair_sql: str, a: str = "doc_id_a", b: str = "doc_id_b") -> str:
+    return f"""
+    SELECT p.{a} AS doc_id_a, p.{b} AS doc_id_b
+    FROM ({pair_sql}) p
+    JOIN documents s1 ON p.{a} = s1.doc_id
+    JOIN documents s2 ON p.{b} = s2.doc_id
+    WHERE s1.source = s2.source"""
+
+
+def _audit_oracle() -> str:
+    stats = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, '{t}' AS tier,"
+        f" (SELECT count(*) FROM {p}) AS n_pred,"
+        f" (SELECT count(*) FROM {tr}) AS n_truth,"
+        f" (SELECT count(*) FROM (SELECT * FROM {p} INTERSECT SELECT * FROM {tr}))"
+        f" AS n_hit"
+        for m, t, p, tr in [
+            ("minhash_lsh", "token_set", "mh", "ts"),
+            ("simhash", "token_set", "sim", "ts"),
+            ("winnow", "ngram3", "win", "ng"),
+        ]
+    )
+    return f"""
+WITH mh AS ({_blocked(_minhash_oracle())}),
+sim AS ({_blocked(SIMHASH_PAIRS_ORACLE)}),
+win AS ({_blocked(WINNOW_NEAR_DUP_ORACLE, a="doc_a", b="doc_b")}),
+ts AS (SELECT doc_id_a, doc_id_b FROM ({JACCARD_ORACLE})),
+ng AS (SELECT doc_id_a, doc_id_b FROM ({NGRAM_JACCARD_ORACLE})),
+stats AS (
+{stats}
+)
+SELECT method, tier,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / n_pred END, 6)
+           AS pair_precision,
+       ROUND(CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END, 6)
+           AS pair_recall
+FROM stats
+"""
+
+
+DEDUP_AUDIT_ORACLE = _audit_oracle()
+
+
+@register(
+    "dedup_method_audit",
+    oracle=DEDUP_AUDIT_ORACLE,
+    tags=("dedup", "audit", "report"),
+    past_window=True,
+)
+def dedup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method dedup quality report: (method, tier, n_pred, n_truth,
+    n_hit, pair_precision, pair_recall) for MinHash-LSH and SimHash
+    against the token-set Jaccard tier and winnowing against the
+    3-gram shingle tier — each method scored against the ground truth
+    it approximates.
+
+    This is the config-tuning loop for the dedup family (bands × rows,
+    Hamming radius, winnow window): run the audit at a labeled sample
+    scale, adjust, rerun — then apply the chosen config corpus-wide
+    where only the cheap tiers run. Deliberately NOT benchmarked as a
+    headline query: it re-runs three pair queries plus both quadratic
+    oracle tiers, which is the point (audits are sample-scale), and the
+    components carry their own bench entries. Ratios are NULL-guarded
+    for empty denominators at tiny SF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    truth_ts = scoped_persist(
+        dedup_jaccard_blocked(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    )
+    truth_ng = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    mh = _same_source_pairs(
+        _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b"), src
+    )
+    sim = _same_source_pairs(
+        simhash_near_dup(spark, sf_dir).select("doc_id_a", "doc_id_b"), src
+    )
+    win = _same_source_pairs(
+        winnow_near_dup(spark, sf_dir).select(
+            F.col("doc_a").alias("doc_id_a"), F.col("doc_b").alias("doc_id_b")
+        ),
+        src,
+    )
+    return (
+        _audit_row("minhash_lsh", "token_set", mh, truth_ts)
+        .unionByName(_audit_row("simhash", "token_set", sim, truth_ts))
+        .unionByName(_audit_row("winnow", "ngram3", win, truth_ng))
+    )

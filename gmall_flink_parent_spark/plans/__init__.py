@@ -19,6 +19,7 @@ from gmall_flink_parent_spark.operators import (  # noqa: F401  (import for side
     windows,
 )
 from gmall_flink_parent_spark.functions import (  # noqa: F401
+    audit,
     bpe,
     chunks,
     curation,

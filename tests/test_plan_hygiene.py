@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "term_postings_stats",  # 1-row chunk-count scalar × vocabulary
     "dsir_importance_weights",  # 1-row (t_t, t_r) gram-total scalar × buckets
     "dsir_gumbel_resample",  # same 1-row totals scalar (shared weight core)
+    "dedup_method_audit",  # 1-row (n_pred, n_truth, n_hit) count scalars per method
 }
 
 
