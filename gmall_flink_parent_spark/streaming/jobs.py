@@ -1723,3 +1723,62 @@ def chunk_bm25_from_store(spark: SparkSession, store_path: str) -> DataFrame:
             "doc_id", "chunk_idx", "chunk_id", "chunk_text"
         )
     )
+
+
+def expectations_job(
+    docs: DataFrame,
+    checks: list,
+    store_path: str,
+    checkpoint_dir: str,
+    strict: bool = False,
+):
+    """Ingest-time data-quality monitoring — the streaming twin of
+    ``corpus_expectations`` and the "validate at ingest" seam the
+    stores-path build points at: every micro-batch's expectation report
+    (``functions.expectations.expectation_report`` over the SAME check
+    specs as the batch head, so ingest and batch verdicts cannot drift)
+    lands in its own idempotent ``batch_id=N`` partition, building the
+    per-batch metric time series a Deequ-style metrics repository keeps
+    — admission history AND drift surface in one store (a shrinking
+    ``completeness(text)`` across batch_ids is the upstream-rot signal
+    even while every individual batch still passes).
+
+    ``strict=True`` turns monitoring into a GATE: a batch with any
+    failing check aborts the stream — AFTER its report partition lands,
+    so the evidence of why ingestion stopped is in the store, and a
+    replay of the (checkpoint-uncommitted) batch overwrites its own
+    partition. The report is k rows collected on the driver (k = #checks,
+    O(1) in batch size); the batch itself is scanned once.
+    """
+    from gmall_flink_parent_spark.functions.expectations import expectation_report
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        report = expectation_report(batch, checks)
+        rows = report.collect()  # k check rows — bounded by the suite
+        batch.sparkSession.createDataFrame(rows, report.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+        failed = [r["check_name"] for r in rows if r["status"] != "pass"]
+        if strict and failed:
+            raise ValueError(
+                f"ingest batch {batch_id} failed admission expectations: "
+                + ", ".join(failed)
+            )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/expectations")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def expectation_history_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The metric time series ``expectations_job`` accumulates:
+    (batch_id, check_name, metric, lo, hi, status) — one row per check
+    per ingest batch. This is the drift-monitoring read: trend a
+    check's ``metric`` over ``batch_id`` to catch upstream rot before
+    any single batch fails its band."""
+    return spark.read.parquet(store_path).select(
+        "batch_id", "check_name", "metric", "lo", "hi", "status"
+    )

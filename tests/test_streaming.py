@@ -3222,3 +3222,70 @@ def test_chunk_store_serves_retrieval_heads(spark, sf_dir, tmp_path):
         tuple(r) for r in plans.query_map()["chunk_bm25_topk"](spark, sf_dir).collect()
     }
     assert got_b == want_b and len(want_b) > 0
+
+
+def test_expectations_job_builds_metric_time_series(spark, sf_dir, tmp_path):
+    """Ingest-time twin of corpus_expectations: each micro-batch's
+    report lands in its own batch_id partition (one row per check), the
+    history read returns the per-batch metric series, and a clean
+    corpus passes batch-locally. The corpus-wide min(doc_id)==0 check
+    is dropped: it pins a CORPUS invariant no second batch can see —
+    suites at ingest check batch-local bands."""
+    from gmall_flink_parent_spark.functions.expectations import DOCUMENT_CHECKS
+    from gmall_flink_parent_spark.streaming.jobs import (
+        expectation_history_from_store,
+        expectations_job,
+    )
+
+    checks = [c for c in DOCUMENT_CHECKS if c.name != "minimum(doc_id)"]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = expectations_job(stream, checks, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    hist = expectation_history_from_store(spark, str(tmp_path / "store")).collect()
+    by_batch = {}
+    for r in hist:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    assert sorted(by_batch) == [0, 1]
+    for bid, rows in by_batch.items():
+        assert len(rows) == len(checks)
+        assert all(r["status"] == "pass" for r in rows), (bid, rows)
+        assert {r["check_name"] for r in rows} == {c.name for c in checks}
+
+
+def test_expectations_job_strict_gate_aborts_with_evidence(spark, sf_dir, tmp_path):
+    """strict=True turns monitoring into admission control: a batch
+    with a failing check aborts the stream — but only AFTER its report
+    partition lands, so the store holds the evidence of why ingestion
+    stopped. Batch 1's text is corrupted to empty; batch 0 passes."""
+    import pytest as _pytest
+
+    from gmall_flink_parent_spark.functions.expectations import completeness
+    from gmall_flink_parent_spark.streaming.jobs import expectations_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    corrupted = docs.withColumn(
+        "text", F.when(F.col("doc_id") <= median, F.col("text")).otherwise(F.lit(""))
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, corrupted, "doc_id", "doc_id long, text string"
+    )
+    q = expectations_job(
+        stream,
+        [completeness("text", 0.99)],
+        str(tmp_path / "store"),
+        str(tmp_path / "ck"),
+        strict=True,
+    )
+    with _pytest.raises(Exception, match="failed admission expectations"):
+        q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store")).collect()
+    by_batch = {r["batch_id"]: r for r in store}
+    assert by_batch[0]["status"] == "pass"
+    assert by_batch[1]["status"] == "fail"  # the evidence landed pre-abort
