@@ -37,6 +37,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gmall_flink_parent_spark.functions.mixture import (
+    _mid_pid,
+    _partition_offsets,
+    _range_sorted_positions,
+)
 from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
@@ -399,3 +404,124 @@ def stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("strat_rank") <= F.col("n_keep"))
         .select("source", "doc_id", "strat_rank", F.col("n_stratum").cast("long").alias("n_stratum"))
     )
+
+
+# ------------------------------------- quality-ranked token budgeting
+
+_BUDGET_FRAC = 0.5  # spend half the corpus's tokens on the best docs
+
+
+def token_budget_select_frame(
+    scored: DataFrame, frac: float = _BUDGET_FRAC
+) -> DataFrame:
+    """Greedy token-budget fill over a (doc_id, clf_margin, n_tokens)
+    scored frame: rank by (margin DESC, doc_id), keep documents while
+    the running token total stays within ``floor(frac · total_tokens)``
+    — strict semantics, the last doc that would overshoot is dropped.
+
+    The global running total is the ``pack_sequences`` machinery, not a
+    window: range-partition on the (negated) margin, Arrow in-partition
+    cumsum, broadcast per-partition offsets — one range exchange and a
+    #partitions-row summary, never a single-reducer ORDER BY over the
+    corpus. The budget scalar rides a 1-row broadcast.
+    """
+    total = scored.agg(F.sum(F.col("n_tokens").cast("long")).alias("_total"))
+    ranked = scored.select(
+        "doc_id", "clf_margin", F.col("n_tokens").cast("long").alias("n_tokens")
+    ).withColumn("_negm", -F.col("clf_margin"))
+    part = _range_sorted_positions(ranked, ["_negm", "doc_id"], eager=True)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
+    ) + ", cum_in_part long"
+
+    def cumsum(batches):
+        offset = 0
+        for pdf in batches:
+            toks = pdf["n_tokens"].astype("int64")
+            pdf = pdf.assign(cum_in_part=offset + toks.cumsum() - toks)
+            offset += int(toks.sum())
+            yield pdf
+
+    cum = part.mapInPandas(cumsum, schema=schema)
+    offsets = _partition_offsets(part, F.col("n_tokens").cast("long"), "part_off")
+    return (
+        cum.withColumn("pid", _mid_pid())
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_before", (F.col("part_off") + F.col("cum_in_part")).cast("long")
+        )
+        .filter(
+            F.col("cum_before") + F.col("n_tokens")
+            <= F.floor(F.lit(frac) * F.col("_total")).cast("long")
+        )
+        .select(
+            "doc_id",
+            F.col("clf_margin").alias("quality_margin"),
+            "n_tokens",
+            "cum_before",
+        )
+    )
+
+
+def _token_budget_oracle() -> str:
+    from gmall_flink_parent_spark.functions.quality import CLASSIFIER_ORACLE
+
+    return f"""
+WITH s AS (
+    SELECT doc_id, clf_margin, n_tokens FROM ({CLASSIFIER_ORACLE})
+), tot AS (
+    SELECT CAST(FLOOR({_BUDGET_FRAC} * SUM(n_tokens)) AS BIGINT) AS budget FROM s
+), r AS (
+    SELECT doc_id, clf_margin, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY clf_margin DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM s
+)
+SELECT r.doc_id,
+       r.clf_margin AS quality_margin,
+       CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       CAST(r.cum_before AS BIGINT) AS cum_before
+FROM r CROSS JOIN tot
+WHERE r.cum_before + r.n_tokens <= tot.budget
+"""
+
+
+@register(
+    "token_budget_select",
+    oracle=_token_budget_oracle(),
+    tags=("text", "selection", "quality", "budget"),
+    past_window=True,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend a training-token budget on the highest-quality documents:
+    rank the corpus by classifier margin and keep documents greedily
+    until ``floor(0.5 · total_tokens)`` is filled — the
+    DataComp/FineWeb-style "top documents by classifier" selection
+    priced in TOKENS, which is what the budget actually is (a doc count
+    ignores that long documents spend it faster).
+
+    Scoring reuses ``hash_classifier_frame`` (same model table as
+    ``doc_hash_classifier_score``, so the two heads cannot disagree on
+    a margin); the oracle's single-node ``SUM OVER (ORDER BY …)``
+    window is replaced by the distributed prefix sum the packing stage
+    already audits — range exchange + Arrow in-partition cumsum +
+    broadcast offsets — and the driver-checked ``cum_before`` column
+    proves the distributed running total exact, not just the selected
+    set. Composes into ``build_pretraining_dataset(keep_docs=…)`` like
+    every selection head.
+    """
+    from gmall_flink_parent_spark.functions.quality import hash_classifier_frame
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = hash_classifier_frame(tf, group_cols=("doc_id",)).select(
+        "doc_id", "clf_margin", "n_tokens"
+    )
+    return token_budget_select_frame(scored)

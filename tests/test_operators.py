@@ -2590,3 +2590,26 @@ def test_trigram_backoff_fires_on_held_out_docs(spark, sf_dir):
     assert max(r["backoff_frac"] for r in rows) > 0.0
     assert all(r["bits_per_trigram"] > 0.0 for r in rows)
     assert all(r["n_trigrams"] > 0 for r in rows)
+
+
+def test_token_budget_select_is_maximal_greedy_prefix(spark, sf_dir):
+    """Strict-budget semantics: the selected set is a PREFIX of the
+    margin-ranked order (once one doc overshoots, every later doc's
+    cum_before is past the budget too), it fits the budget, and it is
+    maximal — the next-ranked unselected doc would overshoot."""
+    import math
+
+    sel = plans.query_map()["token_budget_select"](spark, sf_dir).collect()
+    assert sel
+    scored = {
+        r["doc_id"]: (r["clf_margin"], r["n_tokens"])
+        for r in plans.query_map()["doc_hash_classifier_score"](spark, sf_dir).collect()
+    }
+    budget = math.floor(0.5 * sum(n for _, n in scored.values()))
+    used = sum(r["n_tokens"] for r in sel)
+    assert used <= budget
+    order = sorted(scored, key=lambda d: (-scored[d][0], d))
+    k = len(sel)
+    assert {r["doc_id"] for r in sel} == set(order[:k]), "not a rank prefix"
+    if k < len(order):
+        assert used + scored[order[k]][1] > budget, "greedy fill not maximal"

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",  # 1-row (t_t, t_r) gram-total scalar × buckets
     "dsir_gumbel_resample",  # same 1-row totals scalar (shared weight core)
     "dedup_method_audit",  # 1-row (n_pred, n_truth, n_hit) count scalars per method
+    "token_budget_select",  # 1-row corpus-token-total budget scalar × ranked docs
 }
 
 
