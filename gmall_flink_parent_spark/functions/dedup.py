@@ -677,6 +677,49 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_safe_split",
+    oracle=None,
+    tags=("text", "sampling", "dedup", "iterative"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that a near-dup cluster can never
+    straddle: every document is bucketed by the md5 of its CLUSTER
+    ROOT (connected components over the MinHash pair graph), not its
+    own id — so if A ~ B survived dedup (or dedup wasn't run), A in
+    train and B in test is impossible by construction, which is the
+    eval-leakage failure mode a plain per-doc hash split
+    (``doc_sample_split``) cannot rule out.
+
+    Same 80/10/10 bucket boundaries and md5 trick as
+    ``doc_sample_split``, keyed on ``cluster_id``: a document in no
+    near-dup pair has itself as root and receives EXACTLY the per-doc
+    split (pinned in tests) — adopting the leakage-safe form
+    reassigns only clustered documents. Split fractions stay ≈ 80/10/10
+    in cluster-count terms; a pathological corpus that is one giant
+    cluster degenerates to one split, which is the correct answer for
+    eval hygiene. Iterative (pointer-jumping CC) ⇒ rows-only driver
+    check; the no-straddle and singleton-consistency invariants are
+    pinned in ``tests/test_operators.py``.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(docs, pairs)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("label").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_rounds: int = 32
 ) -> DataFrame:

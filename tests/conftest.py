@@ -36,6 +36,16 @@ def cluster_keep_df(spark, sf_dir):
 
 
 @pytest.fixture(scope="session")
+def leakage_split_df(spark, sf_dir):
+    """leakage_safe_split built ONCE per session — same rationale as
+    cluster_keep_df (iterative CC construction runs driver-side
+    actions)."""
+    from gmall_flink_parent_spark import plans
+
+    return plans.query_map()["leakage_safe_split"](spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
 def embedding_keep_df(spark, sf_dir):
     """embedding_dedup_keep built ONCE per session — same rationale as
     cluster_keep_df (iterative construction runs driver-side actions)."""

@@ -2613,3 +2613,37 @@ def test_token_budget_select_is_maximal_greedy_prefix(spark, sf_dir):
     assert {r["doc_id"] for r in sel} == set(order[:k]), "not a rank prefix"
     if k < len(order):
         assert used + scored[order[k]][1] > budget, "greedy fill not maximal"
+
+
+def test_leakage_safe_split_invariants(spark, sf_dir, leakage_split_df):
+    """The two contracts of the cluster-keyed split: (1) no MinHash
+    near-dup pair straddles splits — A in train with its near-dup B in
+    test is impossible by construction; (2) a document in no pair
+    (cluster root = itself) receives EXACTLY doc_sample_split's
+    per-doc assignment, so adopting the leakage-safe form reassigns
+    only clustered documents. Plus loose marginal-fraction sanity."""
+    from gmall_flink_parent_spark.functions.dedup import _minhash_pairs
+
+    split = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in leakage_split_df.collect()}
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b").collect()
+    assert pairs, "fixture corpus should have near-dup pairs"
+    for p in pairs:
+        assert split[p["doc_id_a"]][1] == split[p["doc_id_b"]][1], p
+        assert split[p["doc_id_a"]][0] == split[p["doc_id_b"]][0], p
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in plans.query_map()["doc_sample_split"](spark, sf_dir).collect()
+    }
+    singletons = [d for d, (root, _) in split.items() if root == d]
+    assert singletons
+    clustered_nonroot = [d for d, (root, _) in split.items() if root != d]
+    assert clustered_nonroot, "corpus should have non-root cluster members"
+    for d in singletons:
+        if all(d not in (p["doc_id_a"], p["doc_id_b"]) for p in pairs):
+            assert split[d][1] == plain[d]
+    # fractions hold in CLUSTER-count terms (the unit the split hashes);
+    # doc-count fractions legitimately skew when clusters are giant —
+    # this fixture corpus is near-dup-heavy by design
+    roots = {v[0]: v[1] for v in split.values()}
+    frac_train = sum(1 for s in roots.values() if s == "train") / len(roots)
+    assert 0.6 <= frac_train <= 0.95

@@ -38,7 +38,7 @@ def test_query_arrow_dtypes_match_oracle(spark, duck, sf_dir, spec):
 
 
 def test_oracle_less_queries_have_nonempty_results(
-    spark, sf_dir, cluster_keep_df, embedding_keep_df
+    spark, sf_dir, cluster_keep_df, embedding_keep_df, leakage_split_df
 ):
     """The nonempty pin for the rows-only queries. Oracle-backed queries
     are already executed (and nonempty-checked) by the parity sweep
@@ -47,10 +47,12 @@ def test_oracle_less_queries_have_nonempty_results(
     constructions are the most expensive builds."""
     assert cluster_keep_df.count() > 0, "dedup_cluster_keep returned 0 rows"
     assert embedding_keep_df.count() > 0, "embedding_dedup_keep returned 0 rows"
+    assert leakage_split_df.count() > 0, "leakage_safe_split returned 0 rows"
     for name, spec in plans.all_queries().items():
         if spec.oracle is None and name not in (
             "dedup_cluster_keep",
             "embedding_dedup_keep",
+            "leakage_safe_split",
         ):
             assert spec.fn(spark, sf_dir).count() > 0, f"{name} returned 0 rows"
 

@@ -61,7 +61,10 @@ def _assert_hygienic(plan: str, name: str) -> None:
 # re-running here.
 @pytest.mark.parametrize(
     "name",
-    sorted(set(plans.all_queries()) - {"dedup_cluster_keep", "embedding_dedup_keep"}),
+    sorted(
+        set(plans.all_queries())
+        - {"dedup_cluster_keep", "embedding_dedup_keep", "leakage_safe_split"}
+    ),
 )
 def test_plan_hygiene(spark, sf_dir, name):
     _assert_hygienic(
@@ -71,6 +74,10 @@ def test_plan_hygiene(spark, sf_dir, name):
 
 def test_plan_hygiene_cluster_keep(cluster_keep_df):
     _assert_hygienic(_physical_plan(cluster_keep_df), "dedup_cluster_keep")
+
+
+def test_plan_hygiene_leakage_safe_split(leakage_split_df):
+    _assert_hygienic(_physical_plan(leakage_split_df), "leakage_safe_split")
 
 
 def test_plan_hygiene_embedding_keep(embedding_keep_df):
