@@ -370,3 +370,66 @@ def build_pretraining_dataset(
         "n_sequences": int(totals["n_sequences"]) if totals["n_sequences"] is not None else 0,
         "n_stream_tokens": int(totals["n_stream_tokens"]) if totals["n_stream_tokens"] is not None else 0,
     }
+
+
+def dataset_diff(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
+    """Per-document membership diff between two WRITTEN training
+    datasets (``build_pretraining_dataset`` outputs): one row per
+    (doc_id, source) present in either build, with per-build sample
+    multiplicities (a doc upsampled to 3 epochs counts 3), token
+    totals, and a status — ``added`` / ``removed`` / ``reweighted`` /
+    ``kept``.
+
+    The dataset-versioning read: after changing a gate (a new keep
+    list, a tightened quality threshold, a different mixture weight),
+    this is "what actually changed on disk", computed from the shard
+    stores themselves — not from manifests, which describe intent. At
+    100 TB the cost is two shard-store scans reduced to doc grain
+    (map-side combined) and one doc-grain full outer join; no text is
+    read, because shard stores carry counts, never text.
+    """
+    def grain(path: str, side: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_samples_{side}"),
+                F.sum("n_tokens").cast("long").alias(f"n_tokens_{side}"),
+            )
+        )
+
+    a, b = grain(path_a, "a"), grain(path_b, "b")
+    j = a.join(b, ["doc_id", "source"], "full_outer")
+    na = F.coalesce(F.col("n_samples_a"), F.lit(0))
+    nb = F.coalesce(F.col("n_samples_b"), F.lit(0))
+    return j.select(
+        "doc_id",
+        "source",
+        na.cast("long").alias("n_samples_a"),
+        nb.cast("long").alias("n_samples_b"),
+        F.coalesce(F.col("n_tokens_a"), F.lit(0)).cast("long").alias("n_tokens_a"),
+        F.coalesce(F.col("n_tokens_b"), F.lit(0)).cast("long").alias("n_tokens_b"),
+        F.when(na == 0, F.lit("added"))
+        .when(nb == 0, F.lit("removed"))
+        .when(na != nb, F.lit("reweighted"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+def dataset_diff_summary(diff: DataFrame) -> dict:
+    """Bounded rollup of ``dataset_diff``: doc and token deltas per
+    status — the four-row answer a build report prints. One aggregate
+    over the doc-grain diff; the collect is O(#statuses)."""
+    rows = (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens_b") - F.col("n_tokens_a")).alias("token_delta"),
+        )
+        .collect()
+    )
+    return {
+        r["status"]: {"n_docs": int(r["n_docs"]), "token_delta": int(r["token_delta"])}
+        for r in rows
+    }

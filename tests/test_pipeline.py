@@ -475,3 +475,60 @@ def test_build_with_expectations_gate(spark, sf_dir, tmp_path):
             stores_path=str(tmp_path / "nostores"),
             expectations=DOCUMENT_CHECKS,
         )
+
+
+def test_dataset_diff_between_two_builds(spark, sf_dir, tmp_path):
+    """dataset_diff answers "what changed on disk" between two builds:
+    docs gated out of B are `removed`, docs whose source weight doubled
+    are `reweighted` with exactly doubled sample multiplicity, and
+    everything else is `kept` with identical counts; the summary rollup
+    agrees with the per-row frame."""
+    from gmall_flink_parent_spark.pipeline import dataset_diff, dataset_diff_summary
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    wts = {s: 1.0 for s in sources}
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    build_pretraining_dataset(spark, sf_dir, a_path, weights=wts, seed="t-diff")
+
+    in_a = spark.read.parquet(a_path)
+    dropped = [
+        r["doc_id"]
+        for r in in_a.filter(F.col("source") != "src1")
+        .select("doc_id")
+        .distinct()
+        .limit(3)
+        .collect()
+    ]
+    assert len(dropped) == 3
+    wb = dict(wts)
+    wb["src1"] = 2.0
+    keep = docs.filter(~F.col("doc_id").isin(dropped)).select("doc_id")
+    build_pretraining_dataset(
+        spark, sf_dir, b_path, weights=wb, seed="t-diff", keep_docs=keep
+    )
+
+    rows = {r["doc_id"]: r for r in dataset_diff(spark, a_path, b_path).collect()}
+    for d in dropped:
+        assert rows[d]["status"] == "removed"
+        assert rows[d]["n_samples_b"] == 0
+    n_reweighted = n_kept = 0
+    for d, r in rows.items():
+        if r["source"] == "src1" and r["n_samples_a"] > 0 and r["n_samples_b"] > 0:
+            assert r["status"] == "reweighted"
+            assert r["n_samples_b"] == 2 * r["n_samples_a"]
+            n_reweighted += 1
+        elif d not in dropped:
+            assert r["status"] == "kept", r
+            assert r["n_samples_b"] == r["n_samples_a"]
+            assert r["n_tokens_b"] == r["n_tokens_a"]
+            n_kept += 1
+    assert n_reweighted > 0 and n_kept > 0
+
+    summary = dataset_diff_summary(dataset_diff(spark, a_path, b_path))
+    assert summary["removed"]["n_docs"] == 3
+    assert summary["reweighted"]["n_docs"] == n_reweighted
+    assert summary["kept"]["n_docs"] == n_kept
+    assert summary["kept"]["token_delta"] == 0
+    assert summary["removed"]["token_delta"] < 0 < summary["reweighted"]["token_delta"]
