@@ -197,6 +197,85 @@ DOCUMENT_CHECKS: list[Expectation] = [
 
 CORPUS_EXPECTATIONS_ORACLE = expectations_oracle(DOCUMENT_CHECKS, "documents")
 
+# ------------------------------------- the embeddings-table suite
+#
+# Array-column checks: per-row facts (dimension, L2 norm) become row
+# predicates via higher-order functions on BOTH sides — Spark
+# ``aggregate(embedding, …)`` and DuckDB ``list_sum(list_transform…)``
+# fold the same float32 values in index order, and the norm enters the
+# metric only through an |norm − 1| < ε INDICATOR, so an engine's
+# low-bit summation difference can never flip a verdict.
+
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_NORM_SPARK = (
+    "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+    " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+EMBEDDING_CHECKS: list[Expectation] = [
+    satisfies(
+        "completeness(embedding)",
+        lambda: F.col("embedding").isNotNull(),
+        "embedding IS NOT NULL",
+        1.0,
+    ),
+    uniqueness("vec_id"),
+    satisfies(
+        "dimension(embedding) = 64",
+        lambda: F.size("embedding") == 64,
+        "len(embedding) = 64",
+        1.0,
+    ),
+    satisfies(
+        "unit_norm(embedding) ± 1e-3",
+        lambda: F.abs(F.expr(_NORM_SPARK) - 1.0) < 0.001,
+        f"abs({_NORM_SQL} - 1.0) < 0.001",
+        1.0,
+    ),
+    satisfies(
+        "containment(label in [0, 9])",
+        lambda: F.col("label").between(0, 9),
+        "label BETWEEN 0 AND 9",
+        1.0,
+    ),
+    in_band(
+        "cardinality(label)",
+        lambda: F.countDistinct(F.col("label")),
+        "count(DISTINCT label)",
+        1.0,
+        10.0,
+    ),
+]
+
+EMBEDDING_EXPECTATIONS_ORACLE = expectations_oracle(EMBEDDING_CHECKS, "embeddings")
+
+
+@register(
+    "embedding_expectations",
+    oracle=EMBEDDING_EXPECTATIONS_ORACLE,
+    tags=("similarity", "quality", "validation", "report"),
+    past_window=True,
+)
+def embedding_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation suite over the EMBEDDINGS table — the admission
+    gate an ANN/semantic-dedup pipeline runs before building an index:
+    key uniqueness, fixed dimensionality, unit L2 norm (cosine scoring
+    assumes it), and label containment, in one scan.
+
+    Array-column metrics ride the same single-aggregate core as the
+    documents suite: per-row facts (dimension, norm) are higher-order-
+    function predicates folded inside codegen, and the norm check is an
+    ε-indicator so float summation order can never flip a verdict. A
+    failing row here (a truncated vector, an unnormalized import) would
+    silently corrupt every cosine downstream — this is the check that
+    makes ``ann_*`` / ``dedup_embedding_cosine`` safe to trust.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return expectation_report(emb, EMBEDDING_CHECKS)
+
 
 @register(
     "corpus_expectations",
