@@ -1076,35 +1076,42 @@ GROUP BY d.doc_id
 
 
 def trigram_stream(docs: DataFrame) -> DataFrame:
-    """(doc_id, tri, pre, suf, w3) trigram instances, built NARROWLY:
-    the token array zips against its own shifts (no positional
-    self-join), trigram structs explode straight off the scan. Docs
-    shorter than 3 tokens contribute nothing (the ``greatest`` guard
-    keeps the slice length non-negative instead of throwing)."""
+    """(doc_id, tri) trigram instances, built NARROWLY: the token array
+    zips against its own shifts (no positional self-join), trigrams
+    explode straight off the scan. ONLY the trigram string crosses any
+    downstream shuffle — the prefix/suffix/last-word join keys are
+    derived from ``tri`` AFTER aggregation (``_tri_parts``), halving
+    the corpus-side shuffle width. Docs shorter than 3 tokens
+    contribute nothing (the ``greatest`` guard keeps the slice length
+    non-negative instead of throwing)."""
     toks = F.split(F.col("text"), " ")
     bg_arr = F.zip_with(
         F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
         F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    pairs = F.zip_with(
+    tri_arr = F.zip_with(
         F.expr("slice(bg, 1, greatest(size(bg) - 1, 0))"),
-        F.expr("slice(bg, 2, greatest(size(bg) - 1, 0))"),
-        lambda p, s: F.struct(p.alias("pre"), s.alias("suf")),
+        F.expr("slice(toks2, 3, greatest(size(toks2) - 2, 0))"),
+        lambda p, w: F.concat_ws(" ", p, w),
     )
     return (
         docs.select("doc_id", toks.alias("toks"))
-        .select("doc_id", bg_arr.alias("bg"))
-        .select("doc_id", F.explode(pairs).alias("g"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.col("g.pre"), F.substring_index(F.col("g.suf"), " ", -1)
-            ).alias("tri"),
-            F.col("g.pre").alias("pre"),
-            F.col("g.suf").alias("suf"),
-            F.substring_index(F.col("g.suf"), " ", -1).alias("w3"),
-        )
+        .select("doc_id", bg_arr.alias("bg"), F.col("toks").alias("toks2"))
+        .select("doc_id", F.explode(tri_arr).alias("tri"))
+    )
+
+
+def _tri_parts(df: DataFrame) -> DataFrame:
+    """Derive the backoff join keys from an aggregated ``tri`` column:
+    pre = first two words, suf = last two, w3 = last — exact because
+    tokens are space-split (no token contains a space)."""
+    return df.withColumns(
+        {
+            "pre": F.substring_index("tri", " ", 2),
+            "suf": F.substring_index("tri", " ", -2),
+            "w3": F.substring_index("tri", " ", -1),
+        }
     )
 
 
@@ -1140,14 +1147,14 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     is_model = F.col("doc_id") % _SB_MODEL_MOD == 0
     tri = scoped_persist(trigram_stream(docs))
-    dtf = (
+    dtf = _tri_parts(
         tri.filter(~(F.col("doc_id") % _SB_MODEL_MOD == 0))
-        .groupBy("doc_id", "tri", "pre", "suf", "w3")
+        .groupBy("doc_id", "tri")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    mtri = (
+    mtri = _tri_parts(
         tri.filter(F.col("doc_id") % _SB_MODEL_MOD == 0)
-        .groupBy("tri", "pre")
+        .groupBy("tri")
         .agg(F.count(F.lit(1)).cast("double").alias("c123"))
     )
     bg_arr = F.zip_with(
