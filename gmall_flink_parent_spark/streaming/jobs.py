@@ -1782,3 +1782,55 @@ def expectation_history_from_store(spark: SparkSession, store_path: str) -> Data
     return spark.read.parquet(store_path).select(
         "batch_id", "check_name", "metric", "lo", "hi", "status"
     )
+
+
+def bloom_bits_job(bench_docs: DataFrame, store_path: str, checkpoint_dir: str):
+    """Accumulate the benchmark Bloom filter AT INGEST: each micro-batch
+    of benchmark documents is shingled (shared ``contamination_shingles``
+    core) and hashed to its distinct set-bit positions, landed in an
+    idempotent ``batch_id=N`` partition. Union-mergeability — pinned by
+    the any-split property test — makes per-batch accumulation
+    equivalent to one-shot construction: the merged filter is simply
+    the DISTINCT union of stored bits, so a benchmark that itself
+    arrives as a stream (a new eval-set release, a growing held-out
+    corpus) never needs a rebuild. The store is bounded by the CONSTANT
+    ``m`` bits regardless of benchmark size — the whole point of the
+    sketch."""
+    from gmall_flink_parent_spark.functions.curation import contamination_shingles
+    from gmall_flink_parent_spark.functions.sketches import bloom_bits
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bits = bloom_bits(contamination_shingles(batch).select("g").distinct())
+        bits.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return (
+        bench_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/bloom_bits")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def contamination_bloom_from_store(
+    spark: SparkSession, bits_store: str, docs: DataFrame
+) -> DataFrame:
+    """Flag a documents frame against the ingest-accumulated Bloom
+    filter — the from-store twin of ``contamination_bloom``'s flagging
+    side. The distinct over stored bits IS the union-merge (bits
+    landing in several benchmark batches collapse to one row); the
+    probe is the same ``bloom_member_hits`` broadcast equi-join core as
+    the batch head, so store-backed and one-shot verdicts are
+    hash-identical over the same benchmark (pinned, incl. across
+    ``compact_fact_store``)."""
+    from gmall_flink_parent_spark.functions.curation import contamination_shingles
+    from gmall_flink_parent_spark.functions.sketches import bloom_member_hits
+
+    bits = spark.read.parquet(bits_store).select("bit").distinct()
+    sh = contamination_shingles(docs)
+    return (
+        bloom_member_hits(sh, bits)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_ngrams"))
+    )

@@ -3289,3 +3289,46 @@ def test_expectations_job_strict_gate_aborts_with_evidence(spark, sf_dir, tmp_pa
     by_batch = {r["batch_id"]: r for r in store}
     assert by_batch[0]["status"] == "pass"
     assert by_batch[1]["status"] == "fail"  # the evidence landed pre-abort
+
+
+def test_bloom_bits_job_store_matches_batch_head(spark, sf_dir, tmp_path):
+    """Benchmark-bloom-at-ingest: bits accumulated over two benchmark
+    micro-batches, distinct-unioned at read, must flag the train corpus
+    EXACTLY like the one-shot contamination_bloom head — and still
+    after compact_fact_store folds the batch partitions."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        bloom_bits_job,
+        contamination_bloom_from_store,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    stream = _two_file_stream(
+        spark, tmp_path, bench, "doc_id", "doc_id long, text string"
+    )
+    store = str(tmp_path / "bits")
+    q = bloom_bits_job(stream, store, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    want = _rows(
+        plans.query_map()["contamination_bloom"](spark, sf_dir),
+        ["doc_id", "n_bloom_ngrams"],
+    )
+    got = _rows(
+        contamination_bloom_from_store(spark, store, train),
+        ["doc_id", "n_bloom_ngrams"],
+    )
+    assert got == want and len(want) > 0
+
+    compact_fact_store(spark, store, str(tmp_path / "ck" / "bloom_bits"))
+    got2 = _rows(
+        contamination_bloom_from_store(spark, store, train),
+        ["doc_id", "n_bloom_ngrams"],
+    )
+    assert got2 == want
