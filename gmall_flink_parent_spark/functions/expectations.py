@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import load_table
 
 
@@ -301,3 +301,111 @@ def corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return expectation_report(docs, DOCUMENT_CHECKS)
+
+
+# ------------------------------------------- distribution drift (PSI)
+
+_PSI_BUCKETS = 7  # token-length buckets: floor(n/16) capped at 6
+_PSI_SMOOTH = 1.0  # add-1 on counts so empty buckets stay finite
+
+SOURCE_PSI_ORACLE = f"""
+WITH d AS (
+    SELECT source,
+           LEAST(len(string_split(text, ' ')) // 16, {_PSI_BUCKETS - 1}) AS b
+    FROM documents
+), per AS (
+    SELECT source, b, CAST(count(*) AS DOUBLE) AS c_sb FROM d GROUP BY source, b
+), tot_s AS (
+    SELECT source, SUM(c_sb) AS n_s FROM per GROUP BY source
+), corpus_b AS (
+    SELECT b, SUM(c_sb) AS c_b FROM per GROUP BY b
+), n AS (
+    SELECT SUM(c_b) AS n FROM corpus_b
+), grid AS (
+    SELECT t.source, g.b FROM tot_s t, unnest(range({_PSI_BUCKETS})) AS g(b)
+), pq AS (
+    SELECT g.source,
+           (COALESCE(p.c_sb, 0) + {_PSI_SMOOTH})
+               / (t.n_s + {_PSI_SMOOTH * _PSI_BUCKETS}) AS p,
+           (COALESCE(c.c_b, 0) + {_PSI_SMOOTH})
+               / (n.n + {_PSI_SMOOTH * _PSI_BUCKETS}) AS q
+    FROM grid g
+    LEFT JOIN per p ON g.source = p.source AND g.b = p.b
+    JOIN tot_s t ON g.source = t.source
+    LEFT JOIN corpus_b c ON g.b = c.b
+    CROSS JOIN n
+)
+SELECT source,
+       (SELECT CAST(t.n_s AS BIGINT) FROM tot_s t WHERE t.source = pq.source)
+           AS n_docs,
+       ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+FROM pq
+GROUP BY source
+"""
+
+
+@register(
+    "source_length_psi",
+    oracle=SOURCE_PSI_ORACLE,
+    tags=("text", "quality", "validation", "drift"),
+    past_window=True,
+)
+def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's token-length
+    distribution against the corpus baseline — the standard drift
+    score (banking scorecards; in curation: "did src7's crawl change
+    shape this month"). PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    {_PSI_BUCKETS} fixed token-length buckets with add-1 smoothing so
+    empty buckets stay finite; rule of thumb: < 0.1 stable, > 0.25
+    investigate.
+
+    One corpus scan reduced to (source, bucket) counts — every later
+    frame is bounded by |sources| × {_PSI_BUCKETS} rows or smaller, so
+    at 100 TB the scan is the whole cost; the bucket grid (sources ×
+    constant bucket list) exists so sources missing a bucket still
+    contribute that bucket's (p − q)·ln(p/q) term. The same shape
+    against a STORED baseline's (source, bucket) counts gives
+    batch-over-batch drift at ingest (the ``expectations_job`` series
+    carries the per-batch inputs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.least(
+        F.floor(F.size(F.split("text", " ")) / 16), F.lit(_PSI_BUCKETS - 1)
+    ).cast("long")
+    per = (
+        docs.select("source", b.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_sb"))
+    )
+    per = scoped_persist(per)
+    tot_s = per.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    corpus_b = per.groupBy("b").agg(F.sum("c_sb").alias("c_b"))
+    n = corpus_b.agg(F.sum("c_b").alias("n"))
+    grid = tot_s.select("source", "n_s").crossJoin(
+        F.broadcast(
+            spark.range(_PSI_BUCKETS).select(F.col("id").cast("long").alias("b"))
+        )
+    )
+    pq = (
+        grid.join(per, ["source", "b"], "left")
+        .join(F.broadcast(corpus_b), "b", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_s",
+            (
+                (F.coalesce(F.col("c_sb"), F.lit(0.0)) + _PSI_SMOOTH)
+                / (F.col("n_s") + _PSI_SMOOTH * _PSI_BUCKETS)
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("c_b"), F.lit(0.0)) + _PSI_SMOOTH)
+                / (F.col("n") + _PSI_SMOOTH * _PSI_BUCKETS)
+            ).alias("q"),
+        )
+    )
+    return pq.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_docs"),
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi"),
+    )
