@@ -97,6 +97,9 @@ HEADLINE = [
     "contamination_bloom",
     "corpus_expectations",
     "doc_trigram_backoff_logprob",
+    "token_budget_select",
+    "embedding_expectations",
+    "source_length_psi",
 ]
 
 

@@ -409,3 +409,96 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
         ).alias("psi"),
     )
+
+
+# ------------------------------------------- referential integrity
+
+_FK_CHECKS: list[tuple[str, str, str, str, str]] = [
+    # (name, child table, fk col, parent table, pk col)
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+REFERENTIAL_INTEGRITY_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS BIGINT) AS n_orphans,
+       CASE WHEN (SELECT count(*) FROM {child} c
+                  WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                    WHERE p.{pk} = c.{fk})) = 0
+            THEN 'pass' ELSE 'fail' END AS status"""
+    for name, child, fk, parent, pk in _FK_CHECKS
+)
+
+
+def fk_check_row(
+    name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str
+) -> DataFrame:
+    """One (fk, n_child, n_orphans, status) row: LEFT ANTI join of the
+    child's FK column against the parent's distinct key — the shared
+    core of ``referential_integrity`` and any caller-declared FK suite
+    (the negative path, a child with real orphans, is pinned in
+    tests)."""
+    p = parent.select(F.col(pk).alias(fk)).distinct()
+    n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+    orphans = child.join(p, fk, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    )
+    return n_child.crossJoin(orphans).select(
+        F.lit(name).alias("fk"),
+        F.col("n_child").cast("long").alias("n_child"),
+        F.col("n_orphans").cast("long").alias("n_orphans"),
+        F.when(F.col("n_orphans") == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    )
+
+
+@register(
+    "referential_integrity",
+    oracle=REFERENTIAL_INTEGRITY_ORACLE,
+    tags=("quality", "validation", "join", "report"),
+    past_window=True,
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity across the warehouse tables — the
+    JOIN-shaped member of the expectations family (a single-table
+    aggregate cannot see an orphan): per declared FK, the child row
+    count, the orphan count (child keys with no parent), and a
+    pass/fail verdict.
+
+    This is the check that makes the enrichment family honest: every
+    broadcast dim join in ``order_wide_enriched`` silently DROPS
+    orphaned facts (inner-join semantics), so "0 orphans" is exactly
+    the precondition under which enrichment is lossless — run this
+    before blaming the join. Each FK costs one LEFT ANTI join against
+    the parent's key column: the parent side is key-only (column-pruned
+    scan) and dimension-sized parents broadcast, so at 100 TB the fact
+    table is scanned once per declared FK and never shuffled when the
+    parent broadcasts; orphan counting is a 1-row aggregate. The five
+    1-row FK frames union into the report.
+    """
+    rows = [
+        fk_check_row(
+            name,
+            load_table(spark, sf_dir, child),
+            fk,
+            load_table(spark, sf_dir, parent),
+            pk,
+        )
+        for name, child, fk, parent, pk in _FK_CHECKS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

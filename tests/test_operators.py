@@ -2647,3 +2647,29 @@ def test_leakage_safe_split_invariants(spark, sf_dir, leakage_split_df):
     roots = {v[0]: v[1] for v in split.values()}
     frac_train = sum(1 for s in roots.values() if s == "train") / len(roots)
     assert 0.6 <= frac_train <= 0.95
+
+
+def test_fk_check_detects_orphans(spark, sf_dir):
+    """The negative path of referential integrity: removing a parent
+    key makes its children orphans — the check must count them exactly
+    and flip to 'fail'; the clean warehouse head passes all five FKs."""
+    from gmall_flink_parent_spark.functions.expectations import fk_check_row
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    victim = cust.select("c_custkey").limit(1).collect()[0][0]
+    n_orphans = orders.filter(F.col("o_custkey") == victim).count()
+    assert n_orphans > 0
+    row = fk_check_row(
+        "orders -> truncated customer",
+        orders,
+        "o_custkey",
+        cust.filter(F.col("c_custkey") != victim),
+        "c_custkey",
+    ).collect()[0]
+    assert row["status"] == "fail"
+    assert row["n_orphans"] == n_orphans
+
+    clean = plans.query_map()["referential_integrity"](spark, sf_dir).collect()
+    assert len(clean) == 5
+    assert all(r["status"] == "pass" and r["n_orphans"] == 0 for r in clean)
