@@ -502,3 +502,115 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ------------------------------------------- grouped (per-slice) report
+
+
+def expectation_report_by(
+    df: DataFrame, checks: list[Expectation], group_col: str
+) -> DataFrame:
+    """(group, check_name, metric, lo, hi, status) — the expectation
+    suite evaluated PER SLICE (one ``groupBy(group_col)`` instead of
+    the global agg, same spec rows): a corpus can pass every global
+    check while one source inside it is rotten, and the slice report is
+    where that shows. Cost is one scan + one |groups|-row aggregate;
+    the k check rows explode per group row."""
+    one = df.groupBy(group_col).agg(
+        *[
+            F.round(c.metric().cast("double"), 6).alias(f"m{i}")
+            for i, c in enumerate(checks)
+        ]
+    )
+    rows = one.select(
+        F.col(group_col).alias("group_value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name).alias("check_name"),
+                        F.col(f"m{i}").alias("metric"),
+                        F.lit(float(c.lo)).alias("lo"),
+                        F.lit(float(c.hi)).alias("hi"),
+                    )
+                    for i, c in enumerate(checks)
+                ]
+            )
+        ).alias("r"),
+    ).select("group_value", "r.*")
+    return rows.withColumn(
+        "status",
+        F.when(
+            F.col("metric").between(F.col("lo"), F.col("hi")), F.lit("pass")
+        ).otherwise(F.lit("fail")),
+    )
+
+
+def expectations_by_oracle(
+    checks: list[Expectation], table: str, group_col: str
+) -> str:
+    """DuckDB oracle for ``expectation_report_by`` — generated from the
+    same spec rows."""
+    metrics = ",\n           ".join(
+        f"ROUND(CAST({c.sql} AS DOUBLE), 6) AS m{i}" for i, c in enumerate(checks)
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT group_value, '{c.name}' AS check_name, m{i} AS metric,"
+        f" CAST({float(c.lo)} AS DOUBLE) AS lo, CAST({float(c.hi)} AS DOUBLE) AS hi,"
+        f" CASE WHEN m{i} BETWEEN {float(c.lo)} AND {float(c.hi)}"
+        f" THEN 'pass' ELSE 'fail' END AS status FROM m"
+        for i, c in enumerate(checks)
+    )
+    return (
+        f"WITH m AS (\n    SELECT {group_col} AS group_value,\n           "
+        f"{metrics}\n    FROM {table}\n    GROUP BY {group_col}\n)\n{branches}"
+    )
+
+
+# per-source slice: the subset of DOCUMENT_CHECKS that is meaningful
+# at source grain (key uniqueness/cardinality are corpus facts)
+SOURCE_CHECKS: list[Expectation] = [
+    completeness("text", 0.99),
+    satisfies(
+        "containment(lang)",
+        lambda: F.col("lang").isin(*_LANGS),
+        f"lang IN ({_LANG_SQL})",
+        0.99,
+    ),
+    in_band(
+        "minimum(length(text))",
+        lambda: F.min(F.length("text")),
+        "min(length(text))",
+        16.0,
+        1e9,
+    ),
+    in_band(
+        "mean(n_chars)", lambda: F.avg("n_chars"), "avg(n_chars)", 64.0, 4096.0
+    ),
+]
+
+SOURCE_EXPECTATIONS_ORACLE = expectations_by_oracle(
+    SOURCE_CHECKS, "documents", "source"
+)
+
+
+@register(
+    "source_expectations",
+    oracle=SOURCE_EXPECTATIONS_ORACLE,
+    tags=("text", "quality", "validation", "report"),
+    past_window=True,
+)
+def source_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation suite PER SOURCE — the slice report that catches
+    what the global gate averages away: a corpus can pass every
+    whole-corpus check while one source inside it ships empty text or
+    truncated documents, and per-slice bands are how that source is
+    caught (and then dropped via ``keep_docs`` / a weight of 0) without
+    stopping the build. Same spec rows as the global suite restricted
+    to source-meaningful checks; one scan, one |sources|-row aggregate,
+    k check rows exploded per source. Completes the family's three
+    axes: whole-corpus (``corpus_expectations``), per-ingest-batch
+    (``expectations_job``'s time series), per-slice (this).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return expectation_report_by(docs, SOURCE_CHECKS, "source")
