@@ -181,3 +181,70 @@ def dedup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_audit_row("simhash", "token_set", sim, truth_ts))
         .unionByName(_audit_row("winnow", "ngram3", win, truth_ng))
     )
+
+
+def cluster_best_keeper(labels: DataFrame, scored: DataFrame) -> DataFrame:
+    """Quality-aware cluster representative: given (doc_id, cluster_id)
+    assignments and (doc_id, clf_margin) scores, elect the HIGHEST-
+    margin member of each near-dup cluster (ties break on lowest
+    doc_id) — the production keep policy; min-id election
+    (``dedup_cluster_keep``) is the id-stable default, this is the
+    quality-optimal one. One window over (cluster, margin desc, id):
+    partition-bounded by construction since a cluster is one partition
+    key — no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("clf_margin"), F.asc("doc_id")
+    )
+    return (
+        labels.join(scored.select("doc_id", "clf_margin"), "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "clf_margin",
+            (F.col("_rk") == 1).alias("is_keeper"),
+        )
+    )
+
+
+@register(
+    "cluster_keep_best_quality",
+    oracle=None,
+    tags=("dedup", "quality", "iterative"),
+)
+def cluster_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse keeping the BEST document: connected
+    components over the MinHash pair graph (the ``dedup_cluster_keep``
+    core) + classifier margins, electing each cluster's highest-margin
+    member instead of its lowest id.
+
+    Why it matters: dup clusters in web corpora often mix a clean
+    canonical page with boilerplate-laden mirrors — min-id keeps
+    whichever crawled first, this keeps the one the quality model
+    ranks highest, and the kept-token quality of the corpus rises at
+    identical dedup rate. Iterative (CC) ⇒ rows-only driver check;
+    one-keeper-per-cluster, argmax-margin, and singleton invariants
+    pinned in ``tests/test_operators.py``. The keep-list composes into
+    ``build_pretraining_dataset(keep_docs=…)`` exactly like the min-id
+    form.
+    """
+    from gmall_flink_parent_spark.functions.dedup import (
+        _minhash_pairs,
+        connected_components,
+    )
+    from gmall_flink_parent_spark.functions.quality import hash_classifier_frame
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(docs.select("doc_id"), pairs).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = hash_classifier_frame(tf, group_cols=("doc_id",))
+    return cluster_best_keeper(labels, scored)

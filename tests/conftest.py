@@ -46,6 +46,15 @@ def leakage_split_df(spark, sf_dir):
 
 
 @pytest.fixture(scope="session")
+def best_keeper_df(spark, sf_dir):
+    """cluster_keep_best_quality built ONCE per session — same
+    rationale as cluster_keep_df (iterative CC construction)."""
+    from gmall_flink_parent_spark import plans
+
+    return plans.query_map()["cluster_keep_best_quality"](spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
 def embedding_keep_df(spark, sf_dir):
     """embedding_dedup_keep built ONCE per session — same rationale as
     cluster_keep_df (iterative construction runs driver-side actions)."""

@@ -2673,3 +2673,28 @@ def test_fk_check_detects_orphans(spark, sf_dir):
     clean = plans.query_map()["referential_integrity"](spark, sf_dir).collect()
     assert len(clean) == 5
     assert all(r["status"] == "pass" and r["n_orphans"] == 0 for r in clean)
+
+
+def test_cluster_best_keeper_invariants(spark, sf_dir, best_keeper_df):
+    """Quality-aware election: exactly one keeper per cluster, the
+    keeper's margin is the cluster max (ties -> lowest doc_id), cluster
+    membership is identical to the min-id form (same CC core), and a
+    singleton keeps itself."""
+    rows = best_keeper_df.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        best = max(members, key=lambda m: (m["clf_margin"], -m["doc_id"]))
+        assert (k["clf_margin"], k["doc_id"]) == (best["clf_margin"], best["doc_id"])
+        if len(members) == 1:
+            assert members[0]["doc_id"] == cid
+    minid = {
+        (r["doc_id"], r["cluster_id"])
+        for r in plans.query_map()["dedup_cluster_keep"](spark, sf_dir).collect()
+    }
+    assert {(r["doc_id"], r["cluster_id"]) for r in rows} == minid

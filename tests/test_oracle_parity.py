@@ -38,7 +38,8 @@ def test_query_arrow_dtypes_match_oracle(spark, duck, sf_dir, spec):
 
 
 def test_oracle_less_queries_have_nonempty_results(
-    spark, sf_dir, cluster_keep_df, embedding_keep_df, leakage_split_df
+    spark, sf_dir, cluster_keep_df, embedding_keep_df, leakage_split_df,
+    best_keeper_df,
 ):
     """The nonempty pin for the rows-only queries. Oracle-backed queries
     are already executed (and nonempty-checked) by the parity sweep
@@ -48,11 +49,13 @@ def test_oracle_less_queries_have_nonempty_results(
     assert cluster_keep_df.count() > 0, "dedup_cluster_keep returned 0 rows"
     assert embedding_keep_df.count() > 0, "embedding_dedup_keep returned 0 rows"
     assert leakage_split_df.count() > 0, "leakage_safe_split returned 0 rows"
+    assert best_keeper_df.count() > 0, "cluster_keep_best_quality returned 0 rows"
     for name, spec in plans.all_queries().items():
         if spec.oracle is None and name not in (
             "dedup_cluster_keep",
             "embedding_dedup_keep",
             "leakage_safe_split",
+            "cluster_keep_best_quality",
         ):
             assert spec.fn(spark, sf_dir).count() > 0, f"{name} returned 0 rows"
 

@@ -65,7 +65,12 @@ def _assert_hygienic(plan: str, name: str) -> None:
     "name",
     sorted(
         set(plans.all_queries())
-        - {"dedup_cluster_keep", "embedding_dedup_keep", "leakage_safe_split"}
+        - {
+            "dedup_cluster_keep",
+            "embedding_dedup_keep",
+            "leakage_safe_split",
+            "cluster_keep_best_quality",
+        }
     ),
 )
 def test_plan_hygiene(spark, sf_dir, name):
@@ -80,6 +85,10 @@ def test_plan_hygiene_cluster_keep(cluster_keep_df):
 
 def test_plan_hygiene_leakage_safe_split(leakage_split_df):
     _assert_hygienic(_physical_plan(leakage_split_df), "leakage_safe_split")
+
+
+def test_plan_hygiene_cluster_keep_best_quality(best_keeper_df):
+    _assert_hygienic(_physical_plan(best_keeper_df), "cluster_keep_best_quality")
 
 
 def test_plan_hygiene_embedding_keep(embedding_keep_df):
