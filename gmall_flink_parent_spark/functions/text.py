@@ -196,3 +196,87 @@ def doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_label"),
         F.when(stop_ratio >= 0.05, "en").otherwise("und").alias("lang_pred"),
     )
+
+
+# ---------------------------------------------- n-gram diversity
+
+NGRAM_DIVERSITY_ORACLE = """
+WITH t AS (
+    SELECT source, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+), g AS (
+    SELECT source, 1 AS n, unnest(toks) AS g FROM t
+    UNION ALL
+    SELECT source, 2 AS n,
+           unnest(list_transform(range(1, greatest(n, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i + 1]))) AS g
+    FROM t
+    UNION ALL
+    SELECT source, 3 AS n,
+           unnest(list_transform(range(1, greatest(n - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS g
+    FROM t
+)
+SELECT source, CAST(n AS INTEGER) AS n,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       ROUND(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS distinct_ratio
+FROM g
+GROUP BY source, n
+"""
+
+
+@register(
+    "source_ngram_diversity",
+    oracle=NGRAM_DIVERSITY_ORACLE,
+    tags=("text", "stats", "quality"),
+    past_window=True,
+)
+def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source: for n ∈ {1, 2, 3}, the gram
+    instance count, distinct count, and distinct ratio — the dataset-
+    card repetitiveness metric (low distinct-2/3 = templated or
+    machine-generated text; the corpus-level cousin of the per-doc
+    Gopher repetition gates, which catch a repetitive DOCUMENT but not
+    a source whose documents repeat EACH OTHER).
+
+    One corpus scan emits every gram instance tagged by n (the token
+    array and its two zip-shifts concatenate into a single tagged
+    array, one explode — no three-pass scan), then one aggregate:
+    map-side partial distincts shuffle one row per distinct
+    (source, n, gram). At 100 TB the distinct-gram shuffle is the cost
+    — the bounded-memory alternative is the CMS family
+    (``gram_df_cms_estimate``) or per-source HLL of grams; this exact
+    head is the audit-grade form.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    bg = F.zip_with(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tri = F.zip_with(
+        F.expr("slice(bg, 1, greatest(size(bg) - 1, 0))"),
+        F.expr("slice(toks2, 3, greatest(size(toks2) - 2, 0))"),
+        lambda p, w: F.concat_ws(" ", p, w),
+    )
+    tagged = F.concat(
+        F.transform(F.col("toks2"), lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
+        F.transform(F.col("bg"), lambda b: F.struct(F.lit(2).alias("n"), b.alias("g"))),
+        F.transform(tri, lambda x: F.struct(F.lit(3).alias("n"), x.alias("g"))),
+    )
+    grams = (
+        docs.select("source", toks.alias("toks"))
+        .select("source", bg.alias("bg"), F.col("toks").alias("toks2"))
+        .select("source", F.explode(tagged).alias("t"))
+        .select("source", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    )
+    return grams.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("g").cast("long").alias("n_distinct"),
+        F.round(
+            F.countDistinct("g").cast("double") / F.count(F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )
