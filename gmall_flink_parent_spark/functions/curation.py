@@ -1126,13 +1126,13 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet-shaped perplexity filter (Wenzek et al. 2020 score web text
     against a clean-reference KenLM; Brants et al. 2007's stupid
     backoff is the web-scale smoothing): the model is built from a
-    REFERENCE SLICE (doc_id % {_SB_MODEL_MOD} == 0, standing in for the
+    REFERENCE SLICE (doc_id % 7 == 0, standing in for the
     curated corpus), every other document is scored against it, so —
     unlike the in-corpus unigram/bigram heads — unseen trigrams
     genuinely occur and the backoff chain actually fires.
 
     Model: S(w3|w1 w2) = c123/c12, else α·c23/c2, else α²·S(w3) with
-    S(w3) = c1/N (or the 1/N unseen floor); α = {_SB_ALPHA}. Plan: the
+    S(w3) = c1/N (or the 1/N unseen floor); α = 0.4. Plan: the
     trigram/bigram/unigram model tables are gram-vocabulary-bounded
     aggregates of the (small) reference slice; scoring is three LEFT
     equi-joins keyed on distinct per-doc grams (tf-weighted, so join

@@ -190,3 +190,118 @@ def engaged_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------------------------------------------------------- funnel
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_HORIZON_H = 72  # each step must follow the previous within 72 h
+
+FUNNEL_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_type, ts FROM events
+), t1 AS (
+    SELECT user_id, min(ts) AS t FROM e
+    WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, min(ts) AS t FROM e JOIN t1 USING (user_id)
+    WHERE event_type = '{_FUNNEL_STEPS[1]}'
+      AND ts > t1.t AND ts <= t1.t + INTERVAL {_FUNNEL_HORIZON_H} HOUR
+    GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, min(ts) AS t FROM e JOIN t2 USING (user_id)
+    WHERE event_type = '{_FUNNEL_STEPS[2]}'
+      AND ts > t2.t AND ts <= t2.t + INTERVAL {_FUNNEL_HORIZON_H} HOUR
+    GROUP BY e.user_id
+), n AS (
+    SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
+           (SELECT count(*) FROM t1) AS n_users
+    UNION ALL
+    SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT count(*) FROM t2)
+    UNION ALL
+    SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM t3)
+)
+SELECT CAST(step AS INTEGER) AS step, event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(CASE WHEN (SELECT n_users FROM n WHERE step = 1) > 0
+             THEN CAST(n_users AS DOUBLE)
+                  / (SELECT n_users FROM n WHERE step = 1) END, 6) AS conversion
+FROM n
+"""
+
+
+@register(
+    "funnel_conversion",
+    oracle=FUNNEL_ORACLE,
+    tags=("dws", "funnel", "sequence"),
+    past_window=True,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over event time: per user, the first
+    ``view``, the first ``click`` AFTER that view, and the first
+    ``purchase`` after that click — each within a
+    72-hour horizon of the previous step — reported
+    as per-step user counts and conversion vs step 1. The classic
+    e-commerce DWS read (the reference's bounce CEP is the 2-step
+    negative form of the same sequence logic; this is the k-step
+    positive form).
+
+    Sequential dependence (step k's window opens at the user's step
+    k−1 time) makes this a chain of per-user joins, NOT a window
+    function: each stage filters the event scan by type (pushed-down
+    predicate), joins the previous stage's (user, t) frame on
+    ``user_id``, and takes a per-user min — user-keyed equi-joins all
+    the way down, with the stage frames user-cardinality-sized (they
+    broadcast for dimension-scale user sets and shuffle-join past
+    that). The final report is three 1-row counts unioned; at 100 TB
+    the cost is one scan per step plus user-keyed joins — never a
+    per-user sort of the whole event stream.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    horizon = F.expr(f"INTERVAL {_FUNNEL_HORIZON_H} HOURS")
+
+    def next_step(prev: DataFrame, step_type: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == step_type)
+            .join(prev.select("user_id", F.col("t").alias("_pt")), "user_id")
+            .filter((F.col("ts") > F.col("_pt")) & (F.col("ts") <= F.col("_pt") + horizon))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    t1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    t2 = next_step(t1, _FUNNEL_STEPS[1])
+    t3 = next_step(t2, _FUNNEL_STEPS[2])
+    counts = [
+        s.agg(F.count(F.lit(1)).alias(f"n{i}"))
+        for i, s in enumerate((t1, t2, t3), start=1)
+    ]
+    base = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step"),
+                        F.lit(_FUNNEL_STEPS[i - 1]).alias("event_type"),
+                        F.col(f"n{i}").cast("long").alias("n_users"),
+                    )
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("r"),
+        F.col("n1"),
+    ).select("r.*", "n1")
+    return rows.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(
+            F.when(F.col("n1") > 0, F.col("n_users").cast("double") / F.col("n1")),
+            6,
+        ).alias("conversion"),
+    )
