@@ -100,6 +100,10 @@ HEADLINE = [
     "token_budget_select",
     "embedding_expectations",
     "source_length_psi",
+    "source_expectations",
+    "referential_integrity",
+    "source_ngram_diversity",
+    "funnel_conversion",
 ]
 
 

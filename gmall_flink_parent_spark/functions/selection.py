@@ -425,11 +425,14 @@ def token_budget_select_frame(
     #partitions-row summary, never a single-reducer ORDER BY over the
     corpus. The budget scalar rides a 1-row broadcast.
     """
-    total = scored.agg(F.sum(F.col("n_tokens").cast("long")).alias("_total"))
     ranked = scored.select(
         "doc_id", "clf_margin", F.col("n_tokens").cast("long").alias("n_tokens")
     ).withColumn("_negm", -F.col("clf_margin"))
     part = _range_sorted_positions(ranked, ["_negm", "doc_id"], eager=True)
+    # budget total reads the PERSISTED range-sorted frame — computing it
+    # from `scored` would re-run the whole classifier scoring lineage
+    # (a second corpus scan) just for one scalar
+    total = part.agg(F.sum(F.col("n_tokens").cast("long")).alias("_total"))
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
     ) + ", cum_in_part long"
