@@ -265,3 +265,72 @@ def bounce_detect_stream(events: DataFrame, window_us: int = BOUNCE_WINDOW_US) -
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_FUNNEL_HORIZON_US = 72 * 3600 * 1_000_000
+
+
+def funnel_stream(
+    events: DataFrame, horizon_us: int = _FUNNEL_HORIZON_US
+) -> DataFrame:
+    """Streaming twin of batch ``funnel_conversion``: the k-step
+    POSITIVE sequence CEP (the bounce detector is the 2-step negative
+    form) as a per-user state machine — state is (steps completed,
+    anchor time of the last completed step); a ``view`` opens the
+    funnel once, each later step advances it only when its event falls
+    inside ``(anchor, anchor + horizon]``, and a step-k completion
+    emits one (user_id, step, ts) row the moment it happens, giving
+    the LIVE funnel the batch head reports after the fact.
+
+    Batch parity is exact because the batch semantics are themselves
+    first-completion semantics: t1 = first view, t2 = first qualifying
+    click after t1, t3 likewise — the state machine takes the same
+    firsts in event-time order (per-batch sort; cross-batch order
+    rides the same monotonic-per-key assumption as the bounce twin,
+    W4's monotonous-watermark model). The funnel never resets — a
+    click at t1 + horizon + 1 does not re-anchor — matching the batch
+    min-over-window exactly. NoTimeout: nothing is emitted on expiry,
+    an expired funnel simply never advances.
+    """
+    steps = ("view", "click", "purchase")
+
+    def advance(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        step, anchor_us = state.get if state.exists else (0, None)
+        out: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                if step >= len(steps):
+                    break
+                ev_us = r.ts.value // 1000
+                if step == 0:
+                    if r.event_type == steps[0]:
+                        step, anchor_us = 1, ev_us
+                        out.append((r.user_id, 1, ev_us))
+                elif r.event_type == steps[step] and anchor_us is not None and (
+                    anchor_us < ev_us <= anchor_us + horizon_us
+                ):
+                    step, anchor_us = step + 1, ev_us
+                    out.append((r.user_id, step, ev_us))
+        state.update((step, anchor_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [o[0] for o in out],
+                "step": [o[1] for o in out],
+                "ts": [pd.Timestamp(o[2], unit="us") for o in out],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            advance,
+            outputStructType="user_id long, step integer, ts timestamp",
+            stateStructType="step integer, anchor_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -3332,3 +3332,44 @@ def test_bloom_bits_job_store_matches_batch_head(spark, sf_dir, tmp_path):
         ["doc_id", "n_bloom_ngrams"],
     )
     assert got2 == want
+
+
+def test_funnel_stream_matches_batch_head(spark, sf_dir, tmp_path):
+    """The k-step positive CEP twin: per-step completion events emitted
+    live over two micro-batches must aggregate to exactly the batch
+    funnel_conversion user counts (first-completion semantics on both
+    sides), and no user may skip a step (a step-k row implies a
+    step-(k-1) row at an earlier-or-equal ts)."""
+    from gmall_flink_parent_spark.streaming.stateful import funnel_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = funnel_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM funnel_out").collect()
+    by_step = {}
+    users = {}
+    for r in got:
+        by_step[r["step"]] = by_step.get(r["step"], 0) + 1
+        users.setdefault(r["user_id"], {})[r["step"]] = r["ts"]
+    want = {
+        r["step"]: r["n_users"]
+        for r in plans.query_map()["funnel_conversion"](spark, sf_dir).collect()
+    }
+    assert by_step == want, (by_step, want)
+    for u, steps in users.items():
+        for k in steps:
+            if k > 1:
+                assert k - 1 in steps and steps[k - 1] < steps[k], (u, steps)
