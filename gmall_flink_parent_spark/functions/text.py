@@ -280,3 +280,75 @@ def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("g").cast("double") / F.count(F.lit(1)), 6
         ).alias("distinct_ratio"),
     )
+
+
+# ------------------------------------------------------- Zipf fit
+
+_ZIPF_TOP = 100  # fit over each source's top-100 tokens
+
+ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+    SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+    FROM tok GROUP BY source, tok
+), ranked AS (
+    SELECT source, c,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+    FROM cnt
+), xy AS (
+    SELECT source, ln(r) AS x, ln(c) AS y FROM ranked WHERE r <= {_ZIPF_TOP}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_points,
+       ROUND((count(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (count(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope
+FROM xy GROUP BY source
+"""
+
+
+@register(
+    "source_zipf_slope",
+    oracle=ZIPF_ORACLE,
+    tags=("text", "stats", "quality"),
+    past_window=True,
+)
+def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: the least-squares slope of
+    ln(frequency) against ln(rank) over the source's top-100 tokens.
+    Natural text sits near −1; templated or machine-generated text
+    flattens (head tokens under-dominant) or steepens (a few tokens
+    everywhere) — a one-number shape check that complements
+    ``source_ngram_diversity``'s ratio view, with the same use: catch
+    the source whose text stopped looking like language.
+
+    The per-source token count is vocabulary-bounded (never
+    corpus-row-bounded), so the rank window partitions by source over
+    a vocab-sized frame — cheap; the regression is computed from its
+    closed-form sums (Σx, Σy, Σxy, Σx²) so both engines run the
+    identical formula rather than trusting two regr_slope
+    implementations to agree bit-for-bit.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    xy = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_TOP)
+        .select("source", F.log(F.col("r")).alias("x"), F.log("c").alias("y"))
+    )
+    n = F.count(F.lit(1))
+    return xy.groupBy("source").agg(
+        n.cast("long").alias("n_points"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
+    )
