@@ -437,3 +437,97 @@ def postings_stats_frame(chunks: DataFrame) -> DataFrame:
             6,
         ).alias("idf"),
     )
+
+
+# ------------------------------------------------- hybrid fusion (RRF)
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_RRF_TOP = 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    from gmall_flink_parent_spark.functions.similarity import TOP_K, _cosine_oracle
+
+    return f"""
+WITH lex_src AS ({BM25_ORACLE}),
+dense_src AS ({_cosine_oracle(TOP_K, same_label=False)}),
+lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+    FROM (SELECT doc_id, max(bm25) AS s FROM lex_src GROUP BY doc_id)
+), dense AS (
+    SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS dense_rank
+    FROM dense_src WHERE query_id = 0
+), fused AS (
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rank, d.dense_rank,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + d.dense_rank), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+"""
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("text", "retrieval", "similarity", "hybrid"),
+    past_window=True,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the lexical ranking
+    (``chunk_bm25_topk`` reduced to document grain) and the dense
+    ranking (``cosine_topk_bruteforce``'s query 0, vec_id ≡ doc_id)
+    fused as ``Σ 1/(60 + rank)`` — the standard score-free ensemble
+    (Cormack et al., SIGIR 2009) that needs no calibration between
+    BM25 scores and cosines, exactly how production RAG stacks combine
+    a sparse and a dense retriever.
+
+    Both inputs are the already-audited registered heads, so fusion
+    adds only rank windows over TOP-K-SIZED frames (≤ 50 lexical docs,
+    ≤ 5 dense hits — constant, so the global rank window is a
+    constant-size sort, not a corpus sort), one full outer join on
+    doc_id, and a constant-size top-20. A missing side contributes 0,
+    so a doc found by only one retriever still places — the property
+    that makes RRF robust to either retriever missing.
+    """
+    from gmall_flink_parent_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from pyspark.sql import Window
+
+    lex_src = chunk_bm25_topk(spark, sf_dir)
+    lex = (
+        lex_src.groupBy("doc_id")
+        .agg(F.max("bm25").alias("s"))
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id"))),
+        )
+        .select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
+    )
+    dense = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rnk").cast("long").alias("dense_rank"),
+        )
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_TOP)
