@@ -1,0 +1,284 @@
+"""User-lifecycle analytics: retention cohorts, RFM segmentation,
+robust per-type outlier gating, and the event-type pivot.
+
+The reference's DWS layer stops at per-day visitor aggregates
+(``gmall-realtime/.../app/dws``, SURVEY §2.6) — cohort retention, RFM
+and anomaly gating are the next queries any product team runs on the
+same (user_id, ts, event_type, value) grain, so they belong to the
+engine's declared surface. Each head is expressed declaratively
+(Catalyst plans the scan/shuffle) with the scale notes inline; each is
+pinned against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_flink_parent_spark.operators.analytics import value_distribution_frame
+from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.sources.tables import load_table
+
+RETENTION_ORACLE = """
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+    SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+    FROM user_days
+),
+base AS (
+    SELECT strftime(cohort_day, '%Y%m%d') AS cohort_ymd,
+           date_diff('day', cohort_day, day) AS day_offset,
+           COUNT(*) AS n_active
+    FROM firsts
+    GROUP BY 1, 2
+)
+SELECT cohort_ymd,
+       CAST(day_offset AS INTEGER) AS day_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       ROUND(CAST(n_active AS DOUBLE) /
+             MAX(CASE WHEN day_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_ymd), 6) AS retained_pct
+FROM base
+"""
+
+
+def retention_frame(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle over an (user_id, ts) event frame.
+
+    Scale shape — TWO full-data shuffles, both bounded:
+
+    1. ``groupBy(user_id).agg(collect_set(day))`` — ONE hash shuffle on
+       user_id with map-side partial sets. The per-user state is the
+       set of DISTINCT ACTIVE DAYS, bounded by the corpus day span
+       (≤ ~3.7k for a decade of history) regardless of how many raw
+       events the user produced — this is why ``collect_set(day)`` is
+       safe where ``collect_list(ts)`` would not be. It also replaces
+       the naive distinct-then-window pair (a (user, day) shuffle PLUS
+       a user_id re-shuffle) with a single exchange.
+    2. ``groupBy(cohort, offset)`` — the result grain, one row per user
+       per active day going in, (cohorts × offsets) coming out.
+
+    The closing ``cohort_size`` window partitions on cohort_ymd; each
+    partition holds at most one row per day offset, so no task ever
+    sorts more than the day span. Every user contributes an offset-0
+    row (their first active day), so the window's MAX(CASE offset=0)
+    is never NULL.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.collect_set(F.to_date("ts")).alias("days")
+    )
+    exploded = per_user.select(
+        F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+    )
+    base = exploded.groupBy(
+        F.date_format("cohort_day", "yyyyMMdd").alias("cohort_ymd"),
+        F.datediff("day", "cohort_day").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    w = Window.partitionBy("cohort_ymd")
+    size = F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(w)
+    return base.select(
+        "cohort_ymd",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        F.round(F.col("n_active").cast("double") / size, 6).alias("retained_pct"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle=RETENTION_ORACLE,
+    tags=("dws", "lifecycle"),
+    past_window=True,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention: users cohorted by first active day,
+    per-offset active counts and retained fraction."""
+    return retention_frame(load_table(spark, sf_dir, "events"))
+
+
+RFM_ORACLE = """
+WITH p AS (
+    SELECT user_id,
+           CAST(-date_diff('day', MAX(CAST(ts AS DATE)),
+                (SELECT MAX(CAST(ts AS DATE)) FROM events
+                 WHERE event_type = 'purchase')) AS DECIMAL(18,2)) AS rec,
+           CAST(COUNT(*) AS DECIMAL(18,2)) AS freq,
+           SUM(CAST(value AS DECIMAL(18,2))) AS money
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+q AS (
+    SELECT user_id,
+           CAST(ntile(4) OVER (ORDER BY rec, user_id) AS INTEGER) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY freq, user_id) AS INTEGER) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY money, user_id) AS INTEGER) AS m_quartile
+    FROM p
+)
+SELECT user_id, r_quartile, f_quartile, m_quartile,
+       'R' || CAST(r_quartile AS VARCHAR) || 'F' || CAST(f_quartile AS VARCHAR)
+           || 'M' || CAST(m_quartile AS VARCHAR) AS segment
+FROM q
+"""
+
+
+@register("rfm_segments", oracle=RFM_ORACLE, tags=("dws", "lifecycle"), past_window=True)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: per-user recency / frequency /
+    monetary quartiles (4 = best) and the composed segment label.
+
+    A naive global ``ntile(4) OVER (ORDER BY metric)`` is a
+    single-task sort at any scale. Instead the three per-user metrics
+    are UNPIVOTED into (metric, user_id, value) rows — 3× the user
+    count, still tiny next to raw events — and ranked by
+    ``value_distribution_frame``'s two-pass range-partition rank
+    (``operators/analytics.py``), which never puts one metric's whole
+    population on one task. Recency enters negated (days-ago ascending
+    ⇒ most-recent lands in quartile 4, matching F/M's higher-is-better
+    orientation); all three metrics are DECIMAL(18,2) so the stacked
+    ordering is exact on both engines. The anchor date (global max
+    purchase day) is a 1-row aggregate broadcast into the scoring
+    pass — the same bounded-stats-crossJoin shape as
+    ``selection.py``'s DSIR model join.
+    """
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = purchases.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    per_user = purchases.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("money"),
+    )
+    stacked = (
+        per_user.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr(
+                """stack(3,
+                   'recency',   CAST(-datediff(anchor_day, last_day) AS DECIMAL(18,2)),
+                   'frequency', CAST(freq AS DECIMAL(18,2)),
+                   'monetary',  CAST(money AS DECIMAL(18,2))
+                ) AS (event_type, spend)"""
+            ),
+        )
+    )
+    dist = value_distribution_frame(spark, stacked)
+    quart = lambda m: F.max(  # noqa: E731  (one row per (user, metric))
+        F.when(F.col("event_type") == m, F.col("quartile"))
+    )
+    out = dist.groupBy("user_id").agg(
+        quart("recency").alias("r_quartile"),
+        quart("frequency").alias("f_quartile"),
+        quart("monetary").alias("m_quartile"),
+    )
+    return out.select(
+        "user_id",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+        F.concat(
+            F.lit("R"),
+            F.col("r_quartile").cast("string"),
+            F.lit("F"),
+            F.col("f_quartile").cast("string"),
+            F.lit("M"),
+            F.col("m_quartile").cast("string"),
+        ).alias("segment"),
+    )
+
+
+OUTLIER_ORACLE = """
+WITH stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+),
+scored AS (
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.s1 / s.n) /
+               sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.n > 1
+)
+SELECT event_id, event_type, value, ROUND(z, 4) AS z_score
+FROM scored WHERE ABS(z) > 3.0
+"""
+
+
+@register(
+    "event_value_outliers",
+    oracle=OUTLIER_ORACLE,
+    tags=("dws", "quality-gate"),
+    past_window=True,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3) over event values — the
+    anomaly gate a metrics pipeline runs before trusting a day's data.
+
+    Scale shape: per-type moment sums reduce to a #types-row frame
+    (one map-side-combined shuffle), broadcast back into a second scan
+    for scoring — never a ``Window.partitionBy(event_type)`` that
+    would put a whole type's events on one task. Moments are summed as
+    DECIMAL (exact, order-independent) and converted to DOUBLE only in
+    the final arithmetic, spelled identically in the oracle, so the
+    z-scores are bit-deterministic across engines and partitionings;
+    the DECIMAL(18,6)² sums keep 26 integer digits of headroom — at
+    1e12 rows of |value| ≤ 1e6 the sum is still exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (
+        events.join(F.broadcast(stats.filter(n > 1)), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z_score"))
+    )
+
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+PIVOT_ORACLE = """
+SELECT strftime(ts, '%Y%m%d') AS ymd,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+FROM events
+GROUP BY strftime(ts, '%Y%m%d')
+"""
+
+
+@register(
+    "event_type_pivot", oracle=PIVOT_ORACLE, tags=("dws", "pivot"), past_window=True
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type value matrix — the reshape behind every
+    per-channel dashboard.
+
+    ``pivot`` is given the EXPLICIT type list: without it Spark runs a
+    separate distinct-scan job just to discover the columns — a full
+    extra pass over the fact table at 100 TB (and a nondeterministic
+    schema). With the list, the pivot compiles to a single
+    hash-aggregate scan with map-side partial sums, exactly the CASE
+    WHEN form the oracle spells. Sums go through DECIMAL so column
+    values are order-independent; absent (day, type) cells are NULL on
+    both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyyMMdd").alias("ymd"))
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )

@@ -10,6 +10,7 @@ from gmall_flink_parent_spark.plans.registry import QuerySpec, all_queries, orac
 from gmall_flink_parent_spark.operators import (  # noqa: F401  (import for side effects)
     analytics,
     bounce,
+    cohorts,
     log_split,
     order_wide,
     routing,
