@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.functions.curation import _CONTAM_N, contamination_shingles
 from gmall_flink_parent_spark.functions.selection import _H32_DUCK, _h32
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 _CMS_D = 4  # hash rows
@@ -284,3 +284,163 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bloom_ngrams")
     )
+
+
+# ------------------------------------------------- exact heavy hitters
+#
+# Fifth member of the mergeable-summary family: HLL bounds distinct
+# state, GK bounds quantile state, CMS bounds frequency-QUERY state,
+# the Bloom filter bounds membership state — and the Misra-Gries
+# summary below bounds frequency-DISCOVERY state (top-k over an
+# unbounded key domain). Unlike the other four it feeds an operator
+# whose FINAL answer is exact, not approximate: candidates come from
+# the bounded sketch, counts come from an exact recount, and a
+# provable containment check (Misra & Gries 1982; merge bound from
+# Agarwal et al., "Mergeable Summaries", PODS 2012) decides whether
+# the cheap path's answer can be served at all.
+
+_HH_K = 20  # top-k phrases reported
+_HH_M = 512  # Misra-Gries counters kept per partition
+
+PHRASE_HH_ORACLE = f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+grams AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> array_to_string(t[i:i+1], ' '))) AS gram
+    FROM toks
+)
+SELECT gram, n_occurrences, rnk
+FROM (
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           row_number() OVER (ORDER BY count(*) DESC, gram) AS rnk
+    FROM grams GROUP BY gram
+)
+WHERE rnk <= {_HH_K}
+"""
+
+
+def bigram_stream(docs: DataFrame) -> DataFrame:
+    """One ``gram`` row per word bigram — tokens staged through a
+    column first so Catalyst evaluates the split once per document,
+    not once per gram (the ``spans.py`` lesson)."""
+    d = (
+        docs.select(F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 2)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+    )
+    return d.select(F.explode(grams).alias("gram"))
+
+
+def mg_partition_summaries(grams: DataFrame, m: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a ``gram`` column.
+
+    One Arrow pass per partition holding at most ``m`` counters: each
+    batch's exact counts merge into the running summary; when it
+    exceeds ``m`` entries, the (m+1)-th largest count is subtracted
+    from every entry and non-positive entries drop (the PODS'12 merge
+    step). Output rows: the surviving grams (``cut = 0``) plus ONE
+    meta row per partition (``gram IS NULL``) carrying the partition's
+    total subtracted mass — the ACTUAL error bound, far tighter than
+    the worst-case N/(m+1), which the caller sums into Δ for the
+    exactness proof. Output size ≤ (m + 1) rows per partition no
+    matter how many distinct grams the partition saw.
+    """
+
+    def mg(batches):
+        import pandas as pd
+
+        acc = None
+        cut_total = 0
+        for pdf in batches:
+            vc = pdf["gram"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > m:
+                cut = int(acc.nlargest(m + 1).iloc[-1])
+                acc = acc[acc > cut] - cut
+                cut_total += cut
+        survivors = [] if acc is None else list(acc.index)
+        yield pd.DataFrame(
+            {"gram": survivors + [None], "cut": [0] * len(survivors) + [cut_total]}
+        )
+
+    return grams.mapInPandas(mg, schema="gram string, cut long")
+
+
+def phrase_topk(
+    spark: SparkSession, grams: DataFrame, k: int = _HH_K, m: int = _HH_M
+) -> tuple[DataFrame, bool]:
+    """Exact top-k grams by count, (result, used_sketch_path).
+
+    Two-pass shape: (1) the Misra-Gries pass reduces each partition to
+    ≤ m+1 rows — the full gram space NEVER shuffles; (2) the candidate
+    union (≤ partitions · m rows — bounded, broadcastable at any
+    corpus size) recounts exactly through a broadcast semi-join, so
+    the second shuffle carries only candidate grams. The answer is
+    served from the sketch path iff it is PROVABLY exact: every
+    non-candidate's global count is ≤ Δ (the summed per-partition
+    subtracted mass), so ``k-th recounted count > Δ`` ⇒ no non-candidate
+    can reach the top k. Otherwise fall back to the exact full
+    wordcount top-k (the ``vocab_top_tokens`` shape) — heavier (the
+    whole gram vocabulary shuffles, map-side combined) but always
+    available. Either branch returns the identical exact answer; the
+    sketch path merely avoids the unbounded shuffle when the corpus
+    has real heavy hitters (web boilerplate always does).
+
+    Both collects are bounded: Δ is a scalar, the candidate top-k is k
+    rows. UTF-8 byte order == code-point order, so the Python-side
+    tie-break matches both engines' binary collation.
+    """
+    summaries = scoped_persist(mg_partition_summaries(grams, m))
+    delta = (
+        summaries.filter(F.col("gram").isNull()).agg(F.sum("cut")).collect()[0][0]
+        or 0
+    )
+    candidates = summaries.filter(F.col("gram").isNotNull()).select("gram").distinct()
+    top = (
+        grams.join(F.broadcast(candidates), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+        .collect()
+    )
+    used_sketch = len(top) == k and min(r.n_occurrences for r in top) > delta
+    if not used_sketch:
+        top = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+            .limit(k)
+            .collect()
+        )
+    rows = sorted(top, key=lambda r: (-r.n_occurrences, r.gram))
+    out = [(r.gram, r.n_occurrences, i + 1) for i, r in enumerate(rows)]
+    return (
+        spark.createDataFrame(out, schema="gram string, n_occurrences long, rnk int"),
+        used_sketch,
+    )
+
+
+@register(
+    "phrase_heavy_hitters",
+    oracle=PHRASE_HH_ORACLE,
+    tags=("sketch", "heavy-hitters"),
+    past_window=True,
+)
+def phrase_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 word bigrams via bounded Misra-Gries candidate
+    discovery + exact recount, with a provable-containment check and
+    an exact wordcount fallback. ``vocab_top_tokens`` counts the
+    (bounded) unigram vocabulary exactly; this head is the shape for
+    PHRASE domains, where the distinct-key space grows with the corpus
+    and the full wordcount shuffle is the thing to avoid."""
+    docs = load_table(spark, sf_dir, "documents")
+    df, _ = phrase_topk(spark, bigram_stream(docs))
+    return df

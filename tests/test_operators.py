@@ -2698,3 +2698,57 @@ def test_cluster_best_keeper_invariants(spark, sf_dir, best_keeper_df):
         for r in plans.query_map()["dedup_cluster_keep"](spark, sf_dir).collect()
     }
     assert {(r["doc_id"], r["cluster_id"]) for r in rows} == minid
+
+
+# ---------------------------------------------------- phrase heavy hitters
+
+
+def test_phrase_topk_sketch_path_matches_exact_under_skew(spark):
+    """A Zipf-skewed gram stream: the Misra-Gries candidate path must
+    prove containment (kth recount > Δ) and serve the exact answer."""
+    from gmall_flink_parent_spark.functions.sketches import phrase_topk
+
+    rows = []
+    for i in range(40):  # heavy head: gram_i repeated (2000 // (i+1)) times
+        rows += [(f"hot_{i:02d}",)] * (2000 // (i + 1))
+    rows += [(f"tail_{j}",) for j in range(500)]  # singleton tail
+    grams = spark.createDataFrame(rows, "gram string").repartition(8)
+    got, used_sketch = phrase_topk(spark, grams, k=10, m=64)
+    assert used_sketch, "skewed stream must be servable from the sketch path"
+    exact = sorted(
+        ((g, sum(1 for r in rows if r[0] == g)) for g in {r[0] for r in rows}),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    want = [(g, c, i + 1) for i, (g, c) in enumerate(exact)]
+    assert [tuple(r) for r in got.orderBy("rnk").collect()] == want
+
+
+def test_phrase_topk_falls_back_when_no_proof(spark):
+    """An all-distinct gram stream (no heavy hitters): containment is
+    unprovable, the exact wordcount fallback must produce the answer."""
+    from gmall_flink_parent_spark.functions.sketches import phrase_topk
+
+    grams = spark.createDataFrame(
+        [(f"uniq_{j:04d}",) for j in range(800)], "gram string"
+    ).repartition(8)
+    got, used_sketch = phrase_topk(spark, grams, k=10, m=16)
+    assert not used_sketch, "uniform stream must not claim a containment proof"
+    want = [(f"uniq_{j:04d}", 1, j + 1) for j in range(10)]
+    assert [tuple(r) for r in got.orderBy("rnk").collect()] == want
+
+
+def test_mg_summary_bounded_and_error_contract(spark):
+    """Per-partition summaries stay ≤ m+1 rows, and every dropped gram's
+    true count is ≤ the partition's recorded subtracted mass."""
+    from gmall_flink_parent_spark.functions.sketches import mg_partition_summaries
+
+    rows = [("hot",)] * 300 + [(f"t{j}",) for j in range(200)]
+    grams = spark.createDataFrame(rows, "gram string").coalesce(1)
+    out = mg_partition_summaries(grams, 8).collect()
+    assert len(out) <= 9 + 1  # ≤ m survivors + 1 meta row (single partition)
+    delta = sum(r.cut for r in out if r.gram is None)
+    survivors = {r.gram for r in out if r.gram is not None}
+    assert "hot" in survivors  # count 300 > any possible Δ here
+    for j in range(200):  # every dropped singleton: count 1 ≤ Δ
+        if f"t{j}" not in survivors:
+            assert 1 <= delta
