@@ -11,6 +11,7 @@ from gmall_flink_parent_spark.operators import (  # noqa: F401  (import for side
     analytics,
     bounce,
     cohorts,
+    entity,
     log_split,
     order_wide,
     routing,

@@ -2752,3 +2752,23 @@ def test_mg_summary_bounded_and_error_contract(spark):
     for j in range(200):  # every dropped singleton: count 1 ≤ Δ
         if f"t{j}" not in survivors:
             assert 1 <= delta
+
+
+def test_scd2_intervals_tile_each_key(spark, sf_dir):
+    """SCD2 invariants: per key, versions are 1..n dense, intervals
+    chain exactly (row v's effective_to == row v+1's effective_from),
+    and exactly one open/current row exists."""
+    from gmall_flink_parent_spark import plans
+
+    rows = plans.all_queries()["scd2_dim_history"].fn(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    assert by_key
+    for uid, hist in by_key.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(1 for r in hist if r.is_current) == 1
+        assert hist[-1].is_current and hist[-1].effective_to is None
+        for prev, nxt in zip(hist, hist[1:]):
+            assert prev.effective_to == nxt.effective_from

@@ -828,3 +828,48 @@ def test_cms_counters_merge_across_any_split(spark, texts, split_at):
     for k, v in b.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+# ------------------------------------------------ fuzzy blocking recall
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    adj=st.sampled_from(["red", "blue", "hot", "small", "grand"]),
+    noun=st.sampled_from(["widget", "bolt", "gear", "ring", "anvil"]),
+    which=st.integers(0, 1),
+    pos=st.integers(0, 4),
+    op=st.sampled_from(["sub", "ins", "del"]),
+    ch=st.sampled_from("xyz"),
+)
+def test_fuzzy_blocking_complete_for_single_intoken_edit(
+    spark, adj, noun, which, pos, op, ch
+):
+    """Any single in-token edit leaves the other token exact, so the
+    token+prefix blocking MUST surface the (original, mutated) pair —
+    the provable-recall half of ``fuzzy_name_pairs``' contract."""
+    from gmall_flink_parent_spark.operators.entity import fuzzy_name_pairs
+
+    toks = [adj, noun]
+    t = toks[which]
+    p = min(pos, len(t) - 1)
+    if op == "sub":
+        mut = t[:p] + ch + t[p + 1 :]
+    elif op == "ins":
+        mut = t[:p] + ch + t[p:]
+    else:
+        mut = t[:p] + t[p + 1 :] if len(t) > 1 else t + ch
+    toks_mut = list(toks)
+    toks_mut[which] = mut
+    name_a, name_b = " ".join(toks), " ".join(toks_mut)
+    if name_a == name_b:
+        return
+    names = spark.createDataFrame(
+        [(name_a, 1), (name_b, 1)], "p_name string, n_parts long"
+    )
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_name_pairs(names, max_dist=2).collect()
+    }
+    lo, hi = sorted([name_a, name_b])
+    assert (lo, hi) in got
