@@ -531,3 +531,81 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+# --------------------------------------------------- per-doc TF-IDF
+
+_TFIDF_TOP = 3
+
+TFIDF_ORACLE = f"""
+WITH tokens AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS rnk
+    FROM scored)
+WHERE rnk <= {_TFIDF_TOP}
+"""
+
+
+@register(
+    "doc_tfidf_topterms",
+    oracle=TFIDF_ORACLE,
+    tags=("retrieval", "text"),
+    past_window=True,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction
+    primitive behind document tagging and sparse query expansion
+    (BM25's ``term_postings_stats`` is corpus-grain; this is the
+    doc-grain dual).
+
+    Plan: explode → (doc, term) counts with map-side combine; the
+    (term, df) aggregate DERIVES from that persisted frame, so the
+    token stream is built once; the scoring join shuffles on term
+    (Zipf-hot terms are AQE skew-split; at 100 TB the df side can also
+    be size-gated broadcast when the vocabulary is bounded). n_docs
+    travels as a 1-row broadcast crossJoin (the bounded-stats shape),
+    NEVER a driver collect. The per-doc top-3 window partitions on
+    doc_id — each partition is one document's distinct terms, bounded
+    by document length. IDF = ln(N/df) is a correctly-rounded IEEE op
+    over exact integers, so scores are bit-identical across engines;
+    the window orders by the ROUNDED score + term on both sides so
+    rank ties resolve identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = scoped_persist(
+        tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

@@ -967,3 +967,87 @@ def embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_keeper"),
     )
+
+
+# ------------------------------------------------- kNN label voting
+
+_VOTE_K = 15
+
+KNN_VOTE_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS true_label,
+           c.vec_id AS neighbor_id, c.label AS n_label,
+           ({_dot_sql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cs
+    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+), top AS (
+    SELECT query_id, true_label, n_label
+    FROM (SELECT query_id, true_label, n_label,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_VOTE_K}
+), votes AS (
+    SELECT query_id, true_label, n_label, CAST(count(*) AS BIGINT) AS votes
+    FROM top GROUP BY query_id, true_label, n_label
+)
+SELECT query_id, pred_label, votes, true_label,
+       (pred_label = true_label) AS correct
+FROM (SELECT query_id, n_label AS pred_label, votes, true_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, n_label) AS rk
+      FROM votes)
+WHERE rk = 1
+"""
+
+
+@register(
+    "knn_label_vote",
+    oracle=KNN_VOTE_ORACLE,
+    tags=("similarity", "classification"),
+    past_window=True,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label classification over the embedding
+    column: each query vector's label is predicted by majority vote of
+    its 15 nearest neighbors (cosine), tie-broken toward the smaller
+    label id — the standard eval that tells a curation team whether an
+    embedding space separates its classes before they trust it for
+    semantic dedup or clustering.
+
+    The expensive stage IS the registered brute-force scan
+    (``_cosine_topk`` — query side broadcast, one pass over the
+    corpus, per-query top-k window); everything after operates on the
+    n_queries × k neighbor frame, which is broadcast-joined against
+    the label projection so the corpus is scanned exactly twice
+    (distances, labels) and shuffled never. At 100 TB the first stage
+    swaps for any of the ANN heads (IVF / SRP / PQ) with the same vote
+    tail — the vote is head-agnostic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = _cosine_topk(spark, sf_dir, _VOTE_K, same_label=False)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    joined = labels.join(F.broadcast(top), "neighbor_id")
+    counts = joined.groupBy("query_id", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    truth = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        F.col("n_label").alias("pred_label"),
+        "votes",
+        "true_label",
+        (F.col("n_label") == F.col("true_label")).alias("correct"),
+    )
