@@ -41,6 +41,9 @@ BNLJ_ALLOWED = {
     "referential_integrity",  # 1-row (n_child × n_orphans) count scalars per FK
     "funnel_conversion",  # 1-row per-step user-count scalars × report rows
     "hybrid_rrf_topk",  # inherits chunk_bm25_topk's 1-row corpus-stats broadcast
+    "rfm_segments",  # 1-row anchor-date scalar × per-user purchase metrics
+    "knn_label_vote",  # inherits cosine_topk_bruteforce's 8-vector query broadcast
+    "doc_tfidf_topterms",  # 1-row corpus-doc-count scalar × (doc, term) counts
 }
 
 
