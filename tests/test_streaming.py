@@ -3373,3 +3373,47 @@ def test_funnel_stream_matches_batch_head(spark, sf_dir, tmp_path):
         for k in steps:
             if k > 1:
                 assert k - 1 in steps and steps[k - 1] < steps[k], (u, steps)
+
+
+def test_scd2_store_job_matches_batch_and_survives_compaction(spark, sf_dir, tmp_path):
+    """SCD2 from the ingest-time change store: two micro-batches of
+    signup changes land verbatim; the interval head over the store must
+    be hash-equal to batch ``scd2_dim_history`` — including rows whose
+    validity interval SPANS the batch split (an interval opened by a
+    batch-0 change and closed by a batch-1 change), the case a
+    materialize-intervals-at-ingest design gets wrong. Compacting the
+    fact-shaped store must not change the answer."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        scd2_change_store_job,
+        scd2_from_store,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, changes, "event_id",
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    q = scd2_change_store_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = ["user_id", "version", "value", "effective_from", "effective_to", "is_current"]
+    want = _rows(plans.query_map()["scd2_dim_history"](spark, sf_dir), cols)
+    got = _rows(scd2_from_store(spark, str(tmp_path / "store")), cols)
+    assert got == want and len(want) > 0
+    # at least one user's history must span the batch boundary (the
+    # interval-mutation case the change-log design exists for)
+    split_ids = {
+        r.batch_id: {row.user_id for row in store.filter(F.col("batch_id") == r.batch_id).collect()}
+        for r in store.select("batch_id").distinct().collect()
+    }
+    assert split_ids[0] & split_ids[1], "no user changed in both batches"
+    compact_fact_store(spark, str(tmp_path / "store"), str(tmp_path / "ck") + "/scd2_changes")
+    assert _rows(scd2_from_store(spark, str(tmp_path / "store")), cols) == want
