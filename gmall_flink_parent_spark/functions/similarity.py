@@ -26,7 +26,7 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import fan_out, load_table
 
 DIM = 64
@@ -1050,4 +1050,82 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes",
         "true_label",
         (F.col("n_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+# --------------------------------------------------- ANN recall report
+
+# Each CTE body is a full registered-oracle query (nested WITH is legal
+# in a parenthesized CTE body); the report joins every approximate
+# head's result against the brute-force truth at the SAME k, so the
+# recall numbers are themselves oracle-checked — not a test-log
+# artifact but a queryable quality surface.
+ANN_RECALL_ORACLE = f"""
+WITH exact AS ({_cosine_oracle(TOP_K, same_label=False)}),
+ivf AS ({_cosine_oracle(IVF_TOP_K, same_label=True)}),
+srp AS ({ANN_SRP_ORACLE}),
+multi AS ({ANN_SRP_MULTIPROBE_ORACLE}),
+counted AS (
+    SELECT 'ann_ivf_bucketed' AS method,
+           (SELECT count(*) FROM ivf a JOIN exact e
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             AND e.rnk <= {IVF_TOP_K}) AS n_hits,
+           (SELECT count(*) FROM exact WHERE rnk <= {IVF_TOP_K}) AS n_exact
+    UNION ALL
+    SELECT 'ann_srp_lsh',
+           (SELECT count(*) FROM srp a JOIN exact e
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             AND e.rnk <= {SRP_TOP_K}),
+           (SELECT count(*) FROM exact WHERE rnk <= {SRP_TOP_K})
+    UNION ALL
+    SELECT 'ann_srp_multiprobe',
+           (SELECT count(*) FROM multi a JOIN exact e
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             AND e.rnk <= {SRP_TOP_K}),
+           (SELECT count(*) FROM exact WHERE rnk <= {SRP_TOP_K})
+)
+SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+FROM counted
+"""
+
+
+@register(
+    "ann_recall_report",
+    oracle=ANN_RECALL_ORACLE,
+    tags=("similarity", "ann", "eval"),
+    past_window=True,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every deterministic ANN head against brute-force
+    truth at the same k — the evaluation a user runs BEFORE trusting an
+    index route, as a first-class query instead of a buried test
+    assertion. (``ann_pq_adc`` is excluded here because its codebooks
+    are iterative/non-SQL; its 0.975 recall floor is pinned in tests.)
+
+    Cost shape: ONE persisted brute-force scan at the largest k serves
+    every method's truth set by rnk-filter; each approximate head runs
+    its registered plan; every join/count operates on n_queries × k
+    rows — bounded, collected driver-side to compose the 3-row report.
+    """
+    exact = scoped_persist(_cosine_topk(spark, sf_dir, TOP_K, same_label=False))
+
+    def hits(approx: DataFrame, k: int) -> tuple[int, int]:
+        truth = exact.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
+        n_hit = approx.select("query_id", "neighbor_id").join(
+            truth, ["query_id", "neighbor_id"]
+        ).count()
+        return n_hit, truth.count()
+
+    report = []
+    for method, frame, k in (
+        ("ann_ivf_bucketed", ann_ivf_bucketed(spark, sf_dir), IVF_TOP_K),
+        ("ann_srp_lsh", ann_srp_lsh(spark, sf_dir), SRP_TOP_K),
+        ("ann_srp_multiprobe", ann_srp_multiprobe(spark, sf_dir), SRP_TOP_K),
+    ):
+        n_hit, n_exact = hits(frame, k)
+        report.append((method, n_hit, n_exact, round(n_hit / n_exact, 6)))
+    return spark.createDataFrame(
+        report, "method string, n_hits long, n_exact long, recall double"
     )

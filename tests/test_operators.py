@@ -2772,3 +2772,18 @@ def test_scd2_intervals_tile_each_key(spark, sf_dir):
         assert hist[-1].is_current and hist[-1].effective_to is None
         for prev, nxt in zip(hist, hist[1:]):
             assert prev.effective_to == nxt.effective_from
+
+
+def test_ann_recall_multiprobe_never_below_single_probe(spark, sf_dir):
+    """Multiprobe's candidate set is a superset of the exact-bucket
+    set (it probes the bucket PLUS every 1-bit flip), so its recall can
+    never be lower — the structural guarantee behind 'multi-probe
+    raises recall with the same plan shape'."""
+    from gmall_flink_parent_spark import plans
+
+    rows = {
+        r.method: r.recall
+        for r in plans.all_queries()["ann_recall_report"].fn(spark, sf_dir).collect()
+    }
+    assert rows["ann_srp_multiprobe"] >= rows["ann_srp_lsh"]
+    assert set(rows) == {"ann_ivf_bucketed", "ann_srp_lsh", "ann_srp_multiprobe"}
