@@ -104,6 +104,16 @@ HEADLINE = [
     "referential_integrity",
     "source_ngram_diversity",
     "funnel_conversion",
+    "retention_cohorts",
+    "rfm_segments",
+    "event_value_outliers",
+    "event_type_pivot",
+    "phrase_heavy_hitters",
+    "part_name_fuzzy_pairs",
+    "scd2_dim_history",
+    "knn_label_vote",
+    "doc_tfidf_topterms",
+    "ann_recall_report",
 ]
 
 

@@ -216,7 +216,7 @@ FROM scored WHERE ABS(z) > 3.0
     past_window=True,
 )
 def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type z-score outliers (|z| > 3) over event values — the
+    """Per-type z-score outliers (abs z over 3) on event values — the
     anomaly gate a metrics pipeline runs before trusting a day's data.
 
     Scale shape: per-type moment sums reduce to a #types-row frame
