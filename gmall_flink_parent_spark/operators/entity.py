@@ -160,3 +160,155 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval flags the current row."""
     events = load_table(spark, sf_dir, "events")
     return scd2_frame(events.filter(F.col("event_type") == "signup"))
+
+
+# --------------------------------- complete edit-distance self-join
+
+_PJ_TAU = 2  # edit-distance threshold with a completeness GUARANTEE
+
+EDIT_JOIN_ORACLE = """
+WITH names AS (
+    SELECT p_name AS nm, CAST(strlen(p_name) AS INTEGER) AS n
+    FROM (SELECT DISTINCT p_name FROM part) WHERE strlen(p_name) >= 3
+),
+idx AS (
+    SELECT nm, n, i,
+           substr(nm, i * (n // 3) + least(i, n % 3) + 1,
+                      n // 3 + CASE WHEN i < n % 3 THEN 1 ELSE 0 END) AS seg
+    FROM names, (SELECT unnest([0, 1, 2]) AS i)
+    WHERE n // 3 + CASE WHEN i < n % 3 THEN 1 ELSE 0 END >= 1
+),
+probe AS (
+    SELECT DISTINCT nm AS pnm, k.v AS v, k.i AS i, k.seg AS seg
+    FROM (
+        SELECT nm,
+               unnest(flatten(flatten(list_transform(range(n - 2, n + 3), v ->
+                   list_transform(range(0, 3), i ->
+                       list_transform(range(i * (v // 3) + least(i, v % 3) - 2,
+                                            i * (v // 3) + least(i, v % 3) + 3), s ->
+                           CASE WHEN v >= 3
+                                 AND s >= 0
+                                 AND v // 3 + CASE WHEN i < v % 3 THEN 1 ELSE 0 END >= 1
+                                 AND s + (v // 3 + CASE WHEN i < v % 3 THEN 1 ELSE 0 END) <= n
+                            THEN {'v': v, 'i': i,
+                                  'seg': substr(nm, CAST(s + 1 AS INTEGER),
+                                                CAST(v // 3 + CASE WHEN i < v % 3 THEN 1 ELSE 0 END AS INTEGER))}
+                            ELSE NULL END)))))) AS k
+        FROM names
+    ) raw WHERE k IS NOT NULL
+),
+cand AS (
+    SELECT DISTINCT
+        CASE WHEN idx.nm < probe.pnm THEN idx.nm ELSE probe.pnm END AS name_a,
+        CASE WHEN idx.nm < probe.pnm THEN probe.pnm ELSE idx.nm END AS name_b
+    FROM idx JOIN probe
+      ON idx.i = probe.i AND idx.n = probe.v AND idx.seg = probe.seg
+         AND idx.nm <> probe.pnm
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+_PJ_PROBE_KEYS = """
+filter(
+  flatten(flatten(transform(sequence(n - 2, n + 2), v ->
+    transform(sequence(0, 2), i ->
+      transform(sequence(i * (v div 3) + least(i, v % 3) - 2,
+                         i * (v div 3) + least(i, v % 3) + 2), s ->
+        CASE WHEN v >= 3
+              AND s >= 0
+              AND v div 3 + CASE WHEN i < v % 3 THEN 1 ELSE 0 END >= 1
+              AND s + (v div 3 + CASE WHEN i < v % 3 THEN 1 ELSE 0 END) <= n
+         THEN named_struct('v', v, 'i', i,
+              'seg', substring(nm, s + 1,
+                     v div 3 + CASE WHEN i < v % 3 THEN 1 ELSE 0 END))
+         ELSE NULL END))))),
+  x -> x IS NOT NULL)
+"""
+
+
+def edit_join_complete(names: DataFrame) -> DataFrame:
+    """Edit-distance self-join with a COMPLETENESS GUARANTEE for
+    τ = 2 — the PassJoin partition scheme (Li, Deng & Feng, ICDE 2011)
+    as pure equi-joins, closing the recall gap ``fuzzy_name_pairs``'
+    token blocking documents.
+
+    Pigeonhole: τ+1 = 3 disjoint segments per string mean ≤ τ edits
+    leave SOME segment untouched, and the untouched segment's image in
+    the other string is an exact substring whose start shifts by at
+    most the net indels before it (≤ τ). So the index side emits its 3
+    segment keys; the probe side emits, for each plausible source
+    length v ∈ [m−τ, m+τ] and segment i, the ≤ 2τ+1 substrings of
+    length l_i(v) starting within ±τ of p_i(v) — a CONSTANT ≤ 75-key
+    fan-out per string, no similarity math in the join condition. Any
+    true pair at distance ≤ τ therefore collides on at least one
+    (i, v, seg) key (an EXHAUSTIVE test pins Spark result == all-pairs
+    ground truth, and a property test pins arbitrary ≤2-edit mutations
+    — including space edits, which token blocking can miss). The
+    Levenshtein verify runs once per DISTINCT candidate pair.
+
+    Scale: both sides are name-grain with constant fan-out, candidates
+    meet only on exact (i, v, seg) equality — the same posting-list
+    discipline as every LSH join in the repo; no all-pairs stage
+    exists at any cardinality. Hot keys (a segment shared by a huge
+    name family) are AQE skew-split, with the minhash salting pattern
+    available unchanged.
+    """
+    base = names.select(
+        F.col("p_name").alias("nm"), F.length("p_name").cast("int").alias("n")
+    ).filter(F.col("n") >= 3)
+    li = F.expr("n div 3 + CASE WHEN i < n % 3 THEN 1 ELSE 0 END")
+    idx = (
+        base.select("nm", "n", F.explode(F.expr("sequence(0, 2)")).alias("i"))
+        .filter(li >= 1)
+        .select(
+            "nm",
+            "n",
+            "i",
+            F.expr(
+                "substring(nm, i * (n div 3) + least(i, n % 3) + 1,"
+                " n div 3 + CASE WHEN i < n % 3 THEN 1 ELSE 0 END)"
+            ).alias("seg"),
+        )
+    )
+    probe = (
+        base.select("nm", F.explode(F.expr(_PJ_PROBE_KEYS)).alias("k"))
+        .select(
+            F.col("nm").alias("pnm"),
+            F.col("k.v").alias("v"),
+            F.col("k.i").alias("i"),
+            F.col("k.seg").alias("seg"),
+        )
+        .distinct()
+    )
+    cand = (
+        idx.join(
+            probe,
+            (idx["i"] == probe["i"])
+            & (idx["n"] == probe["v"])
+            & (idx["seg"] == probe["seg"])
+            & (idx["nm"] != probe["pnm"]),
+        )
+        .select(
+            F.least("nm", "pnm").alias("name_a"),
+            F.greatest("nm", "pnm").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("name_a", "name_b")).filter(
+        F.col("dist") <= _PJ_TAU
+    )
+
+
+@register(
+    "part_name_edit_join",
+    oracle=EDIT_JOIN_ORACLE,
+    tags=("dim", "entity-resolution", "passjoin"),
+    past_window=True,
+)
+def part_name_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL part-name pairs within edit distance 2, guaranteed — the
+    PassJoin segment-key equi-join (complete, unlike the
+    high-recall-by-construction ``part_name_fuzzy_pairs``)."""
+    part = load_table(spark, sf_dir, "part")
+    return edit_join_complete(part.select("p_name").distinct())

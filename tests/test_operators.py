@@ -2787,3 +2787,27 @@ def test_ann_recall_multiprobe_never_below_single_probe(spark, sf_dir):
     }
     assert rows["ann_srp_multiprobe"] >= rows["ann_srp_lsh"]
     assert set(rows) == {"ann_ivf_bucketed", "ann_srp_lsh", "ann_srp_multiprobe"}
+
+
+def test_edit_join_equals_bruteforce_ground_truth(spark, duck, sf_dir):
+    """The PassJoin head must equal the INDEPENDENT all-pairs ground
+    truth (not just its own blocking-mirror oracle) — the completeness
+    guarantee, exhaustively at test scale."""
+    from gmall_flink_parent_spark import plans
+
+    got = sorted(
+        (r.name_a, r.name_b, r.dist)
+        for r in plans.all_queries()["part_name_edit_join"].fn(spark, sf_dir).collect()
+    )
+    truth = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH names AS (SELECT DISTINCT p_name FROM part WHERE strlen(p_name) >= 3)
+            SELECT a.p_name, b.p_name, CAST(levenshtein(a.p_name, b.p_name) AS INTEGER)
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            """
+        ).fetchall()
+    )
+    assert got == truth and len(got) > 0

@@ -873,3 +873,41 @@ def test_fuzzy_blocking_complete_for_single_intoken_edit(
     }
     lo, hi = sorted([name_a, name_b])
     assert (lo, hi) in got
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    base=st.sampled_from(
+        ["red widget", "grand anvil", "hot bolt", "small gizmo", "blue ring"]
+    ),
+    edits=st.lists(
+        st.tuples(
+            st.sampled_from(["sub", "ins", "del"]),
+            st.integers(0, 11),
+            st.sampled_from("xy "),
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_edit_join_complete_for_any_two_edits(spark, base, edits):
+    """PassJoin completeness holds for ARBITRARY ≤2 edits — including
+    edits that insert/delete/replace the token separator, the case the
+    token-blocking head documents as its evasion."""
+    from gmall_flink_parent_spark.operators.entity import edit_join_complete
+
+    mut = base
+    for op, pos, ch in edits:
+        p = min(pos, max(len(mut) - 1, 0))
+        if op == "sub" and mut:
+            mut = mut[:p] + ch + mut[p + 1 :]
+        elif op == "ins":
+            mut = mut[:p] + ch + mut[p:]
+        elif op == "del" and len(mut) > 1:
+            mut = mut[:p] + mut[p + 1 :]
+    if mut == base or len(mut) < 3:
+        return
+    names = spark.createDataFrame([(base,), (mut,)], "p_name string")
+    got = {(r.name_a, r.name_b) for r in edit_join_complete(names).collect()}
+    lo, hi = sorted([base, mut])
+    assert (lo, hi) in got
