@@ -1129,3 +1129,96 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         report, "method string, n_hits long, n_exact long, recall double"
     )
+
+
+# ------------------------------------------------ k-center coreset
+
+_KC_K = 4  # centers selected (unrolled in the oracle, looped in Spark)
+
+
+def _kcenter_oracle() -> str:
+    """Gonzalez greedy k-center, unrolled for fixed k: each m_i CTE
+    carries the running min squared-L2 distance to the chosen set
+    (|a−b|² = |a|² + |b|² − 2a·b reuses the fold-ordered dot), each
+    c_i picks the farthest point (ties → smallest vec_id)."""
+    sql = f"""
+WITH base AS (
+    SELECT vec_id, embedding, {_dot_sql("embedding", "embedding")} AS nsq
+    FROM embeddings
+),
+c0 AS (SELECT vec_id, embedding, nsq FROM base ORDER BY vec_id LIMIT 1),
+m1 AS (
+    SELECT b.vec_id, b.embedding, b.nsq,
+           b.nsq + c.nsq - 2 * ({_dot_sql("b.embedding", "c.embedding")}) AS d
+    FROM base b, c0 c
+)"""
+    for r in range(1, _KC_K):
+        sql += f""",
+c{r} AS (SELECT vec_id, embedding, nsq, d FROM m{r} ORDER BY d DESC, vec_id LIMIT 1)"""
+        if r < _KC_K - 1:
+            sql += f""",
+m{r + 1} AS (
+    SELECT m.vec_id, m.embedding, m.nsq,
+           least(m.d, m.nsq + c.nsq - 2 * ({_dot_sql("m.embedding", "c.embedding")})) AS d
+    FROM m{r} m, c{r} c
+)"""
+    selects = ["SELECT CAST(0 AS INTEGER) AS center_rank, vec_id, 0.0 AS min_dist FROM c0"]
+    for r in range(1, _KC_K):
+        selects.append(
+            f"SELECT CAST({r} AS INTEGER), vec_id, ROUND(d, 6) FROM c{r}"
+        )
+    return sql + "\n" + "\nUNION ALL ".join(selects)
+
+
+KCENTER_ORACLE = _kcenter_oracle()
+
+
+@register(
+    "kcenter_coreset",
+    oracle=KCENTER_ORACLE,
+    tags=("similarity", "selection", "coreset"),
+    past_window=True,
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985) diverse-coreset selection over
+    the embedding column: starting from the smallest vec_id, repeatedly
+    pick the point FARTHEST (squared L2) from the chosen set — the
+    2-approximation to the k-center cover, and the standard way to seed
+    a maximally diverse fine-tuning subset or k-means++-style index.
+
+    Scale shape: k−1 iterations, each ONE pure map pass (the running
+    min-distance column updates against the latest center, carried as
+    64 plan literals — never a join) reduced by ``orderBy().limit(1)``
+    = TakeOrderedAndProject (per-partition 1-row heads, no sort, no
+    shuffle of the corpus). All driver state is the k chosen centers.
+    Distances reuse the fold-ordered dot (|a−b|² = |a|²+|b|²−2a·b), so
+    every comparison — including argmax ties — is bit-identical to the
+    unrolled oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_sq("embedding").alias("nsq")
+    )
+    c0 = emb.orderBy("vec_id").limit(1).collect()[0]
+
+    def dist_to(center) -> Column:
+        cvec = F.array(*[F.lit(float(x)) for x in center.embedding])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), cvec, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.col("nsq") + F.lit(float(center.nsq)) - 2.0 * dot
+
+    cur = emb.withColumn("d", dist_to(c0))
+    rows = [(0, c0.vec_id, 0.0)]
+    for r in range(1, _KC_K):
+        top = cur.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        rows.append((r, top.vec_id, float(top.d)))
+        if r < _KC_K - 1:
+            cur = cur.withColumn("d", F.least(F.col("d"), dist_to(top)))
+    out = spark.createDataFrame(
+        rows, "center_rank int, vec_id long, min_dist double"
+    )
+    return out.select(
+        "center_rank", "vec_id", F.round("min_dist", 6).alias("min_dist")
+    )

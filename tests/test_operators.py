@@ -2811,3 +2811,20 @@ def test_edit_join_equals_bruteforce_ground_truth(spark, duck, sf_dir):
         ).fetchall()
     )
     assert got == truth and len(got) > 0
+
+
+def test_kcenter_greedy_invariants(spark, sf_dir):
+    """Greedy k-center facts: ranks dense from 0, centers distinct, and
+    the farthest-point distance is non-increasing in rank (each pick
+    can only shrink the uncovered radius)."""
+    from gmall_flink_parent_spark import plans
+
+    rows = sorted(
+        plans.all_queries()["kcenter_coreset"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.center_rank,
+    )
+    assert [r.center_rank for r in rows] == list(range(len(rows)))
+    assert len({r.vec_id for r in rows}) == len(rows)
+    dists = [r.min_dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert all(d > 0 for d in dists)
