@@ -305,3 +305,71 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion"),
     )
+
+
+# ------------------------------------------------ market basket pairs
+
+_COPURCHASE_MIN_SUP = 3
+
+COPURCHASE_ORACLE = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM baskets a JOIN baskets b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= {_COPURCHASE_MIN_SUP}
+"""
+
+
+@register(
+    "part_copurchase_pairs",
+    oracle=COPURCHASE_ORACLE,
+    tags=("dws", "market-basket"),
+    past_window=True,
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently co-purchased part pairs (support ≥ 3) — the market
+    basket primitive behind "bought together" and feature
+    co-occurrence mining.
+
+    The oracle states the NAIVE semantics (basket self-join, group,
+    HAVING); the plan applies the Apriori monotonicity prune first: a
+    part occurring in fewer than min_sup baskets cannot appear in any
+    qualifying pair, so the basket stream is semi-joined against the
+    frequent-part set BEFORE the pair fan-out — losslessly identical
+    results (the oracle hash proves it every run), but the quadratic
+    per-basket pair generation runs only over frequent items. Per-order
+    fan-out is bounded by basket size (single digits in order data);
+    the real shuffle is the pair aggregate, map-side combined. The
+    frequent-part set is df-thresholded — small under any realistic
+    support, broadcast; a degenerate corpus where most parts are
+    frequent degrades gracefully to the naive plan's cost, never worse.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = scoped_persist(baskets)
+    frequent = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") >= _COPURCHASE_MIN_SUP)
+        .select("l_partkey")
+    )
+    pruned = baskets.join(F.broadcast(frequent), "l_partkey")
+    a = pruned.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = pruned.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a["k"] == b["k"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _COPURCHASE_MIN_SUP)
+    )
