@@ -1875,3 +1875,45 @@ def scd2_from_store(spark: SparkSession, store_path: str) -> DataFrame:
 
     changes = spark.read.parquet(store_path).drop("batch_id")
     return scd2_frame(changes)
+
+
+def user_days_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Distinct (user_id, day) pairs at ingest — the lifecycle-grain
+    partial store serving cohort retention (and any WAU/MAU-style
+    head) without re-scanning events.
+
+    The per-batch partial is the batch's DISTINCT active pairs: tiny
+    next to raw events (bounded by users × days touched in the batch)
+    and idempotently re-landed on replay. Distinctness is only
+    per-batch — a user active in two batches lands twice — which is
+    fine because the pair is the IDEMPOTENT fact itself: the final
+    pass's distinct collapses cross-batch repeats exactly, unlike a
+    count, which is why the stored grain is the pair and never a
+    per-batch count. ``retention_from_store`` then derives the cohort
+    triangle hash-equal to batch ``retention_cohorts``.
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/user_days"
+    )
+
+
+def retention_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Cohort retention from the user-days store — hash-equal to batch
+    ``retention_cohorts`` over the same events (pinned, incl. across
+    ``compact_partial_store``/``compact_fact_store``), because the
+    triangle is a deterministic function of the distinct (user, day)
+    set however it was batched."""
+    from gmall_flink_parent_spark.operators.cohorts import retention_frame
+
+    pairs = (
+        spark.read.parquet(store_path).select("user_id", "day").distinct()
+    )
+    # retention_frame expects an events-shaped frame with (user_id, ts);
+    # the day column IS the truncated grain, so it feeds through as-is.
+    return retention_frame(pairs.withColumnRenamed("day", "ts"))

@@ -3417,3 +3417,37 @@ def test_scd2_store_job_matches_batch_and_survives_compaction(spark, sf_dir, tmp
     assert split_ids[0] & split_ids[1], "no user changed in both batches"
     compact_fact_store(spark, str(tmp_path / "store"), str(tmp_path / "ck") + "/scd2_changes")
     assert _rows(scd2_from_store(spark, str(tmp_path / "store")), cols) == want
+
+
+def test_user_days_store_serves_retention(spark, sf_dir, tmp_path):
+    """Retention triangle from the ingest-time distinct (user, day)
+    store: hash-equal to batch ``retention_cohorts`` across a two-batch
+    split (users active in BOTH batches land twice; the final distinct
+    collapses them exactly) and across compaction."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        retention_from_store,
+        user_days_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long",
+    )
+    q = user_days_store_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    # cross-batch duplicate pairs must exist for this test to bite
+    dupes = (
+        store.groupBy("user_id", "day").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes > 0, "no user was active in both batches — split too clean"
+    cols = ["cohort_ymd", "day_offset", "n_active", "retained_pct"]
+    want = _rows(plans.query_map()["retention_cohorts"](spark, sf_dir), cols)
+    got = _rows(retention_from_store(spark, str(tmp_path / "store")), cols)
+    assert got == want and len(want) > 0
+    compact_fact_store(
+        spark, str(tmp_path / "store"), str(tmp_path / "ck") + "/user_days"
+    )
+    assert _rows(retention_from_store(spark, str(tmp_path / "store")), cols) == want
