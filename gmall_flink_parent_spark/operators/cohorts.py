@@ -282,3 +282,65 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", list(PIVOT_TYPES))
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
     )
+
+
+STICKINESS_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+cov AS (
+    SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS cday
+    FROM ud, (SELECT unnest(range(0, 28)) AS o)
+),
+mau AS (SELECT cday AS day, CAST(count(*) AS BIGINT) AS mau FROM cov GROUP BY cday)
+SELECT strftime(d.day, '%Y%m%d') AS ymd, d.dau, m.mau,
+       ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM dau d JOIN mau m ON d.day = m.day
+"""
+
+
+def stickiness_frame(user_days: DataFrame) -> DataFrame:
+    """DAU / trailing-28-day-MAU per active day over a distinct
+    (user_id, day) frame — the stickiness metric product teams track.
+
+    Distinct-count-over-a-sliding-window does not decompose into
+    per-day partials (a user active twice in the window must count
+    once), and a per-day window over raw events is a scan per day.
+    Instead each (user, day) FACT claims the 28 future days it covers
+    — a 28× fan-out on the user-days grain, which is already orders of
+    magnitude below event volume — and the distinct collapses
+    overlapping claims, so MAU(d) is an exact distinct count from ONE
+    aggregate. Reporting joins back to DAU days, so only observed days
+    emit.
+    """
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cov = (
+        user_days.select(
+            "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o")
+        )
+        .select("user_id", F.expr("date_add(day, o)").alias("cday"))
+        .distinct()
+    )
+    mau = cov.groupBy(F.col("cday").alias("day")).agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        F.date_format("day", "yyyyMMdd").alias("ymd"),
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "stickiness_ratio",
+    oracle=STICKINESS_ORACLE,
+    tags=("dws", "lifecycle"),
+    past_window=True,
+)
+def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU / trailing-28-day MAU over the events table."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return stickiness_frame(user_days)

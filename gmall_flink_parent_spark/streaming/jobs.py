@@ -1917,3 +1917,13 @@ def retention_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     # retention_frame expects an events-shaped frame with (user_id, ts);
     # the day column IS the truncated grain, so it feeds through as-is.
     return retention_frame(pairs.withColumnRenamed("day", "ts"))
+
+
+def stickiness_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """DAU / trailing-28-day MAU from the user-days store — the second
+    head over ``user_days_store_job``'s pairs (one ingest pass, the
+    whole lifecycle family), hash-equal to batch ``stickiness_ratio``."""
+    from gmall_flink_parent_spark.operators.cohorts import stickiness_frame
+
+    pairs = spark.read.parquet(store_path).select("user_id", "day").distinct()
+    return stickiness_frame(pairs)

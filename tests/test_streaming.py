@@ -3426,6 +3426,7 @@ def test_user_days_store_serves_retention(spark, sf_dir, tmp_path):
     collapses them exactly) and across compaction."""
     from gmall_flink_parent_spark.streaming.jobs import (
         retention_from_store,
+        stickiness_from_store,
         user_days_store_job,
     )
     from gmall_flink_parent_spark.streaming.store import compact_fact_store
@@ -3447,7 +3448,11 @@ def test_user_days_store_serves_retention(spark, sf_dir, tmp_path):
     want = _rows(plans.query_map()["retention_cohorts"](spark, sf_dir), cols)
     got = _rows(retention_from_store(spark, str(tmp_path / "store")), cols)
     assert got == want and len(want) > 0
+    scols = ["ymd", "dau", "mau", "stickiness"]
+    swant = _rows(plans.query_map()["stickiness_ratio"](spark, sf_dir), scols)
+    assert _rows(stickiness_from_store(spark, str(tmp_path / "store")), scols) == swant
     compact_fact_store(
         spark, str(tmp_path / "store"), str(tmp_path / "ck") + "/user_days"
     )
     assert _rows(retention_from_store(spark, str(tmp_path / "store")), cols) == want
+    assert _rows(stickiness_from_store(spark, str(tmp_path / "store")), scols) == swant
