@@ -373,3 +373,243 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _COPURCHASE_MIN_SUP)
     )
+
+
+# --------------------------------------------- classic warehouse joins
+
+SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+FROM (
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority,
+           row_number() OVER (
+               ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+                        o.o_orderdate, l.l_orderkey) AS rk
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+WHERE rk <= 10
+"""
+
+
+@register(
+    "shipping_priority_topk",
+    oracle=SHIPPING_PRIORITY_ORACLE,
+    tags=("join", "dws", "tpch"),
+    past_window=True,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3's shape: the 10 highest-revenue unshipped orders for
+    one market segment — the classic sales-side triage query.
+
+    Plan: the segment filter prunes CUSTOMER before anything moves
+    (broadcast — it's a dim); ORDERS and LINEITEM carry their date
+    predicates INTO the scans (PushedFilters), join on the order key,
+    and the revenue aggregate reduces to order grain before the top-10
+    — which compiles to TakeOrderedAndProject on the DECIMAL revenue
+    (per-partition 10-row heaps, no global sort). Revenue stays exact
+    DECIMAL through ordering and casts to DOUBLE only in the output,
+    so ties and hashes agree with the oracle bit-for-bit.
+    """
+    cutoff = "1998-01-01"
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    agg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    return (
+        agg.orderBy(F.desc("rev_dec"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+REGION_NATION_VOLUME_ORACLE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "region_nation_volume",
+    oracle=REGION_NATION_VOLUME_ORACLE,
+    tags=("join", "dws", "tpch"),
+    past_window=True,
+)
+def region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5's shape: local-supplier revenue per nation in one
+    region — the 6-way join that separates engines with a real
+    optimizer from engines with a join loop.
+
+    The two facts (orders, lineitem) join on their key; all four dims
+    (customer, supplier, nation, region) broadcast, with the
+    same-nation condition (s_nationkey = c_nationkey) riding the
+    supplier broadcast join as a residual — no extra shuffle anywhere.
+    Date predicates push into the ORDERS scan; the final aggregate is
+    #nations rows. Decimal revenue throughout.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ------------------------------------------------------ graph PageRank
+
+_PR_ITERS = 5
+_PR_SCALE = 10**12  # fixed-point denominator
+
+
+def _pagerank_oracle() -> str:
+    """5 unrolled PageRank iterations in fixed-point BIGINT arithmetic
+    over the co-purchase graph. Integer floor-division at every step
+    makes the trajectory EXACTLY reproducible on any engine — float
+    PageRank is summation-order-dependent and could never be
+    hash-compared."""
+    sql = f"""
+WITH pairs AS ({COPURCHASE_ORACLE}),
+edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION ALL
+    SELECT part_b, part_a FROM pairs
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+    SELECT node, d, CAST({_PR_SCALE} // nn.n AS BIGINT) AS r FROM deg, nn
+)"""
+    for k in range(1, _PR_ITERS + 1):
+        sql += f""",
+r{k} AS (
+    SELECT dg.node, dg.d,
+           CAST((15 * {_PR_SCALE}) // (100 * nn.n)
+                + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+    FROM deg dg
+    CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r // p.d) AS c
+        FROM edges e JOIN r{k - 1} p ON e.src = p.node GROUP BY e.dst
+    ) s ON s.node = dg.node
+)"""
+    return sql + f"""
+SELECT node AS part, r AS rank_fp FROM r{_PR_ITERS}
+"""
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
+@register(
+    "part_pagerank",
+    oracle=PAGERANK_ORACLE,
+    tags=("graph", "iterative", "market-basket"),
+    past_window=True,
+)
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 iterations) over the co-purchase
+    graph — which parts anchor the catalog — as an ORACLE-BACKED
+    iterative graph query.
+
+    Floats make distributed PageRank unverifiable (neighbor sums are
+    summation-order-dependent), so ranks live in fixed-point BIGINT
+    (scale 10¹²): contributions are ``rank div degree``, the update is
+    ``0.15/n + 0.85·Σ`` in integer floor arithmetic, and BIGINT sums
+    are exact and order-independent — every iteration of the
+    trajectory is bit-identical to the unrolled SQL, on any
+    partitioning. The floor truncation under-counts each node by
+    < 1/10¹² of total mass per step — noise far below any ranking
+    decision, and the same noise on every engine.
+
+    Scale: per iteration ONE join of the rank frame against the edge
+    list (both graph-sized, co-partitioned on the node key) + one
+    map-side-combined aggregate; the degree frame persists across
+    iterations; driver state is the node COUNT, nothing else. Five
+    fixed iterations keep the plan finite (the repo's k-means/CC
+    convention for iterative algorithms).
+    """
+    pairs = part_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    edges = scoped_persist(
+        pairs.selectExpr("part_a AS src", "part_b AS dst").unionAll(
+            pairs.selectExpr("part_b AS src", "part_a AS dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    deg = scoped_persist(deg, eager=True)
+    n = deg.count()
+    base = (15 * _PR_SCALE) // (100 * n)
+    ranks = deg.select("node", "d", F.lit(_PR_SCALE // n).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div d")).alias("c"))
+        )
+        ranks = deg.join(contrib, "node", "left").select(
+            "node",
+            "d",
+            (F.lit(base) + F.expr("85 * coalesce(c, 0) div 100")).alias("r"),
+        )
+    return ranks.select(F.col("node").alias("part"), F.col("r").alias("rank_fp"))
