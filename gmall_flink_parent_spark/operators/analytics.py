@@ -613,3 +613,101 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(base) + F.expr("85 * coalesce(c, 0) div 100")).alias("r"),
         )
     return ranks.select(F.col("node").alias("part"), F.col("r").alias("rank_fp"))
+
+
+# --------------------------------------- correlated scalar subquery
+
+ABOVE_AVG_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+"""
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle=ABOVE_AVG_ORACLE,
+    tags=("dws", "subquery"),
+    past_window=True,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their own customer's average — the
+    correlated-scalar-subquery shape, DECORRELATED by hand into the
+    plan every optimizer rewrites it to: one per-customer aggregate
+    joined back on the correlation key. The oracle keeps the
+    correlated form, so the hash match proves the decorrelation
+    equivalence on real data.
+
+    Exactness: "price > avg" compares via cross-multiplication
+    (price·n > Σ) entirely in DECIMAL/BIGINT — no division ever
+    happens, so there is no engine-specific decimal-quotient scale or
+    float rounding to disagree about, and boundary rows (price exactly
+    at the mean) resolve identically everywhere. The join is
+    co-partitioned on o_custkey (the aggregate reuses the scan's
+    partitioning); at dim-bounded customer counts the aggregate side
+    is broadcast-eligible and AQE picks that.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_ord"),
+        F.sum(price_dec).alias("sum_price"),
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .filter(price_dec * F.col("n_ord") > F.col("sum_price"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+
+
+# ------------------------------------------------- grouping sets
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle=GROUPING_SETS_ORACLE,
+    tags=("dws", "grouping-sets"),
+    past_window=True,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two one-dimension margins plus the
+    grand total WITHOUT the cross cells a cube would add, completing
+    the rollup/cube family (``revenue_rollup`` / ``revenue_cube``)
+    with the arbitrary-sets form, ``grouping_id`` disambiguating
+    NULL-as-margin from NULL-as-value.
+
+    One Expand (3 replicas per input row, the named sets only — a cube
+    on k columns expands 2^k) feeding one map-side-combined aggregate;
+    same single-shuffle discipline as the rollup twin.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
