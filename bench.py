@@ -114,6 +114,15 @@ HEADLINE = [
     "knn_label_vote",
     "doc_tfidf_topterms",
     "ann_recall_report",
+    "part_name_edit_join",
+    "kcenter_coreset",
+    "part_copurchase_pairs",
+    "stickiness_ratio",
+    "shipping_priority_topk",
+    "region_nation_volume",
+    "part_pagerank",
+    "orders_above_customer_avg",
+    "revenue_grouping_sets",
 ]
 
 
