@@ -344,3 +344,52 @@ def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     user_days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
     return stickiness_frame(user_days)
+
+
+@register(
+    "stickiness_hll",
+    oracle=None,  # sketch estimates are engine-internal; bounded vs exact in tests
+    tags=("dws", "lifecycle", "sketch", "approx"),
+    past_window=True,
+)
+def stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``stickiness_ratio``: per-day DAU/MAU from
+    MERGEABLE per-day HLL sketches instead of the exact user-days
+    grain.
+
+    The exact head's coverage-claim explode shuffles users × days
+    rows; at extreme user counts even that grain is heavy. Sketches
+    collapse each day to ~1 KB of HLL state (``dau_hll_sketches`` —
+    the same frame the DAU store lands), and MAU(d) is the estimate of
+    ``hll_union_agg`` over days d−27..d: union is register-wise max,
+    so the windowed estimate is EXACTLY the sketch of the union set —
+    no window-decomposition error, only the HLL ±2% band (pinned
+    against the exact head in tests). The day×window fan-out joins a
+    #days-row frame to a 28-row offset range — driver-trivial at any
+    event volume.
+    """
+    from gmall_flink_parent_spark.operators.uv_dedup import dau_hll_sketches
+
+    events = load_table(spark, sf_dir, "events")
+    sk = dau_hll_sketches(events).select(
+        F.to_date("ymd", "yyyyMMdd").alias("day"), "users_sketch"
+    )
+    dau = sk.select(
+        "day", F.hll_sketch_estimate("users_sketch").alias("approx_dau")
+    )
+    cov = sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+        F.expr("date_add(day, o)").alias("cday"),
+        "users_sketch",
+    )
+    mau = cov.groupBy(F.col("cday").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias("approx_mau")
+    )
+    return dau.join(mau, "day").select(
+        F.date_format("day", "yyyyMMdd").alias("ymd"),
+        "approx_dau",
+        "approx_mau",
+        F.round(
+            F.col("approx_dau").cast("double") / F.col("approx_mau"), 6
+        ).alias("stickiness"),
+    )

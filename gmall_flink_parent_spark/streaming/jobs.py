@@ -1927,3 +1927,52 @@ def stickiness_from_store(spark: SparkSession, store_path: str) -> DataFrame:
 
     pairs = spark.read.parquet(store_path).select("user_id", "day").distinct()
     return stickiness_frame(pairs)
+
+
+def type_moments_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Per-type moment partials (n, Σv, Σv²) at ingest — the additive
+    state behind the z-score outlier gate, landed per batch so the
+    gate can score FRESH data against ALL history without re-scanning
+    it.
+
+    Decimal sums and counts are associative, so the accumulated
+    partials fold to exactly the stats a one-shot scan would compute
+    (``compact_partial_store``-safe); this is the
+    ``_partial_store_job`` grain rule applied to second moments.
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        v = F.col("value").cast("decimal(18,6)")
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/type_moments"
+    )
+
+
+def outliers_from_store(
+    spark: SparkSession, store_path: str, events: DataFrame
+) -> DataFrame:
+    """Score an events frame against the accumulated per-type moments —
+    hash-equal to batch ``event_value_outliers`` when ``events`` is the
+    same data the store ingested (pinned), and the PRODUCTION shape
+    when it is not: today's batch scored against all history, with the
+    full scan replaced by a #types-row store read."""
+    parts = spark.read.parquet(store_path)
+    stats = parts.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").cast("double").alias("s1"),
+        F.sum("s2").cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (
+        events.join(F.broadcast(stats.filter(n > 1)), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z_score"))
+    )

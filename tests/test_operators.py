@@ -2828,3 +2828,24 @@ def test_kcenter_greedy_invariants(spark, sf_dir):
     dists = [r.min_dist for r in rows[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
     assert all(d > 0 for d in dists)
+
+
+def test_stickiness_hll_within_sketch_tolerance(spark, sf_dir):
+    """The sketch-path stickiness must track the exact head within the
+    HLL error band on every day (union is register-wise max, so the
+    windowed MAU estimate carries no window-decomposition error)."""
+    from gmall_flink_parent_spark import plans
+
+    approx = {
+        r.ymd: (r.approx_dau, r.approx_mau)
+        for r in plans.all_queries()["stickiness_hll"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.ymd: (r.dau, r.mau)
+        for r in plans.all_queries()["stickiness_ratio"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for ymd, (dau, mau) in exact.items():
+        a_dau, a_mau = approx[ymd]
+        assert abs(a_dau - dau) <= max(2, 0.05 * dau), (ymd, a_dau, dau)
+        assert abs(a_mau - mau) <= max(2, 0.05 * mau), (ymd, a_mau, mau)

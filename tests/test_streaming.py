@@ -3456,3 +3456,35 @@ def test_user_days_store_serves_retention(spark, sf_dir, tmp_path):
     )
     assert _rows(retention_from_store(spark, str(tmp_path / "store")), cols) == want
     assert _rows(stickiness_from_store(spark, str(tmp_path / "store")), scols) == swant
+
+
+def test_type_moments_store_serves_outlier_gate(spark, sf_dir, tmp_path):
+    """Per-type moment partials accumulated over two batches must score
+    the same events to the exact batch ``event_value_outliers`` rows —
+    decimal moments are associative, so the fold equals the one-shot
+    stats. This is the production shape: fresh data scored against all
+    history with a #types-row store read instead of a re-scan."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        outliers_from_store,
+        type_moments_store_job,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, event_type string, value double",
+    )
+    q = type_moments_store_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    cols = ["event_id", "event_type", "value", "z_score"]
+    want = _rows(plans.query_map()["event_value_outliers"](spark, sf_dir), cols)
+    got = _rows(
+        outliers_from_store(
+            spark, str(tmp_path / "store"),
+            load_table(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        ),
+        cols,
+    )
+    assert got == want and len(want) > 0
