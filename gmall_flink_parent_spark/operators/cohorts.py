@@ -393,3 +393,73 @@ def stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_dau").cast("double") / F.col("approx_mau"), 6
         ).alias("stickiness"),
     )
+
+
+TREND_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                     CAST(ts AS DATE)) AS x,
+           SUM(CAST(value AS DECIMAL(18,2))) AS y
+    FROM events GROUP BY 1, 2
+),
+sums AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept
+FROM sums WHERE n * sxx - sx * sx <> 0
+"""
+
+
+@register(
+    "revenue_trend_fit",
+    oracle=TREND_ORACLE,
+    tags=("dws", "regression"),
+    past_window=True,
+)
+def revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily value totals (closed-form OLS) —
+    is this channel growing, and how fast.
+
+    The regression never iterates: slope and intercept close from the
+    five sufficient statistics (n, Σx, Σx², Σy, Σxy), each an EXACT
+    sum (integer day index × decimal daily totals) reduced map-side —
+    the ``source_zipf_slope`` discipline applied to time. Two
+    aggregates, both on reduced grains (type×day, then type); the
+    anchor day is a 1-row broadcast. Division happens once, in double,
+    from exact inputs, spelled identically in the oracle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.min(F.to_date("ts")).alias("day0"))
+    daily = (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("day0")).alias("x"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.filter(n * sxx - sx * sx != 0).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
