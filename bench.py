@@ -123,6 +123,7 @@ HEADLINE = [
     "part_pagerank",
     "orders_above_customer_avg",
     "revenue_grouping_sets",
+    "revenue_trend_fit",
 ]
 
 
