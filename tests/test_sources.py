@@ -91,3 +91,41 @@ def test_jsonl_feeds_the_engine(spark, tmp_path):
     chunks = chunk_windows_frame(clean.select("doc_id", "text"))
     assert chunks.count() == 2  # one short chunk per doc
     assert chunks.filter(F.col("chunk_id").isNull()).count() == 0
+
+
+def test_range_clustered_write_prunes_from_footers(spark, sf_dir, tmp_path):
+    """The clustered layout must make footer min/max ranges (a) cover
+    the same rows, (b) be pairwise near-disjoint on the cluster key,
+    and (c) let a selective time predicate skip most files — while the
+    arrival-order layout skips none. This is the pruning contract a
+    100 TB reader depends on, proved from the actual parquet metadata."""
+    from gmall_flink_parent_spark.sources.layout import (
+        footer_ranges,
+        pruned_fraction,
+        write_range_clustered,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    clustered, arrival = str(tmp_path / "clustered"), str(tmp_path / "arrival")
+    write_range_clustered(events, clustered, ["ts"], n_files=8)
+    events.repartition(8).write.mode("overwrite").parquet(arrival)
+
+    # same rows either way
+    assert (
+        spark.read.parquet(clustered).orderBy("event_id").collect()
+        == events.orderBy("event_id").collect()
+    )
+
+    cr = footer_ranges(clustered, "ts")
+    ar = footer_ranges(arrival, "ts")
+    assert len(cr) == 8 and len(ar) == 8
+    # clustered: ranges pairwise disjoint up to the boundary value
+    cr_sorted = sorted(cr)
+    overlaps = sum(1 for a, b in zip(cr_sorted, cr_sorted[1:]) if b[0] < a[1])
+    assert overlaps == 0, cr_sorted
+    # a one-day slice in the middle of the 30-day span
+    lo = events.selectExpr("timestamp'2024-01-15 00:00:00'").first()[0]
+    hi = events.selectExpr("timestamp'2024-01-16 00:00:00'").first()[0]
+    assert pruned_fraction(cr, lo, hi) >= 0.75
+    assert pruned_fraction(ar, lo, hi) == 0.0
