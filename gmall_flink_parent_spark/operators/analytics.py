@@ -711,3 +711,71 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("int").alias("gid"),
         )
     )
+
+
+RETURNED_LOSSES_ORACLE = """
+SELECT c_custkey, c_name, n_name, lost_revenue
+FROM (
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS lost_revenue,
+           row_number() OVER (
+               ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+                        c.c_custkey) AS rk
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+WHERE rk <= 20
+"""
+
+
+@register(
+    "returned_item_losses",
+    oracle=RETURNED_LOSSES_ORACLE,
+    tags=("join", "dws", "tpch"),
+    past_window=True,
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10's shape: the 20 customers who returned the most
+    revenue in a year — the churn-risk triage query.
+
+    The return-flag and date predicates reach their scans; customer
+    and nation broadcast; revenue reduces to customer grain before the
+    top-20, which compiles to TakeOrderedAndProject on the exact
+    DECIMAL revenue (tie-break c_custkey makes the order total).
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    agg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    return (
+        agg.orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("lost_revenue"),
+        )
+    )
