@@ -3488,3 +3488,49 @@ def test_type_moments_store_serves_outlier_gate(spark, sf_dir, tmp_path):
         cols,
     )
     assert got == want and len(want) > 0
+
+
+def test_drop_duplicates_within_watermark_matches_batch(spark, sf_dir, tmp_path):
+    """The built-in watermarked dedup (the engine-native complement to
+    the custom ``uv_dedup`` state machine): an exactly-duplicated
+    stream — every batch-1 row replayed in batch 2 — must reduce to the
+    batch ``distinct`` over event ids, with the dedup state bounded by
+    the watermark instead of growing forever."""
+    import os
+    import time
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .limit(500)
+    )
+    (tmp_path / "in").mkdir()
+    pdf = events.toPandas()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    for fname, off in (("f1.parquet", 0), ("f2.parquet", 5)):
+        p = str(tmp_path / "in" / fname)
+        pdf.to_parquet(p)  # the SAME rows twice — a full replay
+        t = time.time() + off
+        os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        stream.withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM wm_dedup").collect()
+    )
+    want = sorted(r.event_id for r in events.select("event_id").distinct().collect())
+    assert got == want and len(want) > 0
