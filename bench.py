@@ -124,6 +124,8 @@ HEADLINE = [
     "orders_above_customer_avg",
     "revenue_grouping_sets",
     "revenue_trend_fit",
+    "returned_item_losses",
+    "stickiness_hll",
 ]
 
 
