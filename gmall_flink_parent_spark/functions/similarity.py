@@ -1222,3 +1222,161 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "center_rank", "vec_id", F.round("min_dist", 6).alias("min_dist")
     )
+
+
+# --------------------------------------------------- MMR diversity rerank
+
+_MMR_QUERY = 0  # query vector for the registered head
+_MMR_POOL = 20  # candidate pool (brute-force top-20 by relevance)
+_MMR_K = 5  # reranked results returned
+_MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to chosen
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled for fixed k (the ``kcenter_coreset``
+    incremental shape): each m-CTE carries the running max-similarity
+    to the chosen set via ``greatest``, each s-CTE picks
+    argmax λ·rel − (1−λ)·msim with vec_id tie-break."""
+    cos = lambda a, b: f"({_dot_sql(a, b)}) / ({a.split('.')[0]}.nrm * {b.split('.')[0]}.nrm)"  # noqa: E731
+    sql = f"""
+WITH base AS (
+    SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+    FROM embeddings
+),
+q AS (SELECT * FROM base WHERE vec_id = {_MMR_QUERY}),
+cand AS (
+    SELECT c.vec_id, c.embedding, c.nrm,
+           ({_dot_sql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS rel
+    FROM base c, q WHERE c.vec_id <> {_MMR_QUERY}
+    ORDER BY rel DESC, c.vec_id LIMIT {_MMR_POOL}
+),
+s1 AS (SELECT vec_id, embedding, nrm, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+m2 AS (
+    SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+           ({_dot_sql("c.embedding", "s.embedding")}) / (c.nrm * s.nrm) AS msim
+    FROM cand c, s1 s WHERE c.vec_id <> s.vec_id
+)"""
+    for k in range(2, _MMR_K + 1):
+        sql += f""",
+s{k} AS (
+    SELECT vec_id, embedding, nrm, rel, msim FROM m{k}
+    ORDER BY {_MMR_LAMBDA} * rel - {round(1 - _MMR_LAMBDA, 10)} * msim DESC, vec_id
+    LIMIT 1
+)"""
+        if k < _MMR_K:
+            sql += f""",
+m{k + 1} AS (
+    SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+           greatest(c.msim,
+                    ({_dot_sql("c.embedding", "s.embedding")}) / (c.nrm * s.nrm)) AS msim
+    FROM m{k} c, s{k} s WHERE c.vec_id <> s.vec_id
+)"""
+    selects = [
+        "SELECT CAST(1 AS INTEGER) AS mmr_rank, vec_id, ROUND(rel, 6) AS relevance FROM s1"
+    ]
+    for k in range(2, _MMR_K + 1):
+        selects.append(f"SELECT CAST({k} AS INTEGER), vec_id, ROUND(rel, 6) FROM s{k}")
+    return sql + "\n" + "\nUNION ALL ".join(selects)
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+@register(
+    "mmr_rerank",
+    oracle=MMR_ORACLE,
+    tags=("similarity", "retrieval", "diversity"),
+    past_window=True,
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    from the query's top-20 cosine candidates, greedily pick 5 results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-chosen —
+    the standard diversity stage a RAG stack runs between retrieval and
+    the context window.
+
+    Cost split is the point: the DISTRIBUTED stage is the candidate
+    scan (one broadcast-query pass + TakeOrdered top-20 — swap in any
+    ANN head at scale); the greedy O(k·pool) rerank then runs on the
+    COLLECTED 20-row pool driver-side, because 20×64 floats is not a
+    distributed problem. Python's left-fold float accumulation matches
+    the oracle's unrolled `t1 + … + t64` chain exactly (same IEEE ops,
+    same order — the ``_dot`` argument), so selections and hashes are
+    bit-identical.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norm(v) -> float:
+        s = 0.0
+        for x in v:
+            s += float(x) * float(x)
+        return math.sqrt(s)
+
+    def dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    qrow = emb.filter(F.col("vec_id") == _MMR_QUERY).collect()[0]
+    qn = norm(qrow.embedding)
+    base = emb.filter(F.col("vec_id") != _MMR_QUERY).select(
+        "vec_id", "embedding", F.sqrt(_norm_sq("embedding")).alias("nrm")
+    )
+    qvec = F.array(*[F.lit(float(x)) for x in qrow.embedding])
+    rel = (
+        F.aggregate(
+            F.zip_with(F.col("embedding"), qvec, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (F.lit(qn) * F.col("nrm"))
+    )
+    pool = (
+        base.withColumn("rel", rel)
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    cands = [
+        {"vec_id": r.vec_id, "emb": [float(x) for x in r.embedding],
+         "nrm": norm(r.embedding), "rel": float(r.rel)}
+        for r in pool
+    ]
+    chosen, out = [], []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for c in cands:
+            if any(c["vec_id"] == s["vec_id"] for s in chosen):
+                continue
+            msim = max(
+                (dot(c["emb"], s["emb"]) / (c["nrm"] * s["nrm"]) for s in chosen),
+                default=None,
+            )
+            score = (
+                c["rel"]
+                if msim is None
+                else _MMR_LAMBDA * c["rel"] - round(1 - _MMR_LAMBDA, 10) * msim
+            )
+            key = (-score, c["vec_id"])
+            if best is None or key < best[0]:
+                best = (key, c)
+        chosen.append(best[1])
+        out.append((rank, best[1]["vec_id"], round_half_up6(best[1]["rel"])))
+    return spark.createDataFrame(
+        out, "mmr_rank int, vec_id long, relevance double"
+    )
+
+
+def round_half_up6(x: float) -> float:
+    """ROUND(x, 6) with SQL half-away-from-zero semantics (Python's
+    built-in round is banker's and would disagree at exact .5 ulps)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )

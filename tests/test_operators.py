@@ -2849,3 +2849,47 @@ def test_stickiness_hll_within_sketch_tolerance(spark, sf_dir):
         a_dau, a_mau = approx[ymd]
         assert abs(a_dau - dau) <= max(2, 0.05 * dau), (ymd, a_dau, dau)
         assert abs(a_mau - mau) <= max(2, 0.05 * mau), (ymd, a_mau, mau)
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR facts: rank 1 is the pure-relevance argmax, results are
+    distinct, and the chosen set's worst pairwise redundancy is no
+    higher than the pure top-k's — the diversity the (1−λ) penalty
+    exists to buy."""
+    import math
+
+    from gmall_flink_parent_spark import plans
+    from gmall_flink_parent_spark.functions.similarity import (
+        _MMR_K,
+        _MMR_QUERY,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    rows = sorted(
+        plans.all_queries()["mmr_rerank"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.mmr_rank for r in rows] == list(range(1, _MMR_K + 1))
+    assert len({r.vec_id for r in rows}) == _MMR_K
+    assert rows[0].relevance == max(r.relevance for r in rows)
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(emb[a], emb[b]))
+        na = math.sqrt(sum(x * x for x in emb[a]))
+        nb = math.sqrt(sum(x * x for x in emb[b]))
+        return d / (na * nb)
+
+    def worst_pair(ids):
+        return max(cos(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+
+    q = emb[_MMR_QUERY]
+    by_rel = sorted(
+        (v for v in emb if v != _MMR_QUERY),
+        key=lambda v: (-cos(_MMR_QUERY, v), v),
+    )[:_MMR_K]
+    assert worst_pair([r.vec_id for r in rows]) <= worst_pair(by_rel) + 1e-12
