@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "rfm_segments",  # 1-row anchor-date scalar × per-user purchase metrics
     "knn_label_vote",  # inherits cosine_topk_bruteforce's 8-vector query broadcast
     "doc_tfidf_topterms",  # 1-row corpus-doc-count scalar × (doc, term) counts
+    "revenue_trend_fit",  # 1-row anchor-day scalar × events scan
 }
 
 
