@@ -1976,3 +1976,41 @@ def outliers_from_store(
         .filter(F.abs(F.col("z")) > 3.0)
         .select("event_id", "event_type", "value", F.round("z", 4).alias("z_score"))
     )
+
+
+def stickiness_hll_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """DAU / trailing-28-day MAU from ``dau_hll_job``'s sketch store —
+    the THIRD head over those sketches (DAU estimate, and now the
+    windowed ratio): per-day batch sketches union within the day for
+    DAU and across the 28-day coverage window for MAU, and because HLL
+    union is register-wise max the store-merged estimates equal the
+    batch head's exactly (pinned vs ``stickiness_hll``). One ~1 KB
+    sketch per (day, batch) in, a #days-row report out — no event is
+    ever re-read."""
+    sk = (
+        spark.read.parquet(store_path)
+        .groupBy("ymd")
+        .agg(F.hll_union_agg("users_sketch").alias("users_sketch"))
+        .select(F.to_date("ymd", "yyyyMMdd").alias("day"), "users_sketch")
+    )
+    from gmall_flink_parent_spark.plans.registry import release_caches, scoped_persist
+
+    release_caches()
+    sk = scoped_persist(sk)  # feeds both the DAU projection and the window
+    dau = sk.select("day", F.hll_sketch_estimate("users_sketch").alias("approx_dau"))
+    cov = sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+        F.expr("date_add(day, o)").alias("cday"),
+        "users_sketch",
+    )
+    mau = cov.groupBy(F.col("cday").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias("approx_mau")
+    )
+    return dau.join(mau, "day").select(
+        F.date_format("day", "yyyyMMdd").alias("ymd"),
+        "approx_dau",
+        "approx_mau",
+        F.round(
+            F.col("approx_dau").cast("double") / F.col("approx_mau"), 6
+        ).alias("stickiness"),
+    )

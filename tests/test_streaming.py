@@ -3534,3 +3534,26 @@ def test_drop_duplicates_within_watermark_matches_batch(spark, sf_dir, tmp_path)
     )
     want = sorted(r.event_id for r in events.select("event_id").distinct().collect())
     assert got == want and len(want) > 0
+
+
+def test_stickiness_hll_from_store_matches_batch_head(spark, sf_dir, tmp_path):
+    """The sketch store's windowed stickiness must equal the batch
+    ``stickiness_hll`` head exactly: HLL union is register-wise max, so
+    per-batch sketches merged in the store lose nothing vs one sketch
+    over all events — the third head on the dau_hll store."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        dau_hll_job,
+        stickiness_hll_from_store,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long",
+    )
+    q = dau_hll_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    cols = ["ymd", "approx_dau", "approx_mau", "stickiness"]
+    want = _rows(plans.query_map()["stickiness_hll"](spark, sf_dir), cols)
+    got = _rows(stickiness_hll_from_store(spark, str(tmp_path / "store")), cols)
+    assert got == want and len(want) > 0
