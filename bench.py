@@ -126,6 +126,7 @@ HEADLINE = [
     "revenue_trend_fit",
     "returned_item_losses",
     "stickiness_hll",
+    "mmr_rerank",
 ]
 
 
