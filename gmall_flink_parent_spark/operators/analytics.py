@@ -588,7 +588,12 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed iterations keep the plan finite (the repo's k-means/CC
     convention for iterative algorithms).
     """
-    pairs = part_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    # persisted (query-scoped): the symmetric edge union consumes the
+    # pair frame TWICE (one branch per direction) — uncached, the whole
+    # basket self-join would run twice during the edges cache fill.
+    pairs = scoped_persist(
+        part_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    )
     edges = scoped_persist(
         pairs.selectExpr("part_a AS src", "part_b AS dst").unionAll(
             pairs.selectExpr("part_b AS src", "part_a AS dst")
