@@ -129,3 +129,37 @@ def test_range_clustered_write_prunes_from_footers(spark, sf_dir, tmp_path):
     hi = events.selectExpr("timestamp'2024-01-16 00:00:00'").first()[0]
     assert pruned_fraction(cr, lo, hi) >= 0.75
     assert pruned_fraction(ar, lo, hi) == 0.0
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must buy REAL footer pruning on BOTH keys —
+    the property single-key clustering cannot have (its second key's
+    ranges span the table) — while preserving the rows exactly."""
+    from gmall_flink_parent_spark.sources.layout import (
+        footer_ranges,
+        pruned_fraction,
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    zpath, tpath = str(tmp_path / "zorder"), str(tmp_path / "ts_only")
+    write_zorder_clustered(events, zpath, "ts", "user_id", n_files=16)
+    write_range_clustered(events, tpath, ["ts"], n_files=16)
+
+    assert (
+        spark.read.parquet(zpath).orderBy("event_id").collect()
+        == events.orderBy("event_id").collect()
+    )
+
+    ts_lo = events.selectExpr("timestamp'2024-01-14 00:00:00'").first()[0]
+    ts_hi = events.selectExpr("timestamp'2024-01-17 00:00:00'").first()[0]
+    zr_ts = footer_ranges(zpath, "ts")
+    zr_uid = footer_ranges(zpath, "user_id")
+    # both dimensions prune meaningfully under z-order...
+    assert pruned_fraction(zr_ts, ts_lo, ts_hi) >= 0.25
+    assert pruned_fraction(zr_uid, 10, 20) >= 0.25
+    # ...whereas ts-only clustering prunes ts well and user_id not at all
+    tr_uid = footer_ranges(tpath, "user_id")
+    assert pruned_fraction(tr_uid, 10, 20) == 0.0
