@@ -2893,3 +2893,41 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
         key=lambda v: (-cos(_MMR_QUERY, v), v),
     )[:_MMR_K]
     assert worst_pair([r.vec_id for r in rows]) <= worst_pair(by_rel) + 1e-12
+
+
+def test_retention_and_rfm_invariants(spark, sf_dir):
+    """Structural facts independent of the oracle: every cohort retains
+    100% of itself at offset 0 and never exceeds it later; RFM
+    quartiles are balanced (ntile semantics: sizes differ by at most 1
+    per metric)."""
+    from gmall_flink_parent_spark import plans
+
+    rows = plans.all_queries()["retention_cohorts"].fn(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_ymd, {})[r.day_offset] = r
+    for cohort, offs in by_cohort.items():
+        assert offs[0].retained_pct == 1.0, cohort
+        size = offs[0].n_active
+        assert all(r.n_active <= size for r in offs.values())
+
+    seg = plans.all_queries()["rfm_segments"].fn(spark, sf_dir).collect()
+    n = len(seg)
+    for col in ("r_quartile", "f_quartile", "m_quartile"):
+        counts = {}
+        for r in seg:
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert set(counts) == {1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+        assert sum(counts.values()) == n
+
+
+def test_copurchase_pair_contract(spark, sf_dir):
+    """Every emitted pair is ordered, self-free, and meets min support."""
+    from gmall_flink_parent_spark import plans
+
+    rows = plans.all_queries()["part_copurchase_pairs"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.support >= 3
