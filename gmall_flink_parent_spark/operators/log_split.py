@@ -149,3 +149,50 @@ def display_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split("text", " ")).alias("token"),
     )
+
+
+PROPS_VARIANT_ORACLE = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       'OBJECT<k: BIGINT>' AS props_schema,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+"""
+
+
+@register(
+    "props_variant_extract",
+    oracle=PROPS_VARIANT_ORACLE,
+    tags=("P1", "json", "variant"),
+    past_window=True,
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4) — the
+    shred-once successor to ``props_json_extract``'s per-field JSON
+    path.
+
+    ``get_json_object`` re-parses the JSON text once per extracted
+    field; ``parse_json`` shreds the payload ONCE into a binary
+    variant, and every ``variant_get`` after that is a typed offset
+    read — the difference between O(fields) text parses and one. At
+    100 TB the variant column is what you STORE (parse at ingest,
+    typed access forever), exactly the decode-once discipline the
+    media-fingerprint and shingle stores apply to their domains.
+    ``schema_of_variant`` makes the shredded type itself an asserted
+    output, so a payload drift (k arriving as a string) fails the hash
+    instead of silently re-typing.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            k.alias("k"),
+            F.schema_of_variant(v).alias("props_schema"),
+            (k % 10).alias("k_bucket"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
