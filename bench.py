@@ -127,6 +127,7 @@ HEADLINE = [
     "returned_item_losses",
     "stickiness_hll",
     "mmr_rerank",
+    "props_variant_extract",
 ]
 
 
