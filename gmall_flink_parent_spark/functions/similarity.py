@@ -1380,3 +1380,107 @@ def round_half_up6(x: float) -> float:
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
     )
+
+
+def _kcenter_assign_oracle() -> str:
+    """Assignment head over the same unrolled Gonzalez CTE chain: each
+    vector takes its min squared-L2 distance across the k chosen
+    centers (ties → lower center rank), spelled as a CASE chain so the
+    argmin tie-break is explicit and identical on both engines."""
+    head = KCENTER_ORACLE.split("\nSELECT CAST(0 AS INTEGER)")[0]
+    dists = ",\n           ".join(
+        f"b.nsq + c{r}.nsq - 2 * ({_dot_sql('b.embedding', f'c{r}.embedding')}) AS d{r}"
+        for r in range(_KC_K)
+    )
+    froms = ", ".join(f"c{r}" for r in range(_KC_K))
+    best = "CASE"
+    for r in range(_KC_K):
+        cond = " AND ".join(f"d{r} <= d{s}" for s in range(_KC_K) if s != r)
+        best += f" WHEN {cond} THEN {r}"
+    best += " END"
+    return f"""{head},
+dists AS (
+    SELECT b.vec_id,
+           {dists}
+    FROM base b, {froms}
+)
+SELECT vec_id,
+       CAST({best} AS INTEGER) AS center_rank,
+       ROUND(CASE CAST({best} AS INTEGER)
+             {' '.join(f'WHEN {r} THEN d{r}' for r in range(_KC_K))}
+             END, 6) AS dist
+FROM dists
+"""
+
+
+KCENTER_ASSIGN_ORACLE = _kcenter_assign_oracle()
+
+
+@register(
+    "kcenter_assign",
+    oracle=KCENTER_ASSIGN_ORACLE,
+    tags=("similarity", "selection", "coreset"),
+    past_window=True,
+)
+def kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector assigned to its nearest greedy k-center (squared
+    L2, ties → lower center rank) — the coreset's consumer: the
+    assignment IS the diversity-balanced partition a curation run
+    samples from (and the 2-approximation cover certificate: max dist
+    here is within 2× of the optimal k-center radius).
+
+    One additional map pass over the corpus after the selection loop:
+    the k centers ride as plan literals, the per-row argmin is a
+    fixed-k CASE chain — no join, no shuffle; the plan is scan-shaped
+    at any corpus size. Distance algebra and tie-breaks are spelled
+    identically to the oracle's CASE chain, so assignments
+    hash-compare.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_sq("embedding").alias("nsq")
+    )
+    # re-run the (bounded) greedy selection to get the centers
+    centers = []
+    c0 = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers.append(c0)
+
+    def dist_to(center) -> Column:
+        cvec = F.array(*[F.lit(float(x)) for x in center.embedding])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), cvec, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.col("nsq") + F.lit(float(center.nsq)) - 2.0 * dot
+
+    cur = emb.withColumn("d", dist_to(c0))
+    for r in range(1, _KC_K):
+        top = cur.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append(top)
+        if r < _KC_K - 1:
+            cur = cur.withColumn("d", F.least(F.col("d"), dist_to(top)))
+
+    scored = emb
+    for r, c in enumerate(centers):
+        scored = scored.withColumn(f"d{r}", dist_to(c))
+    best = None
+    for r in range(_KC_K):
+        cond = None
+        for s in range(_KC_K):
+            if s == r:
+                continue
+            c_ = F.col(f"d{r}") <= F.col(f"d{s}")
+            cond = c_ if cond is None else (cond & c_)
+        best = F.when(cond, F.lit(r)) if best is None else best.when(cond, F.lit(r))
+    dist = None
+    for r in range(_KC_K):
+        dist = (
+            F.when(best == r, F.col(f"d{r}"))
+            if dist is None
+            else dist.when(best == r, F.col(f"d{r}"))
+        )
+    return scored.select(
+        "vec_id",
+        best.cast("int").alias("center_rank"),
+        F.round(dist, 6).alias("dist"),
+    )

