@@ -128,6 +128,7 @@ HEADLINE = [
     "stickiness_hll",
     "mmr_rerank",
     "props_variant_extract",
+    "kcenter_assign",
 ]
 
 
