@@ -266,3 +266,44 @@ def test_warc_source_fails_loudly_on_corrupt_magic(spark, tmp_path):
 
     with _pt.raises(Exception, match="bad WARC magic|PythonException|ValueError"):
         df.collect()
+
+
+def test_warc_parser_rejects_truncated_payload():
+    """Pure-parser contract: a Content-Length that overruns the file
+    fails loudly with the record offset, never yields a short row."""
+    import io
+
+    import pytest as _pt
+
+    from gmall_flink_parent_spark.sources.warc import _iter_warc_records
+
+    raw = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nshort"
+    with _pt.raises(ValueError, match="record 0: truncated payload"):
+        list(_iter_warc_records(io.BytesIO(raw)))
+
+
+def test_warc_gzip_per_record_members(spark, tmp_path):
+    """Common Crawl frames ONE gzip member per record; Python's gzip
+    reads concatenated members transparently, so the reader must parse
+    that framing identically to a single-member archive."""
+    import gzip
+
+    from gmall_flink_parent_spark.sources.warc import register_warc_source
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [("response", "http://a/1", b"one"), ("response", "http://a/2", b"two")]
+    with open(str(d / "seg.warc.gz"), "wb") as fh:
+        for wtype, uri, payload in recs:
+            member = (
+                b"WARC/1.0\r\n"
+                + f"WARC-Type: {wtype}\r\nWARC-Target-URI: {uri}\r\n".encode()
+                + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                + payload
+                + b"\r\n\r\n"
+            )
+            fh.write(gzip.compress(member))
+    register_warc_source(spark)
+    df = spark.read.format("warclite").option("path", str(d)).load()
+    rows = sorted((r.record_seq, r.target_uri, bytes(r.payload)) for r in df.collect())
+    assert rows == [(0, "http://a/1", b"one"), (1, "http://a/2", b"two")]
