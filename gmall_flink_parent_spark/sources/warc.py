@@ -145,3 +145,68 @@ def load_warc_documents(spark: SparkSession, path: str) -> DataFrame:
         F.col("warc_file").alias("source"),
         F.length(text).alias("n_chars"),
     )
+
+
+def warc_stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING WARC front door: new crawl segments landing under
+    ``path`` become micro-batches of documents-schema rows.
+
+    Composition instead of a custom stream reader: the built-in
+    ``binaryFile`` source already owns file-arrival semantics
+    (checkpointed file tracking, ``maxFilesPerTrigger`` batching,
+    exactly-once file accounting), and each whole segment file feeds
+    the SAME ``_iter_warc_records`` grammar the batch reader uses —
+    one parser, two front doors, so batch and stream cannot drift
+    (parity-pinned). Whole-file rows are the right granule for WARC
+    (concatenated gzip is unsplittable — the batch reader's partition
+    unit too); the parse runs in Arrow batches via ``mapInPandas``,
+    never per-row Python.
+
+    Output matches ``load_warc_documents`` exactly: stable md5 doc ids
+    from (file, seq), replacement-decoded text. Feed it to
+    ``curation_ingest_job`` / any ``*_store_job`` for
+    fingerprint-at-ingest over a live crawl.
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+    )
+
+    def parse(batches):
+        import gzip
+        import io
+        import os
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"warc_file": [], "record_seq": [], "warc_type": [], "payload": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if p.endswith(".gz"):
+                    data = gzip.decompress(data)
+                fname = os.path.basename(p)
+                for seq, headers, payload in _iter_warc_records(io.BytesIO(data)):
+                    out["warc_file"].append(fname)
+                    out["record_seq"].append(seq)
+                    out["warc_type"].append(headers.get("warc-type", ""))
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    recs = stream.mapInPandas(
+        parse, schema="warc_file string, record_seq long, warc_type string, payload binary"
+    )
+    text = F.expr("make_valid_utf8(CAST(payload AS STRING))")
+    return recs.filter(F.col("warc_type") == "response").select(
+        F.conv(F.substring(F.md5(F.concat_ws("#", "warc_file", "record_seq")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        text.alias("text"),
+        F.lit("und").alias("lang"),
+        F.col("warc_file").alias("source"),
+        F.length(text).alias("n_chars"),
+    )

@@ -3557,3 +3557,50 @@ def test_stickiness_hll_from_store_matches_batch_head(spark, sf_dir, tmp_path):
     want = _rows(plans.query_map()["stickiness_hll"](spark, sf_dir), cols)
     got = _rows(stickiness_hll_from_store(spark, str(tmp_path / "store")), cols)
     assert got == want and len(want) > 0
+
+
+def test_warc_stream_matches_batch_front_door(spark, tmp_path):
+    """The streaming WARC front door (binaryFile file-arrival + the
+    shared record grammar in Arrow batches) must produce EXACTLY the
+    batch reader's documents rows — one parser, two front doors, no
+    drift — across a two-micro-batch run over mixed plain/gzip
+    segments."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_sources import _write_warc
+
+    from gmall_flink_parent_spark.sources.warc import (
+        load_warc_documents,
+        warc_stream_documents,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    _write_warc(
+        str(d / "seg-0.warc"),
+        [
+            ("response", "http://a/x", b"alpha beta"),
+            ("warcinfo", "", b"skip me"),
+            ("response", "http://a/y", b"gamma \xff delta"),
+        ],
+    )
+    _write_warc(
+        str(d / "seg-1.warc.gz"),
+        [("response", "http://b/z", b"gzipped body")],
+        gz=True,
+    )
+    q = (
+        warc_stream_documents(spark, str(d))
+        .writeStream.format("memory")
+        .queryName("warc_docs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    got = _rows(spark.sql("SELECT * FROM warc_docs"), cols)
+    want = _rows(load_warc_documents(spark, str(d)), cols)
+    assert got == want and len(want) == 3
