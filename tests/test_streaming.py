@@ -3604,3 +3604,50 @@ def test_warc_stream_matches_batch_front_door(spark, tmp_path):
     got = _rows(spark.sql("SELECT * FROM warc_docs"), cols)
     want = _rows(load_warc_documents(spark, str(d)), cols)
     assert got == want and len(want) == 3
+
+
+def test_warc_stream_feeds_fingerprint_store(spark, tmp_path):
+    """Crawl-to-curation end to end: WARC segments stream through the
+    documents front door INTO the shingle store, and the store-derived
+    boilerplate verdict equals the batch verdict over the batch-read
+    corpus — the full fingerprint-at-ingest path on crawl data."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_sources import _write_warc
+
+    from gmall_flink_parent_spark.functions.curation import (
+        boilerplate_fraction_frame,
+        contamination_shingles,
+    )
+    from gmall_flink_parent_spark.sources.warc import (
+        load_warc_documents,
+        warc_stream_documents,
+    )
+    from gmall_flink_parent_spark.streaming.jobs import shingle_store_job
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    body = b"the quick brown fox jumps over the lazy dog again and again"
+    _write_warc(str(d / "seg-0.warc"), [("response", "http://a/x", body)])
+    _write_warc(
+        str(d / "seg-1.warc.gz"),
+        [("response", "http://b/y", body), ("response", "http://b/z", b"unique words only here")],
+        gz=True,
+    )
+    q = shingle_store_job(
+        warc_stream_documents(spark, str(d)),
+        str(tmp_path / "store"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(str(tmp_path / "store")).select("doc_id", "g")
+    batch_docs = load_warc_documents(spark, str(d))
+    want = _rows(
+        boilerplate_fraction_frame(contamination_shingles(batch_docs)),
+        ["doc_id", "boilerplate_frac"],
+    )
+    got = _rows(
+        boilerplate_fraction_frame(stored), ["doc_id", "boilerplate_frac"]
+    )
+    assert got == want and len(want) == 3
