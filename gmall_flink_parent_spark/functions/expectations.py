@@ -614,3 +614,52 @@ def source_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return expectation_report_by(docs, SOURCE_CHECKS, "source")
+
+
+_UNOBSERVABLE_PREFIXES = ("uniqueness(", "cardinality(")
+
+
+def observable(checks: list["Expectation"]) -> list["Expectation"]:
+    """The subset of a suite CollectMetrics can carry: Spark forbids
+    DISTINCT aggregates in observed metrics, so the distinct-backed
+    checks (uniqueness / cardinality) stay on the scan-based report
+    path (or the mergeable HLL store, which exists precisely because
+    exact distincts don't decompose). Everything else rides free."""
+    return [c for c in checks if not c.name.startswith(_UNOBSERVABLE_PREFIXES)]
+
+
+def observe_expectations(df: DataFrame, checks: list["Expectation"]):
+    """Attach the suite's metrics to ``df`` as a CollectMetrics node —
+    the ZERO-EXTRA-SCAN form of ``expectation_report``.
+
+    ``expectation_report`` costs one dedicated pass; at write cadence
+    that pass doubles the I/O of every landed batch. ``observe`` rides
+    the aggregates on whatever action the caller was already taking
+    (typically the write itself): the metrics come back on the
+    Observation after the action, computed from the SAME scan that
+    wrote the data. Returns ``(df_with_metrics, observation)``; feed
+    the observation to ``observed_verdicts`` after acting.
+
+    Same metric builders as the report head, so the free metrics and
+    the oracle-checked report cannot drift (parity pinned in tests).
+    """
+    from pyspark.sql import Observation
+
+    checks = observable(checks)
+    obs = Observation()
+    cols = [
+        F.round(c.metric().cast("double"), 6).alias(c.name) for c in checks
+    ]
+    return df.observe(obs, *cols), obs
+
+
+def observed_verdicts(obs, checks: list["Expectation"]) -> list[tuple]:
+    """(check_name, metric, passed) rows from a filled Observation —
+    NULL metrics (empty input) fail, matching the report head's
+    fail-safe empty semantics."""
+    got = obs.get
+    out = []
+    for c in checks:
+        m = got.get(c.name)
+        out.append((c.name, m, m is not None and c.lo <= m <= c.hi))
+    return out

@@ -2949,3 +2949,31 @@ def test_kcenter_assign_is_consistent_with_selection(spark, sf_dir):
     assert set(r.center_rank for r in assign) <= set(centers)
     for rank, vid in centers.items():
         assert by_vec[vid].center_rank == rank and by_vec[vid].dist == 0.0
+
+
+def test_observe_expectations_rides_the_write_scan(spark, sf_dir, tmp_path):
+    """The observe() form must yield the SAME metric values as the
+    oracle-checked report head — from the write's own scan, no second
+    pass — and its verdicts must agree check-for-check."""
+    from gmall_flink_parent_spark.functions.expectations import (
+        DOCUMENT_CHECKS,
+        expectation_report,
+        observe_expectations,
+        observed_verdicts,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    observed, obs = observe_expectations(docs, DOCUMENT_CHECKS)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the only action
+    from gmall_flink_parent_spark.functions.expectations import observable
+
+    obs_checks = observable(DOCUMENT_CHECKS)
+    assert 3 < len(obs_checks) < len(DOCUMENT_CHECKS)  # distinct checks stay behind
+    got = {n: (m, ok) for n, m, ok in observed_verdicts(obs, obs_checks)}
+    report = {
+        r.check_name: (r.metric, r.status == "pass")
+        for r in expectation_report(docs, DOCUMENT_CHECKS).collect()
+        if r.check_name in {c.name for c in obs_checks}
+    }
+    assert got == report and len(got) > 3
