@@ -129,6 +129,7 @@ HEADLINE = [
     "mmr_rerank",
     "props_variant_extract",
     "kcenter_assign",
+    "daily_new_vs_returning",
 ]
 
 

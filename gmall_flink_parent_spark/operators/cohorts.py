@@ -463,3 +463,55 @@ def revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+NEW_VS_RETURNING_ORACLE = """
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+    SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day
+    FROM user_days
+)
+SELECT strftime(day, '%Y%m%d') AS ymd,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+       ROUND(CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS new_share
+FROM firsts GROUP BY strftime(day, '%Y%m%d')
+"""
+
+
+@register(
+    "daily_new_vs_returning",
+    oracle=NEW_VS_RETURNING_ORACLE,
+    tags=("dws", "lifecycle"),
+    past_window=True,
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of active users into first-ever-seen vs returning
+    — the acquisition-vs-retention composition every growth dashboard
+    leads with, closing the lifecycle family (cohorts, RFM,
+    stickiness) on the same user-days grain.
+
+    Same single-exchange shape as ``retention_frame``: one
+    ``collect_set(day)`` shuffle bounds per-user state by the corpus
+    day span, the first day falls out of ``array_min``, and the day
+    grain aggregates the exploded pairs — no distinct-then-rewindow
+    double shuffle, no per-day scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.collect_set(F.to_date("ts")).alias("days")
+    )
+    exploded = per_user.select(
+        F.array_min("days").alias("first_day"), F.explode("days").alias("day")
+    )
+    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    return exploded.groupBy(F.date_format("day", "yyyyMMdd").alias("ymd")).agg(
+        F.sum(is_new).alias("new_users"),
+        F.sum(1 - is_new).alias("returning_users"),
+        F.round(F.sum(is_new).cast("double") / F.count(F.lit(1)), 6).alias(
+            "new_share"
+        ),
+    )

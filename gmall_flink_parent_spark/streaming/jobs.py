@@ -2014,3 +2014,23 @@ def stickiness_hll_from_store(spark: SparkSession, store_path: str) -> DataFrame
             F.col("approx_dau").cast("double") / F.col("approx_mau"), 6
         ).alias("stickiness"),
     )
+
+
+def new_vs_returning_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Daily new-vs-returning split from the user-days store — the
+    fourth head over ``user_days_store_job``'s pairs (retention,
+    stickiness, and now acquisition composition, all from one ingest
+    pass), hash-equal to batch ``daily_new_vs_returning``."""
+    from pyspark.sql import Window
+
+    pairs = spark.read.parquet(store_path).select("user_id", "day").distinct()
+    w = Window.partitionBy("user_id")
+    exploded = pairs.withColumn("first_day", F.min("day").over(w))
+    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    return exploded.groupBy(F.date_format("day", "yyyyMMdd").alias("ymd")).agg(
+        F.sum(is_new).alias("new_users"),
+        F.sum(1 - is_new).alias("returning_users"),
+        F.round(F.sum(is_new).cast("double") / F.count(F.lit(1)), 6).alias(
+            "new_share"
+        ),
+    )

@@ -3425,6 +3425,7 @@ def test_user_days_store_serves_retention(spark, sf_dir, tmp_path):
     split (users active in BOTH batches land twice; the final distinct
     collapses them exactly) and across compaction."""
     from gmall_flink_parent_spark.streaming.jobs import (
+        new_vs_returning_from_store,
         retention_from_store,
         stickiness_from_store,
         user_days_store_job,
@@ -3451,6 +3452,9 @@ def test_user_days_store_serves_retention(spark, sf_dir, tmp_path):
     scols = ["ymd", "dau", "mau", "stickiness"]
     swant = _rows(plans.query_map()["stickiness_ratio"](spark, sf_dir), scols)
     assert _rows(stickiness_from_store(spark, str(tmp_path / "store")), scols) == swant
+    ncols = ["ymd", "new_users", "returning_users", "new_share"]
+    nwant = _rows(plans.query_map()["daily_new_vs_returning"](spark, sf_dir), ncols)
+    assert _rows(new_vs_returning_from_store(spark, str(tmp_path / "store")), ncols) == nwant
     compact_fact_store(
         spark, str(tmp_path / "store"), str(tmp_path / "ck") + "/user_days"
     )
