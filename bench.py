@@ -130,6 +130,7 @@ HEADLINE = [
     "props_variant_extract",
     "kcenter_assign",
     "daily_new_vs_returning",
+    "late_shipment_priority",
 ]
 
 

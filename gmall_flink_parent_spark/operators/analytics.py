@@ -784,3 +784,45 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_dec").cast("double").alias("lost_revenue"),
         )
     )
+
+
+LATE_SHIPMENT_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_linestatus
+"""
+
+
+@register(
+    "late_shipment_priority",
+    oracle=LATE_SHIPMENT_ORACLE,
+    tags=("join", "dws", "tpch"),
+    past_window=True,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape: lines shipped more than 90 days after their
+    order, split into high/low order priority per line status — the
+    logistics SLA report.
+
+    The lateness predicate is a fact-fact RESIDUAL on the order-key
+    equi-join (never a θ-join); the conditional counts are one
+    map-side-combined CASE aggregate — all-integer outputs, nothing
+    for float semantics to disagree about.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
