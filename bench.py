@@ -131,6 +131,7 @@ HEADLINE = [
     "kcenter_assign",
     "daily_new_vs_returning",
     "late_shipment_priority",
+    "event_value_histogram",
 ]
 
 

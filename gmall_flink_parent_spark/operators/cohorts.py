@@ -515,3 +515,51 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_share"
         ),
     )
+
+
+_HIST_WIDTH = 50  # value units per bucket
+
+HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(floor(value / {_HIST_WIDTH}) * {_HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, floor(value / {_HIST_WIDTH})
+"""
+
+
+@register(
+    "event_value_histogram",
+    oracle=HISTOGRAM_ORACLE,
+    tags=("dws", "distribution"),
+    past_window=True,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type — the distribution
+    report beside the quantile heads (`doc_length_quantiles` answers
+    "where are the cut points", this answers "what does the shape look
+    like").
+
+    One map-side-combined aggregate on (type, bucket): the bucket id is
+    a pure projection (floor division — deterministic for the doubles
+    both engines read from the same parquet), so the shuffle carries
+    only (types × occupied buckets) partials at any event volume —
+    the histogram never needs a sort, a window, or a second pass.
+    Per-bucket mass sums through DECIMAL for order-independence.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / _HIST_WIDTH)
+    return events.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    ).select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+        "n_events",
+        "sum_value",
+    )
