@@ -2034,3 +2034,42 @@ def new_vs_returning_from_store(spark: SparkSession, store_path: str) -> DataFra
             "new_share"
         ),
     )
+
+
+def value_histogram_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Per-batch (type, bucket) histogram partials — counts and decimal
+    mass are additive, so the accumulated store folds to exactly the
+    one-shot histogram (the ``_partial_store_job`` grain rule; compacts
+    via ``compact_partial_store``-compatible re-aggregation in the
+    head). Per-batch size ≤ types × occupied buckets, independent of
+    event volume."""
+    from gmall_flink_parent_spark.operators.cohorts import _HIST_WIDTH
+
+    def partials(batch: DataFrame) -> DataFrame:
+        bucket = F.floor(F.col("value") / _HIST_WIDTH)
+        return batch.groupBy("event_type", bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/value_histogram"
+    )
+
+
+def value_histogram_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the accumulated histogram partials — hash-equal to batch
+    ``event_value_histogram`` over the same events (pinned)."""
+    from gmall_flink_parent_spark.operators.cohorts import _HIST_WIDTH
+
+    parts = spark.read.parquet(store_path)
+    return parts.groupBy("event_type", "bucket").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+    ).select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+        "n_events",
+        "sum_value",
+    )

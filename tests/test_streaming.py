@@ -3704,3 +3704,27 @@ def test_streaming_observe_reports_per_batch_metrics(spark, sf_dir, tmp_path):
     exact = docs.agg(F.avg("n_chars")).collect()[0][0]
     lo, hi = min(half), max(half)
     assert lo <= exact <= hi and rows == total
+
+
+def test_value_histogram_store_matches_batch(spark, sf_dir, tmp_path):
+    """Histogram partials accumulated over two batches fold to the
+    one-shot histogram exactly — counts and decimal mass are additive,
+    the grain rule's simplest case applied to distribution shape."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        value_histogram_from_store,
+        value_histogram_job,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, event_type string, value double",
+    )
+    q = value_histogram_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    cols = ["event_type", "bucket", "bucket_lo", "n_events", "sum_value"]
+    want = _rows(plans.query_map()["event_value_histogram"](spark, sf_dir), cols)
+    got = _rows(value_histogram_from_store(spark, str(tmp_path / "store")), cols)
+    assert got == want and len(want) > 0
