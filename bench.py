@@ -1,7 +1,11 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The line is hard-capped at
+STDOUT_LINE_BUDGET chars (the driver records only the last 2000 chars of
+stdout; BENCH_r05/r08 arrived decapitated when the line outgrew that):
+`queries` is budget-packed slowest-first with `n_queries`/`queries_omitted`
+markers, and the FULL per-query map lives in BENCH_DETAIL.json.
 
 Each query is materialized with a noop sink (full execution, no
 collect/driver cost). Timings are end-to-end per query including plan
@@ -135,27 +139,77 @@ HEADLINE = [
 ]
 
 
-def _prior_round_times() -> dict[str, float]:
-    """Per-query times from the latest committed BENCH_r{N}.json — the
-    outlier-adjudication baseline. Empty dict when no prior round exists
-    (round 1, or a fresh checkout without artifacts)."""
-    here = os.path.dirname(os.path.abspath(__file__))
+def _prior_round_times(here: str | None = None) -> dict[str, float]:
+    """Per-query times from the latest *parseable* committed BENCH_r{N}.json
+    — the outlier-adjudication baseline. An unparseable driver artifact
+    (BENCH_r08: ``"parsed": null`` after the stdout line outgrew the
+    driver's 2000-char tail capture) is skipped, falling back to the next
+    round. Because the stdout line is now budget-packed (slowest queries
+    first — see ``_pack_stdout_queries``), the driver artifact may omit
+    fast queries; those gaps are filled from the committed
+    BENCH_DETAIL.json, which always carries the full map. Empty dict when
+    no prior artifact exists (round 1, or a fresh checkout)."""
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     rounds: list[tuple[int, str]] = []
     for fn in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
         if m:
             rounds.append((int(m.group(1)), os.path.join(here, fn)))
+    out: dict[str, float] = {}
     for _, path in sorted(rounds, reverse=True):
         try:
             with open(path) as fh:
                 doc = json.load(fh)
             # the driver wraps the stdout line: {"n": ..., "parsed": {...}}
-            q = doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+            q = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
             if q:
-                return {k: float(v) for k, v in q.items()}
-        except (OSError, ValueError, AttributeError):
+                out = {k: float(v) for k, v in q.items()}
+                break
+        except (OSError, ValueError, AttributeError, TypeError):
             continue  # malformed artifact: fall back to the next round
-    return {}
+    # fill queries the budget-packed driver line omitted from the committed
+    # full-map detail file (same sweep, same machine)
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            detail_q = json.load(fh).get("queries") or {}
+        for k, v in detail_q.items():
+            out.setdefault(k, float(v))
+    except (OSError, ValueError, AttributeError, TypeError):
+        pass
+    return out
+
+
+# The driver captures only the LAST 2000 characters of bench stdout
+# (BENCH_r07 "tail" is exactly 2000 chars and parsed; BENCH_r05/r08 lines
+# outgrew it and arrived decapitated -> "parsed": null, no bench signal
+# for the round). The final JSON line MUST fit, with margin for the
+# trailing newline and any straggler log bytes.
+STDOUT_LINE_BUDGET = 1800
+
+
+def _pack_stdout_queries(
+    timings: dict[str, float], base: dict, budget: int = STDOUT_LINE_BUDGET
+) -> dict:
+    """Return the stdout document: ``base`` + as many per-query timings as
+    fit in ``budget`` serialized chars, slowest queries first (they carry
+    the adjudication signal; a 0.1 s head omitted from the driver line
+    still has its BENCH_DETAIL.json baseline). Adds ``n_queries`` (full
+    count) and ``queries_omitted`` (how many didn't fit) so a partial map
+    is self-describing, never silently truncated."""
+    doc = {**base, "n_queries": len(timings), "queries_omitted": 0, "queries": {}}
+    overhead = len(json.dumps(doc))
+    picked: dict[str, float] = {}
+    used = overhead
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        cost = len(json.dumps({name: timings[name]})) + 2  # ", " separator
+        if used + cost > budget:
+            break
+        picked[name] = timings[name]
+        used += cost
+    doc["queries"] = {n: picked[n] for n in timings if n in picked}  # stable order
+    doc["queries_omitted"] = len(timings) - len(picked)
+    return doc
 
 
 RERUN_RATIO = 2.5  # min > ratio x committed prior time → re-measure
@@ -272,15 +326,17 @@ def main() -> None:
     stall_suspect = reps >= 2 and median_spread > 2.0
 
     total = round(sum(timings.values()), 3)
-    # Keep the stdout line COMPACT: the driver's tail capture is finite and
-    # BENCH_r05.json lost its head (total included) once per-query rep_spread
-    # doubled the line length. Per-query mins + the stall verdict go to
-    # stdout; the full spread diagnosis goes to a local file.
+    # Keep the stdout line UNDER THE DRIVER'S 2000-CHAR TAIL CAPTURE:
+    # BENCH_r05 and BENCH_r08 both lost their head (-> "parsed": null, no
+    # driver bench signal those rounds) once the line outgrew it. Stdout
+    # gets the summary + a budget-packed slowest-first subset of per-query
+    # mins; the FULL per-query map, rerun bodies, rep spreads, and
+    # per-query loadavg all go to BENCH_DETAIL.json (committed each round).
     try:  # host pressure at sweep end — the stall-adjudication context
         loadavg = [round(x, 1) for x in os.getloadavg()]
     except OSError:
         loadavg = None
-    compact = {
+    base = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -288,8 +344,7 @@ def main() -> None:
         "stall_suspect": stall_suspect,
         "median_rep_spread": median_spread,
         "loadavg": loadavg,
-        "reruns": reruns,
-        "queries": timings,
+        "n_reruns": len(reruns),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -298,7 +353,9 @@ def main() -> None:
         with open(detail_path, "w") as fh:
             json.dump(
                 {
-                    **compact,
+                    **base,
+                    "reruns": reruns,
+                    "queries": timings,
                     "rep_spread": spreads,
                     "loadavg_per_query": load_per_query,
                     "reps": reps,
@@ -308,7 +365,14 @@ def main() -> None:
             )
     except OSError:
         pass  # diagnosis file is best-effort; the stdout line is the artifact
-    print(json.dumps({**compact, "loadavg_per_query": load_per_query}))
+    line = json.dumps(_pack_stdout_queries(timings, base))
+    # Hard gate: an oversized line is a FAILED bench run locally, never a
+    # silently-decapitated driver artifact.
+    assert len(line) <= STDOUT_LINE_BUDGET, (
+        f"stdout line {len(line)} chars exceeds the {STDOUT_LINE_BUDGET}-char "
+        "driver tail budget — _pack_stdout_queries is broken"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

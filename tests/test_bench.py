@@ -17,22 +17,99 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
-def test_prior_round_times_reads_latest_committed_bench():
+def test_prior_round_times_reads_latest_parseable_committed_bench():
+    """The adjudication baseline is the latest committed driver artifact
+    whose stdout line PARSED — an unparseable one (BENCH_r08 shipped with
+    ``"parsed": null`` after its line outgrew the driver's 2000-char tail
+    capture) is skipped, not crashed on. Gaps in a budget-packed driver
+    line are filled from the committed BENCH_DETAIL.json full map."""
     prior = bench._prior_round_times()
-    # the repo carries BENCH_r01..r07; the latest with queries wins
     assert prior, "expected a committed prior BENCH artifact"
     here = os.path.dirname(os.path.abspath(bench.__file__))
-    latest = max(
-        int(fn[7:-5])
-        for fn in os.listdir(here)
-        if fn.startswith("BENCH_r") and fn.endswith(".json")
-    )
-    with open(os.path.join(here, f"BENCH_r{latest:02d}.json")) as fh:
-        doc = json.load(fh)
-    want = doc.get("queries") or doc["parsed"]["queries"]
-    assert prior == {k: float(v) for k, v in want.items()}
+    # the latest PARSEABLE round's queries must all be present verbatim
+    latest_q: dict = {}
+    for n in sorted(
+        (
+            int(fn[7:-5])
+            for fn in os.listdir(here)
+            if fn.startswith("BENCH_r") and fn.endswith(".json")
+        ),
+        reverse=True,
+    ):
+        with open(os.path.join(here, f"BENCH_r{n:02d}.json")) as fh:
+            doc = json.load(fh)
+        latest_q = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
+        if latest_q:
+            break
+    assert latest_q, "expected at least one parseable committed artifact"
+    for k, v in latest_q.items():
+        assert prior[k] == float(v)
     # every headline query that existed last round has a baseline
     assert sum(1 for n in bench.HEADLINE if n in prior) >= 40
+
+
+def test_prior_round_times_skips_unparseable_and_fills_from_detail(tmp_path):
+    """Regression for the exact round-8 failure shape: the newest driver
+    artifact is ``"parsed": null`` → fall back to the previous round; keys
+    that round's (budget-packed) line omitted come from BENCH_DETAIL.json."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "rc": 0, "tail": "…mid-line fragment…", "parsed": None})
+    )
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "parsed": {"queries": {"a": 1.5, "b": 2.0}}})
+    )
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"n": 7, "parsed": {"queries": {"a": 9.9, "stale": 1.0}}})
+    )
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"queries": {"a": 1.4, "c_only_in_detail": 0.3}})
+    )
+    got = bench._prior_round_times(str(tmp_path))
+    # r09 skipped (null), r08 wins over r07, detail fills only the gap
+    assert got == {"a": 1.5, "b": 2.0, "c_only_in_detail": 0.3}
+    # truly empty dir → empty baseline, no crash
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench._prior_round_times(str(empty)) == {}
+    # corrupt JSON artifact → skipped, not raised
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "BENCH_r01.json").write_text("{not json")
+    assert bench._prior_round_times(str(bad)) == {}
+
+
+def test_pack_stdout_queries_respects_driver_tail_budget():
+    """The driver captures only the last 2000 chars of stdout; the packed
+    line must always fit, keep the slowest queries, and self-describe any
+    omission (BENCH_r05/r08 were lost to silent oversizing)."""
+    base = {
+        "metric": "headline_queries_total_runtime",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "stall_suspect": False,
+        "median_rep_spread": 1.2,
+        "loadavg": [3.1, 2.9, 2.5],
+        "n_reruns": 4,
+    }
+    # 200 queries with realistic long names — far beyond any budget
+    timings = {f"some_realistically_long_query_name_{i:03d}": i / 10 for i in range(200)}
+    doc = bench._pack_stdout_queries(timings, base)
+    line = json.dumps(doc)
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    assert doc["n_queries"] == 200
+    assert doc["queries_omitted"] == 200 - len(doc["queries"])
+    assert 0 < len(doc["queries"]) < 200
+    # slowest-first retention: every kept time >= every dropped time
+    kept = set(doc["queries"])
+    dropped_max = max(v for k, v in timings.items() if k not in kept)
+    assert min(doc["queries"].values()) >= dropped_max
+    # round-trips through the driver's parse
+    assert json.loads(line)["value"] == 123.456
+    # small map: everything fits, nothing omitted
+    small = {"a": 1.0, "b": 2.0}
+    doc2 = bench._pack_stdout_queries(small, base)
+    assert doc2["queries"] == small and doc2["queries_omitted"] == 0
 
 
 def test_outlier_suspects_selection():
