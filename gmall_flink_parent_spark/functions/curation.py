@@ -122,7 +122,8 @@ FROM r WHERE rn = 1
 """
 
 
-@register("doc_top_token", oracle=TOP_TOKEN_ORACLE, tags=("text", "quality"))
+# rotated OUT of the driver window in round 9 (chunk_bm25_multiquery took the slot)
+@register("doc_top_token", oracle=TOP_TOKEN_ORACLE, tags=("text", "quality"), past_window=True)
 def doc_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most frequent token per document and its frequency ratio.
 
@@ -252,7 +253,8 @@ FROM b
 """
 
 
-@register("doc_sample_split", oracle=SAMPLE_SPLIT_ORACLE, tags=("text", "sampling"))
+# rotated OUT of the driver window in round 9 (retention_cohorts took the slot)
+@register("doc_sample_split", oracle=SAMPLE_SPLIT_ORACLE, tags=("text", "sampling"), past_window=True)
 def doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment + 10% sample flag via
     content-stable hash bucketing (md5(doc_id) → bucket ∈ [0,100)).
@@ -294,7 +296,8 @@ GROUP BY source
 """
 
 
-@register("doc_length_quantiles", oracle=LENGTH_QUANTILES_ORACLE, tags=("text", "stats"))
+# rotated OUT of the driver window in round 9 (corpus_expectations took the slot)
+@register("doc_length_quantiles", oracle=LENGTH_QUANTILES_ORACLE, tags=("text", "stats"), past_window=True)
 def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-length distribution: exact p50/p90/p99 + mean.
 
@@ -541,7 +544,8 @@ WHERE rnk <= {VOCAB_TOPK}
 """
 
 
-@register("vocab_top_tokens", oracle=VOCAB_ORACLE, tags=("text", "stats"))
+# rotated OUT of the driver window in round 9 (contamination_bloom took the slot)
+@register("vocab_top_tokens", oracle=VOCAB_ORACLE, tags=("text", "stats"), past_window=True)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: global top-50 tokens by occurrence.
 
@@ -597,7 +601,8 @@ def corpus_token_projection(docs: DataFrame) -> DataFrame:
     return docs.select("lang", "source", "n_chars", n.alias("n_tokens"))
 
 
-@register("corpus_summary", oracle=CORPUS_SUMMARY_ORACLE, tags=("text", "stats"))
+# rotated OUT of the driver window in round 9 (part_pagerank took the slot)
+@register("corpus_summary", oracle=CORPUS_SUMMARY_ORACLE, tags=("text", "stats"), past_window=True)
 def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language dataset-card statistics: doc/source/token/char totals.
 

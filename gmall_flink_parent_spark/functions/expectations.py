@@ -281,7 +281,7 @@ def embedding_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_expectations",
     oracle=CORPUS_EXPECTATIONS_ORACLE,
     tags=("text", "quality", "validation", "report"),
-    past_window=True,
+    # rotated INTO the driver window in round 9 (swap: doc_length_quantiles out)
 )
 def corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-level quality gate over the documents table: the

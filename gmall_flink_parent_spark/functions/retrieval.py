@@ -273,7 +273,7 @@ WHERE rnk <= {MULTI_TOPK}
     "chunk_bm25_multiquery",
     oracle=BM25_MULTI_ORACLE,
     tags=("text", "chunk", "retrieval"),
-    past_window=True,
+    # rotated INTO the driver window in round 9 (swap: doc_top_token out)
 )
 def chunk_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 per query for a query TABLE — the registered,

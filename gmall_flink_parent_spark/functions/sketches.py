@@ -249,7 +249,7 @@ FROM hits GROUP BY doc_id
     "contamination_bloom",
     oracle=CONTAMINATION_BLOOM_ORACLE,
     tags=("text", "decontam", "sketch", "approx"),
-    past_window=True,
+    # rotated INTO the driver window in round 9 (swap: vocab_top_tokens out)
 )
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination — the 100 TB form of

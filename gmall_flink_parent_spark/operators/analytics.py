@@ -564,7 +564,7 @@ PAGERANK_ORACLE = _pagerank_oracle()
     "part_pagerank",
     oracle=PAGERANK_ORACLE,
     tags=("graph", "iterative", "market-basket"),
-    past_window=True,
+    # rotated INTO the driver window in round 9 (swap: corpus_summary out)
 )
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 5 iterations) over the co-purchase

@@ -90,7 +90,7 @@ def retention_frame(events: DataFrame) -> DataFrame:
     "retention_cohorts",
     oracle=RETENTION_ORACLE,
     tags=("dws", "lifecycle"),
-    past_window=True,
+    # rotated INTO the driver window in round 9 (swap: doc_sample_split out)
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain cohort retention: users cohorted by first active day,
