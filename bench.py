@@ -136,6 +136,7 @@ HEADLINE = [
     "daily_new_vs_returning",
     "late_shipment_priority",
     "event_value_histogram",
+    "hybrid_rrf_topk",
 ]
 
 

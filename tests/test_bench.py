@@ -112,6 +112,25 @@ def test_pack_stdout_queries_respects_driver_tail_budget():
     assert doc2["queries"] == small and doc2["queries_omitted"] == 0
 
 
+def test_every_registered_query_is_benched_or_tiered():
+    """Bench coverage contract: every registered query either runs in the
+    per-round sweep (bench.HEADLINE) or carries an explicit tier in
+    QUERIES.md "## Bench tiers" — silent bench omission is a failure."""
+    from gmall_flink_parent_spark import plans
+
+    reg = set(plans.all_queries())
+    headline = set(bench.HEADLINE)
+    assert headline <= reg, f"benched-but-unregistered: {headline - reg}"
+    assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE entry"
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    with open(os.path.join(here, "QUERIES.md")) as fh:
+        doc = fh.read()
+    assert "## Bench tiers" in doc
+    tiers = doc.split("## Bench tiers", 1)[1]
+    untiered = sorted(n for n in reg - headline if f"`{n}`" not in tiers)
+    assert not untiered, f"registered queries neither benched nor tiered: {untiered}"
+
+
 def test_outlier_suspects_selection():
     prior = {"a": 1.0, "b": 2.0, "c": 0.5, "z": 1.0}
     timings = {
