@@ -268,6 +268,111 @@ def test_warc_source_fails_loudly_on_corrupt_magic(spark, tmp_path):
         df.collect()
 
 
+def test_warc_source_recursive_dirs_and_glob(spark, tmp_path):
+    """Crawl drops arrive as nested dump/segment trees; the reader must
+    walk them (and accept globs), and two segments with the SAME
+    basename in different subdirs must keep distinct archive names —
+    doc_id derives from (name, seq) and must not collide."""
+    from gmall_flink_parent_spark.sources.warc import (
+        load_warc_documents,
+        register_warc_source,
+    )
+
+    d = tmp_path / "crawl"
+    (d / "2024-10").mkdir(parents=True)
+    (d / "2024-18" / "sub").mkdir(parents=True)
+    _write_warc(
+        str(d / "2024-10" / "part-0.warc"), [("response", "u://a", b"dump ten")]
+    )
+    _write_warc(
+        str(d / "2024-18" / "sub" / "part-0.warc"),
+        [("response", "u://b", b"dump eighteen")],
+    )
+    register_warc_source(spark)
+    df = spark.read.format("warclite").option("path", str(d)).load()
+    names = sorted(r.warc_file for r in df.collect())
+    assert names == ["2024-10/part-0.warc", "2024-18/sub/part-0.warc"]
+    # same-basename segments produce distinct doc_ids through the bridge
+    docs = load_warc_documents(spark, str(d)).collect()
+    assert len({r.doc_id for r in docs}) == 2
+    # glob form resolves the same tree, names relative to the static prefix
+    dfg = (
+        spark.read.format("warclite")
+        .option("path", str(d / "**" / "*.warc"))
+        .load()
+    )
+    assert sorted(r.warc_file for r in dfg.collect()) == names
+    # direct-file form
+    df1 = (
+        spark.read.format("warclite")
+        .option("path", str(d / "2024-10" / "part-0.warc"))
+        .load()
+    )
+    assert [r.warc_file for r in df1.collect()] == ["part-0.warc"]
+
+
+def test_warc_quarantine_mode_counts_and_skips_mid_archive_dirt(spark, tmp_path):
+    """One corrupt crawl segment must not kill the ingest: quarantine
+    mode salvages the records around mid-archive dirt (resync to the
+    next WARC/ magic), counts the loss per archive — clean archives
+    included at count 0 — and keeps strict mode's loud failure."""
+    import pytest as _pt
+
+    from gmall_flink_parent_spark.sources.warc import (
+        load_warc_documents,
+        register_warc_source,
+        warc_quarantine_counts,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # archive 1: good record, garbage blob, good record, truncated tail
+    good1 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u://a\r\n"
+        b"Content-Length: 5\r\n\r\nfirst\r\n\r\n"
+    )
+    garbage = b"}} random mid-archive dirt, not a record\r\nmore dirt\r\n"
+    good2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u://b\r\n"
+        b"Content-Length: 6\r\n\r\nsecond\r\n\r\n"
+    )
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u://c\r\n"
+        b"Content-Length: 9999\r\n\r\nshort"
+    )
+    (d / "dirty.warc").write_bytes(good1 + garbage + good2 + truncated)
+    _write_warc(str(d / "clean.warc"), [("response", "u://d", b"fine")])
+    register_warc_source(spark)
+    # strict (default): the dirty archive fails the read
+    with _pt.raises(Exception, match="bad WARC magic|PythonException|ValueError"):
+        spark.read.format("warclite").option("path", str(d)).load().collect()
+    # quarantine: salvages both good records, counts 2 malformed
+    raw = (
+        spark.read.format("warclite")
+        .option("path", str(d))
+        .option("mode", "quarantine")
+        .load()
+    )
+    rows = raw.collect()
+    responses = sorted(
+        bytes(r.payload) for r in rows if r.warc_type == "response"
+    )
+    assert responses == [b"fine", b"first", b"second"]
+    counts = {
+        r.warc_file: r.n_malformed
+        for r in warc_quarantine_counts(raw).collect()
+    }
+    assert counts == {"dirty.warc": 2, "clean.warc": 0}
+    # the documents bridge passes the mode through; summaries never leak
+    docs = load_warc_documents(spark, str(d), mode="quarantine").collect()
+    assert sorted(r.text for r in docs) == ["fine", "first", "second"]
+    # bad mode string fails fast
+    with _pt.raises(Exception, match="strict|quarantine"):
+        spark.read.format("warclite").option("path", str(d)).option(
+            "mode", "lenient"
+        ).load().collect()
+
+
 def test_warc_parser_rejects_truncated_payload():
     """Pure-parser contract: a Content-Length that overruns the file
     fails loudly with the record offset, never yields a short row."""

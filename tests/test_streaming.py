@@ -3610,6 +3610,51 @@ def test_warc_stream_matches_batch_front_door(spark, tmp_path):
     assert got == want and len(want) == 3
 
 
+def test_warc_stream_quarantine_parity_with_batch(spark, tmp_path):
+    """Quarantine mode through the STREAMING door: nested segment dirs
+    resolve to the batch door's relative archive names, mid-archive dirt
+    is counted-and-skipped identically, and the documents rows match the
+    batch quarantine read exactly."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_sources import _write_warc
+
+    from gmall_flink_parent_spark.sources.warc import (
+        load_warc_documents,
+        warc_stream_documents,
+    )
+
+    d = tmp_path / "crawl"
+    (d / "dump-a").mkdir(parents=True)
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u://a\r\n"
+        b"Content-Length: 5\r\n\r\nfirst\r\n\r\n"
+    )
+    dirt = b"not a record\r\n"
+    good2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u://b\r\n"
+        b"Content-Length: 6\r\n\r\nsecond\r\n\r\n"
+    )
+    (d / "dump-a" / "dirty.warc").write_bytes(good + dirt + good2)
+    _write_warc(str(d / "clean.warc"), [("response", "u://c", b"fine")])
+    q = (
+        warc_stream_documents(spark, str(d), mode="quarantine")
+        .writeStream.format("memory")
+        .queryName("warc_docs_q")
+        .option("checkpointLocation", str(tmp_path / "ckq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    got = _rows(spark.sql("SELECT * FROM warc_docs_q"), cols)
+    want = _rows(load_warc_documents(spark, str(d), mode="quarantine"), cols)
+    assert got == want and len(want) == 3
+    # nested-dir archive naming matches the batch door (rel path, not basename)
+    assert sorted({r[3] for r in got}) == ["clean.warc", "dump-a/dirty.warc"]
+
+
 def test_warc_stream_feeds_fingerprint_store(spark, tmp_path):
     """Crawl-to-curation end to end: WARC segments stream through the
     documents front door INTO the shingle store, and the store-derived
