@@ -137,6 +137,8 @@ HEADLINE = [
     "late_shipment_priority",
     "event_value_histogram",
     "hybrid_rrf_topk",
+    "supplier_wait_chain",
+    "cold_customer_balance",
 ]
 
 

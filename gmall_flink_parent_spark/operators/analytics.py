@@ -826,3 +826,163 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - high).alias("low_line_count"),
         )
     )
+
+
+# --------------------------------- correlated existence joins (Q21/Q22)
+
+WAIT_CHAIN_ORACLE = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register(
+    "supplier_wait_chain",
+    oracle=WAIT_CHAIN_ORACLE,
+    tags=("join", "subquery", "tpch"),
+    past_window=True,
+)
+def supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape: suppliers who were the SOLE cause of a
+    finished multi-supplier order shipping late — a slow line (shipped
+    > 60 days after the order date; this corpus carries no
+    commit/receipt dates), where ANOTHER supplier contributed to the
+    same order (EXISTS) but no OTHER supplier was also slow
+    (NOT EXISTS with two correlated predicates).
+
+    Decorrelation: both existential subqueries correlate on
+    l_orderkey with a residual ``suppkey <>`` inequality, so they
+    become one LEFT SEMI and one LEFT ANTI join on the order key with
+    the inequality as a non-equi residual — shuffle-hash/SMJ on
+    l_orderkey, never a θ-join. The NOT-EXISTS side's second
+    correlated predicate (the other line must ALSO be slow) references
+    the OUTER order's date; because both lines share that order, the
+    slow-line frame is built once against orders and reused as l1 and
+    l3 (one scan, one persist). The final per-supplier count is
+    dim-bounded, so the top-100 is a TakeOrderedAndProject with a
+    (numwait DESC, s_name) total order — deterministic at the cut.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    slow = scoped_persist(
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    l3 = slow.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    sole_blockers = (
+        slow.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_blockers.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+COLD_CUSTOMER_ORACLE = """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+      * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+    > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+       FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "cold_customer_balance",
+    oracle=COLD_CUSTOMER_ORACLE,
+    tags=("join", "subquery", "tpch"),
+    past_window=True,
+)
+def cold_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape: well-funded customers who LAPSED — per
+    nation, the count and total balance of customers whose balance
+    beats the positive-balance average (uncorrelated scalar subquery)
+    and who placed no order on/after 2000-01-01 (correlated NOT EXISTS
+    → LEFT ANTI join on the customer key; in this corpus every
+    customer has SOME order, so Q22's never-ordered form is vacuous
+    and the recency predicate — pushed down to the orders scan —
+    restores the selective anti-join the shape is about).
+
+    Exactness: "balance > avg of positive balances" compares by
+    cross-multiplication (bal·n_pos > Σ_pos) entirely in DECIMAL — no
+    division, so no engine-specific quotient scale and boundary
+    customers resolve identically in Spark and the oracle
+    (``orders_above_customer_avg``'s discipline). Scale shape: the
+    scalar aggregate is one 1-row broadcast over the customer scan;
+    the anti join shuffles customer × orders on the customer key
+    (orders needs only o_custkey — column pruning reaches the scan);
+    nation is a broadcast dim; the final aggregate is dim-bounded.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos_stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(bal).alias("sum_pos"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(pos_stats))
+        .filter(bal * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )

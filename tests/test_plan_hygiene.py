@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "knn_label_vote",  # inherits cosine_topk_bruteforce's 8-vector query broadcast
     "doc_tfidf_topterms",  # 1-row corpus-doc-count scalar × (doc, term) counts
     "revenue_trend_fit",  # 1-row anchor-day scalar × events scan
+    "cold_customer_balance",  # 1-row (n_pos, sum_pos) balance-stats scalar × customers
 }
 
 
