@@ -139,6 +139,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "supplier_wait_chain",
     "cold_customer_balance",
+    "session_window_stats",
 ]
 
 

@@ -336,22 +336,13 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     merges windows incrementally and emits a session once the watermark
     passes its close. Same session boundaries by construction — asserted
     against the batch analog on closed sessions in
-    ``tests/test_streaming.py``.
+    ``tests/test_streaming.py``. The window definition is the SHARED
+    ``session_stats_frame`` (also the batch ``session_window_stats``
+    head, oracle-backed), so the two doors cannot drift.
     """
-    return (
-        events.withWatermark("ts", "1 minute")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            "n_events",
-            "session_value",
-        )
-    )
+    from gmall_flink_parent_spark.operators.windows import session_stats_frame
+
+    return session_stats_frame(events.withWatermark("ts", "1 minute"))
 
 
 def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:

@@ -2977,3 +2977,51 @@ def test_observe_expectations_rides_the_write_scan(spark, sf_dir, tmp_path):
         if r.check_name in {c.name for c in obs_checks}
     }
     assert got == report and len(got) > 3
+
+
+def test_native_session_window_matches_lag_sum(spark, sf_dir):
+    """Spark's native session_window operator and the hand-rolled
+    lag + running-sum construction (``sessionize``) must produce the
+    SAME sessions — same (user, start, n_events, value) set, and the
+    native head's close is last-event + gap. (The two constructions
+    differ only for an event landing exactly at last_ts + gap; the
+    corpus has no such boundary pair at any SF, verified up front.)"""
+    from gmall_flink_parent_spark import plans
+
+    qmap = plans.query_map()
+    native = qmap["session_window_stats"](spark, sf_dir).collect()
+    lag = qmap["sessionize"](spark, sf_dir).collect()
+    key = lambda r: (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+    assert sorted(map(key, native)) == sorted(map(key, lag))
+    # native close = last event ts + 30 min (the streaming eviction instant)
+    by_start = {(r["user_id"], r["session_start"]): r["session_end"] for r in lag}
+    import datetime as _dt
+
+    gap = _dt.timedelta(minutes=30)
+    assert all(
+        r["session_close"] == by_start[(r["user_id"], r["session_start"])] + gap
+        for r in native
+    )
+
+
+def test_session_stats_frame_gap_parameter(spark):
+    """The gap parameter changes the merge: a 10-minute chain is one
+    session at gap=30min and three sessions at gap=5min."""
+    import datetime as _dt
+
+    from gmall_flink_parent_spark.operators.windows import session_stats_frame
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, t0 + _dt.timedelta(minutes=10 * i), 1.0) for i in range(3)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    wide = session_stats_frame(ev, "30 minutes").collect()
+    assert len(wide) == 1 and wide[0]["n_events"] == 3
+    narrow = sorted(
+        session_stats_frame(ev, "5 minutes").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [r["n_events"] for r in narrow] == [1, 1, 1]
+    assert all(
+        r["session_close"] - r["session_start"] == _dt.timedelta(minutes=5)
+        for r in narrow
+    )
