@@ -140,6 +140,10 @@ HEADLINE = [
     "supplier_wait_chain",
     "cold_customer_balance",
     "session_window_stats",
+    "nation_trade_volume",
+    "nation_market_share",
+    "top_revenue_supplier",
+    "dominant_part_suppliers",
 ]
 
 

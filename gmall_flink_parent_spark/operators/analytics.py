@@ -986,3 +986,328 @@ def cold_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ----------------------------------- international trade (Q7/Q8 shapes)
+
+TRADE_VOLUME_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE (r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+       OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "nation_trade_volume",
+    oracle=TRADE_VOLUME_ORACLE,
+    tags=("join", "dws", "tpch"),
+    past_window=True,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's shape: bilateral trade volume between two REGIONS
+    (AMERICA ↔ ASIA), reported at nation-pair × ship-year grain — the
+    6-way fact-dim snowflake join with a PAIR predicate (either trade
+    direction; the region pair replaces Q7's nation pair because this
+    corpus's supplier dim is too thin at small SF for any single
+    nation pair to trade).
+
+    Scale shape: the pair filter is decomposed so it PRUNES EARLY —
+    supplier and customer are each semi-filtered to their region's
+    nations by a broadcast of the nation⋈region snowflake BEFORE
+    touching the facts, so the lineitem⋈orders shuffle carries only
+    the two regions' rows; the residual direction check (one side
+    AMERICA, the other ASIA) runs post-join on the pruned frame. The
+    year bucket and decimal volume are computed in the map stage; one
+    final dim-bounded aggregate.
+    """
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+                F.col("r_name").alias("supp_region"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation", "supp_region")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+                F.col("r_name").alias("cust_region"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation", "cust_region")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_region") != F.col("cust_region"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+MARKET_SHARE_ORACLE = """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume
+FROM (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+)
+GROUP BY o_year
+"""
+
+
+@register(
+    "nation_market_share",
+    oracle=MARKET_SHARE_ORACLE,
+    tags=("join", "dws", "tpch"),
+    past_window=True,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's shape: one nation's share of a part-type market in a
+    region, by order year — the 8-way snowflake join with conditional
+    aggregation.
+
+    Exactness: numerator and denominator are exact DECIMAL sums cast
+    to double; the share is ONE IEEE double division of those two —
+    deterministic across engines, no decimal-quotient scale rules in
+    play. Scale shape: part (filtered to the type), customer-side
+    nation⋈region, and supplier-side nation are all broadcast dims;
+    the region filter prunes the customer side BEFORE the fact join;
+    the only big shuffle is lineitem⋈orders on the order key; the
+    CASE split means one pass computes both sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    is_n1 = F.col("supp_nation") == "NATION_1"
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(is_n1, vol).otherwise(zero))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        "nation_volume",
+        "total_volume",
+    )
+
+
+TOP_SUPPLIER_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(rv.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue rv ON rv.supplier_no = s.s_suppkey
+WHERE rv.total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=TOP_SUPPLIER_ORACLE,
+    tags=("join", "subquery", "tpch"),
+    past_window=True,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape: the quarter's top supplier(s) by revenue —
+    the MAX-equality scalar subquery over a derived aggregate (ties
+    all surface, unlike a top-1 LIMIT).
+
+    Decorrelation: the revenue aggregate is built once (persisted),
+    its 1-row MAX broadcasts back over itself, and the equality filter
+    runs in exact DECIMAL — same-valued ties cannot be split by float
+    rounding, and the oracle's correlated form hash-proves the
+    rewrite. The supplier dim joins by broadcast AFTER the filter
+    (a handful of rows reach it).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    revenue = scoped_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(rev).alias("total_rev")
+        )
+    )
+    mx = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+DOMINANT_SUPPLIER_ORACLE = """
+SELECT s.s_name, p.p_name,
+       CAST(j.supp_qty AS DOUBLE) AS supp_qty,
+       CAST(t.part_qty AS DOUBLE) AS part_qty,
+       t.n_supp
+FROM (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+) j
+JOIN (
+    SELECT l_partkey,
+           SUM(supp_qty) AS part_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_supp
+    FROM (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ) GROUP BY l_partkey
+) t ON t.l_partkey = j.l_partkey
+JOIN supplier s ON s.s_suppkey = j.l_suppkey
+JOIN part p ON p.p_partkey = j.l_partkey
+WHERE j.supp_qty * t.n_supp > 2 * t.part_qty
+"""
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle=DOMINANT_SUPPLIER_ORACLE,
+    tags=("join", "subquery", "tpch"),
+    past_window=True,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape: suppliers holding a DOMINANT share of a
+    part's shipped quantity — more than twice the part's mean
+    per-supplier quantity — the nested-grouped-aggregate subquery
+    (the inner aggregate at a finer grain than the outer; Q20's
+    literal >50% threshold is unreachable in this corpus, whose ~30
+    lines per part spread near-uniformly over ~30 suppliers at every
+    SF, so the threshold is relative to the mean — same shape, scale-
+    stable selectivity).
+
+    Decorrelation: the fine (part, supplier) aggregate rolls up AGAIN
+    to the part grain instead of re-scanning lineitem — one scan, two
+    aggregates, the second over the first's (already combined) output;
+    the dominance test cross-multiplies in DECIMAL
+    (qty·n_supp > 2·total), no division. Both aggregates and their
+    join share the part-key hash partitioning, so the join is
+    shuffle-free after the first aggregate's exchange; supplier and
+    part names broadcast onto the few surviving rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    fine = scoped_persist(
+        li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("supp_qty"))
+    )
+    totals = fine.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        fine.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("supp_qty") * F.col("n_supp") > 2 * F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_name",
+            "p_name",
+            F.col("supp_qty").cast("double").alias("supp_qty"),
+            F.col("part_qty").cast("double").alias("part_qty"),
+            "n_supp",
+        )
+    )

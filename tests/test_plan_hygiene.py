@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "doc_tfidf_topterms",  # 1-row corpus-doc-count scalar × (doc, term) counts
     "revenue_trend_fit",  # 1-row anchor-day scalar × events scan
     "cold_customer_balance",  # 1-row (n_pos, sum_pos) balance-stats scalar × customers
+    "top_revenue_supplier",  # 1-row MAX-revenue scalar × per-supplier revenue frame
 }
 
 
