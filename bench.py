@@ -144,6 +144,7 @@ HEADLINE = [
     "nation_market_share",
     "top_revenue_supplier",
     "dominant_part_suppliers",
+    "cosine_topk_gemm",
 ]
 
 

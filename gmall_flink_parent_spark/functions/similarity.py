@@ -1484,3 +1484,111 @@ def kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.cast("int").alias("center_rank"),
         F.round(dist, 6).alias("dist"),
     )
+
+
+# ------------------------- Arrow-batched GEMM brute force (scale path)
+
+def cosine_topk_gemm_frame(
+    emb: DataFrame, query_rows: list, top_k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k scored by VECTORIZED numpy inside
+    ``mapInPandas`` — the Arrow-batch matrix path for wide query sets,
+    versus the codegen expression chain of ``cosine_topk_frame``
+    (whose per-row cost grows with n_queries × DIM expression nodes;
+    the matrix form pays one (batch × DIM) · (DIM × n_queries)
+    product per Arrow batch instead).
+
+    ``query_rows`` is a COLLECTED list of (query_id, embedding) —
+    bounded by construction (query sets are a few to a few thousand
+    vectors; the registered head passes 8), closure-shipped to
+    executors with the task, the same distribution mechanism as a
+    broadcast. Bit-exactness with the codegen/oracle chain: the dot
+    product and norms accumulate SEQUENTIALLY over the dimension axis
+    (64 vectorized multiply-adds, each rounding exactly like the
+    left-fold ``0.0 + t0 + t1 + …`` chain — numpy composes multiply
+    and add as separately-rounded ops, no FMA), so every cosine is
+    bit-identical to ``cosine_topk_frame``'s and the SAME oracle
+    hash-verifies both. Each Arrow batch pre-reduces to its local
+    top-k per query under the global (cs DESC, neighbor_id) total
+    order — exact, since any global winner is a batch-local winner —
+    so the shuffle carries ≤ k rows per (query, batch), never the
+    corpus.
+    """
+    import numpy as np
+
+    q_ids = [int(r[0]) for r in query_rows]
+    q_mat = np.array([list(r[1]) for r in query_rows], dtype=np.float64)
+
+    def score(batches):
+        import pandas as pd
+
+        nq, dim = q_mat.shape
+        q_nrm_sq = np.zeros(nq)
+        for i in range(dim):  # sequential: bit-identical to the SQL chain
+            q_nrm_sq += q_mat[:, i] * q_mat[:, i]
+        q_nrm = np.sqrt(q_nrm_sq)
+        qids = np.array(q_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = len(vec_ids)
+            dots = np.zeros((n, nq))
+            c_nrm_sq = np.zeros(n)
+            for i in range(dim):
+                ci = cand[:, i]
+                dots += ci[:, None] * q_mat[:, i][None, :]
+                c_nrm_sq += ci * ci
+            cs = dots / (q_nrm[None, :] * np.sqrt(c_nrm_sq)[:, None])
+            out_q, out_n, out_cs = [], [], []
+            for j in range(nq):
+                mask = vec_ids != qids[j]  # self-exclusion
+                nbrs, scores = vec_ids[mask], cs[mask, j]
+                order = np.lexsort((nbrs, -scores))[:top_k]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_n.append(nbrs[order])
+                out_cs.append(scores[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cs": np.concatenate(out_cs),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cs double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "cosine_topk_gemm",
+    oracle=_cosine_oracle(TOP_K, same_label=False),
+    tags=("similarity", "ann", "vectorized"),
+    past_window=True,
+)
+def cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cosine_topk_bruteforce`` re-scored through the Arrow-batch
+    numpy matrix path (``cosine_topk_gemm_frame``) — SAME oracle as
+    the codegen head, so the driver hash-proves the two execution
+    strategies bit-identical. The 8-vector query set is collected
+    (bounded by construction) and closure-shipped; per-batch top-k
+    pre-reduction keeps the shuffle at ≤ k rows per (query, batch).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return cosine_topk_gemm_frame(emb, query_rows, TOP_K)
