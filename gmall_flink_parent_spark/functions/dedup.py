@@ -1119,3 +1119,109 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
     )
+
+
+# ----------------------- prefix-filtered exact Jaccard join (AllPairs)
+
+PREFIX_JOIN_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT doc_id_a, doc_id_b, jaccard
+FROM (
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                 6) AS jaccard
+    FROM t a
+    JOIN t b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "jaccard_prefix_join",
+    oracle=PREFIX_JOIN_ORACLE,
+    tags=("dedup", "similarity-join"),
+    past_window=True,
+)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE exact token-set Jaccard join (τ=0.6) via prefix
+    filtering — the AllPairs/PPJoin family (Bayardo+ WWW'07, Xiao+
+    WWW'08): every true pair found, NO blocking key and NO quadratic
+    pass, unlike ``dedup_jaccard_blocked`` (exact but only within
+    source blocks) and MinHash-LSH (corpus-wide but probabilistic).
+
+    Completeness is a pigeonhole theorem: order every document's
+    tokens by ascending global document frequency (rare first; ties by
+    token — any fixed total order works) and keep each document's
+    PREFIX of ``|x| − ⌈τ·|x|⌉ + 1`` tokens. Two documents with
+    J ≥ τ must overlap in ≥ ⌈τ·max(|x|,|y|)⌉ tokens, so skipping
+    either prefix entirely would leave fewer shared tokens than
+    required — hence every qualifying pair shares ≥ 1 PREFIX token,
+    and the equi-join on prefix tokens generates it. The driver's
+    hash check against the full-quadratic oracle proves completeness
+    empirically on this corpus.
+
+    Scale shape: token df is one map-side-combined aggregate; prefix
+    selection is a per-doc window (bounded by doc length); candidate
+    generation is an EQUI-join on prefix tokens — rare-first ordering
+    makes bucket sizes small by construction (frequency-ordered
+    prefixes are exactly the trick that bounds the join's fan-out);
+    a τ·|x| ≤ |y| ≤ |x|/τ size filter prunes residually, candidates
+    dedup before ONE exact verify join per distinct pair (array
+    intersect over the two token arrays). Every stage is a shuffle on
+    a real key — nothing quadratic, nothing cartesian.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    t = scoped_persist(
+        docs.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        ).withColumn("sz", F.size("toks"))
+    )
+    toks = t.select("doc_id", "sz", F.explode("toks").alias("token"))
+    df_tab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
+    prefixes = (
+        toks.join(df_tab, "token")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("token", "doc_id", "sz")
+    )
+    a = prefixes.select(
+        F.col("token"), F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    b = prefixes.select(
+        F.col("token"), F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    tau = F.lit(JACCARD_THRESHOLD)
+    cands = (
+        a.join(b, "token")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * tau <= F.col("sz_a"))
+            & (F.col("sz_a") * tau <= F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
