@@ -2064,3 +2064,82 @@ def value_histogram_from_store(spark: SparkSession, store_path: str) -> DataFram
         "n_events",
         "sum_value",
     )
+
+
+def session_store_job(
+    events: DataFrame, store_path: str, checkpoint_dir: str, gap: str = "30 minutes"
+):
+    """Session FRAGMENTS at ingest — the session-grain partial store.
+
+    Sessionization is associatively mergeable at fragment grain: each
+    micro-batch reduces to its own ``session_window`` sessions
+    (user_id, first_ts, close_ts = last event + gap, n_events, decimal
+    value sum), and two fragments of one TRUE session — split across
+    batches in either order, interleaved or nested in time — always
+    satisfy the same within-gap adjacency their events do, so the
+    final pass's interval merge (``sessions_from_store``) reconstructs
+    the global sessions EXACTLY. Store size ∝ sessions touched per
+    batch, never event volume; replays overwrite their own batch
+    partition (the shared idempotent store contract). An event lands
+    in exactly one batch (file-source exactly-once), so counts and
+    sums never double.
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(F.session_window("ts", gap), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("first_ts"),
+                F.col("session_window.end").alias("close_ts"),
+                "n_events",
+                "value_dec",
+            )
+        )
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/sessions"
+    )
+
+
+def sessions_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Global sessions from the fragment store — hash-equal to batch
+    ``session_window_stats`` over the same events.
+
+    The merge is the classic interval sweep per user: fragments sorted
+    by (first_ts, close_ts), a new session starts when a fragment's
+    first_ts reaches or passes the running max close (close already
+    embeds the gap, and the boundary is exclusive exactly like
+    ``session_window``'s [start, end)); then one group-aggregate sums
+    the fragments' exact partials. Cost ∝ fragment count — the window
+    is per-user over sessions-touched, orders of magnitude under the
+    event scan it replaces.
+    """
+    from pyspark.sql import Window
+
+    frags = spark.read.parquet(store_path)
+    w = Window.partitionBy("user_id").orderBy("first_ts", "close_ts")
+    prev_close = F.max("close_ts").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (
+        prev_close.isNull() | (F.col("first_ts") >= prev_close)
+    ).cast("long")
+    grp = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        frags.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("first_ts").alias("session_start"),
+            F.max("close_ts").alias("session_close"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_dec").cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_close", "n_events", "session_value"
+        )
+    )
