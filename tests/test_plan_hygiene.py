@@ -168,3 +168,54 @@ def test_dsir_weight_plan_shape(spark, sf_dir):
     ]
     assert len(doc_exchanges) <= 2, doc_exchanges
     assert plan.count("SinglePartition") == 1  # the 1-row totals agg
+
+
+def test_existence_join_heads_use_semi_anti_not_nested_loop(spark, sf_dir):
+    """The Q21/Q22 shapes exist to pin correlated-existential
+    DEcorrelation: the EXISTS / NOT EXISTS sides must land as hash or
+    sort-merge LeftSemi / LeftAnti joins on the correlation key — with
+    the non-equi suppkey<> residual carried as a join condition, never
+    a nested-loop or cartesian fallback."""
+    plan = _physical_plan(plans.all_queries()["supplier_wait_chain"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the top-100 must be the two-phase TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    plan22 = _physical_plan(
+        plans.all_queries()["cold_customer_balance"].fn(spark, sf_dir)
+    )
+    assert "LeftAnti" in plan22
+    # the recency predicate reaches the orders parquet scan
+    assert any(
+        "PushedFilters" in ln and "o_orderdate" in ln for ln in plan22.splitlines()
+    ), "recency filter not pushed to the orders scan"
+
+
+def test_trade_heads_broadcast_dims_and_push_filters(spark, sf_dir):
+    """Q7/Q8 shapes: every dim side must broadcast (the only
+    sort-merge/shuffle join allowed is the lineitem⋈orders fact join)
+    and the part-type filter must reach the part scan."""
+    import re
+
+    plan7 = _physical_plan(plans.all_queries()["nation_trade_volume"].fn(spark, sf_dir))
+    assert plan7.count("BroadcastHashJoin") >= 2  # supplier-side and customer-side
+    plan8 = _physical_plan(plans.all_queries()["nation_market_share"].fn(spark, sf_dir))
+    assert plan8.count("BroadcastHashJoin") >= 3  # part, supplier, customer sides
+    assert any(
+        "PushedFilters" in ln and "p_type" in ln for ln in plan8.splitlines()
+    ), "part-type filter not pushed to the part scan"
+    # exactly one non-broadcast join family may appear: the fact-fact join
+    smj = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan8))
+    assert smj <= 2, f"unexpected extra shuffle joins in Q8 plan: {smj}"
+
+
+def test_prefix_join_candidate_generation_is_equi_join(spark, sf_dir):
+    """The AllPairs prefix join must generate candidates through a
+    token EQUI-join (shuffle or broadcast hash) — never a theta join —
+    and the dominance/size filters ride as residual conditions."""
+    plan = _physical_plan(plans.all_queries()["jaccard_prefix_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
