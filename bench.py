@@ -145,6 +145,7 @@ HEADLINE = [
     "top_revenue_supplier",
     "dominant_part_suppliers",
     "cosine_topk_gemm",
+    "regional_revenue_gapfill",
 ]
 
 

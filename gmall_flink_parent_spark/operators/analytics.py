@@ -1311,3 +1311,108 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_supp",
         )
     )
+
+
+# ------------------------------------ calendar densification + LOCF
+
+GAPFILL_ORACLE = """
+WITH base AS (
+    SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, CAST(o.o_orderdate AS DATE)
+), bounds AS (
+    SELECT region, MIN(day) AS mn, MAX(day) AS mx FROM base GROUP BY region
+), calendar AS (
+    SELECT region, CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+)
+SELECT cal.region, cal.day,
+       COALESCE(b.n_orders, 0) AS n_orders,
+       CAST(COALESCE(b.rev_dec, 0.00) AS DOUBLE) AS revenue,
+       CAST(LAST_VALUE(b.rev_dec IGNORE NULLS) OVER (
+           PARTITION BY cal.region ORDER BY cal.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS revenue_locf
+FROM calendar cal LEFT JOIN base b ON b.region = cal.region AND b.day = cal.day
+"""
+
+
+@register(
+    "regional_revenue_gapfill",
+    oracle=GAPFILL_ORACLE,
+    tags=("dws", "time-series", "gapfill"),
+    past_window=True,
+)
+def regional_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + last-observation-carried-forward — the
+    time-series gap-fill every telemetry/reporting pipeline needs and
+    no groupBy gives: per region, EVERY day between its first and last
+    order exists in the output (~87% of days have no orders in this
+    corpus), zero-filled counts/revenue plus a LOCF revenue column.
+
+    Scale shape: the observed frame is one aggregate (map-side
+    combined); the calendar explodes from the 5-row per-region bounds
+    via ``sequence()`` — rows ∝ regions × days, a DIM-bounded frame no
+    matter the fact volume; the left join and the LOCF window both
+    partition on region, so nothing serializes through one task and
+    the window frame is bounded by the day span. LOCF never sees a
+    leading null (each region's calendar starts at its first OBSERVED
+    day), so the column is total without a fill sentinel.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", F.col("r_name").alias("region"))
+    dims = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("c_custkey", "region")
+    base = scoped_persist(
+        o.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("region", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("rev_dec"),
+        )
+    )
+    calendar = (
+        base.groupBy("region")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "region",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("region")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = calendar.join(
+        base.select(
+            F.col("region").alias("b_region"),
+            F.col("day").alias("b_day"),
+            "n_orders",
+            "rev_dec",
+        ),
+        (F.col("region") == F.col("b_region")) & (F.col("day") == F.col("b_day")),
+        "left",
+    )
+    return joined.select(
+        "region",
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("rev_dec", F.lit("0.00").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.last("rev_dec", ignorenulls=True).over(w).cast("double").alias("revenue_locf"),
+    )
