@@ -146,6 +146,7 @@ HEADLINE = [
     "dominant_part_suppliers",
     "cosine_topk_gemm",
     "regional_revenue_gapfill",
+    "order_detail_interval_join_outer",
 ]
 
 

@@ -200,3 +200,56 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_qty"),
         )
     )
+
+
+OUTER_INTERVAL_JOIN_ORACLE = """
+SELECT o.o_orderkey,
+       l.l_linenumber,
+       o.o_orderdate,
+       l.l_shipdate,
+       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extended_price
+FROM orders o
+LEFT JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+@register(
+    "order_detail_interval_join_outer",
+    oracle=OUTER_INTERVAL_JOIN_ORACLE,
+    tags=("J1", "W5", "outer"),
+    past_window=True,
+)
+def order_detail_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER event-time band join — the unmatched-order side the
+    inner form (``order_detail_interval_join``) drops: an order with no
+    detail inside its [0, +30 d] band keeps its row with null detail
+    columns. That null row IS the alerting signal real order-wide
+    pipelines watch for (an order that never shipped), so the outer
+    form completes J1 rather than decorating it.
+
+    Physically identical to the inner head — equi-join on the key, the
+    band as a residual — plus null-padding for the preserved side;
+    still shuffle-on-key only. The streaming twin
+    (``order_wide_outer_stream``) emits the null row once the
+    watermark proves the band can no longer match — Flink's interval
+    join cannot do outer at all (SURVEY §2.5 notes the reference
+    drops unmatched rows), so this is a capability the Spark engine
+    ADDS over the reference.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return orders.join(lineitem, cond, "left").select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
+    )

@@ -2143,3 +2143,35 @@ def sessions_from_store(spark: SparkSession, store_path: str) -> DataFrame:
             "user_id", "session_start", "session_close", "n_events", "session_value"
         )
     )
+
+
+def order_wide_outer_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the capability the
+    reference's Flink interval join lacks (it silently drops unmatched
+    orders): an order whose [0, +30 d] band closes with no detail
+    emits ONE null-padded row as soon as the watermark proves no match
+    can still arrive. Same band, same watermarks, same output schema
+    as ``order_wide_stream``; the outer row is the never-shipped alert
+    signal. State bound is identical to the inner join (both sides
+    buffered until the watermark clears the band) — the null emission
+    costs nothing extra, it rides the same state cleanup.
+    """
+    o = orders.withWatermark("o_orderdate", "3 seconds")
+    d = details.withWatermark("l_shipdate", "3 seconds")
+    return o.join(
+        d,
+        F.expr(
+            """
+            o_orderkey = l_orderkey AND
+            l_shipdate >= o_orderdate AND
+            l_shipdate <= o_orderdate + INTERVAL 30 DAYS
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
+    )

@@ -3818,3 +3818,72 @@ def test_session_store_merges_cross_batch_fragments(spark, sf_dir, tmp_path):
     assert store.count() > len(want), "parity split produced no cross-batch fragments"
     got = _rows(sessions_from_store(spark, str(tmp_path / "store")), cols)
     assert got == want and len(want) > 0
+
+
+def test_order_wide_outer_stream_emits_null_rows_for_closed_bands(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows equal the
+    batch LEFT JOIN's; every order whose band the watermark closed
+    emits exactly one null-padded row. Outer-null emission lags one
+    micro-batch behind the watermark (state evicts in the NEXT batch),
+    so the harness appends two far-future sentinel batches per side —
+    the first advances the watermark past every real band, the second
+    gives eviction a batch to run in (the CEP-timeout flush pattern)."""
+    import datetime as _dt
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import order_wide_outer_stream
+
+    o_base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l_base = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+    far1 = _dt.datetime(2300, 1, 1)
+    far2 = _dt.datetime(2301, 1, 1)
+    for side, base, sent_rows, schema in (
+        ("o", o_base, [(-1,)], "o_orderkey long, o_orderdate timestamp"),
+        ("l", l_base, [(-2,)], "l_orderkey long, l_linenumber int, l_extendedprice double, l_shipdate timestamp"),
+    ):
+        d = tmp_path / side
+        d.mkdir()
+        pdf = base.toPandas()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("datetime64"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        files = [("f1.parquet", pdf, 0)]
+        for i, far in enumerate((far1, far2)):
+            sent = pdf.iloc[:1].copy()
+            key = "o_orderkey" if side == "o" else "l_orderkey"
+            ts = "o_orderdate" if side == "o" else "l_shipdate"
+            sent[key] = sent_rows[0][0]
+            sent[ts] = far
+            files.append((f"sent{i}.parquet", sent, 5 * (i + 1)))
+        for fname, frame, off in files:
+            path = str(d / fname)
+            frame.to_parquet(path)
+            t = time.time() + off
+            os.utime(path, (t, t))
+    orders = (
+        spark.readStream.schema("o_orderkey long, o_orderdate timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "o"))
+    )
+    details = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_extendedprice double, l_shipdate timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "l"))
+    )
+    out = _run_to_memory(order_wide_outer_stream(orders, details), spark, "owo_out")
+    cols = ["o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "extended_price"]
+    got = sorted(r for r in _rows(out, cols) if r[0] >= 0)  # drop sentinels
+    want = sorted(
+        _rows(
+            plans.query_map()["order_detail_interval_join_outer"](spark, sf_dir), cols
+        )
+    )
+    assert len([r for r in want if r[1] is None]) > 0, "fixture has no unmatched order"
+    assert got == want
