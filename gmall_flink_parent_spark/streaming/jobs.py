@@ -2085,24 +2085,33 @@ def session_store_job(
     sums never double.
     """
 
-    def partials(batch: DataFrame) -> DataFrame:
-        return (
-            batch.groupBy(F.session_window("ts", gap), "user_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
-            )
-            .select(
-                "user_id",
-                F.col("session_window.start").alias("first_ts"),
-                F.col("session_window.end").alias("close_ts"),
-                "n_events",
-                "value_dec",
-            )
-        )
-
     return _partial_store_job(
-        events, partials, store_path, f"{checkpoint_dir}/sessions"
+        events,
+        lambda batch: session_fragments(batch, gap),
+        store_path,
+        f"{checkpoint_dir}/sessions",
+    )
+
+
+def session_fragments(batch: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """One batch's ``session_window`` sessions as mergeable fragments:
+    (user_id, first_ts, close_ts = last event + gap, n_events, decimal
+    value sum). ``merge_session_fragments`` reconstructs the global
+    sessions from any batch partitioning of the events — the algebra
+    the any-split property test pins."""
+    return (
+        batch.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("first_ts"),
+            F.col("session_window.end").alias("close_ts"),
+            "n_events",
+            "value_dec",
+        )
     )
 
 
@@ -2119,9 +2128,14 @@ def sessions_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     is per-user over sessions-touched, orders of magnitude under the
     event scan it replaces.
     """
+    return merge_session_fragments(spark.read.parquet(store_path))
+
+
+def merge_session_fragments(frags: DataFrame) -> DataFrame:
+    """The interval sweep over session fragments (see
+    ``sessions_from_store``) as a reusable frame transform."""
     from pyspark.sql import Window
 
-    frags = spark.read.parquet(store_path)
     w = Window.partitionBy("user_id").orderBy("first_ts", "close_ts")
     prev_close = F.max("close_ts").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

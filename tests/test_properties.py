@@ -911,3 +911,63 @@ def test_edit_join_complete_for_any_two_edits(spark, base, edits):
     got = {(r.name_a, r.name_b) for r in edit_join_complete(names).collect()}
     lo, hi = sorted([base, mut])
     assert (lo, hi) in got
+
+
+session_split_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=7200),   # seconds offset
+        st.integers(min_value=0, max_value=99),     # value
+        st.integers(min_value=0, max_value=2),      # batch assignment
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=session_split_strategy)
+def test_session_fragment_merge_any_split_property(spark, rows):
+    """Sessionization is associatively mergeable at fragment grain: for
+    ANY assignment of events to batches — interleaved, nested, or
+    time-ordered — per-batch session_window fragments merged by the
+    interval sweep equal the single-pass sessions over all events
+    (10-minute gap for dense structure at this time range)."""
+    from gmall_flink_parent_spark.operators.windows import session_stats_frame
+    from gmall_flink_parent_spark.streaming.jobs import (
+        merge_session_fragments,
+        session_fragments,
+    )
+
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [base + pd.Timedelta(seconds=r[1]) for r in rows],
+            "value": [float(r[2]) for r in rows],
+            "part": [r[3] for r in rows],
+        }
+    )
+    # duplicate (user, ts) rows collapse inside one batch's session agg
+    # but would double-count across batches — an event belongs to ONE
+    # batch, so dedupe the (user, ts) grain first (the store's
+    # file-source exactly-once contract)
+    pdf = pdf.drop_duplicates(subset=["user_id", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    frag_parts = [
+        session_fragments(
+            df.filter(F.col("part") == i).drop("part"), "10 minutes"
+        )
+        for i in range(3)
+    ]
+    frags = frag_parts[0]
+    for fp in frag_parts[1:]:
+        frags = frags.unionByName(fp)
+    merged = merge_session_fragments(frags)
+    want = session_stats_frame(df.drop("part"), "10 minutes")
+    key = lambda r: (
+        r["user_id"], r["session_start"], r["session_close"],
+        r["n_events"], r["session_value"],
+    )
+    assert sorted(map(key, merged.collect())) == sorted(map(key, want.collect()))
