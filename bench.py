@@ -147,6 +147,7 @@ HEADLINE = [
     "cosine_topk_gemm",
     "regional_revenue_gapfill",
     "order_detail_interval_join_outer",
+    "event_type_unpivot",
 ]
 
 

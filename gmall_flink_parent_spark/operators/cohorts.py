@@ -563,3 +563,40 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+EVENT_UNPIVOT_ORACLE = """
+SELECT ymd, event_type, value_sum
+FROM (
+    SELECT strftime(ts, '%Y%m%d') AS ymd, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY strftime(ts, '%Y%m%d'), event_type
+)
+"""
+
+
+@register(
+    "event_type_unpivot",
+    oracle=EVENT_UNPIVOT_ORACLE,
+    tags=("dws", "reshape", "unpivot"),
+    past_window=True,
+)
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unpivot`` (melt) as the exact inverse of ``event_type_pivot``:
+    the wide day × type matrix turns back into (ymd, event_type,
+    value_sum) long form, dropping the NULL cells pivot materialized
+    for absent (day, type) pairs — so the round trip reproduces the
+    plain grouped aggregate, which is what the oracle states.
+
+    Built with ``DataFrame.unpivot`` (SQL ``stack``): a pure map-side
+    row explode — values_column_count rows out per input row, no
+    shuffle beyond the pivot's own aggregate, and the NULL filter is
+    codegen. Pivot and unpivot are the reshape pair every dashboard
+    layer needs; proving them mutually inverse on real data pins both.
+    """
+    wide = event_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("ymd", list(PIVOT_TYPES), "event_type", "value_sum")
+        .filter(F.col("value_sum").isNotNull())
+    )
