@@ -148,6 +148,7 @@ HEADLINE = [
     "regional_revenue_gapfill",
     "order_detail_interval_join_outer",
     "event_type_unpivot",
+    "event_transition_matrix",
 ]
 
 

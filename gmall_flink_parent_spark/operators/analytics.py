@@ -1416,3 +1416,71 @@ def regional_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.last("rev_dec", ignorenulls=True).over(w).cast("double").alias("revenue_locf"),
     )
+
+
+# ------------------------------------------- event transition matrix
+
+TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+), totals AS (
+    SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p_next
+FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=TRANSITION_ORACLE,
+    tags=("dws", "sequence", "markov"),
+    past_window=True,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (prev_type → next_type) pair, the count and
+    the conditional probability — the clickstream path-analysis
+    primitive behind funnel discovery and next-action models.
+
+    Scale shape: ONE shuffle on user_id serves the lag window (the
+    per-user frame is bounded by that user's event count), then the
+    pair aggregate is map-side combined down to ≤ |types|² rows; the
+    row-probability join runs at matrix size (dim-bounded), and the
+    probability is one IEEE double division of two exact counts —
+    deterministic, rounded to 6 for the cross-engine hash.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy(F.col("prev_type").alias("t_prev")).agg(
+        F.sum("n").alias("tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), F.col("prev_type") == F.col("t_prev"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "p_next"
+            ),
+        )
+    )
