@@ -149,6 +149,7 @@ HEADLINE = [
     "order_detail_interval_join_outer",
     "event_type_unpivot",
     "event_transition_matrix",
+    "part_triangle_count",
 ]
 
 

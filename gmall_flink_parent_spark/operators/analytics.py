@@ -1484,3 +1484,108 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------- triangle counting
+
+_TRIANGLE_MIN_SUP = 2  # support >= 3 leaves no triangles at sf >= 0.01
+
+TRIANGLE_ORACLE = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= {_TRIANGLE_MIN_SUP}
+), tri AS (
+    SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.part_a = e1.part_a AND e1.part_b < e2.part_b
+    JOIN edges e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b
+), roles AS (
+    SELECT a AS part FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+FROM roles GROUP BY part
+"""
+
+
+@register(
+    "part_triangle_count",
+    oracle=TRIANGLE_ORACLE,
+    tags=("graph", "market-basket"),
+    past_window=True,
+)
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    (support ≥ 2 edges) — the clustering-coefficient numerator and
+    the classic test of whether a join engine can do graph-local
+    structure without a graph engine.
+
+    The oracle states the id-ordered triple semantics; the plan runs
+    the DEGREE-ORDERED orientation (Cohen 2009 / Suri & Vassilvitskii
+    WWW'11): each edge points from its (degree, id)-smaller endpoint
+    to the larger, wedges enumerate per SOURCE node — out-degrees
+    under this orientation are O(√m), so no hub ever fans out
+    degree² wedge rows, which is exactly what makes MapReduce-style
+    triangle counting survive skewed graphs — and a wedge closes by
+    one equi-join against the oriented edge list. The same triangle
+    set falls out (orientation only changes which vertex enumerates
+    it), which the oracle hash proves every run. Role explosion +
+    one map-side-combined aggregate lands the per-part counts.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = scoped_persist(
+        a.join(b, (a["k"] == b["k"]) & (a["u"] < b["v"]))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _TRIANGLE_MIN_SUP)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionByName(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    keyed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = scoped_persist(
+        keyed.select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+        )
+    )
+    e1 = oriented.select("src", F.col("dst").alias("x"), F.col("dst_d").alias("xd"))
+    e2 = oriented.select(
+        F.col("src").alias("src2"), F.col("dst").alias("y"), F.col("dst_d").alias("yd")
+    )
+    wedges = e1.join(e2, F.col("src") == F.col("src2")).filter(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    closer = oriented.select(F.col("src").alias("x2"), F.col("dst").alias("y2"))
+    tri = wedges.join(
+        closer, (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2"))
+    ).select(F.col("src").alias("a"), F.col("x").alias("b"), F.col("y").alias("c"))
+    roles = (
+        tri.select(F.col("a").alias("part"))
+        .unionByName(tri.select(F.col("b").alias("part")))
+        .unionByName(tri.select(F.col("c").alias("part")))
+    )
+    return roles.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
