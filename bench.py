@@ -150,6 +150,7 @@ HEADLINE = [
     "event_type_unpivot",
     "event_transition_matrix",
     "part_triangle_count",
+    "weighted_sample_docs",
 ]
 
 

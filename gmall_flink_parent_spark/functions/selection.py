@@ -528,3 +528,84 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "clf_margin", "n_tokens"
     )
     return token_budget_select_frame(scored)
+
+
+# -------------------- weighted sampling without replacement (A-Res)
+
+WS_SEED = "ws-r9"
+WS_K = 30  # < the sf0.001 corpus size so every scale has a real cutoff
+_WS_DENOM = float(1 << 60)  # md5's leading 15 hex chars are < 2^60
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           ROUND(
+               ln((CAST(concat('0x', substr(md5(concat('{WS_SEED}', '#', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+                  / {_WS_DENOM})
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {WS_K}
+"""
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=WEIGHTED_SAMPLE_ORACLE,
+    tags=("text", "sampling", "selection"),
+    past_window=True,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (k=30, weight = n_chars)
+    via Efraimidis-Spirakis A-Res keys — the one-pass distributed
+    answer to "sample documents proportional to length": each row gets
+    key u^(1/w) for uniform u, and the k largest keys ARE a weighted
+    sample without replacement (Efraimidis & Spirakis 2006, IPL).
+
+    Determinism: u derives from md5(seed # doc_id) — the corpus-wide
+    reproducibility discipline every sampling head here follows (same
+    seed → same sample on any cluster, any partitioning). The rank
+    runs on ln(u)/w, monotone in the key; the ROUNDED rank value with
+    a doc_id tiebreak makes the cutoff engine-portable (the bm25
+    discipline for libm's last ulp). Scale shape: one scan computing
+    the key in codegen, then TakeOrderedAndProject — per-partition
+    top-k, k rows to the driver side of the sort, never a global
+    shuffle; the weighted sample of 100 TB costs one pass.
+    """
+    return weighted_sample_frame(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        weight_col="n_chars",
+        k=WS_K,
+        seed=WS_SEED,
+    )
+
+
+def weighted_sample_frame(
+    docs: DataFrame, weight_col: str, k: int, seed: str
+) -> DataFrame:
+    """The A-Res core over any (doc_id, weight) frame — see
+    ``weighted_sample_docs`` for the sampling and determinism
+    arguments. Weights must be positive."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(seed), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_WS_DENOM)
+    es_key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        docs.select(
+            "doc_id",
+            F.col(weight_col).cast("long").alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -3025,3 +3025,25 @@ def test_session_stats_frame_gap_parameter(spark):
         r["session_close"] - r["session_start"] == _dt.timedelta(minutes=5)
         for r in narrow
     )
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-Res semantics pin: a row with overwhelming weight is all but
+    guaranteed into the sample (its key u^(1/w) → 1), and across many
+    seeds heavier rows appear more often — weight actually matters,
+    it's not a uniform sample wearing a costume."""
+    from gmall_flink_parent_spark.functions.selection import weighted_sample_frame
+
+    rows = [(i, 1_000_000 if i == 0 else 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picks_of_zero = 0
+    heavy_half, light_half = 0, 0
+    for s in range(12):
+        got = {r["doc_id"] for r in weighted_sample_frame(df, "w", 5, f"s{s}").collect()}
+        assert len(got) == 5
+        picks_of_zero += 0 in got
+        heavy_half += len(got & set(range(1, 20)))
+        light_half += len(got & set(range(20, 40)))
+    assert picks_of_zero == 12  # the mega-weight row never misses
+    # equal-weight halves: both get picked over the seeds (sanity)
+    assert heavy_half > 0 and light_half > 0
