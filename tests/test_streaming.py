@@ -3818,6 +3818,11 @@ def test_session_store_merges_cross_batch_fragments(spark, sf_dir, tmp_path):
     assert store.count() > len(want), "parity split produced no cross-batch fragments"
     got = _rows(sessions_from_store(spark, str(tmp_path / "store")), cols)
     assert got == want and len(want) > 0
+    # fragments survive compaction: the merged answer is unchanged
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+
+    compact_fact_store(spark, str(tmp_path / "store"), str(tmp_path / "ck") + "/sessions")
+    assert _rows(sessions_from_store(spark, str(tmp_path / "store")), cols) == want
 
 
 def test_order_wide_outer_stream_emits_null_rows_for_closed_bands(spark, sf_dir, tmp_path):
