@@ -151,6 +151,7 @@ HEADLINE = [
     "event_transition_matrix",
     "part_triangle_count",
     "weighted_sample_docs",
+    "large_volume_orders",
 ]
 
 

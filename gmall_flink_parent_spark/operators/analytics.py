@@ -1589,3 +1589,63 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("c").alias("part")))
     )
     return roles.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+LARGE_ORDER_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS total_price,
+       CAST(q.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) q ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "large_volume_orders",
+    oracle=LARGE_ORDER_ORACLE,
+    tags=("join", "subquery", "tpch"),
+    past_window=True,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape: the top large-quantity orders with their
+    customers — an IN-subquery over a grouped HAVING aggregate,
+    decorrelated to the aggregate-join it always becomes.
+
+    The quantity aggregate keys on the order — the same key the
+    orders join needs, so the HAVING side arrives already partitioned
+    and the join adds no exchange; the filter collapses the frame to
+    the rare heavy orders BEFORE any dim joins, customer broadcasts
+    onto the survivors, and the top-100 is a TakeOrderedAndProject
+    over a (totalprice DESC, orderdate, orderkey) total order —
+    deterministic at the cut. Decimal quantity sums; doubles only in
+    the output projection.
+    """
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(qty, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
