@@ -152,6 +152,7 @@ HEADLINE = [
     "part_triangle_count",
     "weighted_sample_docs",
     "large_volume_orders",
+    "purchase_attribution",
 ]
 
 

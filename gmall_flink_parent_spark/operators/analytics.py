@@ -1649,3 +1649,68 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_price"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# --------------------------------------------- purchase attribution
+
+ATTRIBUTION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, ts, event_type, value, epoch_us(ts) AS ep,
+           LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+           ) AS last_touch
+    FROM events
+)
+SELECT COALESCE(last_touch, '(none)') AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_revenue
+FROM seq WHERE event_type = 'purchase'
+GROUP BY COALESCE(last_touch, '(none)')
+"""
+
+
+@register(
+    "purchase_attribution",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("dws", "attribution", "sequence"),
+    past_window=True,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent NON-purchase event within the preceding 7 days
+    (purchases with no prior touch in the window credit '(none)') —
+    revenue and purchase counts rolled up per touch channel.
+
+    The 7-day lookback is a RANGE window frame on event-time micros
+    ending 1 µs before the purchase — exclusive of the purchase
+    itself and deterministic because (user, ts) is unique at micro
+    grain (range peers never tie). One shuffle on user_id serves the
+    window; the rollup is |types|+1 rows. The CASE inside LAST_VALUE
+    IGNORE NULLS is the standard conditional-LOCF idiom — purchases
+    inside the lookback are transparent, they never steal credit.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("last_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
