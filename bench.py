@@ -153,6 +153,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "large_volume_orders",
     "purchase_attribution",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -1185,3 +1185,100 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, energy_sum long, zero_crossings long, "
         "fp_signdelta long",
     )
+
+
+# ------------------------------------------------ scene-cut detection
+
+SCENE_CUT_MEAN_DIFF = 28  # mean |Δbyte| above this → cut (text-byte scale)
+
+_SC_BYTE = "CAST(concat('0x', substr(hx, 2*({pos}) - 1, 2)) AS BIGINT)"
+
+SCENE_CUT_ORACLE = f"""
+{_ROUTING_CTE}
+, g AS (
+    SELECT doc_id, hx,
+           CASE mime WHEN 'image/bmp' THEN {BMP_PIXEL_BYTES}
+                     WHEN 'image/png' THEN {BMP_PIXEL_BYTES}
+                     WHEN 'audio/wav' THEN {WAV_DATA_BYTES}
+                     ELSE L END AS cs,
+           CASE mime WHEN 'image/bmp' THEN {BMP_PIXEL_BYTES // N_FRAMES}
+                     WHEN 'image/png' THEN {BMP_PIXEL_BYTES // N_FRAMES}
+                     WHEN 'audio/wav' THEN {WAV_DATA_BYTES // N_FRAMES}
+                     ELSE greatest(L // {N_FRAMES}, 1) END AS step
+    FROM p
+), f AS (
+    SELECT doc_id, hx, cs, step, unnest(range(1, {N_FRAMES})) AS j FROM g
+), lens AS (
+    SELECT doc_id, hx, step, j,
+           least(least(greatest(cs - (j - 1) * step, 0), step),
+                 least(greatest(cs - j * step, 0), step)) AS cmp_len
+    FROM f
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       CAST(COALESCE(list_sum(list_transform(range(cmp_len),
+            i -> abs({_SC_BYTE.format(pos="(j - 1) * step + i + 1")}
+                   - {_SC_BYTE.format(pos="j * step + i + 1")}))), 0) AS BIGINT)
+           AS diff_sum,
+       CAST(cmp_len AS BIGINT) AS cmp_len,
+       (COALESCE(list_sum(list_transform(range(cmp_len),
+            i -> abs({_SC_BYTE.format(pos="(j - 1) * step + i + 1")}
+                   - {_SC_BYTE.format(pos="j * step + i + 1")}))), 0)
+        > {SCENE_CUT_MEAN_DIFF} * cmp_len) AS is_cut
+FROM lens
+"""
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle=SCENE_CUT_ORACLE,
+    tags=("multimodal", "video"),
+    past_window=True,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the sampled frame sequence: for each
+    consecutive frame pair, the sum of absolute byte differences over
+    the decoded content, flagged a cut when the MEAN per-byte change
+    exceeds the threshold — the shot-boundary primitive every video
+    curation pipeline runs right after frame sampling (dedupe static
+    shots, keep transitions).
+
+    Runs inside the SAME Arrow batch that samples the frames (the
+    payload is decoded once; diffs are per-doc local — no shuffle, no
+    second decode), emitting only (doc_id, frame_idx, diff stats).
+    The oracle re-derives every byte of every frame pair from the
+    construction's hex dump — decode kernels, slice arithmetic, and
+    the cut rule are all inside the hash. The threshold compares
+    diff_sum > mean·cmp_len in integers, so the flag is exact, no
+    float division.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
+    with_payload = docs.select(
+        "doc_id", payload.alias("payload"), mime.alias("mime")
+    )
+
+    def cuts(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "diff_sum": [], "cmp_len": [], "is_cut": []}
+            for doc_id, payload_b, mime_s in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                frames = sample_frames(payload_b, mime_s)
+                for j in range(1, len(frames)):
+                    a, b = frames[j - 1], frames[j]
+                    m = min(len(a), len(b))
+                    d = sum(abs(a[i] - b[i]) for i in range(m))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(j)
+                    out["diff_sum"].append(d)
+                    out["cmp_len"].append(m)
+                    out["is_cut"].append(d > SCENE_CUT_MEAN_DIFF * m)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        cuts,
+        "doc_id long, frame_idx int, diff_sum long, cmp_len long, is_cut boolean",
+    )
