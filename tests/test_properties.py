@@ -971,3 +971,60 @@ def test_session_fragment_merge_any_split_property(spark, rows):
         r["n_events"], r["session_value"],
     )
     assert sorted(map(key, merged.collect())) == sorted(map(key, want.collect()))
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=list(HealthCheck))
+@given(blob=st.binary(min_size=0, max_size=2048))
+def test_warc_quarantine_parser_never_raises_on_arbitrary_bytes(blob):
+    """Quarantine-mode WARC parsing is total: ANY byte stream — random
+    dirt, truncated records, half-valid envelopes — parses to a
+    (possibly empty) record list plus a malformed count, never an
+    exception; and every yielded record is internally consistent
+    (payload length equals its Content-Length). Strict mode on the same
+    stream either raises ValueError or yields exactly the same records
+    with zero malformed."""
+    import io
+
+    from gmall_flink_parent_spark.sources.warc import _iter_warc_records
+
+    stats: dict = {}
+    got = list(_iter_warc_records(io.BytesIO(blob), strict=False, stats=stats))
+    assert stats["malformed"] >= 0
+    for _seq, headers, payload in got:
+        assert len(payload) == int(headers.get("content-length", "0"))
+    try:
+        strict_got = list(_iter_warc_records(io.BytesIO(blob), strict=True))
+    except ValueError:
+        assert stats["malformed"] > 0  # strict only raises on counted dirt
+    else:
+        assert strict_got == got and stats["malformed"] == 0
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=6),
+    dirt=st.binary(min_size=1, max_size=64),
+    pos=st.integers(min_value=0, max_value=6),
+)
+def test_warc_quarantine_salvages_records_around_injected_dirt(payloads, dirt, pos):
+    """Inject arbitrary dirt between two well-formed records: quarantine
+    mode must still yield every record whose envelope the dirt didn't
+    swallow — at minimum all records BEFORE the injection point — and
+    count at least one malformed when the dirt desyncs the stream."""
+    import io
+
+    from gmall_flink_parent_spark.sources.warc import _iter_warc_records
+
+    recs = []
+    for p in payloads:
+        recs.append(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"Content-Length: {len(p)}\r\n\r\n".encode() + p + b"\r\n\r\n"
+        )
+    pos = min(pos, len(recs))
+    blob = b"".join(recs[:pos]) + dirt + b"\r\n" + b"".join(recs[pos:])
+    stats: dict = {}
+    got = list(_iter_warc_records(io.BytesIO(blob), strict=False, stats=stats))
+    assert len(got) >= pos  # everything before the dirt always survives
+    got_payloads = [p for _s, _h, p in got]
+    assert got_payloads[:pos] == payloads[:pos]
