@@ -154,6 +154,7 @@ HEADLINE = [
     "large_volume_orders",
     "purchase_attribution",
     "multimodal_scene_cuts",
+    "audio_spectral_features",
 ]
 
 

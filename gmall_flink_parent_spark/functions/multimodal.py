@@ -1282,3 +1282,119 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts,
         "doc_id long, frame_idx int, diff_sum long, cmp_len long, is_cut boolean",
     )
+
+
+# ------------------------------------------------ spectral features
+
+SPEC_BINS = WAV_N_SAMPLES // 2 + 1  # rfft bins 0..16 of the 32-point DFT
+
+AUDIO_SPECTRAL_ORACLE = f"""
+{_ROUTING_CTE}
+, wav AS (
+    SELECT doc_id, hx FROM p WHERE mime = 'audio/wav'
+), s AS (
+    SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+           CAST({_pcm_sample_sql('t.i + 1')} AS DOUBLE) AS v
+    FROM wav, unnest(range({WAV_N_SAMPLES})) AS t(i)
+), dft AS (
+    SELECT doc_id, k,
+           SQRT(POW(SUM(v * COS(-PI() / 16 * k * i)), 2)
+              + POW(SUM(v * SIN(-PI() / 16 * k * i)), 2)) AS mag
+    FROM s, unnest(range({SPEC_BINS})) AS b(k)
+    GROUP BY doc_id, k
+), nz AS (
+    SELECT doc_id, k, CAST(ROUND(mag * 10000) AS BIGINT) AS mag_e4
+    FROM dft WHERE k > 0
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(k * mag_e4) AS DOUBLE) / CAST(SUM(mag_e4) AS DOUBLE), 4)
+           AS spectral_centroid,
+       CAST(MIN(CASE WHEN rnk = 1 THEN k END) AS BIGINT) AS peak_bin,
+       CAST(SUM(mag_e4) AS BIGINT) AS total_magnitude_e4
+FROM (
+    SELECT doc_id, k, mag_e4,
+           row_number() OVER (PARTITION BY doc_id ORDER BY mag_e4 DESC, k) AS rnk
+    FROM nz
+)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "audio_spectral_features",
+    oracle=AUDIO_SPECTRAL_ORACLE,
+    tags=("multimodal", "audio", "spectral"),
+    past_window=True,
+)
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features per WAV doc: spectral centroid,
+    dominant (peak) bin, and total magnitude over the 32-point DFT of
+    the decoded PCM samples — the feature tier above
+    ``audio_pcm_features``' time-domain stats, and the canonical
+    pre-filter for audio curation (silence / tone / noise triage).
+
+    Exactness strategy: the DFT is spelled NAIVELY and identically in
+    both engines — per bin, Σ v·cos(−π/16·k·n) and the sine twin over
+    the 32 samples — so the only cross-engine exposure is libm trig in
+    the last ulp, absorbed by INTEGERIZING each bin magnitude
+    (round(mag·10⁴) → BIGINT) before any cross-bin math: integer sums
+    are exact and order-independent (a 16-double SUM reorders between
+    engines — the first draft lost the last rounded digit exactly
+    there), the centroid is one IEEE division of two exact integers,
+    and peak ties break on the lower bin. Python computes the identical
+    sums sequentially in Arrow batches (32×17 terms per doc — the
+    decode, not the DFT, is the cost); no FFT library, because a
+    butterfly's different summation ORDER is exactly what the shared
+    oracle forbids. The DC bin is excluded so text-byte offset (all
+    samples positive-biased) doesn't drown the shape bins.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    payload, mime = _routed_payload(F.col("doc_id"), F.encode(F.col("text"), "UTF-8"))
+    wav = docs.select(
+        "doc_id", payload.alias("payload"), mime.alias("mime")
+    ).filter(F.col("mime") == "audio/wav")
+
+    def feats(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "spectral_centroid": [],
+                "peak_bin": [],
+                "total_magnitude_e4": [],
+            }
+            for doc_id, payload_b, mime_s in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                raw = _content_region(payload_b, mime_s)
+                vals = [
+                    int.from_bytes(raw[2 * i : 2 * i + 2], "little", signed=True)
+                    for i in range(WAV_N_SAMPLES)
+                ]
+                mags = []
+                for k in range(1, SPEC_BINS):
+                    re = im = 0.0
+                    for n, v in enumerate(vals):
+                        re += v * math.cos(-math.pi / 16 * k * n)
+                        im += v * math.sin(-math.pi / 16 * k * n)
+                    # half-up integerization (positive values), matching
+                    # the SQL ROUND — python round() is half-even
+                    mags.append(math.floor(math.sqrt(re**2 + im**2) * 10000 + 0.5))
+                total = sum(mags)
+                centroid = round(
+                    sum((k + 1) * m for k, m in enumerate(mags)) / total, 4
+                )
+                peak = max(range(len(mags)), key=lambda j: (mags[j], -j)) + 1
+                out["doc_id"].append(doc_id)
+                out["spectral_centroid"].append(centroid)
+                out["peak_bin"].append(peak)
+                out["total_magnitude_e4"].append(total)
+            yield pd.DataFrame(out)
+
+    return wav.mapInPandas(
+        feats,
+        "doc_id long, spectral_centroid double, peak_bin long, total_magnitude_e4 long",
+    )
