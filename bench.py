@@ -155,6 +155,7 @@ HEADLINE = [
     "purchase_attribution",
     "multimodal_scene_cuts",
     "audio_spectral_features",
+    "event_value_correlation",
 ]
 
 

@@ -600,3 +600,84 @@ def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("ymd", list(PIVOT_TYPES), "event_type", "value_sum")
         .filter(F.col("value_sum").isNotNull())
     )
+
+
+VALUE_CORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           SUM(a.v) AS sx, SUM(b.v) AS sy,
+           SUM(a.v * b.v) AS sxy,
+           SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_days,
+       ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+FROM pairs
+"""
+
+
+@register(
+    "event_value_correlation",
+    oracle=VALUE_CORR_ORACLE,
+    tags=("dws", "stats", "correlation"),
+    past_window=True,
+)
+def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event types' DAILY value totals,
+    for every type pair sharing days — "do purchases move with clicks?"
+    at dashboard grain.
+
+    The exact-moments discipline (``event_value_outliers``' z-scores):
+    every sum the estimator needs — Σx, Σy, Σxy, Σx², Σy² — accumulates
+    in DECIMAL, exact and order-independent, so the only floating math
+    is the final textbook expression (one subtraction pattern, one
+    sqrt, one division) over exact inputs — identical IEEE results in
+    any engine, rounded to 6 for the hash. Scale shape: one day-grain
+    aggregate (map-side combined), a self-join on the day key at
+    days × types grain (dim-bounded), a |types|²-row moment aggregate.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    a = daily.select(
+        F.col("day").alias("d_a"), F.col("event_type").alias("type_a"),
+        F.col("v").alias("va"),
+    )
+    b = daily.select(
+        F.col("day").alias("d_b"), F.col("event_type").alias("type_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, (F.col("d_a") == F.col("d_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+        )
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return pairs.select(
+        "type_a", "type_b", "n_days", F.round(num / den, 6).alias("pearson_r")
+    )
