@@ -3882,7 +3882,9 @@ def test_order_wide_outer_stream_emits_null_rows_for_closed_bands(spark, sf_dir,
         .option("maxFilesPerTrigger", "1")
         .parquet(str(tmp_path / "l"))
     )
-    out = _run_to_memory(order_wide_outer_stream(orders, details), spark, "owo_out")
+    out, q = _run_to_memory(
+        order_wide_outer_stream(orders, details), spark, "owo_out", with_query=True
+    )
     cols = ["o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "extended_price"]
     got = sorted(r for r in _rows(out, cols) if r[0] >= 0)  # drop sentinels
     want = sorted(
@@ -3892,3 +3894,11 @@ def test_order_wide_outer_stream_emits_null_rows_for_closed_bands(spark, sf_dir,
     )
     assert len([r for r in want if r[1] is None]) > 0, "fixture has no unmatched order"
     assert got == want
+    # outer-join state rides the SAME cleanup bound as the inner join:
+    # never more than every order + detail row (+ the 4 sentinels)
+    ops = q.lastProgress["stateOperators"]
+    assert ops, "outer interval join reported no state operator"
+    n_o = load_table(spark, sf_dir, "orders").count()
+    n_l = load_table(spark, sf_dir, "lineitem").count()
+    state_rows = sum(op["numRowsTotal"] for op in ops)
+    assert 0 <= state_rows <= n_o + n_l + 4, (state_rows, n_o, n_l)
