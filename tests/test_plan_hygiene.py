@@ -219,3 +219,21 @@ def test_prefix_join_candidate_generation_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_new_window_heads_have_no_single_partition_exchange(spark, sf_dir):
+    """The round-9 window/sequence heads all claim their windows
+    partition on a real key (region / user / session grouping) — pin
+    that none compiles an `Exchange SinglePartition` ahead of a window
+    or aggregate (the global-sort serialization signature). The only
+    allowed single-partition stage is a final TakeOrdered-style head,
+    which these queries don't use."""
+    for name in (
+        "regional_revenue_gapfill",
+        "event_transition_matrix",
+        "purchase_attribution",
+        "session_window_stats",
+        "event_value_correlation",
+    ):
+        plan = _physical_plan(plans.all_queries()[name].fn(spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, f"{name} serializes"
