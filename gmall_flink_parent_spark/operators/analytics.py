@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register, scoped_persist
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import gated_broadcast, load_table
 
 VALUE_DIST_ORACLE = """
 SELECT event_type, user_id, CAST(spend AS DOUBLE) AS spend,
@@ -360,7 +360,9 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("f") >= _COPURCHASE_MIN_SUP)
         .select("l_partkey")
     )
-    pruned = baskets.join(F.broadcast(frequent), "l_partkey")
+    # frequent is part-vocabulary-bounded — size-gate its broadcast on
+    # the backing part table (same rationale as the triangle degrees).
+    pruned = baskets.join(gated_broadcast(spark, sf_dir, "part", frequent), "l_partkey")
     a = pruned.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
     )
@@ -436,7 +438,10 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     )
     agg = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(
+            gated_broadcast(spark, sf_dir, "customer", c),
+            o["o_custkey"] == c["c_custkey"],
+        )
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).alias("rev_dec"))
@@ -501,10 +506,13 @@ def region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     )
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(
+            gated_broadcast(spark, sf_dir, "customer", c),
+            o["o_custkey"] == c["c_custkey"],
+        )
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(s),
+            gated_broadcast(spark, sf_dir, "supplier", s),
             (s["s_suppkey"] == li["l_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
@@ -768,7 +776,10 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     agg = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(
+            gated_broadcast(spark, sf_dir, "customer", c),
+            o["o_custkey"] == c["c_custkey"],
+        )
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
@@ -914,7 +925,10 @@ def supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_blockers.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_blockers.join(
+            gated_broadcast(spark, sf_dir, "supplier", s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -1069,9 +1083,15 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(
+            gated_broadcast(spark, sf_dir, "supplier", s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            gated_broadcast(spark, sf_dir, "customer", c),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .filter(F.col("supp_region") != F.col("cust_region"))
         .groupBy(
             "supp_nation",
@@ -1158,10 +1178,19 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit("0.00").cast("decimal(18,2)")
     is_n1 = F.col("supp_nation") == "NATION_1"
     agg = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            gated_broadcast(spark, sf_dir, "supplier", s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            gated_broadcast(spark, sf_dir, "customer", c),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(F.when(is_n1, vol).otherwise(zero))
@@ -1229,7 +1258,10 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(
+            gated_broadcast(spark, sf_dir, "supplier", s),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
@@ -1301,8 +1333,14 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fine.join(totals, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("supp_qty") * F.col("n_supp") > 2 * F.col("part_qty"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            gated_broadcast(spark, sf_dir, "supplier", s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .select(
             "s_name",
             "p_name",
@@ -1374,8 +1412,13 @@ def regional_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
     ).select("c_custkey", "region")
+    # dims is CUSTOMER-grain (one row per customer) — sf-proportional,
+    # so its broadcast rides the parquet size gate on the backing table.
     base = scoped_persist(
-        o.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(
+            gated_broadcast(spark, sf_dir, "customer", dims),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy("region", "day")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -1560,7 +1603,12 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
-    keyed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # deg is vertex-grain, bounded by the part vocabulary — gate its
+    # broadcast on the backing part table so a billion-vertex graph
+    # falls back to AQE's shuffle join instead of OOMing the executors.
+    keyed = edges.join(gated_broadcast(spark, sf_dir, "part", du), "u").join(
+        gated_broadcast(spark, sf_dir, "part", dv), "v"
+    )
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -1637,7 +1685,10 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         o.join(qty, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            gated_broadcast(spark, sf_dir, "customer", c),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .select(
             "c_name",
             "c_custkey",

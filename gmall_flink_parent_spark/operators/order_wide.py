@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import gated_broadcast, load_table
 
 ORDER_WIDE_ORACLE = """
 SELECT l.l_orderkey,
@@ -69,11 +69,15 @@ def order_wide_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
-    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    region = F.broadcast(load_table(spark, sf_dir, "region"))
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
-    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    # nation/region are bounded dims (always broadcast); customer/part/
+    # supplier grow with the fact data, so their hints ride the parquet
+    # size gate — at a scale where they stop fitting, the hint drops and
+    # AQE picks the strategy instead of being overridden into an OOM.
+    customer = gated_broadcast(spark, sf_dir, "customer")
+    nation = gated_broadcast(spark, sf_dir, "nation")
+    region = gated_broadcast(spark, sf_dir, "region")
+    part = gated_broadcast(spark, sf_dir, "part")
+    supplier = gated_broadcast(spark, sf_dir, "supplier")
 
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register
-from gmall_flink_parent_spark.sources.tables import load_table
+from gmall_flink_parent_spark.sources.tables import gated_broadcast, load_table
 
 HOURLY_STATS_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour_start,
@@ -206,9 +206,9 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg plan by Catalyst — no N-pass recomputation.
     """
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
-    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    customer = gated_broadcast(spark, sf_dir, "customer")
+    nation = gated_broadcast(spark, sf_dir, "nation")
+    region = gated_broadcast(spark, sf_dir, "region")
     joined = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
@@ -247,7 +247,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions are nullable at scale.
     """
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    customer = gated_broadcast(spark, sf_dir, "customer")
     joined = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
         F.col("c_mktsegment").alias("mktsegment"),
         F.col("o_orderpriority").alias("orderpriority"),

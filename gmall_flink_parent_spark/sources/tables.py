@@ -26,12 +26,87 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any scale factor the
-# reference's domain implies (region/nation are bounded; customer/part/
-# supplier grow with SF but stay << fact tables). Used for broadcast
-# hints in enrichment joins (reference's Redis-cached async dim lookups,
-# utils/DimUtil.java:31-87, become broadcast hash joins).
+# Dimension tables eligible for broadcast in enrichment joins
+# (reference's Redis-cached async dim lookups, utils/DimUtil.java:31-87,
+# become broadcast hash joins). region/nation are BOUNDED (25/5 rows at
+# any scale factor — the TPC-H spec fixes them); customer/supplier/part
+# GROW with the fact data, so broadcasting them is only safe behind the
+# size gate below (``gated_broadcast``).
 BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
+BOUNDED_DIMS = ("region", "nation")
+
+# Gate for broadcasting an sf-PROPORTIONAL table: broadcast only while
+# its parquet footprint stays under this many compressed bytes. 128 MiB
+# parquet inflates to roughly 0.5 GB as a long-lived in-memory hash
+# relation (dictionary + row overhead ~4×) — comfortably under Spark's
+# 8 GB broadcast hard limit and small enough that several concurrent
+# broadcasts don't evict the executor block cache. Above the gate the
+# hint is DROPPED (not replaced with a shuffle hint): AQE's runtime
+# size-based strategy then decides, which is exactly the fallback a
+# hard ``F.broadcast`` would have overridden.
+DIM_BROADCAST_MAX_BYTES = 128 << 20
+
+
+def table_parquet_bytes(sf_dir: str, name: str) -> int | None:
+    """Compressed on-disk bytes of ``{sf_dir}/{name}.parquet`` — a
+    driver-side filesystem metadata read, launching NO Spark job
+    (same discipline as ``streaming.store.store_row_count``).
+    Returns ``None`` when the path has no parquet files (caller must
+    then fail safe: no broadcast hint).
+    """
+    import pathlib
+
+    root = pathlib.Path(sf_dir) / f"{name}.parquet"
+    if root.is_file():
+        return root.stat().st_size
+    if not root.is_dir():
+        return None
+    total = 0
+    n_files = 0
+    for f in root.rglob("*.parquet"):
+        total += f.stat().st_size
+        n_files += 1
+    return total if n_files else None
+
+
+def gated_broadcast(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Size-gated broadcast hint for a dim-side frame backed by table
+    ``name`` — the scale-safe replacement for a bare ``F.broadcast``.
+
+    ``df`` may be the table itself or any frame DERIVED from it by
+    filters/projections/per-key aggregation (e.g. a customer-grain
+    enrichment frame): those only shrink the data, so the backing
+    table's parquet footprint is an upper bound on the broadcast size.
+    The bound is read from file metadata on the driver (no job). Bounded
+    dims (nation/region — fixed row counts at every scale factor) always
+    broadcast; sf-proportional tables broadcast only under the byte
+    gate, and when the gate trips (or the path can't be measured) the
+    frame is returned WITHOUT any hint so AQE's runtime statistics pick
+    the join strategy.
+
+    This answers the 100×-scale question a hard hint cannot: at bench
+    scale every dim passes the gate and the plan is identical; at a
+    scale where ``part`` is gigabytes, the hint silently disappears
+    instead of overriding AQE into an executor-OOM broadcast.
+    """
+    if df is None:
+        df = load_table(spark, sf_dir, name)
+    if name in BOUNDED_DIMS:
+        return F.broadcast(df)
+    if max_bytes is None:
+        # resolved at call time (not def time) so tests can trip the
+        # gate on any registered head by patching the module constant
+        max_bytes = DIM_BROADCAST_MAX_BYTES
+    size = table_parquet_bytes(sf_dir, name)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(df)
+    return df
 
 
 # The driver-generated parquet stores TIMESTAMP(NANOS) (pyarrow default),

@@ -552,8 +552,13 @@ def revenue_rollup_job(
     """
 
     def partials(batch: DataFrame) -> DataFrame:
+        # customer is sf-PROPORTIONAL, so no hard broadcast hint here:
+        # each micro-batch plans as a batch query, and the planner's
+        # file-size statistics (then AQE) pick broadcast while the dim
+        # fits and fall back to shuffle when it doesn't. nation/region
+        # are bounded dims and keep their hints.
         joined = (
-            batch.join(F.broadcast(customer), batch.o_custkey == customer.c_custkey)
+            batch.join(customer, batch.o_custkey == customer.c_custkey)
             .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .select(
@@ -598,8 +603,10 @@ def revenue_cube_job(
     """
 
     def partials(batch: DataFrame) -> DataFrame:
+        # sf-proportional dim: no hard hint — planner stats/AQE decide
+        # (same rationale as revenue_rollup_job above).
         joined = batch.join(
-            F.broadcast(customer), batch.o_custkey == customer.c_custkey
+            customer, batch.o_custkey == customer.c_custkey
         ).select(
             F.col("c_mktsegment").alias("mktsegment"),
             F.col("o_orderpriority").alias("orderpriority"),

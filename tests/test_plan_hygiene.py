@@ -237,3 +237,70 @@ def test_new_window_heads_have_no_single_partition_exchange(spark, sf_dir):
     ):
         plan = _physical_plan(plans.all_queries()[name].fn(spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, f"{name} serializes"
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """Disable the planner's size-based auto-broadcast so the test can
+    tell a HINT-driven broadcast apart from a statistics-driven one."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_gated_broadcast_hint_follows_the_size_gate(spark, sf_dir):
+    """The scale contract of ``gated_broadcast`` (VERDICT r9 #1): an
+    sf-proportional dim carries a broadcast hint only while its parquet
+    footprint fits the gate. With auto-broadcast disabled (so the only
+    possible broadcast is the hint itself): under the default gate the
+    customer join must plan as BroadcastHashJoin (the hint fired); with
+    the gate forced below the table's size the hint must vanish and the
+    SAME join flip to a shuffle join — proving an inflated dim degrades
+    to the AQE-decidable plan instead of overriding it."""
+    from gmall_flink_parent_spark.sources.tables import gated_broadcast, load_table
+
+    with _no_auto_broadcast(spark):
+        o = load_table(spark, sf_dir, "orders")
+        c = gated_broadcast(spark, sf_dir, "customer")
+        hinted = _physical_plan(o.join(c, o["o_custkey"] == c["c_custkey"]))
+        assert "BroadcastHashJoin" in hinted, "default gate should broadcast"
+
+        c_big = gated_broadcast(spark, sf_dir, "customer", max_bytes=0)
+        flipped = _physical_plan(o.join(c_big, o["o_custkey"] == c_big["c_custkey"]))
+        assert "BroadcastHashJoin" not in flipped, "tripped gate must drop the hint"
+        assert ("SortMergeJoin" in flipped) or ("ShuffledHashJoin" in flipped)
+
+
+def test_order_wide_sf_dims_flip_to_shuffle_when_gate_trips(spark, sf_dir, monkeypatch):
+    """End-to-end form of the gate test on the flagship head: patch the
+    module gate to 0 bytes (simulating dims grown past the broadcast
+    budget) and re-plan ``order_wide_enriched`` with auto-broadcast off.
+    customer/part/supplier must join WITHOUT broadcast (shuffle joins),
+    while bounded nation/region keep their unconditional hints."""
+    from gmall_flink_parent_spark.sources import tables
+
+    monkeypatch.setattr(tables, "DIM_BROADCAST_MAX_BYTES", 0)
+    with _no_auto_broadcast(spark):
+        plan = _physical_plan(
+            plans.all_queries()["order_wide_enriched"].fn(spark, sf_dir)
+        )
+    import re
+
+    # nation + region stay broadcast; the three sf-scaled dims must not
+    # (formatted explain prints each node in the tree AND the detail
+    # section, so count the numbered detail nodes)
+    bhj_nodes = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(bhj_nodes) == 2, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
