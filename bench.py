@@ -167,8 +167,13 @@ def _prior_round_times(here: str | None = None) -> dict[str, float]:
     round. Because the stdout line is now budget-packed (slowest queries
     first — see ``_pack_stdout_queries``), the driver artifact may omit
     fast queries; those gaps are filled from the committed
-    BENCH_DETAIL.json, which always carries the full map. Empty dict when
-    no prior artifact exists (round 1, or a fresh checkout)."""
+    BENCH_DETAIL.json — but ONLY when the detail file was written by the
+    same round's sweep (its ``round`` stamp matches the selected
+    artifact). When the newest round is unparseable and an older round's
+    queries win, the newer detail file is from a DIFFERENT sweep and
+    mixing its timings into the adjudication baseline would compare
+    against numbers taken under different host conditions. Empty dict
+    when no prior artifact exists (round 1, or a fresh checkout)."""
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
     rounds: list[tuple[int, str]] = []
@@ -177,7 +182,8 @@ def _prior_round_times(here: str | None = None) -> dict[str, float]:
         if m:
             rounds.append((int(m.group(1)), os.path.join(here, fn)))
     out: dict[str, float] = {}
-    for _, path in sorted(rounds, reverse=True):
+    selected_round: int | None = None
+    for rnum, path in sorted(rounds, reverse=True):
         try:
             with open(path) as fh:
                 doc = json.load(fh)
@@ -185,16 +191,23 @@ def _prior_round_times(here: str | None = None) -> dict[str, float]:
             q = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
             if q:
                 out = {k: float(v) for k, v in q.items()}
+                selected_round = rnum
                 break
         except (OSError, ValueError, AttributeError, TypeError):
             continue  # malformed artifact: fall back to the next round
     # fill queries the budget-packed driver line omitted from the committed
-    # full-map detail file (same sweep, same machine)
+    # full-map detail file — same round's sweep only (see docstring)
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
-            detail_q = json.load(fh).get("queries") or {}
-        for k, v in detail_q.items():
-            out.setdefault(k, float(v))
+            detail = json.load(fh)
+        detail_round = detail.get("round")
+        if detail_round is None:
+            # legacy detail file without a round stamp: it was written by
+            # the newest round's sweep, so it matches only that round
+            detail_round = max((r for r, _ in rounds), default=None)
+        if selected_round is not None and detail_round == selected_round:
+            for k, v in (detail.get("queries") or {}).items():
+                out.setdefault(k, float(v))
     except (OSError, ValueError, AttributeError, TypeError):
         pass
     return out
@@ -366,14 +379,27 @@ def main() -> None:
         "loadavg": loadavg,
         "n_reruns": len(reruns),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # Stamp which round's sweep wrote this detail file: the driver lands
+    # BENCH_r{N}.json AFTER bench runs, so the artifacts on disk now are
+    # rounds 1..N-1 and this sweep belongs to round max+1. The stamp lets
+    # _prior_round_times refuse to mix this sweep's timings into an older
+    # round's adjudication baseline.
+    this_round = 1 + max(
+        (
+            int(m.group(1))
+            for fn in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+        ),
+        default=0,
     )
     try:
         with open(detail_path, "w") as fh:
             json.dump(
                 {
                     **base,
+                    "round": this_round,
                     "reruns": reruns,
                     "queries": timings,
                     "rep_spread": spreads,

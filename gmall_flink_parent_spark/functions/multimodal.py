@@ -1384,8 +1384,16 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # the SQL ROUND — python round() is half-even
                     mags.append(math.floor(math.sqrt(re**2 + im**2) * 10000 + 0.5))
                 total = sum(mags)
-                centroid = round(
-                    sum((k + 1) * m for k, m in enumerate(mags)) / total, 4
+                # same half-up integerization idiom as mags above: the
+                # oracle's ROUND is scaled-double half-away, while python
+                # round() is half-even — a tie-adjacent quotient must not
+                # flip the 4th decimal between engines
+                centroid = (
+                    math.floor(
+                        sum((k + 1) * m for k, m in enumerate(mags)) / total * 10000
+                        + 0.5
+                    )
+                    / 10000
                 )
                 peak = max(range(len(mags)), key=lambda j: (mags[j], -j)) + 1
                 out["doc_id"].append(doc_id)

@@ -605,7 +605,7 @@ def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 VALUE_CORR_ORACLE = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day, event_type,
-           SUM(CAST(value AS DECIMAL(18,2))) AS v
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
     FROM events GROUP BY CAST(ts AS DATE), event_type
 ), pairs AS (
     SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -618,9 +618,12 @@ WITH daily AS (
     GROUP BY a.event_type, b.event_type
 )
 SELECT type_a, type_b, n_days,
-       ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
-             / SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)
-                    * CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+       ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
 FROM pairs
 """
 
@@ -638,12 +641,20 @@ def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact-moments discipline (``event_value_outliers``' z-scores):
     every sum the estimator needs — Σx, Σy, Σxy, Σx², Σy² — accumulates
-    in DECIMAL, exact and order-independent, so the only floating math
-    is the final textbook expression (one subtraction pattern, one
-    sqrt, one division) over exact inputs — identical IEEE results in
-    any engine, rounded to 6 for the hash. Scale shape: one day-grain
-    aggregate (map-side combined), a self-join on the day key at
-    days × types grain (dim-bounded), a |types|²-row moment aggregate.
+    in DECIMAL, exact and order-independent. Daily totals are pinned at
+    DECIMAL(18,2) so the cross products stay inside decimal(38,*) —
+    (18,2)×(18,2) → 37 digits — instead of silently tripping Spark's
+    allowPrecisionLoss reduction (and DuckDB's >38-width double
+    fallback) the way an unconstrained (28,2)×(28,2) product would.
+    The contract bound: a single (day, type) total above 10^16 − 1
+    overflows the pinned type (NULL row in non-ANSI mode) — at that
+    grain the bound is astronomically beyond any real corpus. The
+    final Pearson expression casts each EXACT moment to double first
+    and then runs one fixed IEEE expression tree — identical results
+    in any engine, rounded to 6 for the hash. Scale shape: one
+    day-grain aggregate (map-side combined), a self-join on the day
+    key at days × types grain (dim-bounded), a |types|²-row moment
+    aggregate.
     """
     daily = (
         load_table(spark, sf_dir, "events")
@@ -651,7 +662,11 @@ def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("day"),
             "event_type",
         )
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
     )
     a = daily.select(
         F.col("day").alias("d_a"), F.col("event_type").alias("type_a"),
@@ -673,11 +688,16 @@ def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("vb") * F.col("vb")).alias("syy"),
         )
     )
-    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt(
-        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    # cast each exact decimal moment to double FIRST, then one fixed
+    # IEEE expression tree — never decimal×decimal above 38 digits
+    # (which Spark would precision-reduce and DuckDB would double-ize,
+    # each in its own way)
+    nd = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxy - sx * sy
+    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
     return pairs.select(
         "type_a", "type_b", "n_days", F.round(num / den, 6).alias("pearson_r")
     )

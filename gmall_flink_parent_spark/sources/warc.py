@@ -93,6 +93,11 @@ def _iter_warc_records(stream, strict: bool = True, stats: dict | None = None):
     stats.setdefault("malformed", 0)
     seq = 0
     line = None  # carries a resync'd magic line across iterations
+    # After a bad Content-Length the record's payload is left unconsumed
+    # in the stream; the resync scan that swallows it belongs to the SAME
+    # physical record, so its increment is suppressed once — otherwise
+    # one broken record would count as two malformed entries.
+    counted_this_desync = False
     while True:
         if line is None:
             line = stream.readline()
@@ -104,11 +109,16 @@ def _iter_warc_records(stream, strict: bool = True, stats: dict | None = None):
         if not line.startswith(b"WARC/"):
             if strict:
                 raise ValueError(f"record {seq}: bad WARC magic {line[:20]!r}")
-            # desync: count one malformed record, scan to the next magic
-            stats["malformed"] += 1
+            # desync: count one malformed record (unless this scan is the
+            # abandoned payload of a record already counted at its bad
+            # Content-Length), then scan to the next magic
+            if not counted_this_desync:
+                stats["malformed"] += 1
+            counted_this_desync = False
             while line and not line.startswith(b"WARC/"):
                 line = stream.readline()
             continue
+        counted_this_desync = False  # a clean record start ends the desync
         line = None
         headers = {}
         while True:
@@ -123,6 +133,7 @@ def _iter_warc_records(stream, strict: bool = True, stats: dict | None = None):
             if strict:
                 raise ValueError(f"record {seq}: bad Content-Length")
             stats["malformed"] += 1
+            counted_this_desync = True  # the resync scan must not re-count
             continue  # next readline resyncs if this desyncs the stream
         payload = stream.read(length)
         if len(payload) != length:

@@ -51,7 +51,10 @@ def test_prior_round_times_reads_latest_parseable_committed_bench():
 def test_prior_round_times_skips_unparseable_and_fills_from_detail(tmp_path):
     """Regression for the exact round-8 failure shape: the newest driver
     artifact is ``"parsed": null`` → fall back to the previous round; keys
-    that round's (budget-packed) line omitted come from BENCH_DETAIL.json."""
+    that round's (budget-packed) line omitted come from BENCH_DETAIL.json
+    — but ONLY when the detail file's ``round`` stamp matches the round
+    whose queries won. A detail file from the newer (unparseable) sweep
+    must not mix its timings into the older round's baseline."""
     (tmp_path / "BENCH_r09.json").write_text(
         json.dumps({"n": 9, "rc": 0, "tail": "…mid-line fragment…", "parsed": None})
     )
@@ -61,12 +64,30 @@ def test_prior_round_times_skips_unparseable_and_fills_from_detail(tmp_path):
     (tmp_path / "BENCH_r07.json").write_text(
         json.dumps({"n": 7, "parsed": {"queries": {"a": 9.9, "stale": 1.0}}})
     )
+    # detail stamped round 9 — a DIFFERENT sweep than the selected r08:
+    # its gap-fill timings must be refused
     (tmp_path / "BENCH_DETAIL.json").write_text(
-        json.dumps({"queries": {"a": 1.4, "c_only_in_detail": 0.3}})
+        json.dumps({"round": 9, "queries": {"a": 1.4, "c_only_in_detail": 0.3}})
     )
     got = bench._prior_round_times(str(tmp_path))
-    # r09 skipped (null), r08 wins over r07, detail fills only the gap
+    assert got == {"a": 1.5, "b": 2.0}
+    # detail stamped with the SELECTED round (same sweep) → fills the gap
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"round": 8, "queries": {"a": 1.4, "c_only_in_detail": 0.3}})
+    )
+    got = bench._prior_round_times(str(tmp_path))
     assert got == {"a": 1.5, "b": 2.0, "c_only_in_detail": 0.3}
+    # legacy detail without a round stamp: written by the NEWEST round's
+    # sweep, so it matches only that round — refused here (r08 selected)
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"queries": {"a": 1.4, "d_legacy": 0.2}})
+    )
+    assert bench._prior_round_times(str(tmp_path)) == {"a": 1.5, "b": 2.0}
+    # …and accepted when the newest round is itself the parseable winner
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "parsed": {"queries": {"a": 1.1}}})
+    )
+    assert bench._prior_round_times(str(tmp_path)) == {"a": 1.1, "d_legacy": 0.2}
     # truly empty dir → empty baseline, no crash
     empty = tmp_path / "empty"
     empty.mkdir()

@@ -387,6 +387,31 @@ def test_warc_parser_rejects_truncated_payload():
         list(_iter_warc_records(io.BytesIO(raw)))
 
 
+def test_warc_quarantine_counts_bad_content_length_record_once():
+    """One physical record with an unparseable Content-Length must count
+    as ONE malformed entry, even though its unconsumed payload forces a
+    resync scan — the scan belongs to the same physical record. Records
+    on both sides survive. (A payload line that itself starts with
+    'WARC/' can still resync early — inherent to magic-line framing and
+    documented as approximate; this pins the common no-bait case.)"""
+    import io
+
+    from gmall_flink_parent_spark.sources.warc import _iter_warc_records
+
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\ngood\r\n\r\n"
+        # bad Content-Length; multi-line payload left unconsumed in the
+        # stream, so the resync scanner must swallow it without counting
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+        b"junk payload line one\r\njunk line two\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 5\r\n\r\nafter\r\n\r\n"
+    )
+    stats: dict = {}
+    recs = list(_iter_warc_records(io.BytesIO(raw), strict=False, stats=stats))
+    assert [bytes(p) for _, _, p in recs] == [b"good", b"after"]
+    assert stats["malformed"] == 1
+
+
 def test_warc_gzip_per_record_members(spark, tmp_path):
     """Common Crawl frames ONE gzip member per record; Python's gzip
     reads concatenated members transparently, so the reader must parse
