@@ -156,6 +156,10 @@ HEADLINE = [
     "multimodal_scene_cuts",
     "audio_spectral_features",
     "event_value_correlation",
+    "small_qty_part_revenue",
+    "regional_cheapest_supplier",
+    "customer_order_distribution",
+    "nation_profit_rollup",
 ]
 
 

@@ -1765,3 +1765,303 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_revenue"),
         )
     )
+
+
+# ------------------------- TPC-H decorrelation set (Q2/Q9/Q13/Q17 shapes)
+
+SMALL_QTY_ORACLE = """
+WITH li AS (
+    SELECT l.l_partkey, CAST(l.l_quantity AS DECIMAL(9,2)) AS qty,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+), stats AS (
+    SELECT l_partkey, SUM(qty) AS sum_qty,
+           CAST(COUNT(*) AS DECIMAL(12,0)) AS n
+    FROM li GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(li.price) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM li JOIN stats USING (l_partkey)
+WHERE 5 * li.qty * stats.n < sum_qty
+"""
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle=SMALL_QTY_ORACLE,
+    tags=("join", "tpch", "decorrelation"),
+    past_window=True,
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape: revenue lost to small-quantity orders of one
+    brand — the classic correlated SCALAR-AGG subquery
+    (``l_quantity < 0.2 * avg(l_quantity) per part``), decorrelated.
+
+    Decorrelation discipline (same as ``orders_above_customer_avg``):
+    the per-part average becomes ONE grouped aggregate keyed on the
+    join key, so the "subquery per row" collapses to an equi-join that
+    shuffles on l_partkey once. The brand filter semi-prunes lineitem
+    BEFORE the aggregate (the correlation is per part, so rows of
+    non-brand parts never matter), and the 0.2×avg comparison is
+    cross-multiplied — ``5·qty·n < Σqty`` in exact DECIMAL — so no
+    engine ever divides (quotient drift can't flip a row). The
+    lineitem side is persisted: both the aggregate and the probe read
+    it, and it is already the brand-pruned minority of the table.
+    Output: one row, the 7-year average yearly revenue.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("decimal(9,2)").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("n") < F.col("sum_qty"))
+        .agg((F.sum("price").cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+CHEAPEST_SUPPLIER_ORACLE = """
+WITH costs AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS cost
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    GROUP BY l.l_partkey, l.l_suppkey
+), best AS (
+    SELECT l_partkey, MIN(cost) AS min_cost FROM costs GROUP BY l_partkey
+)
+SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_type, CAST(c.cost AS DOUBLE) AS cost
+FROM costs c
+JOIN best b ON b.l_partkey = c.l_partkey AND c.cost = b.min_cost
+JOIN part p ON p.p_partkey = c.l_partkey AND p.p_type = 'LARGE'
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@register(
+    "regional_cheapest_supplier",
+    oracle=CHEAPEST_SUPPLIER_ORACLE,
+    tags=("join", "tpch", "decorrelation"),
+    past_window=True,
+)
+def regional_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape: for each part of one type, the in-region
+    supplier(s) achieving the MINIMUM cost — the correlated-min
+    subquery (``cost = (SELECT min(..) WHERE ps_partkey = p_partkey)``),
+    decorrelated to a grouped MIN + equi-join-back on (part, cost).
+
+    The reference domain has no partsupp table (TESTDATA.md), so cost
+    is the minimum observed lineitem price per (part, supplier) in the
+    region — same decorrelation shape, observed-data cost basis. The
+    region restriction prunes via bounded-dim broadcasts BEFORE the
+    grouped min; the min-cost frame is (part)-grain; joining it back on
+    the part key with the cost equality as a residual keeps ties (Q2
+    returns ALL suppliers at the minimum, which the oracle's join
+    semantics pin). Exact DECIMAL costs make the min and the equality
+    engine-independent; the top-100 compiles to TakeOrderedAndProject.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    region_suppliers = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    costs = scoped_persist(
+        li.join(
+            gated_broadcast(
+                spark, sf_dir, "supplier", region_suppliers.select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("price").alias("cost"))
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "LARGE")
+        .select("p_partkey", "p_type")
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            gated_broadcast(spark, sf_dir, "supplier", region_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+ORDER_DISTRIBUTION_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register(
+    "customer_order_distribution",
+    oracle=ORDER_DISTRIBUTION_ORACLE,
+    tags=("join", "tpch", "outer-agg"),
+    past_window=True,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's shape: the distribution of per-customer order counts
+    — the outer-join-count idiom where the filter must live in the JOIN
+    CONDITION (a WHERE would delete the zero-order customers the
+    distribution exists to show).
+
+    ``COUNT(o_orderkey)`` counts non-null matches only, so customers
+    whose every order is filtered out land in the c_count=0 bucket
+    instead of vanishing. Two aggregates: customer-grain (shuffles on
+    the same custkey the join used — one exchange serves both), then
+    the |distinct counts|-sized distribution. At scale the outer join
+    shuffles both sides on custkey; no dim broadcast is warranted
+    because CUSTOMER is the probe side, not a build side.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_customer = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+NATION_PROFIT_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+"""
+
+
+@register(
+    "nation_profit_rollup",
+    oracle=NATION_PROFIT_ORACLE,
+    tags=("join", "tpch"),
+    past_window=True,
+)
+def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9's shape: profit by (supplier nation × order year) for
+    one part type — the five-way star join whose measure subtracts a
+    cost term from revenue inside the aggregate.
+
+    The reference domain has no partsupp table (TESTDATA.md), so the
+    supplycost term is ``p_retailprice × l_quantity`` (part-grain cost
+    basis) — the join topology and the revenue−cost aggregate are the
+    Q9 shape unchanged. part/supplier ride the size-gated broadcast;
+    nation is bounded; orders joins on the order key (the one fact-fact
+    shuffle). Every term is exact DECIMAL inside the sum —
+    (18,2)×(19,2)→(38,4) revenue, (18,2)×(9,2)→(28,4) cost — and only
+    the finished profit casts to double. The part-type filter reaches
+    the part scan (PushedFilters); the aggregate is |nations×years|
+    rows.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", F.col("p_retailprice").cast("decimal(18,2)").alias("retail"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    cost = F.col("retail") * F.col("l_quantity").cast("decimal(9,2)")
+    return (
+        li.join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            gated_broadcast(spark, sf_dir, "supplier", s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).cast("double").alias("profit"))
+    )

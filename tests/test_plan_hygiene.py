@@ -239,6 +239,45 @@ def test_new_window_heads_have_no_single_partition_exchange(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan, f"{name} serializes"
 
 
+def test_decorrelation_set_plan_pins(spark, sf_dir):
+    """The round-10 TPC-H decorrelation heads (Q17/Q2/Q13/Q9 shapes)
+    carry the same plan discipline as orders_above_customer_avg: the
+    correlated subquery lands as a grouped aggregate + equi-join (never
+    a nested loop), existence pruning is a LeftSemi, the outer-count
+    keeps its filter in the join condition, and selective dim filters
+    reach their scans."""
+    # Q17: brand semi-prune + per-part aggregate join, no nested loop
+    plan17 = _physical_plan(plans.all_queries()["small_qty_part_revenue"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan17
+    assert "BroadcastNestedLoopJoin" not in plan17 and "CartesianProduct" not in plan17
+    assert any(
+        "PushedFilters" in ln and "p_brand" in ln for ln in plan17.splitlines()
+    ), "brand filter not pushed to the part scan"
+    # Q2: region semi-prune, min-join-back, top-100 as TakeOrdered
+    plan2 = _physical_plan(
+        plans.all_queries()["regional_cheapest_supplier"].fn(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan2
+    assert "TakeOrderedAndProject" in plan2
+    assert "CartesianProduct" not in plan2
+    assert any(
+        "PushedFilters" in ln and "p_type" in ln for ln in plan2.splitlines()
+    ), "part-type filter not pushed to the part scan"
+    # Q13: LEFT OUTER with the priority filter as a join-side predicate —
+    # zero-order customers must survive to the c_count=0 bucket
+    plan13 = _physical_plan(
+        plans.all_queries()["customer_order_distribution"].fn(spark, sf_dir)
+    )
+    assert "LeftOuter" in plan13
+    assert plan13.count("HashAggregate") >= 2  # customer grain + distribution
+    # Q9: star join — part/supplier/nation broadcast, orders on the key
+    plan9 = _physical_plan(plans.all_queries()["nation_profit_rollup"].fn(spark, sf_dir))
+    assert plan9.count("BroadcastHashJoin") >= 3
+    assert any(
+        "PushedFilters" in ln and "p_type" in ln for ln in plan9.splitlines()
+    ), "part-type filter not pushed to the part scan"
+
+
 @contextlib.contextmanager
 def _no_auto_broadcast(spark):
     """Disable the planner's size-based auto-broadcast so the test can
