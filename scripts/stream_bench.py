@@ -1,0 +1,181 @@
+"""Streaming throughput/latency bench — the perf number for the half of
+the engine the batch bench never touches (VERDICT r9 "What's missing"
+#2 / next-round #3).
+
+Drives the three flagship streams end-to-end with
+``trigger(availableNow=True)`` over $SPARK_GRAFT_SF_DIR (default
+sf0.1), split into multiple micro-batches so per-batch latency is a
+real series, and prints ONE JSON line:
+
+    {"metric": "stream_bench", "sf": 0.1, "heads": {
+        "order_wide_stream":       {rows_in, wall_sec, rows_per_sec,
+                                    n_batches, batch_ms_median, batch_ms_max},
+        "order_wide_outer_stream": {...},
+        "curation_ingest_job":     {...}}}
+
+Heads:
+
+- ``order_wide_stream`` / ``order_wide_outer_stream``: the stream-stream
+  event-time interval join (reference ``OrderWideApp.java:134-141``) in
+  its inner and left-outer forms — orders and lineitem each split into
+  ``N_FILES`` parquet files, ``maxFilesPerTrigger=1`` per side, so the
+  join's state builds and drains across real micro-batch boundaries.
+  Sink is ``noop`` (measures the engine, not a collect).
+- ``curation_ingest_job``: the one-scan multi-store LLM ingest pass
+  (profile + shingle + mixture + vocab + DSIR gram stores) over the
+  documents table — the 100 TB ingest-cost proxy, where the text scan
+  dominates and the job exists to pay it once.
+
+Numbers land in SCALE.md ("Streaming bench"); a coarse regression guard
+(schema + generous rows/s floor at sf0.01, never a tight timer) lives in
+``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FILES = 4  # micro-batches per side (availableNow honors maxFilesPerTrigger)
+
+
+def _split_table(spark, sf_dir: str, name: str, out_dir: str, n: int) -> int:
+    """Write ``{sf_dir}/{name}.parquet`` as ``n`` files under ``out_dir``
+    so the file stream sees ``n`` micro-batches; returns the row count."""
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, name)
+    df.repartition(n).write.mode("overwrite").parquet(out_dir)
+    return df.count()
+
+
+def _file_stream(spark, path: str, files_per_trigger: int = 1):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _drain(query) -> dict:
+    """Wait for an availableNow query and reduce its progress series to
+    the bench metrics (wall time measured by the caller)."""
+    assert query.awaitTermination(1800), "stream timed out"
+    progress = query.recentProgress
+    batch_ms = [
+        p["durationMs"]["triggerExecution"]
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
+    batch_ms.sort()
+    return {
+        "n_batches": len(batch_ms),
+        "batch_ms_median": batch_ms[len(batch_ms) // 2] if batch_ms else None,
+        "batch_ms_max": batch_ms[-1] if batch_ms else None,
+    }
+
+
+def _bench_order_wide(spark, orders_dir: str, details_dir: str, rows_in: int,
+                      outer: bool, checkpoint: str) -> dict:
+    from gmall_flink_parent_spark.streaming.jobs import (
+        order_wide_outer_stream,
+        order_wide_stream,
+    )
+
+    build = order_wide_outer_stream if outer else order_wide_stream
+    joined = build(_file_stream(spark, orders_dir), _file_stream(spark, details_dir))
+    t0 = time.monotonic()
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stats = _drain(q)
+    wall = round(time.monotonic() - t0, 3)
+    return {
+        "rows_in": rows_in,
+        "wall_sec": wall,
+        "rows_per_sec": round(rows_in / wall, 1),
+        **stats,
+    }
+
+
+def _bench_ingest(spark, docs_dir: str, rows_in: int, work: str) -> dict:
+    from gmall_flink_parent_spark.functions.curation import _MIX_HEAD_WEIGHTS
+    from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
+
+    docs = _file_stream(spark, docs_dir).select("doc_id", "text", "source", "lang")
+    t0 = time.monotonic()
+    q = curation_ingest_job(
+        docs,
+        f"{work}/prof",
+        f"{work}/sh",
+        f"{work}/mix",
+        f"{work}/ck_ingest",
+        _MIX_HEAD_WEIGHTS,
+        vocab_path=f"{work}/tf",
+        dsir_path=f"{work}/grams",
+    )
+    stats = _drain(q)
+    wall = round(time.monotonic() - t0, 3)
+    return {
+        "rows_in": rows_in,
+        "wall_sec": wall,
+        "rows_per_sec": round(rows_in / wall, 1),
+        **stats,
+    }
+
+
+def run(sf_dir: str, work: str | None = None) -> dict:
+    from gmall_flink_parent_spark.session import get_spark
+
+    spark = get_spark("gmall-stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    owns_work = work is None
+    if owns_work:
+        work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        n_orders = _split_table(spark, sf_dir, "orders", f"{work}/orders", N_FILES)
+        n_details = _split_table(spark, sf_dir, "lineitem", f"{work}/details", N_FILES)
+        n_docs = _split_table(spark, sf_dir, "documents", f"{work}/docs", N_FILES)
+        heads = {
+            "order_wide_stream": _bench_order_wide(
+                spark, f"{work}/orders", f"{work}/details",
+                n_orders + n_details, outer=False, checkpoint=f"{work}/ck_inner",
+            ),
+            "order_wide_outer_stream": _bench_order_wide(
+                spark, f"{work}/orders", f"{work}/details",
+                n_orders + n_details, outer=True, checkpoint=f"{work}/ck_outer",
+            ),
+            "curation_ingest_job": _bench_ingest(
+                spark, f"{work}/docs", n_docs, work
+            ),
+        }
+    finally:
+        if owns_work:
+            shutil.rmtree(work, ignore_errors=True)
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return {
+        "metric": "stream_bench",
+        "sf": float(m.group(1)) if m else -1.0,
+        "heads": heads,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print(json.dumps(run(sf_dir)))
+
+
+if __name__ == "__main__":
+    main()
