@@ -1224,7 +1224,8 @@ def jaccard_prefix_join_frame(docs: DataFrame, tau: float) -> DataFrame:
     "jaccard_prefix_join",
     oracle=PREFIX_JOIN_ORACLE,
     tags=("dedup", "similarity-join"),
-    past_window=True,
+    # promoted into the driver window in the round-10 rotation (cheap at
+    # the driver's sf0.01; the 153 s output-bound cost is sf0.1-only)
 )
 def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The τ=0.6 registered head of ``jaccard_prefix_join_frame`` —

@@ -109,7 +109,14 @@ FROM documents
 """
 
 
-@register("sql_function_surface", oracle=SQL_SURFACE_ORACLE, tags=("sql", "text"))
+# rotated out of the driver window (round 10): long-green scalar-function
+# demo surface; hash parity still enforced by the local sweep
+@register(
+    "sql_function_surface",
+    oracle=SQL_SURFACE_ORACLE,
+    tags=("sql", "text"),
+    past_window=True,
+)
 def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL-UDF surface driven entirely through ``spark.sql``.
 

@@ -134,7 +134,14 @@ FROM customer c
 """
 
 
-@register("customer_order_status", oracle=SEMI_ANTI_ORACLE, tags=("join", "semi-anti"))
+# rotated out of the driver window (round 10): long-green since round 1;
+# the semi/anti shape is in-window via supplier_wait_chain's harder form
+@register(
+    "customer_order_status",
+    oracle=SEMI_ANTI_ORACLE,
+    tags=("join", "semi-anti"),
+    past_window=True,
+)
 def customer_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti-join surface: customers labeled by order existence.
 
@@ -167,7 +174,14 @@ FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
 """
 
 
-@register("engaged_user_overlap", oracle=OVERLAP_ORACLE, tags=("dws", "set-op"))
+# rotated out of the driver window (round 10): long-green since round 1;
+# hash parity still enforced by the local sweep
+@register(
+    "engaged_user_overlap",
+    oracle=OVERLAP_ORACLE,
+    tags=("dws", "set-op"),
+    past_window=True,
+)
 def engaged_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-day browse/buy overlap via EXCEPT / INTERSECT / UNION ALL.
 
@@ -1561,7 +1575,7 @@ FROM roles GROUP BY part
     "part_triangle_count",
     oracle=TRIANGLE_ORACLE,
     tags=("graph", "market-basket"),
-    past_window=True,
+    # promoted into the driver window in the round-10 rotation
 )
 def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph

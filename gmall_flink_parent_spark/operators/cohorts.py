@@ -632,7 +632,7 @@ FROM pairs
     "event_value_correlation",
     oracle=VALUE_CORR_ORACLE,
     tags=("dws", "stats", "correlation"),
-    past_window=True,
+    # promoted into the driver window in the round-10 rotation
 )
 def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between event types' DAILY value totals,

@@ -68,7 +68,14 @@ WHERE event_type IN ('view', 'click')
 """
 
 
-@register("log_split_page", oracle=LOG_SPLIT_PAGE_ORACLE, tags=("X1", "P1", "P8"))
+# rotated out of the driver window (round 10): long-green since round 1,
+# the split family keeps log_split_start in-window; local sweep covers this
+@register(
+    "log_split_page",
+    oracle=LOG_SPLIT_PAGE_ORACLE,
+    tags=("X1", "P1", "P8"),
+    past_window=True,
+)
 def log_split_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-log branch of the 3-way split (BaseLogTask.java:123-146).
 

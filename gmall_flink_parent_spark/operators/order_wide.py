@@ -224,7 +224,7 @@ LEFT JOIN lineitem l
     "order_detail_interval_join_outer",
     oracle=OUTER_INTERVAL_JOIN_ORACLE,
     tags=("J1", "W5", "outer"),
-    past_window=True,
+    # promoted into the driver window in the round-10 rotation
 )
 def order_detail_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER event-time band join — the unmatched-order side the

@@ -73,7 +73,9 @@ GROUP BY strftime(ts, '%Y%m%d')
 """
 
 
-@register("dau_by_day", oracle=DAU_ORACLE, tags=("W2", "dws"))
+# rotated out of the driver window (round 10): long-green since round 1,
+# shape priced by uv_dedup; hash parity still enforced by the local sweep
+@register("dau_by_day", oracle=DAU_ORACLE, tags=("W2", "dws"), past_window=True)
 def dau_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users — the DWS consumer of the UV stream.
 

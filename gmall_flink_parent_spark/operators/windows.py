@@ -400,7 +400,7 @@ GROUP BY user_id, session_seq
     "session_window_stats",
     oracle=SESSION_WINDOW_ORACLE,
     tags=("dws", "session", "window"),
-    past_window=True,
+    # promoted into the driver window in the round-10 rotation
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-grain count/revenue via the NATIVE ``session_window``
