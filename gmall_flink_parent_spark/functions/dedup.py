@@ -1169,6 +1169,27 @@ def jaccard_prefix_join_frame(docs: DataFrame, tau: float) -> DataFrame:
     dedup before ONE exact verify join per distinct pair (array
     intersect over the two token arrays). Every stage is a shuffle on
     a real key — nothing quadratic, nothing cartesian.
+
+    The **PPJoin positional filter** (Xiao+ WWW'08 §3.2) rides the
+    candidate join as a second residual: a shared prefix token at
+    (1-based, df-ordered) positions (pa, pb) bounds the overlap by
+    ``1 + min(|x| − pa, |y| − pb)``, and J ≥ τ needs overlap
+    ``≥ τ·(|x|+|y|)/(1+τ)`` — candidate rows whose bound can't reach
+    that die BEFORE the distinct + verify join ever sees the pair.
+    Completeness holds because a true pair's FIRST shared prefix token
+    yields a bound ≥ the true overlap, so at least one generating row
+    always survives (the filter is applied per row, the pair lives if
+    any row lives). Measured on the sf0.1 corpus: 9,811,811 distinct
+    candidates without the filter → 9,555,683 with it (−2.6%) — this
+    corpus is the filter's worst case (57% of all pairs are TRUE dups
+    over a ~100-word shared vocabulary, so near-dup pairs share many
+    early prefix tokens and the bound rarely bites); on a natural
+    Zipfian corpus with a long vocabulary tail the published cuts are
+    far larger, and the filter is a pure residual expression — no new
+    shuffle, no new join — so its cost is noise either way. The
+    ε-slack is on the KEEP side: borderline float ties can only admit
+    an extra candidate for the exact verify to reject, never drop a
+    true pair.
     """
     t = scoped_persist(
         docs.select(
@@ -1185,21 +1206,37 @@ def jaccard_prefix_join_frame(docs: DataFrame, tau: float) -> DataFrame:
         toks.join(df_tab, "token")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select("token", "doc_id", "sz")
+        .select("token", "doc_id", "sz", "pos")
     )
     a = prefixes.select(
-        F.col("token"), F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")
+        F.col("token"),
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
     )
     b = prefixes.select(
-        F.col("token"), F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
+        F.col("token"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
     )
     tau_c = F.lit(tau)
+    # PPJoin positional bound: overlap ≤ 1 + min(remaining after pa,
+    # remaining after pb); J ≥ τ needs overlap ≥ τ(sz_a+sz_b)/(1+τ).
+    # ε keeps the borderline on the ADMIT side (the verify is exact).
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
+    alpha_ok = ubound * (F.lit(1.0) + tau_c) >= tau_c * (
+        F.col("sz_a") + F.col("sz_b")
+    ) - F.lit(1e-9)
     cands = (
         a.join(b, "token")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("sz_b") * tau_c <= F.col("sz_a"))
             & (F.col("sz_a") * tau_c <= F.col("sz_b"))
+            & alpha_ok
         )
         .select("id_a", "id_b")
         .distinct()
