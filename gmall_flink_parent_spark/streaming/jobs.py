@@ -328,21 +328,25 @@ def sliding_stats_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming twin of batch ``sessionize`` via ``session_window``.
 
     The batch query derives sessions with lag + running sum; streaming
-    uses Spark's native gap-based ``session_window`` (30 min), which
-    merges windows incrementally and emits a session once the watermark
-    passes its close. Same session boundaries by construction — asserted
-    against the batch analog on closed sessions in
-    ``tests/test_streaming.py``. The window definition is the SHARED
-    ``session_stats_frame`` (also the batch ``session_window_stats``
-    head, oracle-backed), so the two doors cannot drift.
+    uses Spark's native gap-based ``session_window`` (default 30 min —
+    ``gap`` parameterizes it, at parity with ``session_store_job``'s
+    parameter), which merges windows incrementally and emits a session
+    once the watermark passes its close. Same session boundaries by
+    construction — asserted against the batch analog on closed sessions
+    in ``tests/test_streaming.py``, and against the fragment-store
+    surface under the same non-default gap
+    (``test_session_surfaces_agree_under_same_gap``). The window
+    definition is the SHARED ``session_stats_frame`` (also the batch
+    ``session_window_stats`` head, oracle-backed), so the doors cannot
+    drift.
     """
     from gmall_flink_parent_spark.operators.windows import session_stats_frame
 
-    return session_stats_frame(events.withWatermark("ts", "1 minute"))
+    return session_stats_frame(events.withWatermark("ts", "1 minute"), gap)
 
 
 def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:

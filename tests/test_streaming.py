@@ -3937,3 +3937,61 @@ def test_stream_bench_runs_and_reports_sane_metrics(spark, tmp_path):
     assert heads["order_wide_stream"]["rows_per_sec"] > 20
     assert heads["order_wide_outer_stream"]["rows_per_sec"] > 20
     assert heads["curation_ingest_job"]["rows_per_sec"] > 0.2
+
+
+def test_session_surfaces_agree_under_same_gap(spark, sf_dir, tmp_path):
+    """Both session surfaces — the native ``session_window`` streaming
+    head (``sessionize_stream``) and the sessionize-at-ingest fragment
+    store (``session_store_job`` → ``sessions_from_store``) — must be
+    equal under the SAME gap, and the gap must actually parameterize
+    (run at a non-default 45 minutes). The store path reconstructs ALL
+    sessions exactly (= the batch ``session_stats_frame`` at that gap);
+    the native streaming head append-emits exactly the sessions the
+    final watermark closed — so: store ≡ batch, stream ⊆ store, and
+    stream ≡ store restricted to closed sessions."""
+    from gmall_flink_parent_spark.operators.windows import session_stats_frame
+    from gmall_flink_parent_spark.streaming.jobs import (
+        session_store_job,
+        sessionize_stream,
+        sessions_from_store,
+    )
+
+    gap = "45 minutes"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # surface A: native session_window over the stream, append mode
+    out = _run_to_memory(
+        sessionize_stream(
+            events_stream(spark, sf_dir).select("event_id", "ts", "user_id", "value"),
+            gap,
+        ),
+        spark,
+        "sess_gap_out",
+    )
+    # surface B: fragment store over a two-file split (sessions fragment
+    # across batches), merged exactly at read
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    q = session_store_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"), gap)
+    q.awaitTermination(120)
+
+    cols = ["user_id", "session_start", "session_close", "n_events", "session_value"]
+    store_rows = set(_rows(sessions_from_store(spark, str(tmp_path / "store")), cols))
+    batch_rows = set(_rows(session_stats_frame(events, gap), cols))
+    assert store_rows == batch_rows and len(batch_rows) > 0  # store ≡ batch
+    # sanity: 45 min differs from the default-gap answer (gap really flows)
+    default_rows = set(_rows(session_stats_frame(events), cols))
+    assert batch_rows != default_rows, "45-minute gap produced the 30-minute answer"
+
+    got = set(_rows(out, cols))
+    assert got <= store_rows, "stream emitted a session the store doesn't have"
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    watermark_us = max_us - 60_000_000  # sessionize_stream's 1-min watermark
+    closed = {
+        r for r in store_rows if r[2].timestamp() * 1_000_000 <= watermark_us
+    }
+    assert closed, "fixture too small: no session ever closed"
+    assert closed == {r for r in got if r[2].timestamp() * 1_000_000 <= watermark_us}
