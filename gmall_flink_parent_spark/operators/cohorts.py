@@ -668,6 +668,14 @@ def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
+    return value_correlation_frame(daily)
+
+
+def value_correlation_frame(daily: DataFrame) -> DataFrame:
+    """Pair-moment Pearson core over a (day, event_type, v DECIMAL(18,2))
+    daily-totals frame — shared by the batch head above and the
+    ``daily_value_store_job`` final pass (``streaming/jobs.py``), so the
+    incremental store cannot drift from the batch definition."""
     a = daily.select(
         F.col("day").alias("d_a"), F.col("event_type").alias("type_a"),
         F.col("v").alias("va"),

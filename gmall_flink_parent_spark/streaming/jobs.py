@@ -530,6 +530,71 @@ def hourly_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def daily_value_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Day × event-type decimal value partials at ingest — ONE compact
+    store maintains TWO dashboard heads incrementally:
+    ``event_value_correlation_from_store`` (pair-moment Pearson) and
+    ``event_type_pivot_from_store`` (the day × channel matrix), each
+    hash-equal to its batch head over the same events.
+
+    The partial is the finest grain both consumers share: per-batch
+    (day, type) decimal sums + counts. Decimal addition is associative,
+    so sum-of-partials equals the one-shot daily total exactly, and
+    every downstream cast (the correlation's DECIMAL(18,2) pin, the
+    pivot's double edge) applies AFTER the merge — bit-identical to
+    batch. Store size ∝ days × types × batches, trivial at any event
+    volume; replays overwrite their own ``batch_id`` partition (the
+    shared idempotent-store contract).
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/daily_value"
+    )
+
+
+def daily_value_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merged (day, event_type, v DECIMAL(18,2)) daily totals from
+    ``daily_value_store_job``'s partials — the exact frame the batch
+    correlation head derives from raw events."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("day", "event_type")
+        .agg(F.sum("v_part").cast("decimal(18,2)").alias("v"))
+    )
+
+
+def event_value_correlation_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Final pass: Pearson pair moments over the merged daily totals —
+    hash-equal to batch ``event_value_correlation`` (the shared
+    ``value_correlation_frame`` core guarantees no drift)."""
+    from gmall_flink_parent_spark.operators.cohorts import value_correlation_frame
+
+    return value_correlation_frame(daily_value_from_store(spark, store_path))
+
+
+def event_type_pivot_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass: the day × event-type value matrix from the same
+    store — schema- and hash-equal to batch ``event_type_pivot`` (the
+    pivot's cells are sums of the store's exact decimal partials; the
+    double cast happens after the merge, as in batch)."""
+    from gmall_flink_parent_spark.operators.cohorts import PIVOT_TYPES
+
+    return (
+        spark.read.parquet(store_path)
+        .groupBy(F.date_format("day", "yyyyMMdd").alias("ymd"))
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.sum("v_part").cast("double"))
+    )
+
+
 def revenue_rollup_job(
     orders: DataFrame,
     customer: DataFrame,

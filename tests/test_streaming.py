@@ -3995,3 +3995,59 @@ def test_session_surfaces_agree_under_same_gap(spark, sf_dir, tmp_path):
     }
     assert closed, "fixture too small: no session ever closed"
     assert closed == {r for r in got if r[2].timestamp() * 1_000_000 <= watermark_us}
+
+
+def test_daily_value_store_serves_correlation_and_pivot_exactly(
+    spark, sf_dir, tmp_path
+):
+    """The incremental DWS pattern (store ≡ batch) extended to the
+    analytics side: one day×type decimal partial store, maintained per
+    micro-batch, serves BOTH event_value_correlation and
+    event_type_pivot hash-equal to their batch heads — including after
+    compaction. Events split across two micro-batches so most (day,
+    type) cells genuinely merge partials from both."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        daily_value_store_job,
+        event_type_pivot_from_store,
+        event_value_correlation_from_store,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    q = daily_value_store_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    merged_cells = store.select("day", "event_type").distinct().count()
+    assert store.count() > merged_cells, "split produced no cross-batch partials"
+
+    corr_cols = ["type_a", "type_b", "n_days", "pearson_r"]
+    want_corr = _rows(plans.query_map()["event_value_correlation"](spark, sf_dir), corr_cols)
+    got_corr = _rows(
+        event_value_correlation_from_store(spark, str(tmp_path / "store")), corr_cols
+    )
+    assert got_corr == want_corr and len(want_corr) > 0
+
+    from gmall_flink_parent_spark.operators.cohorts import PIVOT_TYPES
+
+    piv_cols = ["ymd", *PIVOT_TYPES]
+    want_piv = _rows(plans.query_map()["event_type_pivot"](spark, sf_dir), piv_cols)
+    got_piv = _rows(event_type_pivot_from_store(spark, str(tmp_path / "store")), piv_cols)
+    assert got_piv == want_piv and len(want_piv) > 0
+
+    # both answers survive store compaction unchanged
+    from gmall_flink_parent_spark.streaming.store import compact_fact_store
+
+    compact_fact_store(
+        spark, str(tmp_path / "store"), str(tmp_path / "ck") + "/daily_value"
+    )
+    assert _rows(
+        event_value_correlation_from_store(spark, str(tmp_path / "store")), corr_cols
+    ) == want_corr
+    assert _rows(
+        event_type_pivot_from_store(spark, str(tmp_path / "store")), piv_cols
+    ) == want_piv
