@@ -4051,3 +4051,77 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
     assert _rows(
         event_type_pivot_from_store(spark, str(tmp_path / "store")), piv_cols
     ) == want_piv
+
+
+def test_interval_join_skew_hot_key_is_split_by_aqe(spark):
+    """Adversarial skew on the interval join's equi-key (VERDICT r9
+    stretch #10): ONE hot order key carries ~60% of all detail rows.
+    The band join is physically an equi-join with the date band as a
+    residual, so AQE's OptimizeSkewedJoin applies: it splits the
+    oversized partition into advisory-sized reads and replicates the
+    other side's matching partition — valid for inner joins regardless
+    of key boundaries. Pin both halves: (a) the answer is exactly the
+    expected match count (splitting never changes results), (b) the
+    executed adaptive plan marks the join skew=true under test-scaled
+    thresholds — the same mechanism that splits a production hot key
+    at 100 TB, where the thresholds are the defaults."""
+    from datetime import datetime, timedelta
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # force the shuffle path and scale the skew thresholds down to
+        # fixture size (production uses the defaults; the MECHANISM is
+        # what this pins)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # the fixture's hot partition compresses to ~tens of KB (two
+        # repetitive columns), so the thresholds scale to that
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        base = datetime(2026, 1, 1)
+        n_hot, n_cold_keys, n_cold_each = 120_000, 63, 100
+        orders = spark.createDataFrame(
+            [(k, base) for k in range(n_cold_keys + 1)],
+            "o_orderkey long, o_orderdate timestamp",
+        )
+        hot = spark.range(n_hot).select(
+            F.lit(0).cast("long").alias("l_orderkey"),
+            (F.lit(base) + F.make_interval(days=F.col("id") % 31)).alias("l_shipdate"),
+        )
+        cold = spark.range(n_cold_keys * n_cold_each).select(
+            (F.col("id") % n_cold_keys + 1).alias("l_orderkey"),
+            (F.lit(base) + F.make_interval(days=F.col("id") % 31)).alias("l_shipdate"),
+        )
+        details = hot.unionByName(cold)
+        joined = orders.join(
+            details,
+            (orders.o_orderkey == details.l_orderkey)
+            & (details.l_shipdate >= orders.o_orderdate)
+            & (details.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        # band [0, +30d] admits every generated offset (0..30) → all rows
+        # match; collect() executes THIS Dataset's own query execution, so
+        # its adaptive plan finalizes (count() would plan a separate query)
+        n = len(joined.collect())
+        assert n == n_hot + n_cold_keys * n_cold_each, n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the hot partition as skewed"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
