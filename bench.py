@@ -160,6 +160,10 @@ HEADLINE = [
     "regional_cheapest_supplier",
     "customer_order_distribution",
     "nation_profit_rollup",
+    "discount_band_revenue",
+    "late_order_priority_count",
+    "promo_revenue_share",
+    "bracket_discount_revenue",
 ]
 
 

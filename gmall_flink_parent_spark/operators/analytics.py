@@ -2079,3 +2079,219 @@ def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev - cost).cast("double").alias("profit"))
     )
+
+
+# ---------------- TPC-H scan/predicate shapes (Q4/Q6/Q14/Q19, round 10)
+
+DISCOUNT_BAND_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "discount_band_revenue",
+    oracle=DISCOUNT_BAND_ORACLE,
+    tags=("scan", "tpch"),
+    past_window=True,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6's shape: the what-if revenue of a discount band — the
+    purest scan-side query in the suite: NO join, one global aggregate,
+    and every predicate (date range, discount band, quantity cap) must
+    reach the parquet scan as a PushedFilter so row groups outside the
+    year never leave disk. The discount comparisons are double-vs
+    -double with identical literals in both engines, so the band admits
+    identical rows; the money math is exact decimal with one cast at
+    the output edge.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+LATE_PRIORITY_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 20 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "late_order_priority_count",
+    oracle=LATE_PRIORITY_ORACLE,
+    tags=("join", "tpch", "decorrelation"),
+    past_window=True,
+)
+def late_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape: per-priority counts of orders with at least
+    one LATE line — the correlated EXISTS whose predicate compares
+    columns from BOTH sides (l_shipdate vs o_orderdate + 20 days; the
+    reference domain has no l_commitdate, so the lateness bar is
+    date-relative).
+
+    Decorrelated to ONE left-semi join on the order key with the
+    cross-side date comparison as the join residual — semi join
+    dedups the multi-line matches for free (an order counts once no
+    matter how many late lines). The quarter filter reaches the
+    orders scan; the aggregate is |priorities| rows.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+PROMO_SHARE_ORACLE = """
+SELECT CAST(100.00 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                                   ELSE CAST('0.00' AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_share_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@register(
+    "promo_revenue_share",
+    oracle=PROMO_SHARE_ORACLE,
+    tags=("join", "tpch"),
+    past_window=True,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14's shape: promo revenue as a percentage of one month's
+    revenue — the conditional-aggregate-over-a-join pattern.
+
+    Both numerator and denominator accumulate in exact DECIMAL inside
+    ONE aggregate over one scan (the CASE is a projection, not a second
+    pass); the share is a single IEEE division of two exact sums, so
+    the 6-decimal rounding is engine-independent. The month filter
+    reaches the lineitem scan; part rides the size-gated broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    agg = (
+        li.join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias(
+                "promo_dec"
+            ),
+            F.sum(rev).alias("total_dec"),
+        )
+    )
+    return agg.select(
+        (
+            F.lit(100.00)
+            * F.col("promo_dec").cast("double")
+            / F.col("total_dec").cast("double")
+        ).alias("promo_share_pct")
+    )
+
+
+BRACKET_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 5 AND 30)
+   OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+"""
+
+
+@register(
+    "bracket_discount_revenue",
+    oracle=BRACKET_ORACLE,
+    tags=("join", "tpch", "disjunction"),
+    past_window=True,
+)
+def bracket_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape: revenue under three disjunctive (brand, size,
+    quantity) brackets — the query that tests whether an optimizer can
+    push a DISJUNCTION.
+
+    The OR spans both tables, so no single branch filters either scan —
+    but Catalyst's constraint extraction derives each side's implied
+    disjunction: the part scan gets ``(brand=2 ∧ size∈[1,10]) ∨ …`` and
+    the lineitem scan gets the quantity-range union, BEFORE the join;
+    the full cross-table OR stays as the post-join residual. The plan
+    test pins the pushed Or on the part scan — without it this is a
+    full-table join at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(5, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(bracket)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

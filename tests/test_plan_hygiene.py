@@ -278,6 +278,41 @@ def test_decorrelation_set_plan_pins(spark, sf_dir):
     ), "part-type filter not pushed to the part scan"
 
 
+def test_scan_shape_heads_push_their_predicates(spark, sf_dir):
+    """The Q4/Q6/Q19 shapes exist to pin predicate delivery: Q6 is a
+    join-free single aggregate whose three predicates all reach the
+    lineitem scan; Q4's correlated EXISTS lands as a LeftSemi with the
+    cross-side date comparison as a residual; Q19's cross-table
+    DISJUNCTION pushes each side's implied Or into its own scan."""
+    plan6 = _physical_plan(plans.all_queries()["discount_band_revenue"].fn(spark, sf_dir))
+    assert "Join" not in plan6, "Q6 must not join anything"
+    pushed6 = [ln for ln in plan6.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "l_shipdate" in ln and "l_discount" in ln and "l_quant" in ln for ln in pushed6
+    ), "Q6 predicates not all pushed to the lineitem scan"
+
+    plan4 = _physical_plan(
+        plans.all_queries()["late_order_priority_count"].fn(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan4
+    assert "BroadcastNestedLoopJoin" not in plan4 and "CartesianProduct" not in plan4
+    assert any(
+        "PushedFilters" in ln and "o_orderdate" in ln for ln in plan4.splitlines()
+    ), "Q4 quarter filter not pushed to the orders scan"
+
+    plan19 = _physical_plan(
+        plans.all_queries()["bracket_discount_revenue"].fn(spark, sf_dir)
+    )
+    pushed19 = [ln for ln in plan19.splitlines() if "PushedFilters" in ln]
+    assert any("Or(" in ln and "p_brand" in ln for ln in pushed19), (
+        "Q19 brand/size disjunction not pushed to the part scan"
+    )
+    assert any("Or(" in ln and "l_quantity" in ln for ln in pushed19), (
+        "Q19 quantity disjunction not pushed to the lineitem scan"
+    )
+    assert "CartesianProduct" not in plan19
+
+
 @contextlib.contextmanager
 def _no_auto_broadcast(spark):
     """Disable the planner's size-based auto-broadcast so the test can
