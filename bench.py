@@ -164,6 +164,7 @@ HEADLINE = [
     "late_order_priority_count",
     "promo_revenue_share",
     "bracket_discount_revenue",
+    "purchase_dim_asof",
 ]
 
 

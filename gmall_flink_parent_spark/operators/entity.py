@@ -312,3 +312,78 @@ def part_name_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-recall-by-construction ``part_name_fuzzy_pairs``)."""
     part = load_table(spark, sf_dir, "part")
     return edit_join_complete(part.select("p_name").distinct())
+
+
+# --------------------------- as-of enrichment against the SCD2 history
+
+DIM_ASOF_ORACLE = """
+WITH hist AS (
+    SELECT user_id, value,
+           ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to
+    FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       h.value AS dim_value,
+       h.effective_from AS dim_effective_from
+FROM events p
+LEFT JOIN hist h
+  ON h.user_id = p.user_id
+ AND p.ts >= h.effective_from
+ AND (h.effective_to IS NULL OR p.ts < h.effective_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register(
+    "purchase_dim_asof",
+    oracle=DIM_ASOF_ORACLE,
+    tags=("dim", "scd2", "asof", "J2"),
+    past_window=True,
+)
+def purchase_dim_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the dim VERSION valid at purchase
+    time — the point-in-time join that is the whole reason the SCD2
+    history (``scd2_dim_history``) exists, and the query the
+    reference's overwrite-in-place upsert (``DimSink.java:35-61``)
+    structurally cannot answer ("what did this dim row look like when
+    the fact happened?").
+
+    The history's intervals are disjoint and half-open per key, so
+    interval containment matches AT MOST one version — the join is an
+    equi-join on the dim key with the containment as a residual
+    (shuffle on user_id only; the same scale shape as the interval
+    join, never a cross product). LEFT join keeps purchases that
+    precede the user's first version (null dim columns), mirroring the
+    reference's pass-through-on-missing-dim behavior
+    (``DimAsyncFunction.java:40-55``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_frame(events.filter(F.col("event_type") == "signup")).select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("value").alias("dim_value"),
+        "effective_from",
+        "effective_to",
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.join(
+            hist,
+            (F.col("user_id") == F.col("h_user_id"))
+            & (F.col("ts") >= F.col("effective_from"))
+            & (F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "dim_value",
+            F.col("effective_from").alias("dim_effective_from"),
+        )
+    )
