@@ -165,6 +165,8 @@ HEADLINE = [
     "promo_revenue_share",
     "bracket_discount_revenue",
     "purchase_dim_asof",
+    "important_part_stock",
+    "part_supplier_variety",
 ]
 
 

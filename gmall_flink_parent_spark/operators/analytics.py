@@ -2295,3 +2295,146 @@ def bracket_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bracket)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# ------------- TPC-H value-share and variety shapes (Q11/Q16, round 10)
+
+IMPORTANT_STOCK_ORACLE = """
+WITH val AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l.l_quantity AS DECIMAL(9,2))) AS DECIMAL(20,4)) AS v
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+),
+stats AS (
+    SELECT CAST(SUM(v) AS DECIMAL(30,4)) AS total,
+           CAST(COUNT(*) AS DECIMAL(12,0)) AS n
+    FROM val
+)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val, stats
+WHERE v * n * CAST(2 AS DECIMAL(2,0)) > CAST(3 AS DECIMAL(2,0)) * total
+"""
+
+
+@register(
+    "important_part_stock",
+    oracle=IMPORTANT_STOCK_ORACLE,
+    tags=("join", "tpch", "scalar-subquery"),
+    past_window=True,
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: parts whose one-nation inventory value
+    exceeds a threshold derived from the nation's GLOBAL total — the
+    group-vs-global-scalar HAVING (the domain has no partsupp, so
+    value is priced from observed lineitems of that nation's
+    suppliers; the threshold is 1.5× the mean part value, which stays
+    meaningful at every scale factor where Q11's fixed fraction would
+    collapse to all-or-nothing).
+
+    The per-part aggregate is computed ONCE (persisted: the threshold
+    scalars and the filter probe both read it); the (total, n) stats
+    are a 1-row broadcast; and the 1.5×-mean comparison is
+    cross-multiplied in exact DECIMAL — ``2·v·n > 3·Σv`` with widths
+    pinned ((20,4)·(12,0)·(2,0) → 36 digits; total (30,4)·(2,0) →
+    33) — so neither engine ever divides or rounds at the threshold.
+    Contract bounds: one part's value < 10^16, the nation total
+    < 10^26. Suppliers prune to the nation via a bounded-dim
+    broadcast before the fact aggregate.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nation_suppliers = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(9,2)"
+    )
+    val = scoped_persist(
+        li.join(
+            gated_broadcast(spark, sf_dir, "supplier", nation_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(v).cast("decimal(20,4)").alias("v"))
+    )
+    stats = val.agg(
+        F.sum("v").cast("decimal(30,4)").alias("total"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+    )
+    return (
+        val.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("v") * F.col("n") * F.lit(2).cast("decimal(2,0)")
+            > F.lit(3).cast("decimal(2,0)") * F.col("total")
+        )
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+SUPPLIER_VARIETY_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "part_supplier_variety",
+    oracle=SUPPLIER_VARIETY_ORACLE,
+    tags=("join", "tpch", "distinct-agg", "semi-anti"),
+    past_window=True,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's shape: how many DISTINCT suppliers serve each
+    (brand, type, size) bucket, excluding a supplier denylist — the
+    NOT IN + COUNT(DISTINCT) combination (supply observed from
+    lineitems; the denylist is negative-balance suppliers standing in
+    for Q16's complaint filter).
+
+    The NOT IN decorrelates to a LEFT ANTI join on the supplier key
+    (safe here: keys are non-null, and anti-join IS the null-safe
+    production form of a denylist). The brand/type/size filters push
+    into the part scan before its size-gated broadcast; the distinct
+    count compiles to Spark's two-phase Expand/partial-distinct
+    aggregate — no single task ever sees a full bucket's duplicates.
+    """
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#4")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            gated_broadcast(spark, sf_dir, "supplier", bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            gated_broadcast(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
