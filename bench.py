@@ -167,6 +167,7 @@ HEADLINE = [
     "purchase_dim_asof",
     "important_part_stock",
     "part_supplier_variety",
+    "returnflag_priority_counts",
 ]
 
 

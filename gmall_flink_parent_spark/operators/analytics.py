@@ -2438,3 +2438,50 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+RETURNFLAG_PRIORITY_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@register(
+    "returnflag_priority_counts",
+    oracle=RETURNFLAG_PRIORITY_ORACLE,
+    tags=("join", "tpch"),
+    past_window=True,
+)
+def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape: per-shipping-class counts of high- vs
+    low-priority orders in a year — the conditional two-way count over
+    a fact-fact join (the domain has no l_shipmode, so the return flag
+    is the class column; the shape — date-windowed join, IN-list CASE
+    split, class-grain aggregate — is Q12 unchanged).
+
+    The year filter reaches the lineitem scan; both conditional counts
+    come from ONE aggregate pass (the CASE is a projection); the join
+    shuffles on the order key only and the output is |flags| rows.
+    Pure integer counts — no decimal/float anywhere to drift.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
