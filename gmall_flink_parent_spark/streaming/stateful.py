@@ -29,6 +29,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 BOUNCE_WINDOW_US = 30 * 60 * 1_000_000  # mirrors operators/bounce.py
@@ -333,4 +334,30 @@ def funnel_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def uv_dedup_stream_builtin(events: DataFrame) -> DataFrame:
+    """W2 via Spark's BUILT-IN state-bounded streaming dedup —
+    ``dropDuplicatesWithinWatermark`` — the primitive SURVEY §2.6 names
+    as the native form of the reference's TTL'd ValueState dedup
+    (``UniqueVisitApp.java:54-95``).
+
+    Contrast with ``uv_dedup_stream`` (the faithful port): the built-in
+    keeps the FIRST-ARRIVED row per (user, day) and drops its state
+    once the watermark passes the event time plus the dedup horizon;
+    the custom op reproduces Flink's exact TTL semantics (idle-key
+    expiry with re-admission) and emits the MIN-timestamp row. The
+    deduplicated KEY SET is identical on closed data — pinned against
+    batch ``uv_dedup`` — while the representative row is
+    arrival-order-dependent here, so this surface returns only the key
+    columns. At 100 TB this is the zero-custom-code path: state is the
+    (user, day) key set inside the horizon, bounded by the watermark
+    exactly like the hand-built op's timeout.
+    """
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .withColumn("visit_ymd", F.date_format("ts", "yyyyMMdd"))
+        .dropDuplicatesWithinWatermark(["user_id", "visit_ymd"])
+        .select("user_id", "visit_ymd")
     )

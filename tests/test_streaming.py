@@ -4125,3 +4125,21 @@ def test_interval_join_skew_hot_key_is_split_by_aqe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_uv_dedup_builtin_matches_batch_key_set(spark, sf_dir):
+    """The built-in ``dropDuplicatesWithinWatermark`` form of W2 must
+    produce EXACTLY the batch uv_dedup key set on closed data (the
+    representative row is arrival-order-dependent, so the surface
+    returns keys only — the docstring's honest contract)."""
+    from gmall_flink_parent_spark.streaming.stateful import uv_dedup_stream_builtin
+
+    out = _run_to_memory(
+        uv_dedup_stream_builtin(events_stream(spark, sf_dir)), spark, "uvb_out"
+    )
+    got = {(r["user_id"], r["visit_ymd"]) for r in out.collect()}
+    want = {
+        (r["user_id"], r["visit_ymd"])
+        for r in plans.query_map()["uv_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
