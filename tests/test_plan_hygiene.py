@@ -358,6 +358,24 @@ def test_gated_broadcast_hint_follows_the_size_gate(spark, sf_dir):
         assert ("SortMergeJoin" in flipped) or ("ShuffledHashJoin" in flipped)
 
 
+def test_gated_broadcast_fails_safe_when_size_is_unmeasurable(spark, sf_dir):
+    """If the backing table's parquet footprint can't be read (path
+    missing — e.g. a catalog-managed table a future caller points at),
+    the gate must FAIL SAFE: no hint, so the planner/AQE decides from
+    its own statistics. The dangerous failure would be defaulting to
+    broadcast on unknown size."""
+    from gmall_flink_parent_spark.sources.tables import gated_broadcast, load_table
+
+    with _no_auto_broadcast(spark):
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        # customer frame is real, but the size is resolved against a
+        # nonexistent directory → None → no hint
+        g = gated_broadcast(spark, "/nonexistent-sf-dir", "customer", c)
+        plan = _physical_plan(o.join(g, o["o_custkey"] == g["c_custkey"]))
+        assert "BroadcastHashJoin" not in plan, "unmeasurable size must not hint"
+
+
 def test_order_wide_sf_dims_flip_to_shuffle_when_gate_trips(spark, sf_dir, monkeypatch):
     """End-to-end form of the gate test on the flagship head: patch the
     module gate to 0 bytes (simulating dims grown past the broadcast
