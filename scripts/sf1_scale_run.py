@@ -67,6 +67,19 @@ HEADS = [
     "returned_item_losses",
     "supplier_wait_chain",
     "top_revenue_supplier",
+    # round-10 additions (TPC-H completion + SCD2 as-of)
+    "small_qty_part_revenue",
+    "regional_cheapest_supplier",
+    "customer_order_distribution",
+    "nation_profit_rollup",
+    "discount_band_revenue",
+    "late_order_priority_count",
+    "promo_revenue_share",
+    "bracket_discount_revenue",
+    "purchase_dim_asof",
+    "important_part_stock",
+    "part_supplier_variety",
+    "returnflag_priority_counts",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —
