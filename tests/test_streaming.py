@@ -4143,3 +4143,79 @@ def test_uv_dedup_builtin_matches_batch_key_set(spark, sf_dir):
         for r in plans.query_map()["uv_dedup"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_drops_rows_behind_the_watermark(spark, tmp_path):
+    """Late-data contract of the stream-stream interval join (W5): a
+    detail row arriving BEHIND the global watermark is dropped at the
+    input — its order's join state was already evicted when the
+    watermark cleared the band — while a fresh in-band row in the same
+    micro-batch still joins. Mirrors Flink's behavior for the same
+    ±band/watermark configuration (``OrderWideApp.java:105-141``)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from gmall_flink_parent_spark.streaming.jobs import order_wide_stream
+
+    base = pd.Timestamp("2026-01-01")
+    far = base + pd.Timedelta(days=100)
+
+    (tmp_path / "orders").mkdir()
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderdate": [base, far],
+        }
+    )
+    pdf_o["o_orderdate"] = pdf_o["o_orderdate"].astype("datetime64[us]")
+    pdf_o.to_parquet(str(tmp_path / "orders" / "o.parquet"))
+
+    (tmp_path / "details").mkdir()
+    batches = (
+        # batch 1: a detail for order 2 at t0+100d — pushes the
+        # watermark to ~t0+100d−3s, far past order 1's 30-day band
+        ("d1.parquet", [(2, 1, far, 10.0)], 0),
+        # batch 2: a fresh detail; its COMMIT runs the state cleanup
+        # under the batch-1 watermark, evicting order 1's band state
+        # (eviction lands in the commit phase, one batch behind the
+        # watermark — the contract this fixture walks deliberately)
+        ("d2.parquet", [(2, 2, far + pd.Timedelta(seconds=1), 20.0)], 5),
+        # batch 3: one LATE detail for order 1 (t0+1d, behind the
+        # watermark, state gone → dropped) and one fresh for order 2
+        (
+            "d3.parquet",
+            [
+                (1, 1, base + pd.Timedelta(days=1), 99.0),
+                (2, 3, far + pd.Timedelta(seconds=2), 30.0),
+            ],
+            10,
+        ),
+    )
+    for fname, rows, off in batches:
+        pdf = pd.DataFrame(
+            rows, columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"]
+        )
+        pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+        pdf["l_linenumber"] = pdf["l_linenumber"].astype("int32")
+        path = str(tmp_path / "details" / fname)
+        pdf.to_parquet(path)
+        t = time.time() + off
+        os.utime(path, (t, t))
+
+    orders = spark.readStream.schema("o_orderkey long, o_orderdate timestamp").parquet(
+        str(tmp_path / "orders")
+    )
+    details = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_shipdate timestamp, "
+            "l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "details"))
+    )
+    out = _run_to_memory(order_wide_stream(orders, details), spark, "late_band_out")
+    got = sorted((r["o_orderkey"], r["l_linenumber"]) for r in out.collect())
+    # order 2's three details join; order 1's late detail never appears
+    assert got == [(2, 1), (2, 2), (2, 3)], got
