@@ -125,7 +125,15 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
             )
         state.update((last_date,))
         if last_event_ms is not None:
-            state.setTimeoutTimestamp(last_event_ms + UV_STATE_TTL_MS)
+            # Clamp to the watermark: a micro-batch is NOT time-ordered
+            # across files/partitions, so a key whose newest row is old
+            # can compute a TTL already behind the advanced watermark —
+            # PySpark rejects such a timestamp outright. wm+1 preserves
+            # the semantics exactly: the expiry was already due, so it
+            # fires at the first possible instant.
+            state.setTimeoutTimestamp(
+                max(last_event_ms + UV_STATE_TTL_MS, state.getCurrentWatermarkMs() + 1)
+            )
 
     return (
         events.withWatermark("ts", "0 seconds")
@@ -246,7 +254,15 @@ def bounce_detect_stream(events: DataFrame, window_us: int = BOUNCE_WINDOW_US) -
                 last_us = ev_us
         state.update((last_us, cand_id, cand_us))
         if cand_id is not None:
-            state.setTimeoutTimestamp(cand_us // 1000 + window_us // 1000 + 1)
+            # same watermark clamp as uv_dedup_stream: an already-due
+            # timeout fires at the first possible instant instead of
+            # failing the batch on an out-of-order arrival
+            state.setTimeoutTimestamp(
+                max(
+                    cand_us // 1000 + window_us // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(
             {
                 "event_id": [b[0] for b in bounces],

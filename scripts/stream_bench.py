@@ -25,6 +25,9 @@ Heads:
   (profile + shingle + mixture + vocab + DSIR gram stores) over the
   documents table — the 100 TB ingest-cost proxy, where the text scan
   dominates and the job exists to pay it once.
+- ``uv_dedup_stream``: the applyInPandasWithState tier — per-key Python
+  state with event-time TTL (the reference's ValueState port), i.e. the
+  Arrow/Python round-trip cost the JVM-side heads never pay.
 
 Numbers land in SCALE.md ("Streaming bench"); a coarse regression guard
 (schema + generous rows/s floor at sf0.01, never a tight timer) lives in
@@ -108,6 +111,27 @@ def _bench_order_wide(spark, orders_dir: str, details_dir: str, rows_in: int,
     }
 
 
+def _bench_uv_dedup(spark, events_dir: str, rows_in: int, checkpoint: str) -> dict:
+    from gmall_flink_parent_spark.streaming.stateful import uv_dedup_stream
+
+    deduped = uv_dedup_stream(_file_stream(spark, events_dir))
+    t0 = time.monotonic()
+    q = (
+        deduped.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stats = _drain(q)
+    wall = round(time.monotonic() - t0, 3)
+    return {
+        "rows_in": rows_in,
+        "wall_sec": wall,
+        "rows_per_sec": round(rows_in / wall, 1),
+        **stats,
+    }
+
+
 def _bench_ingest(spark, docs_dir: str, rows_in: int, work: str) -> dict:
     from gmall_flink_parent_spark.functions.curation import _MIX_HEAD_WEIGHTS
     from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
@@ -146,6 +170,7 @@ def run(sf_dir: str, work: str | None = None) -> dict:
         n_orders = _split_table(spark, sf_dir, "orders", f"{work}/orders", N_FILES)
         n_details = _split_table(spark, sf_dir, "lineitem", f"{work}/details", N_FILES)
         n_docs = _split_table(spark, sf_dir, "documents", f"{work}/docs", N_FILES)
+        n_events = _split_table(spark, sf_dir, "events", f"{work}/events", N_FILES)
         heads = {
             "order_wide_stream": _bench_order_wide(
                 spark, f"{work}/orders", f"{work}/details",
@@ -157,6 +182,9 @@ def run(sf_dir: str, work: str | None = None) -> dict:
             ),
             "curation_ingest_job": _bench_ingest(
                 spark, f"{work}/docs", n_docs, work
+            ),
+            "uv_dedup_stream": _bench_uv_dedup(
+                spark, f"{work}/events", n_events, f"{work}/ck_uv"
             ),
         }
     finally:

@@ -3920,10 +3920,12 @@ def test_stream_bench_runs_and_reports_sane_metrics(spark, tmp_path):
     n_o = load_table(spark, "/root/testdata/sf0.001", "orders").count()
     n_l = load_table(spark, "/root/testdata/sf0.001", "lineitem").count()
     n_d = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    n_e = load_table(spark, "/root/testdata/sf0.001", "events").count()
     for name, want_rows in (
         ("order_wide_stream", n_o + n_l),
         ("order_wide_outer_stream", n_o + n_l),
         ("curation_ingest_job", n_d),
+        ("uv_dedup_stream", n_e),
     ):
         h = heads[name]
         assert h["rows_in"] == want_rows, (name, h)
