@@ -202,7 +202,13 @@ def run(sf_dir: str, work: str | None = None) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    print(json.dumps(run(sf_dir)))
+    line = json.dumps(run(sf_dir))
+    print(line)
+    # optional machine-readable artifact (committed as STREAM_BENCH.json
+    # each round so streaming drift is diffable like BENCH_DETAIL.json)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(line + "\n")
 
 
 if __name__ == "__main__":
