@@ -3047,3 +3047,71 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert picks_of_zero == 12  # the mega-weight row never misses
     # equal-weight halves: both get picked over the seeds (sanity)
     assert heavy_half > 0 and light_half > 0
+
+
+def test_cross_multiplied_thresholds_match_exact_rational_arithmetic(spark):
+    """The Q17/Q11 heads replace threshold DIVISIONS with decimal
+    cross-multiplications (5·qty·n < Σqty; 2·v·n > 3·Σv) precisely so
+    no engine's quotient rounding can flip a boundary row. Prove the
+    Spark expressions agree with exact rational arithmetic on
+    adversarial values — exact ties included, which strict comparisons
+    must EXCLUDE (a divided-double formulation gets ties wrong in
+    either direction depending on rounding)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    # (qty, n, sum_qty): the middle rows are exact ties 5*qty*n == sum
+    rows = [
+        (10.00, 3, 150.00),   # tie: 5*10*3 == 150 → NOT less
+        (9.99, 3, 150.00),    # just under → less
+        (10.01, 3, 150.00),   # just over → not less
+        (0.01, 1, 0.05),      # tie at the smallest scale step
+        (0.01, 1, 0.06),      # under by one cent
+        (33.33, 7, 1166.55),  # tie: 5*33.33*7 == 1166.55
+        (33.33, 7, 1166.56),
+        (47.50, 11, 2612.50), # tie
+        (47.50, 11, 2612.49),
+    ]
+    df = spark.createDataFrame(rows, "qty double, n long, sum_qty double").select(
+        F.col("qty").cast("decimal(9,2)").alias("qty"),
+        F.col("n").cast("decimal(12,0)").alias("n"),
+        F.col("sum_qty").cast("decimal(19,2)").alias("sum_qty"),
+    )
+    got = [
+        bool(r["lt"])
+        for r in df.select(
+            (F.lit(5) * F.col("qty") * F.col("n") < F.col("sum_qty")).alias("lt")
+        ).collect()
+    ]
+    want = [
+        5 * Fraction(str(q)) * nn < Fraction(str(s)) for q, nn, s in rows
+    ]
+    assert got == want, list(zip(rows, got, want))
+
+    # Q11 form: 2·v·n > 3·total, ties again excluded by strict >
+    rows11 = [
+        (150.00, 4, 400.00),   # tie: 2*150*4 == 3*400
+        (150.01, 4, 400.00),   # just over → greater
+        (149.99, 4, 400.00),
+        (0.03, 1, 0.02),       # tie at cents: 0.06 == 0.06
+        (0.04, 1, 0.02),
+    ]
+    df11 = spark.createDataFrame(rows11, "v double, n long, total double").select(
+        F.col("v").cast("decimal(20,4)").alias("v"),
+        F.col("n").cast("decimal(12,0)").alias("n"),
+        F.col("total").cast("decimal(30,4)").alias("total"),
+    )
+    got11 = [
+        bool(r["gt"])
+        for r in df11.select(
+            (
+                F.col("v") * F.col("n") * F.lit(2).cast("decimal(2,0)")
+                > F.lit(3).cast("decimal(2,0)") * F.col("total")
+            ).alias("gt")
+        ).collect()
+    ]
+    want11 = [
+        2 * Fraction(str(v)) * nn > 3 * Fraction(str(t)) for v, nn, t in rows11
+    ]
+    assert got11 == want11, list(zip(rows11, got11, want11))
