@@ -538,7 +538,7 @@ def daily_value_store_job(events: DataFrame, store_path: str, checkpoint_dir: st
     hash-equal to its batch head over the same events.
 
     The partial is the finest grain both consumers share: per-batch
-    (day, type) decimal sums + counts. Decimal addition is associative,
+    (day, type) decimal sums. Decimal addition is associative,
     so sum-of-partials equals the one-shot daily total exactly, and
     every downstream cast (the correlation's DECIMAL(18,2) pin, the
     pivot's double edge) applies AFTER the merge — bit-identical to
@@ -550,7 +550,6 @@ def daily_value_store_job(events: DataFrame, store_path: str, checkpoint_dir: st
     def partials(batch: DataFrame) -> DataFrame:
         return batch.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("v_part"),
-            F.count(F.lit(1)).alias("n_part"),
         )
 
     return _partial_store_job(

@@ -370,9 +370,20 @@ def uv_dedup_stream_builtin(events: DataFrame) -> DataFrame:
     columns. At 100 TB this is the zero-custom-code path: state is the
     (user, day) key set inside the horizon, bounded by the watermark
     exactly like the hand-built op's timeout.
+
+    The watermark delay must COVER the dedup horizon: with a 0-second
+    delay, a key's dedup state is dropped as soon as the watermark
+    passes its event time, so a same-day duplicate arriving in a later
+    micro-batch would be re-emitted. ``UV_STATE_TTL_MS`` (24 h, the
+    reference's TTL) is exactly the horizon a (user, day) key needs —
+    every same-day duplicate's timestamp is < 24 h after the first
+    event's, so its state is provably still live when the duplicate
+    arrives, regardless of micro-batch boundaries. Pinned by the
+    multi-batch no-duplicate-ROWS test (not just key-set equality) in
+    ``tests/test_streaming.py``.
     """
     return (
-        events.withWatermark("ts", "0 seconds")
+        events.withWatermark("ts", f"{UV_STATE_TTL_MS // 1000} seconds")
         .withColumn("visit_ymd", F.date_format("ts", "yyyyMMdd"))
         .dropDuplicatesWithinWatermark(["user_id", "visit_ymd"])
         .select("user_id", "visit_ymd")

@@ -112,13 +112,26 @@ def _inflate(spark, name: str):
         for k in OFFSET_KEYS.get(name, ()):
             df = df.withColumn(k, F.col(k) + F.lit(i * KEY_OFF))
         if name == "documents" and i > 0:
-            # disjoint vocabulary per shard: suffix every token with the
-            # copy index (dedup truth = 10 disjoint copies, linear scale)
+            # disjoint vocabulary per shard: suffix every token with
+            # "_<copy index>" (dedup truth = 10 disjoint copies, linear
+            # scale). The separator must be a character the base corpus
+            # cannot produce — a bare digit suffix collides with base
+            # tokens already ending in that digit ("foo1" == "foo"+"1").
+            # The base corpus contains no underscores (asserted below),
+            # so "_i" suffixed tokens are disjoint by construction.
+            if i == 1:
+                n_underscore = base.filter(F.col("text").contains("_")).count()
+                assert n_underscore == 0, (
+                    f"{n_underscore} base documents contain '_'; the shard "
+                    "vocabulary-disjointness construction needs a separator "
+                    "absent from the base corpus"
+                )
             df = df.withColumn(
                 "text",
                 F.array_join(
                     F.transform(
-                        F.split("text", " "), lambda w: F.concat(w, F.lit(str(i)))
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit("_" + str(i))),
                     ),
                     " ",
                 ),
