@@ -467,6 +467,9 @@ WHERE rnk <= {SRP_TOP_K}
     "ann_srp_multiprobe",
     oracle=ANN_SRP_MULTIPROBE_ORACLE,
     tags=("similarity", "ann", "lsh", "multiprobe"),
+    # rotated out of the driver window in round 11 (ann_srp_lsh keeps the
+    # SRP family in-window; multiprobe parity enforced by the local suite)
+    past_window=True,
 )
 def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe SRP ANN: each query searches its own bucket plus all

@@ -1804,7 +1804,7 @@ WHERE 5 * li.qty * stats.n < sum_qty
     "small_qty_part_revenue",
     oracle=SMALL_QTY_ORACLE,
     tags=("join", "tpch", "decorrelation"),
-    past_window=True,
+    # promoted into the driver window in the round-11 rotation
 )
 def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17's shape: revenue lost to small-quantity orders of one
@@ -1880,7 +1880,7 @@ LIMIT 100
     "regional_cheapest_supplier",
     oracle=CHEAPEST_SUPPLIER_ORACLE,
     tags=("join", "tpch", "decorrelation"),
-    past_window=True,
+    # promoted into the driver window in the round-11 rotation
 )
 def regional_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2's shape: for each part of one type, the in-region
@@ -1976,7 +1976,7 @@ GROUP BY c_count
     "customer_order_distribution",
     oracle=ORDER_DISTRIBUTION_ORACLE,
     tags=("join", "tpch", "outer-agg"),
-    past_window=True,
+    # promoted into the driver window in the round-11 rotation
 )
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13's shape: the distribution of per-customer order counts
@@ -2031,7 +2031,7 @@ GROUP BY n.n_name, YEAR(o.o_orderdate)
     "nation_profit_rollup",
     oracle=NATION_PROFIT_ORACLE,
     tags=("join", "tpch"),
-    past_window=True,
+    # promoted into the driver window in the round-11 rotation
 )
 def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9's shape: profit by (supplier nation × order year) for

@@ -342,7 +342,7 @@ WHERE p.event_type = 'purchase'
     "purchase_dim_asof",
     oracle=DIM_ASOF_ORACLE,
     tags=("dim", "scd2", "asof", "J2"),
-    past_window=True,
+    # promoted into the driver window in the round-11 rotation
 )
 def purchase_dim_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase enriched with the dim VERSION valid at purchase

@@ -140,7 +140,14 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("display_explode", oracle=TOKEN_EXPLODE_ORACLE, tags=("X2",))
+@register(
+    "display_explode",
+    oracle=TOKEN_EXPLODE_ORACLE,
+    tags=("X2",),
+    # rotated out of the driver window in round 11 (log_split_start +
+    # props_json_extract keep the X-family in-window)
+    past_window=True,
+)
 def display_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array flatten with parent-field injection (BaseLogTask.java:126-135).
 

@@ -88,7 +88,14 @@ GROUP BY win_start, event_type
 """
 
 
-@register("sliding_stats", oracle=SLIDING_STATS_ORACLE, tags=("dws", "window-agg", "sliding"))
+@register(
+    "sliding_stats",
+    oracle=SLIDING_STATS_ORACLE,
+    tags=("dws", "window-agg", "sliding"),
+    # rotated out of the driver window in round 11 (long-green since r1;
+    # hash parity still enforced every run by tests/test_oracle_parity.py)
+    past_window=True,
+)
 def sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 min.
 
@@ -237,7 +244,14 @@ GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
 """
 
 
-@register("revenue_cube", oracle=CUBE_ORACLE, tags=("dws", "cube"))
+@register(
+    "revenue_cube",
+    oracle=CUBE_ORACLE,
+    tags=("dws", "cube"),
+    # rotated out of the driver window in round 11 (revenue_rollup keeps
+    # the family in-window; local oracle suite still hash-checks this)
+    past_window=True,
+)
 def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment × priority revenue CUBE with grouping_id.
 
@@ -288,7 +302,14 @@ GROUP BY user_id, session_seq
 """
 
 
-@register("sessionize", oracle=SESSIONIZE_ORACLE, tags=("dws", "session"))
+@register(
+    "sessionize",
+    oracle=SESSIONIZE_ORACLE,
+    tags=("dws", "session"),
+    # rotated out of the driver window in round 11 (session_window_stats,
+    # promoted r10, keeps the session family in-window)
+    past_window=True,
+)
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) via lag + running sum.
 
