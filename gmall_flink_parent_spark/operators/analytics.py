@@ -1322,7 +1322,9 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal >50% threshold is unreachable in this corpus, whose ~30
     lines per part spread near-uniformly over ~30 suppliers at every
     SF, so the threshold is relative to the mean — same shape, scale-
-    stable selectivity).
+    stable selectivity. Q20's REAL availqty-vs-shipped comparison is
+    the ``excess_stock_suppliers_partsupp`` twin on the derived
+    partsupp, ``operators/partsupp.py``).
 
     Decorrelation: the fine (part, supplier) aggregate rolls up AGAIN
     to the part grain instead of re-scanning lineitem — one scan, two
@@ -1888,9 +1890,11 @@ def regional_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery (``cost = (SELECT min(..) WHERE ps_partkey = p_partkey)``),
     decorrelated to a grouped MIN + equi-join-back on (part, cost).
 
-    The reference domain has no partsupp table (TESTDATA.md), so cost
-    is the minimum observed lineitem price per (part, supplier) in the
-    region — same decorrelation shape, observed-data cost basis. The
+    Cost basis: the minimum observed lineitem price per
+    (part, supplier) in the region — the domain-faithful variant; the
+    exact TPC-H topology (table-attribute cost) is the
+    ``regional_cheapest_supplier_partsupp`` twin on the derived
+    partsupp (``operators/partsupp.py``). The
     region restriction prunes via bounded-dim broadcasts BEFORE the
     grouped min; the min-cost frame is (part)-grain; joining it back on
     the part key with the cost equality as a residual keeps ties (Q2
@@ -2038,10 +2042,12 @@ def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one part type — the five-way star join whose measure subtracts a
     cost term from revenue inside the aggregate.
 
-    The reference domain has no partsupp table (TESTDATA.md), so the
-    supplycost term is ``p_retailprice × l_quantity`` (part-grain cost
-    basis) — the join topology and the revenue−cost aggregate are the
-    Q9 shape unchanged. part/supplier ride the size-gated broadcast;
+    Cost basis: ``p_retailprice × l_quantity`` (part-grain,
+    domain-faithful); the exact TPC-H topology (``ps_supplycost``
+    joined on both keys) is the ``nation_profit_rollup_partsupp`` twin
+    on the derived partsupp (``operators/partsupp.py``). The join
+    topology and the revenue−cost aggregate are the Q9 shape
+    unchanged. part/supplier ride the size-gated broadcast;
     nation is bounded; orders joins on the order key (the one fact-fact
     shuffle). Every term is exact DECIMAL inside the sum —
     (18,2)×(19,2)→(38,4) revenue, (18,2)×(9,2)→(28,4) cost — and only
@@ -2329,11 +2335,13 @@ WHERE v * n * CAST(2 AS DECIMAL(2,0)) > CAST(3 AS DECIMAL(2,0)) * total
 def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11's shape: parts whose one-nation inventory value
     exceeds a threshold derived from the nation's GLOBAL total — the
-    group-vs-global-scalar HAVING (the domain has no partsupp, so
-    value is priced from observed lineitems of that nation's
-    suppliers; the threshold is 1.5× the mean part value, which stays
-    meaningful at every scale factor where Q11's fixed fraction would
-    collapse to all-or-nothing).
+    group-vs-global-scalar HAVING (value priced from observed
+    lineitems of that nation's suppliers — domain-faithful; the exact
+    ``ps_supplycost × ps_availqty`` measure is the
+    ``important_part_stock_partsupp`` twin on the derived partsupp.
+    The threshold is 1.5× the mean part value, which stays meaningful
+    at every scale factor where Q11's fixed fraction would collapse to
+    all-or-nothing).
 
     The per-part aggregate is computed ONCE (persisted: the threshold
     scalars and the filter probe both read it); the (total, n) stats
@@ -2400,8 +2408,10 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16's shape: how many DISTINCT suppliers serve each
     (brand, type, size) bucket, excluding a supplier denylist — the
     NOT IN + COUNT(DISTINCT) combination (supply observed from
-    lineitems; the denylist is negative-balance suppliers standing in
-    for Q16's complaint filter).
+    lineitems — domain-faithful; the table-relationship count is the
+    ``part_supplier_variety_partsupp`` twin on the derived partsupp.
+    The denylist is negative-balance suppliers standing in for Q16's
+    complaint filter).
 
     The NOT IN decorrelates to a LEFT ANTI join on the supplier key
     (safe here: keys are non-null, and anti-join IS the null-safe

@@ -14,6 +14,7 @@ from gmall_flink_parent_spark.operators import (  # noqa: F401  (import for side
     entity,
     log_split,
     order_wide,
+    partsupp,
     routing,
     skew,
     uv_dedup,

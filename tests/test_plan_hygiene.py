@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "cold_customer_balance",  # 1-row (n_pos, sum_pos) balance-stats scalar × customers
     "top_revenue_supplier",  # 1-row MAX-revenue scalar × per-supplier revenue frame
     "important_part_stock",  # 1-row (total, n) threshold scalars × per-part values
+    "important_part_stock_partsupp",  # same 1-row threshold scalars, partsupp measure
 }
 
 
