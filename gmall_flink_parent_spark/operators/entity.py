@@ -362,28 +362,37 @@ def purchase_dim_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``DimAsyncFunction.java:40-55``).
     """
     events = load_table(spark, sf_dir, "events")
-    hist = scd2_frame(events.filter(F.col("event_type") == "signup")).select(
+    hist = scd2_frame(events.filter(F.col("event_type") == "signup"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return dim_asof_enrich(purchases, hist)
+
+
+def dim_asof_enrich(purchases: DataFrame, hist: DataFrame) -> DataFrame:
+    """The point-in-time join core shared by ``purchase_dim_asof`` and
+    the SCD2 property suite (``tests/test_properties.py``): LEFT join
+    facts to the version whose half-open interval contains the fact
+    timestamp. ``hist`` is any ``scd2_frame`` output; disjointness of
+    its intervals is what guarantees at most one match per fact row —
+    the invariant the Hypothesis property pins for arbitrary change
+    sequences."""
+    h = hist.select(
         F.col("user_id").alias("h_user_id"),
         F.col("value").alias("dim_value"),
         "effective_from",
         "effective_to",
     )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    return (
-        purchases.join(
-            hist,
-            (F.col("user_id") == F.col("h_user_id"))
-            & (F.col("ts") >= F.col("effective_from"))
-            & (F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))),
-            "left",
-        )
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "dim_value",
-            F.col("effective_from").alias("dim_effective_from"),
-        )
+    return purchases.join(
+        h,
+        (F.col("user_id") == F.col("h_user_id"))
+        & (F.col("ts") >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "dim_value",
+        F.col("effective_from").alias("dim_effective_from"),
     )

@@ -349,7 +349,9 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     return session_stats_frame(events.withWatermark("ts", "1 minute"), gap)
 
 
-def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
+def order_wide_stream(
+    orders: DataFrame, details: DataFrame, salt: int = 1
+) -> DataFrame:
     """EP3 (OrderWideApp): stream-stream interval join with watermarks.
 
     Reference: ±5 ms band at ``OrderWideApp.java:134-141`` with 3 s
@@ -357,18 +359,45 @@ def order_wide_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     [0, +30 d] event-time band; both sides watermarked so join state is
     evicted once the band can no longer match (Spark's built-in interval
     join state cleanup — the same mechanism Flink uses).
+
+    ``salt`` (default 1 = the plain plan) is the stream-side skew
+    valve (SCALE.md round-10 note): AQE's skew split only covers the
+    BATCH shuffle path, so a hot order key in the streaming join
+    otherwise lands in one state-store partition. With ``salt = n``
+    the detail side tags each row with a deterministic salt in [0, n)
+    (hash of its line number — any assignment is correct) and the
+    order side replicates each row across ALL n salts, so the join key
+    becomes (orderkey, salt) and a hot key's state + matching spread
+    over n partitions. Each detail row still meets exactly one copy of
+    its order (the one sharing its salt), so the result is
+    row-identical to salt=1 — pinned by the salt=4 parity test. Cost:
+    order-side state × n (the smaller side), detail side unchanged.
     """
     o = orders.withWatermark("o_orderdate", "3 seconds")
     d = details.withWatermark("l_shipdate", "3 seconds")
-    return o.join(
-        d,
-        F.expr(
+    if salt > 1:
+        o = o.withColumn(
+            "o_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        d = d.withColumn("l_salt", F.pmod(F.hash("l_linenumber"), F.lit(salt)))
+        join_cond = F.expr(
+            """
+            o_orderkey = l_orderkey AND o_salt = l_salt AND
+            l_shipdate >= o_orderdate AND
+            l_shipdate <= o_orderdate + INTERVAL 30 DAYS
+            """
+        )
+    else:
+        join_cond = F.expr(
             """
             o_orderkey = l_orderkey AND
             l_shipdate >= o_orderdate AND
             l_shipdate <= o_orderdate + INTERVAL 30 DAYS
             """
-        ),
+        )
+    return o.join(
+        d,
+        join_cond,
         "inner",
     ).select(
         "o_orderkey",
@@ -591,6 +620,68 @@ def event_type_pivot_from_store(spark: SparkSession, store_path: str) -> DataFra
         .groupBy(F.date_format("day", "yyyyMMdd").alias("ymd"))
         .pivot("event_type", list(PIVOT_TYPES))
         .agg(F.sum("v_part").cast("double"))
+    )
+
+
+def pricing_summary_store_job(lineitem: DataFrame, store_path: str, checkpoint_dir: str):
+    """Incremental-store twin of batch ``pricing_summary`` (the Q1 DWS
+    rollup, ``operators/order_wide.py``) — VERDICT r10 #7: the daily-
+    value pattern applied to the canonical pricing rollup.
+
+    Partials per micro-batch at the (returnflag, linestatus) grain:
+    the four DECIMAL measure sums + the row count. Each per-row term
+    is cast to DECIMAL exactly as in the batch head BEFORE any sum, so
+    partial sums are associative-exact; the final pass merges partials
+    and applies the double/round edge casts AFTER the merge — the same
+    order of operations as batch, hence hash-equal. Store size ∝
+    |flag × status| × #batches (single-digit rows per batch at any
+    fact volume); each batch pays one map-side-combined shuffle of
+    ≤ grain-cardinality rows.
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+        return (
+            batch.filter(
+                F.col("l_shipdate") <= F.lit("2024-12-01 00:00:00").cast("timestamp")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_part"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                    "base_part"
+                ),
+                F.sum(disc_price.cast("decimal(18,6)")).alias("disc_part"),
+                F.sum(charge.cast("decimal(18,6)")).alias("charge_part"),
+                F.count(F.lit(1)).alias("n_part"),
+            )
+        )
+
+    return _partial_store_job(
+        lineitem, partials, store_path, f"{checkpoint_dir}/pricing_summary"
+    )
+
+
+def pricing_summary_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``pricing_summary_store_job``'s partials:
+    decimal sums and counts merge exactly; the double casts and the
+    6-digit avg_qty rounding happen AFTER the merge, mirroring the
+    batch head's output edge — schema- and hash-equal to batch
+    ``pricing_summary``."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_part").cast("double").alias("sum_qty"),
+            F.sum("base_part").cast("double").alias("sum_base_price"),
+            F.sum("disc_part").cast("double").alias("sum_disc_price"),
+            F.sum("charge_part").cast("double").alias("sum_charge"),
+            F.sum("n_part").cast("long").alias("count_order"),
+            F.round(
+                F.sum("qty_part").cast("double") / F.sum("n_part").cast("long"), 6
+            ).alias("avg_qty"),
+        )
     )
 
 

@@ -1028,3 +1028,80 @@ def test_warc_quarantine_salvages_records_around_injected_dirt(payloads, dirt, p
     assert len(got) >= pos  # everything before the dirt always survives
     got_payloads = [p for _s, _h, p in got]
     assert got_payloads[:pos] == payloads[:pos]
+
+
+# --------------------------- SCD2 / as-of pair (VERDICT r10 stretch #10)
+
+scd2_changes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id (collisions intended)
+        st.integers(min_value=0, max_value=3600),  # offset seconds (tie collisions too)
+        st.booleans(),  # is_purchase (else signup)
+        st.integers(min_value=0, max_value=50),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=scd2_changes_strategy)
+def test_scd2_asof_invariants_hold_for_any_change_sequence(spark, rows):
+    """For ANY interleaving of signup changes and purchases — including
+    duplicate timestamps within a user — the SCD2/as-of pair must hold
+    the invariants its join correctness rests on:
+
+    - per user the versions are 1..n consecutive in (ts, event_id)
+      order, each interval half-open, consecutive intervals ADJACENT
+      (effective_to == next effective_from), only the last open — so
+      the intervals are disjoint by construction;
+    - ``dim_asof_enrich`` therefore matches AT MOST one version per
+      purchase: exactly one output row per purchase row, null dim
+      columns iff the purchase precedes the user's first version;
+    - the matched value equals the pandas-computed truth: the LAST
+      signup (by ts, then event_id) whose ts <= the purchase ts.
+    """
+    from gmall_flink_parent_spark.operators.entity import dim_asof_enrich, scd2_frame
+
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "ts": [base + pd.Timedelta(seconds=r[1]) for r in rows],
+            "is_purchase": [r[2] for r in rows],
+            "value": [float(r[3]) for r in rows],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    signups = df.filter(~F.col("is_purchase")).drop("is_purchase")
+    purchases = df.filter(F.col("is_purchase")).select("event_id", "user_id", "ts")
+    hist = scd2_frame(signups).toPandas()
+
+    # interval invariants per user
+    for uid, g in hist.groupby("user_id"):
+        g = g.sort_values("version")
+        assert list(g["version"]) == list(range(1, len(g) + 1))
+        froms = list(g["effective_from"])
+        tos = list(g["effective_to"])
+        assert all(pd.isna(t) for t in tos[-1:]) and g["is_current"].iloc[-1]
+        assert not g["is_current"].iloc[:-1].any()
+        for i in range(len(g) - 1):
+            assert tos[i] == froms[i + 1]  # adjacent → disjoint half-open
+
+    out = dim_asof_enrich(purchases, scd2_frame(signups)).toPandas()
+    n_purch = purchases.count()
+    assert len(out) == n_purch  # at most one version matched per purchase
+
+    sign_pdf = pdf[~pdf["is_purchase"]].sort_values(["user_id", "ts", "event_id"])
+    for _, row in out.iterrows():
+        cand = sign_pdf[
+            (sign_pdf["user_id"] == row["user_id"]) & (sign_pdf["ts"] <= row["ts"])
+        ]
+        if cand.empty:
+            assert pd.isna(row["dim_value"]) and pd.isna(row["dim_effective_from"])
+        else:
+            truth = cand.iloc[-1]
+            assert row["dim_value"] == truth["value"]
+            assert row["dim_effective_from"] == truth["ts"]

@@ -743,6 +743,36 @@ def test_order_wide_stream_matches_batch_interval_join(spark, sf_dir):
     assert 0 < state_rows <= n_orders + n_details, (state_rows, n_orders, n_details)
 
 
+def test_order_wide_stream_salted_parity(spark, sf_dir):
+    """The salt valve must be result-invariant (VERDICT r10 #6): with
+    salt=4 the order side replicates ×4 and the join key widens to
+    (orderkey, salt), spreading a hot key's state over 4 partitions —
+    and the output rows must be IDENTICAL to the unsalted plan, since
+    each detail meets exactly the one order copy sharing its salt.
+    Compared against the batch interval join (the salt=1 path's own
+    parity anchor), so all three surfaces agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orders = spark.readStream.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz, o_orderpriority string"
+    ).option("pathGlobFilter", "orders.parquet").parquet(sf_dir).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    details = spark.readStream.schema(
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ).option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    )
+    out = _run_to_memory(
+        order_wide_stream(orders, details, salt=4), spark, "ow_salted_out"
+    )
+    batch = plans.query_map()["order_detail_interval_join"](spark, sf_dir)
+    cols = ["o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "extended_price"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
 def _two_file_stream(spark, tmp_path, df, split_col, schema, subdir="in"):
     """Split ``df`` at the median of ``split_col`` into two parquet files
     with ordered mtimes and return a maxFilesPerTrigger=1 file stream —
@@ -817,6 +847,53 @@ def test_topk_spend_job_matches_batch(spark, sf_dir, tmp_path):
         user_value_distribution_from_store(spark, str(tmp_path / "store")).count()
     assert len(registry._LIVE_CACHES) <= 1
     registry.release_caches()
+
+
+def test_pricing_summary_store_job_matches_batch(spark, sf_dir, tmp_path):
+    """DWS streaming twin of the Q1 rollup: per-batch (returnflag,
+    linestatus) decimal partials merged by the final pass must be
+    HASH-EQUAL to batch ``pricing_summary`` — every measure, including
+    the post-merge double casts and the 6-digit avg_qty rounding."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        pricing_summary_from_store,
+        pricing_summary_store_job,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, li, "l_orderkey",
+        "l_orderkey long, l_returnflag string, l_linestatus string, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_shipdate timestamp",
+    )
+    q = pricing_summary_store_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "count_order",
+        "avg_qty",
+    ]
+    got = _rows(pricing_summary_from_store(spark, str(tmp_path / "store")), cols)
+    want = _rows(plans.query_map()["pricing_summary"](spark, sf_dir), cols)
+    assert got == want and len(want) > 0
 
 
 def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
