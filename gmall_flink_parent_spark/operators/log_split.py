@@ -210,3 +210,63 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k").isNotNull())
     )
+
+
+PROPS_SCHEMA_PROFILE_ORACLE = """
+SELECT k.key AS prop_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT CAST(json_extract(events.props, '$.' || k.key)
+                                AS VARCHAR)) AS BIGINT) AS n_values,
+       MIN(TRY_CAST(json_extract(events.props, '$.' || k.key) AS BIGINT))
+           AS min_num,
+       MAX(TRY_CAST(json_extract(events.props, '$.' || k.key) AS BIGINT))
+           AS max_num
+FROM events, UNNEST(json_keys(events.props)) AS k(key)
+WHERE TRY_CAST(json_extract(events.props, '$.k') AS BIGINT) >= 50
+GROUP BY k.key
+"""
+
+
+@register(
+    "props_schema_profile",
+    oracle=PROPS_SCHEMA_PROFILE_ORACLE,
+    tags=("P1", "json", "variant", "schema-on-read"),
+    past_window=True,
+)
+def props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-ENDED semi-structured access (VERDICT r10 stretch #9): no
+    declared schema anywhere — a schema-on-read FILTER over an
+    undeclared variant path (``$.k >= 50`` via ``try_variant_get``,
+    NULL-safe against payload drift) and a full key-space PROFILE via
+    the ``variant_explode`` lateral TVF: every key that exists in the
+    filtered payloads, with row count, distinct-value count (compared
+    as canonical JSON text on both engines), and numeric min/max under
+    try-cast (non-numeric values profile as NULL instead of failing).
+    This is the discovery query a pipeline runs BEFORE declaring a
+    shred schema; DuckDB's ``json_each`` is the oracle twin.
+
+    Plan note (the VARIANT pushdown boundary): the variant-path filter
+    does NOT reach the parquet scan — ``props`` is stored as JSON text,
+    so PushedFilters carries only IsNotNull and the predicate evaluates
+    post-parse in the codegen stage. That is the honest cost of
+    schema-on-read over text; the shred-once path
+    (``props_variant_extract``) plus storing the variant column is the
+    100 TB answer, and this head is the one-time discovery pass that
+    justifies it. ``variant_explode`` is generator-shaped (rows ∝
+    payload keys), never a driver collect; the aggregate is a plain
+    hash aggregate on the exploded key.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_props_v")
+    return spark.sql(
+        """
+        SELECT ve.key AS prop_key,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT to_json(ve.value)) AS BIGINT) AS n_values,
+               MIN(try_variant_get(ve.value, '$', 'long')) AS min_num,
+               MAX(try_variant_get(ve.value, '$', 'long')) AS max_num
+        FROM events_props_v,
+             LATERAL variant_explode(parse_json(props)) ve
+        WHERE try_variant_get(parse_json(props), '$.k', 'long') >= 50
+        GROUP BY ve.key
+        """
+    )

@@ -1,0 +1,139 @@
+"""sf1 STREAMING run — drive the flagship streams over the 10× shards
+(VERDICT r10 next-round #4).
+
+The batch sf1 harness (``sf1_scale_run.py``) proves no batch head hits
+a broadcast/driver wall at 10× bench scale, but the streaming path has
+its own wall class the batch run can't see: state-store size. The
+interval join buffers BOTH sides until the watermark clears the 30-day
+band, so its state is ∝ a month of facts — at sf1 that is ~10× the
+rows the sf0.1 stream bench ever held. This harness:
+
+- reuses ``sf1_scale_run.generate()`` (idempotent shard build under
+  ``$SPARK_GRAFT_SF1_DIR``);
+- drives ``order_wide_stream`` (orders + lineitem, ~7.5M input rows)
+  and ``curation_ingest_job`` (~500k docs through the one-scan
+  multi-store ingest) with ``availableNow`` over ``N_FILES``
+  micro-batches per side, noop sink;
+- reports rows/s, per-batch latency, and the state-store peak
+  (rows + bytes) from the progress series — the number that would
+  reveal a memory wall.
+
+Usage: ``python scripts/sf1_stream_run.py [out.json]`` — results →
+SCALE.md "sf1 streaming run".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.sf1_scale_run import SF1_DIR, generate  # noqa: E402
+from scripts.stream_bench import _drain, _file_stream, _split_table  # noqa: E402
+
+N_FILES = 8  # micro-batches per side: a real state build/drain series
+
+
+def _state_peak(query) -> dict:
+    """Max state rows/bytes across the progress series — the wall
+    metric (batch latency tells you it's slow; state tells you it's
+    about to OOM)."""
+    rows = bytes_ = 0
+    for p in query.recentProgress:
+        for op in p.get("stateOperators", []):
+            rows = max(rows, op.get("numRowsTotal", 0))
+            bytes_ = max(bytes_, op.get("memoryUsedBytes", 0))
+    return {"state_rows_peak": rows, "state_bytes_peak": bytes_}
+
+
+def run(work: str | None = None) -> dict:
+    # plans first: fully initializes the registry so the curation import
+    # below doesn't re-enter a partially initialized module (curation →
+    # plans.registry → plans.__init__ → mixture → curation)
+    import gmall_flink_parent_spark.plans  # noqa: F401
+
+    from gmall_flink_parent_spark.functions.curation import _MIX_HEAD_WEIGHTS
+    from gmall_flink_parent_spark.session import get_spark
+    from gmall_flink_parent_spark.streaming.jobs import (
+        curation_ingest_job,
+        order_wide_stream,
+    )
+
+    spark = get_spark("gmall-sf1-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    owns_work = work is None
+    if owns_work:
+        work = tempfile.mkdtemp(prefix="sf1_stream_")
+    heads: dict[str, dict] = {}
+    try:
+        n_orders = _split_table(spark, SF1_DIR, "orders", f"{work}/orders", N_FILES)
+        n_details = _split_table(
+            spark, SF1_DIR, "lineitem", f"{work}/details", N_FILES
+        )
+        joined = order_wide_stream(
+            _file_stream(spark, f"{work}/orders"),
+            _file_stream(spark, f"{work}/details"),
+        )
+        t0 = time.monotonic()
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", f"{work}/ck_ow")
+            .trigger(availableNow=True)
+            .start()
+        )
+        stats = _drain(q)
+        wall = round(time.monotonic() - t0, 3)
+        heads["order_wide_stream"] = {
+            "rows_in": n_orders + n_details,
+            "wall_sec": wall,
+            "rows_per_sec": round((n_orders + n_details) / wall, 1),
+            **stats,
+            **_state_peak(q),
+        }
+
+        n_docs = _split_table(spark, SF1_DIR, "documents", f"{work}/docs", N_FILES)
+        docs = _file_stream(spark, f"{work}/docs").select(
+            "doc_id", "text", "source", "lang"
+        )
+        t0 = time.monotonic()
+        q = curation_ingest_job(
+            docs,
+            f"{work}/prof",
+            f"{work}/sh",
+            f"{work}/mix",
+            f"{work}/ck_ingest",
+            _MIX_HEAD_WEIGHTS,
+            vocab_path=f"{work}/tf",
+            dsir_path=f"{work}/grams",
+        )
+        stats = _drain(q)
+        wall = round(time.monotonic() - t0, 3)
+        heads["curation_ingest_job"] = {
+            "rows_in": n_docs,
+            "wall_sec": wall,
+            "rows_per_sec": round(n_docs / wall, 1),
+            **stats,
+            **_state_peak(q),
+        }
+    finally:
+        if owns_work:
+            shutil.rmtree(work, ignore_errors=True)
+    return {"metric": "sf1_stream_run", "sf": 1.0, "n_files": N_FILES, "heads": heads}
+
+
+def main() -> None:
+    line = json.dumps(run())
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

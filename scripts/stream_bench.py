@@ -111,10 +111,16 @@ def _bench_order_wide(spark, orders_dir: str, details_dir: str, rows_in: int,
     }
 
 
-def _bench_uv_dedup(spark, events_dir: str, rows_in: int, checkpoint: str) -> dict:
-    from gmall_flink_parent_spark.streaming.stateful import uv_dedup_stream
+def _bench_uv_dedup(
+    spark, events_dir: str, rows_in: int, checkpoint: str, builtin: bool = False
+) -> dict:
+    from gmall_flink_parent_spark.streaming.stateful import (
+        uv_dedup_stream,
+        uv_dedup_stream_builtin,
+    )
 
-    deduped = uv_dedup_stream(_file_stream(spark, events_dir))
+    build = uv_dedup_stream_builtin if builtin else uv_dedup_stream
+    deduped = build(_file_stream(spark, events_dir))
     t0 = time.monotonic()
     q = (
         deduped.writeStream.format("noop")
@@ -158,7 +164,18 @@ def _bench_ingest(spark, docs_dir: str, rows_in: int, work: str) -> dict:
     }
 
 
-def run(sf_dir: str, work: str | None = None) -> dict:
+def run(
+    sf_dir: str,
+    work: str | None = None,
+    trigger_counts: tuple[int, ...] | None = None,
+) -> dict:
+    """Default run: the four flagship heads at N_FILES micro-batches
+    plus the JVM-builtin W2 twin. ``trigger_counts`` (e.g. (1, 4, 16))
+    additionally re-runs the inner interval join and the ingest job at
+    each trigger count — the fixed-cost amortization series (VERDICT
+    r10 #3): availableNow pays a per-trigger planning/commit overhead,
+    so rows/s should rise toward the scan-bound ceiling as the same
+    rows arrive in fewer, larger batches."""
     from gmall_flink_parent_spark.session import get_spark
 
     spark = get_spark("gmall-stream-bench")
@@ -186,23 +203,56 @@ def run(sf_dir: str, work: str | None = None) -> dict:
             "uv_dedup_stream": _bench_uv_dedup(
                 spark, f"{work}/events", n_events, f"{work}/ck_uv"
             ),
+            "uv_dedup_stream_builtin": _bench_uv_dedup(
+                spark, f"{work}/events", n_events, f"{work}/ck_uvb", builtin=True
+            ),
         }
+        amortization: dict[str, dict] = {}
+        for n in trigger_counts or ():
+            if n == N_FILES:
+                amortization[str(n)] = {
+                    "order_wide_stream": heads["order_wide_stream"],
+                    "curation_ingest_job": heads["curation_ingest_job"],
+                }
+                continue
+            od, dd, dc = (
+                f"{work}/orders_{n}",
+                f"{work}/details_{n}",
+                f"{work}/docs_{n}",
+            )
+            _split_table(spark, sf_dir, "orders", od, n)
+            _split_table(spark, sf_dir, "lineitem", dd, n)
+            _split_table(spark, sf_dir, "documents", dc, n)
+            amort_work = f"{work}/amort_{n}"
+            os.makedirs(amort_work, exist_ok=True)
+            amortization[str(n)] = {
+                "order_wide_stream": _bench_order_wide(
+                    spark, od, dd, n_orders + n_details,
+                    outer=False, checkpoint=f"{work}/ck_inner_{n}",
+                ),
+                "curation_ingest_job": _bench_ingest(
+                    spark, dc, n_docs, amort_work
+                ),
+            }
     finally:
         if owns_work:
             shutil.rmtree(work, ignore_errors=True)
     import re
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    return {
+    doc = {
         "metric": "stream_bench",
         "sf": float(m.group(1)) if m else -1.0,
         "heads": heads,
     }
+    if amortization:
+        doc["amortization"] = amortization
+    return doc
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    line = json.dumps(run(sf_dir))
+    line = json.dumps(run(sf_dir, trigger_counts=(1, 4, 16)))
     print(line)
     # optional machine-readable artifact (committed as STREAM_BENCH.json
     # each round so streaming drift is diffable like BENCH_DETAIL.json)

@@ -4003,6 +4003,7 @@ def test_stream_bench_runs_and_reports_sane_metrics(spark, tmp_path):
         ("order_wide_outer_stream", n_o + n_l),
         ("curation_ingest_job", n_d),
         ("uv_dedup_stream", n_e),
+        ("uv_dedup_stream_builtin", n_e),
     ):
         h = heads[name]
         assert h["rows_in"] == want_rows, (name, h)
