@@ -168,6 +168,14 @@ HEADLINE = [
     "important_part_stock",
     "part_supplier_variety",
     "returnflag_priority_counts",
+    # round 11: derived-partsupp exact-topology heads + open-ended VARIANT
+    "partsupp_synth",
+    "regional_cheapest_supplier_partsupp",
+    "nation_profit_rollup_partsupp",
+    "important_part_stock_partsupp",
+    "part_supplier_variety_partsupp",
+    "excess_stock_suppliers_partsupp",
+    "props_schema_profile",
 ]
 
 
