@@ -80,6 +80,13 @@ HEADS = [
     "important_part_stock",
     "part_supplier_variety",
     "returnflag_priority_counts",
+    # round-11 additions (derived partsupp — its build has the one new
+    # shuffle shape: the 4-spread ∪ observed-pairs distinct)
+    "partsupp_synth",
+    "regional_cheapest_supplier_partsupp",
+    "nation_profit_rollup_partsupp",
+    "excess_stock_suppliers_partsupp",
+    "props_schema_profile",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —
