@@ -894,6 +894,15 @@ def test_pricing_summary_store_job_matches_batch(spark, sf_dir, tmp_path):
     got = _rows(pricing_summary_from_store(spark, str(tmp_path / "store")), cols)
     want = _rows(plans.query_map()["pricing_summary"](spark, sf_dir), cols)
     assert got == want and len(want) > 0
+    # the generic maintenance pass folds the decimal partials without
+    # drift: post-compaction the final pass must stay hash-equal
+    from gmall_flink_parent_spark.streaming.store import compact_partial_store
+
+    compact_partial_store(
+        spark, str(tmp_path / "store"), ["l_returnflag", "l_linestatus"]
+    )
+    got2 = _rows(pricing_summary_from_store(spark, str(tmp_path / "store")), cols)
+    assert got2 == want
 
 
 def test_revenue_rollup_job_matches_batch(spark, sf_dir, tmp_path):
