@@ -773,6 +773,75 @@ def test_order_wide_stream_salted_parity(spark, sf_dir):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_order_wide_enriched_stream_matches_batch_composition(spark, sf_dir):
+    """Full EP3 in one stream (interval join + 6-way dim enrichment,
+    the composition OrderWideApp runs before its sink) must equal the
+    SAME band + enrichment computed in batch — written out here as an
+    independent expression over the static tables, so a bug in the
+    shared streaming head can't hide in its own reflection."""
+    from gmall_flink_parent_spark.streaming.jobs import order_wide_enriched_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orders = spark.readStream.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz, o_orderpriority string"
+    ).option("pathGlobFilter", "orders.parquet").parquet(sf_dir).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    details = spark.readStream.schema(
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ).option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    )
+    out = _run_to_memory(
+        order_wide_enriched_stream(orders, details, spark, sf_dir),
+        spark,
+        "owe_stream_out",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    want = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .join(load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(load_table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(load_table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .join(load_table(spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.date_format("o_orderdate", "yyyyMMdd").alias("order_ymd"),
+            "o_orderpriority",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("quantity"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("revenue"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+        )
+    )
+    cols = [
+        "o_orderkey", "l_linenumber", "order_ymd", "o_orderpriority", "c_custkey",
+        "c_name", "c_mktsegment", "nation_name", "region_name", "part_name",
+        "supplier_name", "quantity", "revenue", "total_price",
+    ]
+    assert _rows(out, cols) == _rows(want, cols) and want.count() > 0
+
+
 def _two_file_stream(spark, tmp_path, df, split_col, schema, subdir="in"):
     """Split ``df`` at the median of ``split_col`` into two parquet files
     with ordered mtimes and return a maxFilesPerTrigger=1 file stream —
