@@ -3115,3 +3115,65 @@ def test_cross_multiplied_thresholds_match_exact_rational_arithmetic(spark):
         2 * Fraction(str(v)) * nn > 3 * Fraction(str(t)) for v, nn, t in rows11
     ]
     assert got11 == want11, list(zip(rows11, got11, want11))
+
+
+def test_partsupp_construction_invariants(spark, sf_dir):
+    """Design contracts of the derived partsupp (``operators/partsupp.py``)
+    that the DuckDB hash parity alone doesn't state:
+
+    - (ps_partkey, ps_suppkey) is a KEY — no duplicate pairs survive
+      the spread ∪ observed union;
+    - every part carries at least 4 suppliers (the spread guarantees
+      distinctness for any supplier count ≥ 4);
+    - every (l_partkey, l_suppkey) pair observed in lineitem is priced
+      — the Q9/Q20 topology guarantee (inner joins lose nothing);
+    - pricing is deterministic and bounded: availqty ∈ [1, 9999],
+      supplycost ∈ [1.00, 1000.00], and a rebuild is row-identical.
+    """
+    from gmall_flink_parent_spark.operators.partsupp import partsupp_frame
+
+    ps = partsupp_frame(spark, sf_dir).cache()
+    try:
+        n = ps.count()
+        assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == n
+        per_part = ps.groupBy("ps_partkey").count()
+        assert per_part.filter(F.col("count") < 4).count() == 0
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        ).distinct()
+        missing = li.join(ps, ["ps_partkey", "ps_suppkey"], "left_anti").count()
+        assert missing == 0, f"{missing} observed pairs unpriced"
+        bounds = ps.agg(
+            F.min("ps_availqty").alias("aq_min"), F.max("ps_availqty").alias("aq_max"),
+            F.min("ps_supplycost").alias("sc_min"), F.max("ps_supplycost").alias("sc_max"),
+        ).collect()[0]
+        assert 1 <= bounds["aq_min"] and bounds["aq_max"] <= 9999
+        from decimal import Decimal
+
+        assert Decimal("1.00") <= bounds["sc_min"] and bounds["sc_max"] <= Decimal("1000.00")
+        rebuilt = partsupp_frame(spark, sf_dir)
+        assert rebuilt.exceptAll(ps).count() == 0 and ps.exceptAll(rebuilt).count() == 0
+    finally:
+        ps.unpersist()
+
+
+def test_partsupp_q9_head_plan_shape(spark, sf_dir):
+    """Plan pins for ``nation_profit_rollup_partsupp``: the p_type
+    filter reaches the part scan (PushedFilters), dims ride broadcast
+    hash joins under the default gate, and no cartesian/BNLJ appears —
+    the composite-key partsupp join plans as a plain equi-join."""
+    import contextlib
+    import io
+
+    df = plans.all_queries()["nation_profit_rollup_partsupp"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*p_type[^\]]*\]", plan)
+    assert any("EqualTo(p_type,PROMO)" in p for p in pushed), plan[:4000]
