@@ -86,14 +86,26 @@ def _drain(query) -> dict:
 
 
 def _bench_order_wide(spark, orders_dir: str, details_dir: str, rows_in: int,
-                      outer: bool, checkpoint: str) -> dict:
+                      outer: bool, checkpoint: str,
+                      enriched_sf_dir: str | None = None) -> dict:
     from gmall_flink_parent_spark.streaming.jobs import (
+        order_wide_enriched_stream,
         order_wide_outer_stream,
         order_wide_stream,
     )
 
-    build = order_wide_outer_stream if outer else order_wide_stream
-    joined = build(_file_stream(spark, orders_dir), _file_stream(spark, details_dir))
+    if enriched_sf_dir is not None:
+        joined = order_wide_enriched_stream(
+            _file_stream(spark, orders_dir),
+            _file_stream(spark, details_dir),
+            spark,
+            enriched_sf_dir,
+        )
+    else:
+        build = order_wide_outer_stream if outer else order_wide_stream
+        joined = build(
+            _file_stream(spark, orders_dir), _file_stream(spark, details_dir)
+        )
     t0 = time.monotonic()
     q = (
         joined.writeStream.format("noop")
@@ -196,6 +208,12 @@ def run(
             "order_wide_outer_stream": _bench_order_wide(
                 spark, f"{work}/orders", f"{work}/details",
                 n_orders + n_details, outer=True, checkpoint=f"{work}/ck_outer",
+            ),
+            # full EP3: interval join + 6-way dim enrichment in-stream
+            "order_wide_enriched_stream": _bench_order_wide(
+                spark, f"{work}/orders", f"{work}/details",
+                n_orders + n_details, outer=False,
+                checkpoint=f"{work}/ck_enriched", enriched_sf_dir=sf_dir,
             ),
             "curation_ingest_job": _bench_ingest(
                 spark, f"{work}/docs", n_docs, work

@@ -4079,6 +4079,7 @@ def test_stream_bench_runs_and_reports_sane_metrics(spark, tmp_path):
     for name, want_rows in (
         ("order_wide_stream", n_o + n_l),
         ("order_wide_outer_stream", n_o + n_l),
+        ("order_wide_enriched_stream", n_o + n_l),
         ("curation_ingest_job", n_d),
         ("uv_dedup_stream", n_e),
         ("uv_dedup_stream_builtin", n_e),
