@@ -209,10 +209,61 @@ def cluster_best_keeper(labels: DataFrame, scored: DataFrame) -> DataFrame:
     )
 
 
+def _best_quality_oracle() -> str:
+    """Recursive-CC core (see ``dedup._cluster_keep_oracle``) + the
+    hash-classifier margin SQL (``quality.CLASSIFIER_ORACLE``'s pieces)
+    + the argmax-margin window — the full keep policy as one DuckDB
+    query, so the driver hash-pins the quality-aware election too."""
+    from gmall_flink_parent_spark.functions.dedup import _minhash_pairs_ctes
+    from gmall_flink_parent_spark.functions.quality import _CLF_BUCKETS, _W_DUCK
+
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+    SELECT doc_id_a AS u, doc_id_b AS v FROM mh_pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM mh_pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT re.doc_id, e.v FROM reach re JOIN edges e ON e.u = re.r
+),
+cc AS (
+    SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+),
+clf_weights AS (
+    SELECT CAST(i AS BIGINT) AS bucket, {_W_DUCK} AS w
+    FROM (SELECT unnest(range({_CLF_BUCKETS})) AS i)
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_CLF_BUCKETS}
+               AS bucket
+    FROM tok
+),
+margins AS (
+    SELECT f.doc_id,
+           ROUND(CAST(SUM(w.w) AS DOUBLE) / (128.0 * COUNT(*)), 6) AS clf_margin
+    FROM feat f JOIN clf_weights w USING (bucket)
+    GROUP BY f.doc_id
+)
+SELECT c.doc_id, c.cluster_id, m.clf_margin,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY m.clf_margin DESC, c.doc_id) = 1) AS is_keeper
+FROM cc c JOIN margins m USING (doc_id)
+"""
+
+
 @register(
     "cluster_keep_best_quality",
-    oracle=None,
+    oracle=_best_quality_oracle(),
     tags=("dedup", "quality", "iterative"),
+    past_window=True,
 )
 def cluster_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster collapse keeping the BEST document: connected
@@ -224,9 +275,10 @@ def cluster_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical page with boilerplate-laden mirrors — min-id keeps
     whichever crawled first, this keeps the one the quality model
     ranks highest, and the kept-token quality of the corpus rises at
-    identical dedup rate. Iterative (CC) ⇒ rows-only driver check;
+    identical dedup rate. Formerly rows-only (iterative CC); round 11
+    added the full hash oracle (``_best_quality_oracle``) —
     one-keeper-per-cluster, argmax-margin, and singleton invariants
-    pinned in ``tests/test_operators.py``. The keep-list composes into
+    stay pinned in ``tests/test_operators.py``. The keep-list composes into
     ``build_pretraining_dataset(keep_docs=…)`` exactly like the min-id
     form.
     """

@@ -280,7 +280,10 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", hashes.alias("hashes")).select("doc_id", *sig_cols)
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The MinHash-LSH pair generation as a CTE list (no leading WITH),
+    ending in ``mh_pairs`` — shared by the pair-level oracle and the
+    recursive connected-components oracles built on the same graph."""
     sig_exprs = ",\n           ".join(
         f"list_min(list_transform(hashes, h -> (h * {A_COEF[i]} + {B_COEF[i]}) "
         f"% {MINHASH_P})) AS s{i}"
@@ -296,8 +299,7 @@ def _minhash_oracle() -> str:
     matches = " + ".join(
         f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
     SELECT doc_id,
            list_transform(list_distinct(string_split(text, ' ')),
                           t -> {_TOKHASH_DUCK}) AS hashes
@@ -312,16 +314,52 @@ WITH base AS (
     SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
     FROM banded a
     JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+), mh_pairs AS (
+    SELECT doc_id_a, doc_id_b, est_jaccard
+    FROM (
+        SELECT c.doc_id_a, c.doc_id_b,
+               ROUND(({matches}) / {NUM_HASHES}.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sigs x ON c.doc_id_a = x.doc_id
+        JOIN sigs y ON c.doc_id_b = y.doc_id
+    )
+    WHERE est_jaccard >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT doc_id_a, doc_id_b, est_jaccard FROM mh_pairs
+"""
+
+
+def _cluster_keep_oracle() -> str:
+    """Connected components over the MinHash pair graph as a DuckDB
+    RECURSIVE CTE: ``reach`` enumerates every node reachable from each
+    doc (UNION dedups, so recursion stops at the closure's fixed
+    point), and the component label is the minimum reachable id —
+    exactly the min-label fixed point the Spark pointer-jumping CC
+    converges to. Closure size is Σ|component|² — fine at oracle scale
+    (~230k rows at sf0.01), which is the point: the ORACLE may be
+    quadratic where the engine must not be."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+    SELECT doc_id_a AS u, doc_id_b AS v FROM mh_pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM mh_pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT re.doc_id, e.v FROM reach re JOIN edges e ON e.u = re.r
 )
-SELECT doc_id_a, doc_id_b, est_jaccard
-FROM (
-    SELECT c.doc_id_a, c.doc_id_b,
-           ROUND(({matches}) / {NUM_HASHES}.0, 6) AS est_jaccard
-    FROM cand c
-    JOIN sigs x ON c.doc_id_a = x.doc_id
-    JOIN sigs y ON c.doc_id_b = y.doc_id
-)
-WHERE est_jaccard >= {JACCARD_THRESHOLD}
+SELECT doc_id,
+       CAST(min(r) AS BIGINT) AS cluster_id,
+       (doc_id = min(r)) AS is_keeper
+FROM reach
+GROUP BY doc_id
 """
 
 
@@ -651,7 +689,12 @@ def _band_pairs(
     )
 
 
-@register("dedup_cluster_keep", oracle=None, tags=("dedup", "iterative"))
+@register(
+    "dedup_cluster_keep",
+    oracle=_cluster_keep_oracle(),
+    tags=("dedup", "iterative"),
+    past_window=True,
+)
 def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *cluster* assignment: connected components over the
     MinHash pair graph via min-label propagation; keep = lowest doc_id.
@@ -662,10 +705,13 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc takes the min label in its neighborhood, then **pointer-
     jumps** (label ← label[label]) so label information travels
     exponentially — convergence in O(log diameter) rounds, not
-    O(diameter) like plain propagation. Iterative ⇒ rows-only driver
-    check; transitivity/minimality invariants are pinned in
-    ``tests/test_operators.py`` and chain-graph convergence in
-    ``test_connected_components_long_chain``.
+    O(diameter) like plain propagation. Formerly rows-only (iterative);
+    round 11 gave it a FULL hash oracle — DuckDB recursive-CTE
+    reachability computes the same min-label fixed point
+    (``_cluster_keep_oracle``), so the driver now hash-pins the
+    iterative core. Transitivity/minimality invariants additionally
+    pinned in ``tests/test_operators.py`` and chain-graph convergence
+    in ``test_connected_components_long_chain``.
     """
     pairs = _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -677,10 +723,45 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_split_oracle() -> str:
+    """Cluster-root split as SQL: the recursive-CC core (see
+    ``_cluster_keep_oracle``) + the same md5 bucket DuckDB computes for
+    ``doc_sample_split``, keyed on the cluster root."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+    SELECT doc_id_a AS u, doc_id_b AS v FROM mh_pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM mh_pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT re.doc_id, e.v FROM reach re JOIN edges e ON e.u = re.r
+),
+cc AS (
+    SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(bucket AS INTEGER) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, cluster_id,
+           CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bucket
+    FROM cc
+)
+"""
+
+
 @register(
     "leakage_safe_split",
-    oracle=None,
+    oracle=_leakage_split_oracle(),
     tags=("text", "sampling", "dedup", "iterative"),
+    past_window=True,
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment that a near-dup cluster can never
@@ -698,9 +779,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassigns only clustered documents. Split fractions stay ≈ 80/10/10
     in cluster-count terms; a pathological corpus that is one giant
     cluster degenerates to one split, which is the correct answer for
-    eval hygiene. Iterative (pointer-jumping CC) ⇒ rows-only driver
-    check; the no-straddle and singleton-consistency invariants are
-    pinned in ``tests/test_operators.py``.
+    eval hygiene. Formerly rows-only (iterative CC); round 11 gave it
+    the recursive-CTE hash oracle (``_leakage_split_oracle``) — the
+    no-straddle and singleton-consistency invariants stay pinned in
+    ``tests/test_operators.py``.
     """
     pairs = _minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

@@ -934,11 +934,43 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- semantic dedup keep
 
 
+EMBED_KEEP_ORACLE = f"""
+WITH RECURSIVE base AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+    FROM embeddings
+),
+ep AS (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM base a
+    JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ({_dot_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
+          >= {NEAR_DUP_COS}
+),
+edges AS (
+    SELECT u, v FROM ep UNION ALL SELECT v, u FROM ep
+),
+reach(vec_id, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT re.vec_id, e.v FROM reach re JOIN edges e ON e.u = re.r
+)
+SELECT vec_id,
+       CAST(min(r) AS BIGINT) AS cluster_id,
+       (vec_id = min(r)) AS is_keeper
+FROM reach
+GROUP BY vec_id
+"""
+
+
 @register(
     "embedding_dedup_keep",
-    oracle=None,  # iterative (connected components) — rows-only check;
-    # transitivity/keeper invariants pinned in tests/test_operators.py
+    # round 11: the CC fixed point gained a recursive-CTE hash oracle
+    # (same construction as dedup_cluster_keep's) — formerly rows-only;
+    # transitivity/keeper invariants stay pinned in tests/test_operators.py
+    oracle=EMBED_KEEP_ORACLE,
     tags=("dedup", "similarity", "iterative"),
+    past_window=True,
 )
 def embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup decision (Abbas et al. 2023):
@@ -954,7 +986,7 @@ def embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keeper = lowest vec_id of the component, matching ``dedup_exact`` /
     ``dedup_cluster_keep``'s canonical-copy rule, so the three dedup
     tiers (exact, MinHash, semantic) elect representatives consistently.
-    Iterative ⇒ rows-only driver check, like ``dedup_cluster_keep``.
+    Formerly rows-only; round 11 added the recursive-CTE hash oracle.
     """
     from gmall_flink_parent_spark.functions.dedup import connected_components
 
