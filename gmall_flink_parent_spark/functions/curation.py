@@ -858,10 +858,43 @@ _TOPV = 24  # broadcast vocabulary head size for the scale variant; the
 # both the head (byte-identical) and OOV paths execute at every SF
 
 
+TOPV_LOGPROB_ORACLE = f"""
+WITH e AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+    SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM e GROUP BY tok
+), head AS (
+    SELECT tok, cnt FROM vocab ORDER BY cnt DESC, tok ASC LIMIT {_TOPV}
+), totals AS (
+    SELECT SUM(cnt) AS total, CAST(count(*) AS DOUBLE) AS n_vocab FROM vocab
+), ht AS (
+    SELECT SUM(cnt) AS head_mass, CAST(count(*) AS DOUBLE) AS n_head FROM head
+), stats AS (
+    SELECT total, head_mass, n_vocab - n_head AS n_tail FROM totals, ht
+), scored AS (
+    SELECT e.doc_id,
+           COALESCE(h.cnt / s.total,
+                    (s.total - s.head_mass) / s.total
+                        / GREATEST(s.n_tail, 1.0)) AS p
+    FROM e LEFT JOIN head h USING (tok) CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(log2(p)) / count(*), 6) AS bits_per_token
+FROM scored GROUP BY doc_id
+"""
+
+
 @register(
     "doc_unigram_logprob_topv",
-    oracle=None,  # approximation of doc_unigram_logprob; no exact SQL twin
+    # the top-V pick (count desc, token asc — deterministic) and the
+    # shared-OOV-mass formula are exact functions of the corpus, so the
+    # APPROXIMATION ITSELF has an exact SQL twin (round-11 upgrade from
+    # rows-only); its deviation vs doc_unigram_logprob stays bounded in
+    # tests
+    oracle=TOPV_LOGPROB_ORACLE,
     tags=("text", "quality", "lm", "approx"),
+    past_window=True,
 )
 def doc_unigram_logprob_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of ``doc_unigram_logprob``: broadcast the top-V
