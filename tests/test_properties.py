@@ -1105,3 +1105,22 @@ def test_scd2_asof_invariants_hold_for_any_change_sequence(spark, rows):
             truth = cand.iloc[-1]
             assert row["dim_value"] == truth["value"]
             assert row["dim_effective_from"] == truth["ts"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    s=st.integers(min_value=4, max_value=10**6),
+    p=st.integers(min_value=0, max_value=10**9),
+)
+def test_partsupp_spread_is_distinct_for_any_supplier_count(s, p):
+    """The derived-partsupp docstring's distinctness proof, as a
+    property: for ANY supplier count S >= 4 and part key p, the 4-way
+    spread ``(p + p div S + k * max(1, S div 4)) mod S`` yields 4
+    DISTINCT suppliers in [0, S) — because (k1-k2)*stride <=
+    3*(S div 4) < S can only be 0 mod S when k1 = k2. Pure arithmetic
+    (mirrors operators/partsupp.py::partsupp_frame and the oracle's
+    ps_pairs CTE), so the property runs without Spark."""
+    stride = max(1, s // 4)
+    keys = {(p + p // s + k * stride) % s for k in range(4)}
+    assert len(keys) == 4
+    assert all(0 <= k < s for k in keys)
