@@ -176,6 +176,10 @@ HEADLINE = [
     "part_supplier_variety_partsupp",
     "excess_stock_suppliers_partsupp",
     "props_schema_profile",
+    # round 11 (late): session interval algebra + sequence mining
+    "session_concurrency_peak",
+    "session_overlap_pairs",
+    "event_sequence_support",
 ]
 
 

@@ -2495,3 +2495,96 @@ def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+# --------------------------------------------- sequential pattern support
+
+SEQUENCE_SUPPORT_ORACLE = """
+WITH per AS (
+    SELECT user_id, event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id, event_type
+),
+tot AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_total FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(SUM(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users_exists,
+       CAST(SUM(CASE WHEN a.first_ts < b.first_ts THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users_leads,
+       CAST(SUM(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END) AS DOUBLE)
+           / (SELECT n_total FROM tot) AS support_exists
+FROM per a JOIN per b ON a.user_id = b.user_id
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@register(
+    "event_sequence_support",
+    oracle=SEQUENCE_SUPPORT_ORACLE,
+    tags=("dws", "sequence", "mining"),
+    past_window=True,
+)
+def event_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support for every ordered event-type pair —
+    the GSP/PrefixSpan counting primitive ("how many users did A and
+    then, at some later instant, B"), in the aggregate-first form that
+    makes it linear instead of quadratic.
+
+    The textbook support count self-joins raw events per user —
+    quadratic in each user's history (a 1 000-event user contributes
+    10⁶ pairs). This head exploits that existential sequence support
+    is a function of per-(user, type) EXTREMA only: a user supports
+    A→B iff min ts(A) < max ts(B) (some A precedes some B exactly when
+    the first A precedes the last B), and A LEADS B — the user's first
+    A strictly precedes their first B — iff min ts(A) < min ts(B). So
+    one shuffle reduces events to ≤ |types| summary rows per user, the
+    per-user self-join is |types|² on that summary (constant, not
+    history-sized), and the pair aggregate map-combines to a |types|²
+    matrix. ``tests/test_operators.py`` pins the rewrite against the
+    naive quadratic event-level join. The support ratio is one IEEE
+    division of two exact counts over a 1-row count scalar (broadcast;
+    BNLJ-allowlisted like every corpus-stats scalar). Diagonal rows
+    (A→A) read as repeat behavior: some A after the first A.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = scoped_persist(
+        events.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+    )
+    tot = events.agg(
+        F.count_distinct("user_id").cast("double").alias("n_total")
+    )
+    a = per.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("type_a"),
+        F.col("first_ts").alias("first_a"),
+    )
+    b = per.select(
+        F.col("user_id").alias("uid_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("first_ts").alias("first_b"),
+        F.col("last_ts").alias("last_b"),
+    )
+    counts = (
+        a.join(b, F.col("uid") == F.col("uid_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.when(F.col("first_a") < F.col("last_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_users_exists"),
+            F.sum(F.when(F.col("first_a") < F.col("first_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_users_leads"),
+        )
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "type_a",
+        "type_b",
+        "n_users_exists",
+        "n_users_leads",
+        (F.col("n_users_exists").cast("double") / F.col("n_total")).alias(
+            "support_exists"
+        ),
+    )

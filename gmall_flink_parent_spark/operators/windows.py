@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import gated_broadcast, load_table
 
 HOURLY_STATS_ORACLE = """
@@ -443,3 +443,227 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-window's cost, with the merge inside the aggregate operator.
     """
     return session_stats_frame(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------- session interval algebra
+#
+# The two heads below extend the session family from per-session
+# aggregates to CROSS-session interval algebra: a sweep-line
+# concurrency profile (no join at all) and a bucketed interval-overlap
+# self-join (the scalable range-join pattern). Both consume the same
+# session bounds the ``sessionize`` head defines (30-minute gap, new
+# session when the gap strictly exceeds it), restated here as a lean
+# [user, seq, start, end] frame so the interval heads don't drag the
+# per-session value aggregates through the exchange.
+
+SESSION_BOUNDS_SQL = """
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM (
+    SELECT user_id, ts,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > 1800000000 OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    )
+)
+GROUP BY user_id, session_seq
+"""
+
+
+def session_bounds_frame(events: DataFrame) -> DataFrame:
+    """[user_id, session_seq, session_start, session_end] under the
+    ``sessionize`` gap semantics (new session when the inter-event gap
+    strictly exceeds 30 minutes). Sessions of ONE user are disjoint by
+    construction, so any interval overlap below is cross-user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("session_seq", sess)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+    )
+
+
+CONCURRENCY_PEAK_ORACLE = f"""
+WITH s AS ({SESSION_BOUNDS_SQL}),
+deltas AS (
+    SELECT strftime(session_start, '%Y%m%d') AS ymd, session_start AS t, 1 AS d FROM s
+    UNION ALL
+    SELECT strftime(session_start, '%Y%m%d') AS ymd, session_end AS t, -1 AS d FROM s
+),
+grain AS (
+    SELECT ymd, t,
+           SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_open,
+           SUM(d) AS net
+    FROM deltas GROUP BY ymd, t
+),
+run AS (
+    SELECT ymd, n_open, net,
+           SUM(net) OVER (
+               PARTITION BY ymd ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM grain
+)
+SELECT ymd,
+       CAST(MAX(cum - net + n_open) AS BIGINT) AS peak_concurrency,
+       CAST(SUM(n_open) AS BIGINT) AS n_sessions
+FROM run GROUP BY ymd
+"""
+
+
+@register(
+    "session_concurrency_peak",
+    oracle=CONCURRENCY_PEAK_ORACLE,
+    tags=("dws", "session", "interval", "sweep"),
+    past_window=True,
+)
+def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PEAK number of simultaneously-open sessions — the
+    capacity-planning number behind "how many concurrent users must
+    this serve", computed as a sweep line, not a join.
+
+    Each session contributes a +1 at its start and a -1 at its end;
+    the peak is the max prefix sum. Interval semantics are CLOSED
+    ([start, end] — a session ending at the instant another starts is
+    still concurrent with it), enforced order-free by collapsing
+    deltas to the (day, instant) grain and taking the candidate peak
+    as (prefix sum through the previous instant) + (opens at this
+    instant): all +1s of an instant apply before its -1s, so the
+    result is deterministic under any tie order — the property the
+    cross-engine hash needs. Day attribution: a session belongs to the
+    day it STARTS (its close delta rides along even past midnight), so
+    each day's sweep is self-contained — the documented contract, and
+    what lets the window partition by day instead of one global sort.
+
+    Scale shape: one shuffle on user_id builds the sessions, one on
+    (day, instant) collapses deltas, and the running sum partitions by
+    day — per-partition work is 2×(sessions started that day), never a
+    global single-task sort. No join anywhere: concurrency over
+    intervals is interval ALGEBRA, and the sweep is its linear form
+    (the pairwise form is ``session_overlap_pairs``).
+    """
+    s = session_bounds_frame(load_table(spark, sf_dir, "events"))
+    ymd = F.date_format("session_start", "yyyyMMdd").alias("ymd")
+    deltas = s.select(
+        ymd, F.col("session_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(s.select(ymd, F.col("session_end").alias("t"), F.lit(-1).alias("d")))
+    grain = deltas.groupBy("ymd", "t").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_open"),
+        F.sum("d").alias("net"),
+    )
+    wd = (
+        Window.partitionBy("ymd")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = grain.withColumn("cum", F.sum("net").over(wd))
+    return run.groupBy("ymd").agg(
+        F.max(F.col("cum") - F.col("net") + F.col("n_open"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+        F.sum("n_open").cast("bigint").alias("n_sessions"),
+    )
+
+
+OVERLAP_PAIRS_ORACLE = f"""
+WITH s AS ({SESSION_BOUNDS_SQL})
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_copresent_sessions,
+       CAST(SUM(epoch_us(LEAST(a.session_end, b.session_end))
+              - epoch_us(GREATEST(a.session_start, b.session_start))) AS BIGINT)
+           AS overlap_us_total
+FROM s a JOIN s b
+  ON a.user_id < b.user_id
+ AND a.session_start <= b.session_end
+ AND b.session_start <= a.session_end
+GROUP BY a.user_id, b.user_id
+"""
+
+_OVERLAP_BUCKET_US = 3_600_000_000  # 1-hour buckets; shrink as density grows
+
+
+@register(
+    "session_overlap_pairs",
+    oracle=OVERLAP_PAIRS_ORACLE,
+    tags=("dws", "session", "interval", "range-join"),
+    past_window=True,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session co-presence: for every user pair with at
+    least one pair of time-overlapping sessions, how many session
+    pairs overlapped and for how long in total — the interval-overlap
+    JOIN the sweep head deliberately avoids, in its scalable form.
+
+    A naive overlap join is a full inequality join (quadratic in
+    sessions). The scale path buckets time: each session explodes to
+    the 1-hour buckets it spans, the self-join is an EQUI-join on the
+    bucket (plus user_a < user_b and the exact closed-interval overlap
+    predicate), and the classic first-shared-bucket trick —
+    ``bucket == greatest(a.b_start, b.b_start)`` — keeps exactly one
+    copy of each overlapping pair with NO distinct pass: two
+    overlapping intervals share precisely the bucket range
+    [max(b_starts), min(b_ends)] (floor is monotone, so
+    max(floor(x), floor(y)) = floor(max(x, y)) lands inside both
+    ranges), and only its first bucket passes the filter. Per-bucket
+    work is (sessions active that hour)², bounded by real concurrency
+    — the quantity ``session_concurrency_peak`` measures — and AQE
+    splits residual hot buckets. The oracle states the same result as
+    the naive inequality join, so the hash match proves the bucketed
+    rewrite exact, dedup included. Output is the co-presence graph —
+    inherently pairwise, linear in TRUE co-presence, not in corpus².
+    """
+    s = session_bounds_frame(load_table(spark, sf_dir, "events"))
+    bucketed = s.select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        F.floor(F.unix_micros("session_start") / _OVERLAP_BUCKET_US).alias("b_start"),
+        F.floor(F.unix_micros("session_end") / _OVERLAP_BUCKET_US).alias("b_end"),
+    )
+    exploded = scoped_persist(
+        bucketed.select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "b_start",
+            F.explode(F.sequence("b_start", "b_end")).alias("bucket"),
+        ),
+        eager=True,  # self-joined below: fill once, don't race the block locks
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.session_start") <= F.col("b.session_end"))
+        & (F.col("b.session_start") <= F.col("a.session_end"))
+        & (F.col("a.bucket") == F.greatest(F.col("a.b_start"), F.col("b.b_start"))),
+    )
+    ov = pairs.select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        (
+            F.unix_micros(F.least("a.session_end", "b.session_end"))
+            - F.unix_micros(F.greatest("a.session_start", "b.session_start"))
+        ).alias("ov_us"),
+    )
+    return ov.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copresent_sessions"),
+        F.sum("ov_us").cast("bigint").alias("overlap_us_total"),
+    )

@@ -3177,3 +3177,202 @@ def test_partsupp_q9_head_plan_shape(spark, sf_dir):
 
     pushed = re.findall(r"PushedFilters: \[[^\]]*p_type[^\]]*\]", plan)
     assert any("EqualTo(p_type,PROMO)" in p for p in pushed), plan[:4000]
+
+
+# --------------------------------------- session interval algebra heads
+
+
+def test_concurrency_peak_counts_boundary_touch_as_concurrent(spark):
+    """CLOSED-interval sweep semantics: a session ending at instant T is
+    still concurrent with one starting at T, and the peak is
+    deterministic under delta-tie reordering (all opens of an instant
+    apply before its closes)."""
+    from gmall_flink_parent_spark.operators import windows as W
+    from pyspark.sql import functions as F
+
+    # user 1: [00:00, 01:00]; user 2: [01:00, 02:00] (touch at 01:00);
+    # user 3: [00:30, 00:40] (inside user 1's session) — peak must be 3
+    # counted at the touch instant only if all three overlap there (they
+    # don't: at 01:00 user 3 is closed) → peak 2 at 00:30 AND 2 at 01:00;
+    # adding user 4 [00:59, 01:01] makes the 01:00 instant {1,2,4} = 3.
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        (2, 1, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+        (3, 1, "2024-01-01 00:30:00", "2024-01-01 00:40:00"),
+        (4, 1, "2024-01-01 00:59:00", "2024-01-01 01:01:00"),
+    ]
+    s = spark.createDataFrame(
+        rows, "user_id long, session_seq long, session_start string, session_end string"
+    ).select(
+        "user_id",
+        "session_seq",
+        F.to_timestamp("session_start").alias("session_start"),
+        F.to_timestamp("session_end").alias("session_end"),
+    )
+    ymd = F.date_format("session_start", "yyyyMMdd").alias("ymd")
+    deltas = s.select(ymd, F.col("session_start").alias("t"), F.lit(1).alias("d")).unionAll(
+        s.select(ymd, F.col("session_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    grain = deltas.groupBy("ymd", "t").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_open"),
+        F.sum("d").alias("net"),
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("ymd").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    run = grain.withColumn("cum", F.sum("net").over(wd))
+    peak = run.groupBy("ymd").agg(
+        F.max(F.col("cum") - F.col("net") + F.col("n_open")).alias("peak")
+    ).collect()
+    assert len(peak) == 1 and peak[0]["peak"] == 3
+
+
+def test_overlap_pairs_first_shared_bucket_dedup_and_touch(spark, sf_dir):
+    """The bucketed overlap join must (a) emit a pair that shares MANY
+    hour buckets exactly once, (b) count a boundary touch (end == start)
+    as an overlap with zero duration, and (c) match the naive
+    inequality join row-for-row on the real sf0.001 sessions."""
+    from gmall_flink_parent_spark.operators.windows import (
+        session_bounds_frame,
+        session_overlap_pairs,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    head = {
+        (r["user_a"], r["user_b"]): (r["n_copresent_sessions"], r["overlap_us_total"])
+        for r in session_overlap_pairs(spark, sf_dir).collect()
+    }
+    s = session_bounds_frame(load_table(spark, sf_dir, "events"))
+    a = s.select(
+        F.col("user_id").alias("ua"),
+        F.col("session_start").alias("sa"),
+        F.col("session_end").alias("ea"),
+    )
+    b = s.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_start").alias("sb"),
+        F.col("session_end").alias("eb"),
+    )
+    naive = (
+        a.join(
+            b,
+            (F.col("ua") < F.col("ub"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea")),
+        )
+        .groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.unix_micros(F.least("ea", "eb"))
+                - F.unix_micros(F.greatest("sa", "sb"))
+            ).alias("ov"),
+        )
+        .collect()
+    )
+    naive_map = {(r["ua"], r["ub"]): (r["n"], r["ov"]) for r in naive}
+    assert head == naive_map and len(head) > 0
+
+
+def test_overlap_pairs_multibucket_pair_emitted_once(spark):
+    """A synthetic pair overlapping across 5 shared hour buckets comes
+    out exactly once with the exact closed-interval duration, and a
+    zero-length touch is kept."""
+    from gmall_flink_parent_spark.operators import windows as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        # users 1/2 overlap for 5 hours (5+ shared buckets)
+        (1, "2024-01-01 00:10:00", "2024-01-01 06:00:00"),
+        (2, "2024-01-01 01:00:00", "2024-01-01 06:30:00"),
+        # users 3/4 touch at one instant
+        (3, "2024-01-02 00:00:00", "2024-01-02 01:00:00"),
+        (4, "2024-01-02 01:00:00", "2024-01-02 02:00:00"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, st string, en string")
+    s = events.select(
+        "user_id",
+        F.lit(1).alias("session_seq"),
+        F.to_timestamp("st").alias("session_start"),
+        F.to_timestamp("en").alias("session_end"),
+    )
+    bucketed = s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.floor(F.unix_micros("session_start") / W._OVERLAP_BUCKET_US).alias("b_start"),
+        F.floor(F.unix_micros("session_end") / W._OVERLAP_BUCKET_US).alias("b_end"),
+    )
+    exploded = bucketed.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "b_start",
+        F.explode(F.sequence("b_start", "b_end")).alias("bucket"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.session_start") <= F.col("b.session_end"))
+        & (F.col("b.session_start") <= F.col("a.session_end"))
+        & (F.col("a.bucket") == F.greatest(F.col("a.b_start"), F.col("b.b_start"))),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        (
+            F.unix_micros(F.least("a.session_end", "b.session_end"))
+            - F.unix_micros(F.greatest("a.session_start", "b.session_start"))
+        ).alias("ov_us"),
+    )
+    got = {(r["user_a"], r["user_b"]): r["ov_us"] for r in pairs.collect()}
+    assert got == {(1, 2): 5 * 3_600_000_000, (3, 4): 0}
+    assert pairs.count() == 2  # multi-bucket pair not duplicated
+
+
+def test_sequence_support_rewrite_matches_naive_quadratic(spark, sf_dir):
+    """The per-(user, type) min/max rewrite must equal the textbook
+    event-level quadratic self-join for BOTH semantics (exists: some A
+    strictly before some B; leads: first A strictly before first B) on
+    real data."""
+    from gmall_flink_parent_spark.plans import all_queries
+    from gmall_flink_parent_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    head = {
+        (r["type_a"], r["type_b"]): (r["n_users_exists"], r["n_users_leads"])
+        for r in all_queries()["event_sequence_support"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = ev.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("ta"), F.col("ts").alias("tsa")
+    )
+    b = ev.select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("tb"), F.col("ts").alias("tsb")
+    )
+    exists = (
+        a.join(b, (F.col("u") == F.col("ub")) & (F.col("tsa") < F.col("tsb")))
+        .select("u", "ta", "tb")
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    firsts = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("fts"))
+    fa = firsts.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("ta"), F.col("fts").alias("fa")
+    )
+    fb = firsts.select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("tb"), F.col("fts").alias("fb")
+    )
+    leads = (
+        fa.join(fb, (F.col("u") == F.col("ub")) & (F.col("fa") < F.col("fb")))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exists_map = {(r["ta"], r["tb"]): r["n"] for r in exists.collect()}
+    leads_map = {(r["ta"], r["tb"]): r["n"] for r in leads.collect()}
+    for (ta, tb), (n_exists, n_leads) in head.items():
+        assert exists_map.get((ta, tb), 0) == n_exists, (ta, tb)
+        assert leads_map.get((ta, tb), 0) == n_leads, (ta, tb)

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "top_revenue_supplier",  # 1-row MAX-revenue scalar × per-supplier revenue frame
     "important_part_stock",  # 1-row (total, n) threshold scalars × per-part values
     "important_part_stock_partsupp",  # same 1-row threshold scalars, partsupp measure
+    "event_sequence_support",  # 1-row distinct-user-count scalar × |types|² matrix
 }
 
 
