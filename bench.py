@@ -180,6 +180,7 @@ HEADLINE = [
     "session_concurrency_peak",
     "session_overlap_pairs",
     "event_sequence_support",
+    "event_sequence3_support",
 ]
 
 

@@ -2588,3 +2588,76 @@ def event_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_exists"
         ),
     )
+
+
+SEQUENCE3_SUPPORT_ORACLE = """
+WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events)
+SELECT a.t AS type_a, b.t AS type_b, c.t AS type_c,
+       CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_users
+FROM e a JOIN e b ON a.u = b.u AND a.ts < b.ts
+         JOIN e c ON b.u = c.u AND b.ts < c.ts
+GROUP BY a.t, b.t, c.t
+"""
+
+
+@register(
+    "event_sequence3_support",
+    oracle=SEQUENCE3_SUPPORT_ORACLE,
+    tags=("dws", "sequence", "mining"),
+    past_window=True,
+)
+def event_sequence3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 sequential-pattern support — users with some A, then a
+    strictly later B, then a strictly later C — extending
+    ``event_sequence_support`` one level without surrendering to the
+    cubic join the textbook (and the oracle) states.
+
+    Exactness of the linear form: a user supports A→B→C iff
+    t_ab := min{ts(B) : ts(B) > first ts(A)} exists and t_ab < last
+    ts(C). (⇒: any witness ts_a<ts_b<ts_c has first_A ≤ ts_a, so
+    t_ab ≤ ts_b < ts_c ≤ last_C. ⇐: first_A < t_ab < last_C IS a
+    witness.) So the plan is: per-(user, type) extrema (one shuffle),
+    the B-candidate join events × |types| A-firsts per user — a
+    CONSTANT-factor row expansion, not history² — min-combined
+    map-side down to ≤ |types|² rows per user, then a per-user join
+    against the C-extrema (≤ |types|³ rows per user) and a map-combined
+    global count. The ORACLE is the naive cubic triple self-join, so
+    the hash match proves the rewrite — and only the oracle may be
+    cubic: at sf0.1 the naive form is ~10¹¹ intermediate rows while
+    this head's intermediate is 5× the event count
+    (``test_sequence3_rewrite_matches_per_user_scan`` pins sf0.1-scale
+    confidence against an independent per-user sorted scan).
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per = scoped_persist(
+        events.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+    )
+    firsts = per.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("type_a"),
+        F.col("first_ts").alias("first_a"),
+    )
+    b_after_a = (
+        events.select(
+            F.col("user_id").alias("ub"),
+            F.col("event_type").alias("type_b"),
+            F.col("ts").alias("tsb"),
+        )
+        .join(firsts, F.col("ub") == F.col("uid"))
+        .filter(F.col("tsb") > F.col("first_a"))
+        .groupBy("uid", "type_a", "type_b")
+        .agg(F.min("tsb").alias("t_ab"))
+    )
+    lasts = per.select(
+        F.col("user_id").alias("uc"),
+        F.col("event_type").alias("type_c"),
+        F.col("last_ts").alias("last_c"),
+    )
+    return (
+        b_after_a.join(lasts, F.col("uid") == F.col("uc"))
+        .filter(F.col("t_ab") < F.col("last_c"))
+        .groupBy("type_a", "type_b", "type_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

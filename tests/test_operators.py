@@ -3376,3 +3376,59 @@ def test_sequence_support_rewrite_matches_naive_quadratic(spark, sf_dir):
     for (ta, tb), (n_exists, n_leads) in head.items():
         assert exists_map.get((ta, tb), 0) == n_exists, (ta, tb)
         assert leads_map.get((ta, tb), 0) == n_leads, (ta, tb)
+
+
+def test_sequence3_rewrite_matches_per_user_scan(spark, sf_dir):
+    """Independent exactness pin for the length-3 support head: an
+    Arrow per-user sorted scan (O(history · |types|²) per user, no
+    join at all) must agree triple-for-triple with the extrema-join
+    rewrite. This is the sf0.1-scale check — the DuckDB oracle is the
+    naive cubic join and cannot run there."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.plans import all_queries
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    head = {
+        (r["type_a"], r["type_b"], r["type_c"]): r["n_users"]
+        for r in all_queries()["event_sequence3_support"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        ts = pdf["ts"].to_numpy()
+        by_type = {t: ts[(pdf["event_type"] == t).to_numpy()] for t in types}
+        out = []
+        for ta in types:
+            tsa = by_type[ta]
+            if len(tsa) == 0:
+                continue
+            fa = tsa[0]
+            for tb in types:
+                tsb = by_type[tb]
+                i = np.searchsorted(tsb, fa, side="right")
+                if i >= len(tsb):
+                    continue
+                t_ab = tsb[i]
+                for tc in types:
+                    tsc = by_type[tc]
+                    j = np.searchsorted(tsc, t_ab, side="right")
+                    if j < len(tsc):
+                        out.append((ta, tb, tc))
+        return pd.DataFrame(out, columns=["type_a", "type_b", "type_c"])
+
+    per_user = ev.groupBy("user_id").applyInPandas(
+        scan, "type_a string, type_b string, type_c string"
+    )
+    independent = {
+        (r["type_a"], r["type_b"], r["type_c"]): r["n"]
+        for r in per_user.groupBy("type_a", "type_b", "type_c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert head == independent and len(head) > 0
