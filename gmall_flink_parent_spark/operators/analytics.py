@@ -2548,12 +2548,22 @@ def event_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A→A) read as repeat behavior: some A after the first A.
     """
     events = load_table(spark, sf_dir, "events")
-    per = scoped_persist(
-        events.groupBy("user_id", "event_type").agg(
-            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
-        )
+    per = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
     )
-    tot = events.agg(
+    return sequence_support_finish(per)
+
+
+def sequence_support_finish(per: DataFrame) -> DataFrame:
+    """Finish pair support from a (user_id, event_type, first_ts,
+    last_ts) extrema frame — ONE definition shared by the batch head
+    and ``streaming/jobs.py::sequence_support_from_store`` (whose store
+    merges per-batch extrema with min/max, associative and idempotent,
+    before calling this), so the two doors cannot drift. The user
+    total is derived from the extrema frame itself (distinct users in
+    events ≡ distinct users holding any extrema row)."""
+    per = scoped_persist(per)
+    tot = per.agg(
         F.count_distinct("user_id").cast("double").alias("n_total")
     )
     a = per.select(

@@ -756,6 +756,53 @@ def pricing_summary_from_store(spark: SparkSession, store_path: str) -> DataFram
     )
 
 
+def sequence_support_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Incremental-store twin of batch ``event_sequence_support`` —
+    the third analytics family on the partial-store pattern, and the
+    first whose partials are EXTREMA rather than sums: per micro-batch,
+    the (user_id, event_type) min/max event timestamps.
+
+    min/max are associative AND commutative AND idempotent — strictly
+    friendlier than the decimal-sum stores: a replayed or even
+    double-counted partial cannot change the merged extrema, so the
+    maintenance fold (``compact_partial_store``) runs with ALL FOUR
+    columns as group keys (pure dedup, no value column to sum —
+    duplication-safe where a sum store must rely on the idempotent
+    partition overwrite). Store size ∝ users × types × batches and
+    shrinks under compaction as each user's extrema stabilize. The
+    final pass (``sequence_support_from_store``) merges extrema and
+    calls the SAME ``sequence_support_finish`` the batch head uses —
+    hash-equal by construction, pinned in ``tests/test_streaming.py``.
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("first_part"), F.max("ts").alias("last_part")
+        )
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/sequence_support"
+    )
+
+
+def sequence_support_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``sequence_support_store_job``'s extrema
+    partials: min-of-mins / max-of-maxes (exact merge), then the shared
+    ``sequence_support_finish`` pair join — hash-equal to batch
+    ``event_sequence_support`` over the same events."""
+    from gmall_flink_parent_spark.operators.analytics import sequence_support_finish
+
+    per = (
+        spark.read.parquet(store_path)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("first_part").alias("first_ts"),
+            F.max("last_part").alias("last_ts"),
+        )
+    )
+    return sequence_support_finish(per)
+
+
 def revenue_rollup_job(
     orders: DataFrame,
     customer: DataFrame,

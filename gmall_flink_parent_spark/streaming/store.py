@@ -319,19 +319,24 @@ def compact_partial_store(
     # (binary sketch columns skip the overflow guard: hll_union_agg
     # already returns the stored binary type and cannot overflow)
     guarded = [f for f in value_cols if not isinstance(f.dataType, BinaryType)]
-    raw = (
-        fold.groupBy(*group_cols)
-        .agg(
-            *[_merge_expr(f) for f in value_cols],
-            # per-column non-null input counts: a decimal column with
-            # precision >= 29 can overflow INSIDE F.sum itself (result
-            # precision caps at 38, → NULL in non-ANSI mode) before any
-            # cast-back runs, so "inputs existed but the sum is NULL"
-            # must also read as overflow, not as a legitimate total
-            *[F.count(F.col(f.name)).alias(f"__nn_{f.name}") for f in guarded],
+    if value_cols:
+        raw = (
+            fold.groupBy(*group_cols)
+            .agg(
+                *[_merge_expr(f) for f in value_cols],
+                # per-column non-null input counts: a decimal column with
+                # precision >= 29 can overflow INSIDE F.sum itself (result
+                # precision caps at 38, → NULL in non-ANSI mode) before any
+                # cast-back runs, so "inputs existed but the sum is NULL"
+                # must also read as overflow, not as a legitimate total
+                *[F.count(F.col(f.name)).alias(f"__nn_{f.name}") for f in guarded],
+            )
+            .persist()
         )
-        .persist()
-    )
+    else:
+        # every column is a group key (extrema stores, where partials
+        # are idempotent): the fold is a pure dedup — nothing to sum
+        raw = fold.select(*group_cols).distinct().persist()
     try:
         # A merged total that no longer fits the stored type would
         # either corrupt the store silently (non-ANSI cast → NULL) or

@@ -87,6 +87,14 @@ HEADS = [
     "nation_profit_rollup_partsupp",
     "excess_stock_suppliers_partsupp",
     "props_schema_profile",
+    # round-11 late additions: interval algebra + sequence mining
+    # (events inflate as 10x users per day, so cross-user concurrency —
+    # the overlap join's per-bucket density — genuinely grows 10x: the
+    # right stress for the bucketed range join)
+    "session_concurrency_peak",
+    "session_overlap_pairs",
+    "event_sequence_support",
+    "event_sequence3_support",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —

@@ -4451,3 +4451,48 @@ def test_interval_join_drops_rows_behind_the_watermark(spark, tmp_path):
     got = sorted((r["o_orderkey"], r["l_linenumber"]) for r in out.collect())
     # order 2's three details join; order 1's late detail never appears
     assert got == [(2, 1), (2, 2), (2, 3)], got
+
+
+def test_sequence_support_store_job_matches_batch(spark, sf_dir, tmp_path):
+    """Extrema-partial store twin of ``event_sequence_support``: per-
+    batch (user, type) min/max merged by the final pass must be
+    hash-equal to the batch head — and, because min/max partials are
+    IDEMPOTENT (unlike sums), the store must survive both the
+    all-columns-as-keys compaction fold and outright row duplication
+    without drifting."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        sequence_support_from_store,
+        sequence_support_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_partial_store
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, ev, "event_id",
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    q = sequence_support_store_job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store_path = str(tmp_path / "store")
+    store = spark.read.parquet(store_path)
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = ["type_a", "type_b", "n_users_exists", "n_users_leads", "support_exists"]
+    want = _rows(plans.query_map()["event_sequence_support"](spark, sf_dir), cols)
+    got = _rows(sequence_support_from_store(spark, store_path), cols)
+    assert got == want and len(want) > 0
+    # maintenance fold: extrema stores compact with EVERY column as a
+    # group key (pure dedup — there is no summable value column)
+    compact_partial_store(
+        spark, store_path, ["user_id", "event_type", "first_part", "last_part"]
+    )
+    assert _rows(sequence_support_from_store(spark, store_path), cols) == want
+    # idempotence: duplicating every partial row must not move the merge
+    # (the property that makes extrema stores replay-safe even without
+    # the idempotent partition overwrite)
+    dup = spark.read.parquet(store_path)
+    dup.write.mode("append").parquet(store_path)
+    assert _rows(sequence_support_from_store(spark, store_path), cols) == want
