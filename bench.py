@@ -181,6 +181,7 @@ HEADLINE = [
     "session_overlap_pairs",
     "event_sequence_support",
     "event_sequence3_support",
+    "event_sequence_gap_support",
 ]
 
 

@@ -2671,3 +2671,80 @@ def event_sequence3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b", "type_c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+_GAP_SUPPORT_US = 3_600_000_000  # 1-hour a→b horizon
+
+SEQUENCE_GAP_SUPPORT_ORACLE = """
+WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events)
+SELECT a.t AS type_a, b.t AS type_b,
+       CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_users
+FROM e a JOIN e b
+  ON a.u = b.u AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.t, b.t
+"""
+
+
+@register(
+    "event_sequence_gap_support",
+    oracle=SEQUENCE_GAP_SUPPORT_ORACLE,
+    tags=("dws", "sequence", "mining", "band-join"),
+    past_window=True,
+)
+def event_sequence_gap_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained sequential support: users with some A followed
+    by some B WITHIN ONE HOUR — the maxgap variant of
+    ``event_sequence_support`` (GSP's windowed form; "clicked within
+    an hour of the ad view", not "ever after").
+
+    Each family member gets the cheapest exact plan its semantics
+    admit: the unconstrained head reduces to per-(user, type) extrema,
+    but a gap constraint is invisible to extrema — it genuinely needs
+    the event grain. The scalable form is a BANDED self-join, the same
+    time-bucketing as ``session_overlap_pairs``: A-side events probe
+    their own gap-width bucket and the next (any B within (ts_a,
+    ts_a + gap] lands in one of the two), the join is an equi-join on
+    (user, bucket) — each (A, B) event pair matches exactly once since
+    the two probe buckets are distinct — and the exact gap predicate
+    is a post-join filter. Intermediate cost is per-(user, bucket)
+    density², i.e. each user's events per hour, not history²; the
+    (user, pair) distinct then caps the count shuffle at
+    users × |types|². The oracle states the naive per-user quadratic
+    inequality join, so the driver's hash proves the banded rewrite.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.unix_micros("ts") / _GAP_SUPPORT_US).alias("bucket"),
+    )
+    a = e.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("tsa"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + F.lit(1))
+        ).alias("probe_bucket"),
+    )
+    b = e.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("tsb"),
+        F.col("bucket").alias("bb"),
+    )
+    matched = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("probe_bucket") == F.col("bb"))
+        & (F.col("tsb") > F.col("tsa"))
+        & (
+            F.unix_micros("tsb")
+            <= F.unix_micros("tsa") + F.lit(_GAP_SUPPORT_US)
+        ),
+    )
+    return (
+        matched.select("ua", "type_a", "type_b")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -95,6 +95,7 @@ HEADS = [
     "session_overlap_pairs",
     "event_sequence_support",
     "event_sequence3_support",
+    "event_sequence_gap_support",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —

@@ -3432,3 +3432,42 @@ def test_sequence3_rewrite_matches_per_user_scan(spark, sf_dir):
         .collect()
     }
     assert head == independent and len(head) > 0
+
+
+def test_sequence_gap_support_banded_matches_naive(spark, sf_dir):
+    """The two-bucket banded self-join must equal the naive per-user
+    inequality join (strict lower, inclusive upper gap bound) pair-
+    for-pair on real data — including that no (A, B) event pair is
+    double-counted across the two probe buckets."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.operators.analytics import _GAP_SUPPORT_US
+    from gmall_flink_parent_spark.plans import all_queries
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    head = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in all_queries()["event_sequence_gap_support"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = ev.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("ta"), F.col("ts").alias("tsa")
+    )
+    b = ev.select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("tb"), F.col("ts").alias("tsb")
+    )
+    naive = (
+        a.join(
+            b,
+            (F.col("u") == F.col("ub"))
+            & (F.col("tsb") > F.col("tsa"))
+            & (F.unix_micros("tsb") <= F.unix_micros("tsa") + F.lit(_GAP_SUPPORT_US)),
+        )
+        .select("u", "ta", "tb")
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    naive_map = {(r["ta"], r["tb"]): r["n"] for r in naive}
+    assert head == naive_map and len(head) > 0
