@@ -182,6 +182,8 @@ HEADLINE = [
     "event_sequence_support",
     "event_sequence3_support",
     "event_sequence_gap_support",
+    "event_value_twa_daily",
+    "regional_revenue_interp",
 ]
 
 

@@ -1418,6 +1418,30 @@ def regional_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading null (each region's calendar starts at its first OBSERVED
     day), so the column is total without a fill sentinel.
     """
+    from pyspark.sql import Window
+
+    joined = regional_daily_joined(spark, sf_dir)
+    w = (
+        Window.partitionBy("region")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "region",
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("rev_dec", F.lit("0.00").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.last("rev_dec", ignorenulls=True).over(w).cast("double").alias("revenue_locf"),
+    )
+
+
+def regional_daily_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The densified (region, day) frame under BOTH fill heads —
+    observed (region, day) aggregates left-joined onto each region's
+    full first-to-last-day calendar — factored so the LOCF and
+    interpolation variants share one base (and one cache)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("day"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
@@ -1449,14 +1473,7 @@ def regional_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
         )
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("region")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    joined = calendar.join(
+    return calendar.join(
         base.select(
             F.col("region").alias("b_region"),
             F.col("day").alias("b_day"),
@@ -1465,15 +1482,118 @@ def regional_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("region") == F.col("b_region")) & (F.col("day") == F.col("b_day")),
         "left",
+    ).select("region", "day", "n_orders", "rev_dec", "b_day")
+
+
+INTERP_ORACLE = """
+WITH base AS (
+    SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, CAST(o.o_orderdate AS DATE)
+), bounds AS (
+    SELECT region, MIN(day) AS mn, MAX(day) AS mx FROM base GROUP BY region
+), calendar AS (
+    SELECT region, CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+), joined AS (
+    SELECT cal.region, cal.day, b.n_orders, b.rev_dec, b.day AS b_day
+    FROM calendar cal LEFT JOIN base b ON b.region = cal.region AND b.day = cal.day
+), spans AS (
+    SELECT region, day, n_orders, rev_dec,
+           LAST_VALUE(b_day IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+           LAST_VALUE(rev_dec IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           FIRST_VALUE(b_day IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+           FIRST_VALUE(rev_dec IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+    FROM joined
+)
+SELECT region, day,
+       COALESCE(n_orders, 0) AS n_orders,
+       CAST(COALESCE(rev_dec, 0.00) AS DOUBLE) AS revenue,
+       CASE WHEN next_day = prev_day THEN CAST(prev_v AS DOUBLE)
+            ELSE CAST(prev_v AS DOUBLE)
+                 + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                 * (CAST(day - prev_day AS DOUBLE)
+                    / CAST(next_day - prev_day AS DOUBLE))
+       END AS revenue_interp
+FROM spans
+"""
+
+
+@register(
+    "regional_revenue_interp",
+    oracle=INTERP_ORACLE,
+    tags=("dws", "time-series", "gapfill", "interpolation"),
+    past_window=True,
+)
+def regional_revenue_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + LINEAR interpolation — the other
+    standard gap-fill (TimescaleDB ``interpolate`` next to
+    ``regional_revenue_gapfill``'s LOCF): each missing day takes the
+    value on the line between its nearest observed neighbors.
+
+    Same dim-bounded calendar and region-partitioned windows as the
+    LOCF head (shared ``regional_daily_joined`` base — one definition,
+    one cache); two extra windows carry the nearest observed (day,
+    value) backward and forward. Both endpoints always exist (each
+    region's calendar spans exactly its observed range), and observed
+    days reduce to prev_day = next_day = day, guarded explicitly so no
+    0/0 arises. Float determinism: neighbors stay DECIMAL until the
+    output edge, where the interpolation is a fixed tree of IEEE
+    double ops (cast, subtract, divide, multiply-add) mirrored
+    token-for-token in the oracle — each op is individually
+    deterministic, so the composite hashes identically.
+    """
+    from pyspark.sql import Window
+
+    joined = regional_daily_joined(spark, sf_dir)
+    wb = (
+        Window.partitionBy("region")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return joined.select(
+    wf = (
+        Window.partitionBy("region")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    spans = joined.select(
+        "region",
+        "day",
+        "n_orders",
+        "rev_dec",
+        F.last("b_day", ignorenulls=True).over(wb).alias("prev_day"),
+        F.last("rev_dec", ignorenulls=True).over(wb).alias("prev_v"),
+        F.first("b_day", ignorenulls=True).over(wf).alias("next_day"),
+        F.first("rev_dec", ignorenulls=True).over(wf).alias("next_v"),
+    )
+    prev_d = F.col("prev_v").cast("double")
+    next_d = F.col("next_v").cast("double")
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    return spans.select(
         "region",
         "day",
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("rev_dec", F.lit("0.00").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue"),
-        F.last("rev_dec", ignorenulls=True).over(w).cast("double").alias("revenue_locf"),
+        F.when(F.col("next_day") == F.col("prev_day"), prev_d)
+        .otherwise(prev_d + (next_d - prev_d) * frac)
+        .alias("revenue_interp"),
     )
 
 

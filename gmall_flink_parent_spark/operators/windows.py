@@ -667,3 +667,75 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_copresent_sessions"),
         F.sum("ov_us").cast("bigint").alias("overlap_us_total"),
     )
+
+
+# --------------------------------------------- time-weighted average
+
+TWA_DAILY_ORACLE = """
+WITH seg AS (
+    SELECT event_type,
+           strftime(ts, '%Y%m%d') AS ymd,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           epoch_us(COALESCE(
+               lead(ts) OVER (PARTITION BY event_type, strftime(ts, '%Y%m%d')
+                              ORDER BY ts, event_id),
+               CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)
+           )) - epoch_us(ts) AS dt_us
+    FROM events
+)
+SELECT event_type, ymd,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dt_us) AS BIGINT) AS active_us,
+       CAST(CAST(SUM(v * dt_us) AS DOUBLE)
+            / CAST(SUM(dt_us) AS DOUBLE) AS DOUBLE) AS twa_value
+FROM seg GROUP BY event_type, ymd
+"""
+
+
+@register(
+    "event_value_twa_daily",
+    oracle=TWA_DAILY_ORACLE,
+    tags=("dws", "time-series", "twa", "interval"),
+    past_window=True,
+)
+def event_value_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) TIME-weighted average value — the TSDB operator
+    (TimescaleDB's ``time_weight``) for irregularly sampled step
+    signals, where a plain AVG over-weights bursts: each event's value
+    holds until the type's next event, the day's last observation
+    extends to midnight (the LOCF-to-boundary contract that makes each
+    day self-contained), and the weight is the hold duration in
+    integer microseconds.
+
+    Determinism across engines: the hold products sum in EXACT decimal
+    (DECIMAL(18,2) value × integer-micros duration — never a float
+    accumulation, whose order-dependence would break the cross-engine
+    hash), with ONE double division at the output edge. Equal
+    timestamps order by (ts, event_id) on both sides, so zero-duration
+    holds land identically. Scale shape: the lead window partitions by
+    (type, day) — bounded single-partition work like the concurrency
+    sweep, not a per-type global sort — and the aggregate map-combines
+    on the same key; one shuffle total (Catalyst reuses the window's
+    partitioning for the groupBy).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ymd = F.date_format("ts", "yyyyMMdd")
+    w = Window.partitionBy("event_type", ymd.alias("ymd")).orderBy("ts", "event_id")
+    day_end = F.date_add(F.to_date("ts"), 1).cast("timestamp")
+    dt_us = F.unix_micros(F.coalesce(F.lead("ts").over(w), day_end)) - F.unix_micros(
+        "ts"
+    )
+    seg = events.select(
+        "event_type",
+        ymd.alias("ymd"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        dt_us.alias("dt_us"),
+    )
+    return seg.groupBy("event_type", "ymd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("dt_us").cast("bigint").alias("active_us"),
+        (
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double")
+        ).alias("twa_value"),
+    )

@@ -96,6 +96,8 @@ HEADS = [
     "event_sequence_support",
     "event_sequence3_support",
     "event_sequence_gap_support",
+    "event_value_twa_daily",
+    "regional_revenue_interp",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —
