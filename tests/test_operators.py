@@ -3471,3 +3471,120 @@ def test_sequence_gap_support_banded_matches_naive(spark, sf_dir):
     )
     naive_map = {(r["ta"], r["tb"]): r["n"] for r in naive}
     assert head == naive_map and len(head) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 101, 2024])
+def test_interval_algebra_on_random_fixtures_matches_bruteforce(spark, seed):
+    """Hardening beyond the corpus: on seeded random interval sets, the
+    sweep peak must equal brute-force max concurrency at every
+    endpoint, and the bucketed overlap join must equal the O(n²)
+    Python double loop — closed intervals, zero-length touches, and
+    multi-bucket spans all drawn at random."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.operators import windows as W
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    day0 = np.datetime64("2024-03-01T00:00:00", "us")
+    starts = day0 + rng.integers(0, 20 * 3600 * 10**6, n).astype("timedelta64[us]")
+    durs = rng.integers(0, 5 * 3600 * 10**6, n).astype("timedelta64[us]")
+    # sprinkle exact boundary touches: session i+1 starts where i ends
+    ends = starts + durs
+    for i in range(0, n - 1, 17):
+        starts[i + 1] = ends[i]
+        ends[i + 1] = starts[i + 1] + durs[i + 1]
+    users = rng.permutation(n) + 1  # distinct users → no same-user dedup
+    rows = [
+        (int(users[i]), 1, str(starts[i]).replace("T", " "), str(ends[i]).replace("T", " "))
+        for i in range(n)
+    ]
+    s = spark.createDataFrame(
+        rows, "user_id long, session_seq long, st string, en string"
+    ).select(
+        "user_id",
+        "session_seq",
+        F.to_timestamp("st").alias("session_start"),
+        F.to_timestamp("en").alias("session_end"),
+    )
+
+    # --- brute force in Python
+    st_us = starts.astype("int64")
+    en_us = ends.astype("int64")
+    # peak concurrency (single day by construction): at every start
+    # endpoint count open sessions, closed-interval semantics
+    peak = max(
+        int(((st_us <= t) & (en_us >= t)).sum()) for t in st_us
+    )
+    # overlap pairs keyed (min_user, max_user)
+    want_pairs = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if st_us[i] <= en_us[j] and st_us[j] <= en_us[i]:
+                ua, ub = sorted((int(users[i]), int(users[j])))
+                ov = min(en_us[i], en_us[j]) - max(st_us[i], st_us[j])
+                k = (ua, ub)
+                cnt, tot = want_pairs.get(k, (0, 0))
+                want_pairs[k] = (cnt + 1, tot + int(ov))
+
+    # --- sweep head core on the fixture
+    ymd = F.date_format("session_start", "yyyyMMdd").alias("ymd")
+    deltas = s.select(ymd, F.col("session_start").alias("t"), F.lit(1).alias("d")).unionAll(
+        s.select(ymd, F.col("session_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    grain = deltas.groupBy("ymd", "t").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_open"),
+        F.sum("d").alias("net"),
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("ymd").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    got_peak = (
+        grain.withColumn("cum", F.sum("net").over(wd))
+        .groupBy("ymd")
+        .agg(F.max(F.col("cum") - F.col("net") + F.col("n_open")).alias("peak"))
+        .agg(F.max("peak").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert got_peak == peak
+
+    # --- bucketed overlap join core on the fixture
+    bucketed = s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.floor(F.unix_micros("session_start") / W._OVERLAP_BUCKET_US).alias("b_start"),
+        F.floor(F.unix_micros("session_end") / W._OVERLAP_BUCKET_US).alias("b_end"),
+    )
+    exploded = bucketed.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "b_start",
+        F.explode(F.sequence("b_start", "b_end")).alias("bucket"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    got_pairs = {
+        (r["user_a"], r["user_b"]): (r["n"], r["ov"])
+        for r in a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.session_start") <= F.col("b.session_end"))
+            & (F.col("b.session_start") <= F.col("a.session_end"))
+            & (F.col("a.bucket") == F.greatest(F.col("a.b_start"), F.col("b.b_start"))),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            (
+                F.unix_micros(F.least("a.session_end", "b.session_end"))
+                - F.unix_micros(F.greatest("a.session_start", "b.session_start"))
+            ).alias("ov_us"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ov_us").alias("ov"))
+        .collect()
+    }
+    assert got_pairs == want_pairs
