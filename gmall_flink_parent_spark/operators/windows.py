@@ -596,6 +596,22 @@ GROUP BY a.user_id, b.user_id
 
 _OVERLAP_BUCKET_US = 3_600_000_000  # 1-hour buckets; shrink as density grows
 
+# Physical tuning knob, NOT a semantic parameter: any width yields the
+# identical result set (pinned by test_overlap_bucket_width_invariant) —
+# narrower buckets trade explode fan-out for smaller per-bucket joins as
+# session density grows. Result-invariance is why it can be a conf.
+OVERLAP_BUCKET_CONF = "spark.gmall_flink.overlap.bucketUs"
+
+
+def _overlap_bucket_us(spark: SparkSession) -> int:
+    raw = spark.conf.get(OVERLAP_BUCKET_CONF, None)
+    if raw is None:
+        return _OVERLAP_BUCKET_US
+    width = int(raw)
+    if width <= 0:
+        raise ValueError(f"{OVERLAP_BUCKET_CONF} must be a positive microsecond width")
+    return width
+
 
 @register(
     "session_overlap_pairs",
@@ -627,14 +643,15 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite exact, dedup included. Output is the co-presence graph —
     inherently pairwise, linear in TRUE co-presence, not in corpus².
     """
+    bucket_us = _overlap_bucket_us(spark)
     s = session_bounds_frame(load_table(spark, sf_dir, "events"))
     bucketed = s.select(
         "user_id",
         "session_seq",
         "session_start",
         "session_end",
-        F.floor(F.unix_micros("session_start") / _OVERLAP_BUCKET_US).alias("b_start"),
-        F.floor(F.unix_micros("session_end") / _OVERLAP_BUCKET_US).alias("b_end"),
+        F.floor(F.unix_micros("session_start") / bucket_us).alias("b_start"),
+        F.floor(F.unix_micros("session_end") / bucket_us).alias("b_end"),
     )
     exploded = scoped_persist(
         bucketed.select(

@@ -3588,3 +3588,33 @@ def test_interval_algebra_on_random_fixtures_matches_bruteforce(spark, seed):
         .collect()
     }
     assert got_pairs == want_pairs
+
+
+def test_overlap_bucket_width_invariant(spark, sf_dir):
+    """The overlap join's bucket width is a PHYSICAL knob: 10-minute
+    and 4-hour widths must produce exactly the default's result set
+    (the first-shared-bucket dedup proof is width-independent), and a
+    non-positive width must refuse loudly."""
+    import pytest as _pytest
+
+    from gmall_flink_parent_spark.operators.windows import (
+        OVERLAP_BUCKET_CONF,
+        session_overlap_pairs,
+    )
+
+    def run():
+        return sorted(
+            tuple(r) for r in session_overlap_pairs(spark, sf_dir).collect()
+        )
+
+    base = run()
+    try:
+        for width in ("600000000", "14400000000"):
+            spark.conf.set(OVERLAP_BUCKET_CONF, width)
+            assert run() == base, f"width {width} changed the result"
+        spark.conf.set(OVERLAP_BUCKET_CONF, "0")
+        with _pytest.raises(ValueError):
+            session_overlap_pairs(spark, sf_dir)
+    finally:
+        spark.conf.unset(OVERLAP_BUCKET_CONF)
+    assert len(base) > 0
