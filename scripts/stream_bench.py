@@ -150,6 +150,24 @@ def _bench_uv_dedup(
     }
 
 
+def _bench_seq_store(spark, events_dir: str, rows_in: int, work: str) -> dict:
+    from gmall_flink_parent_spark.streaming.jobs import sequence_support_store_job
+
+    events = _file_stream(spark, events_dir).select("user_id", "event_type", "ts")
+    t0 = time.monotonic()
+    q = sequence_support_store_job(
+        events, f"{work}/seq_store", f"{work}/ck_seq"
+    )
+    stats = _drain(q)
+    wall = round(time.monotonic() - t0, 3)
+    return {
+        "rows_in": rows_in,
+        "wall_sec": wall,
+        "rows_per_sec": round(rows_in / wall, 1),
+        **stats,
+    }
+
+
 def _bench_ingest(spark, docs_dir: str, rows_in: int, work: str) -> dict:
     from gmall_flink_parent_spark.functions.curation import _MIX_HEAD_WEIGHTS
     from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
@@ -223,6 +241,10 @@ def run(
             ),
             "uv_dedup_stream_builtin": _bench_uv_dedup(
                 spark, f"{work}/events", n_events, f"{work}/ck_uvb", builtin=True
+            ),
+            # extrema-partial incremental store (round-11 post-seal)
+            "sequence_support_store_job": _bench_seq_store(
+                spark, f"{work}/events", n_events, work
             ),
         }
         amortization: dict[str, dict] = {}
