@@ -184,6 +184,7 @@ HEADLINE = [
     "event_sequence_gap_support",
     "event_value_twa_daily",
     "regional_revenue_interp",
+    "event_value_cusum_shift",
 ]
 
 

@@ -756,3 +756,88 @@ def event_value_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dt_us").cast("double")
         ).alias("twa_value"),
     )
+
+
+# --------------------------------------------- changepoint localization
+
+CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d')
+), stats AS (
+    SELECT event_type, ymd,
+           SUM(v) OVER (PARTITION BY event_type ORDER BY ymd
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ymd) AS k,
+           SUM(v) OVER (PARTITION BY event_type) AS total,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), scored AS (
+    SELECT event_type, ymd, n,
+           ABS(n * prefix - k * total) AS s_abs,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ABS(n * prefix - k * total) DESC, ymd) AS rnk
+    FROM stats
+)
+SELECT event_type, ymd AS change_day, CAST(n AS BIGINT) AS n_days,
+       CAST(CAST(s_abs AS DOUBLE) / CAST(n AS DOUBLE) AS DOUBLE) AS cusum_stat
+FROM scored WHERE rnk = 1
+"""
+
+
+@register(
+    "event_value_cusum_shift",
+    oracle=CUSUM_ORACLE,
+    tags=("dws", "time-series", "changepoint"),
+    past_window=True,
+)
+def event_value_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint localization per event type: the day
+    where the cumulative deviation of DAILY value totals from the
+    type's mean peaks — the classic single-changepoint estimator
+    (Page 1954's statistic in its offline argmax form), i.e. WHERE the
+    level shifted, complementing `source_length_psi` (whether two
+    fixed windows differ) and `event_value_outliers` (single-day
+    spikes).
+
+    Exactness trick: CUSUM_k = prefix_k − k·mean needs mean = total/n,
+    a division that would force float accumulation; multiplying
+    through by n gives S_k = n·prefix_k − k·total — pure decimal
+    integer arithmetic, same argmax. The one double division
+    (|S|/n, recovering the statistic's scale) happens once at the
+    output edge. Ties break to the earliest day. Scale shape: one
+    map-combined (type, day) aggregate, then windows over type
+    partitions whose size is days-per-type (thousands of rows at any
+    corpus volume — the day grain, not the event grain); the decimal
+    envelope holds to ~10²² per-day totals before the n·prefix product
+    would hit DECIMAL(38)'s cap.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyyMMdd").alias("ymd")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ymd")
+    stats = daily.select(
+        "event_type",
+        "ymd",
+        F.sum("v").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("v").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    s_abs = F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("total"))
+    scored = stats.select(
+        "event_type",
+        "ymd",
+        "n",
+        s_abs.alias("s_abs"),
+        F.row_number().over(wt.orderBy(s_abs.desc(), "ymd")).alias("rnk"),
+    )
+    return scored.filter(F.col("rnk") == 1).select(
+        "event_type",
+        F.col("ymd").alias("change_day"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("s_abs").cast("double") / F.col("n").cast("double")).alias("cusum_stat"),
+    )

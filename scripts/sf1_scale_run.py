@@ -98,6 +98,7 @@ HEADS = [
     "event_sequence_gap_support",
     "event_value_twa_daily",
     "regional_revenue_interp",
+    "event_value_cusum_shift",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —

@@ -3618,3 +3618,44 @@ def test_overlap_bucket_width_invariant(spark, sf_dir):
     finally:
         spark.conf.unset(OVERLAP_BUCKET_CONF)
     assert len(base) > 0
+
+
+def test_cusum_localizes_a_planted_level_shift(spark):
+    """On a planted step signal (10/day for 10 days, then 50/day), the
+    CUSUM argmax must land exactly on the last pre-shift day — and a
+    constant signal must score (near) zero with the earliest-day tie
+    break."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    for d in range(1, 21):
+        v = 10.0 if d <= 10 else 50.0
+        rows.append(("shift", f"202402{d:02d}", v))
+        rows.append(("flat", f"202402{d:02d}", 7.0))
+    daily = spark.createDataFrame(rows, "event_type string, ymd string, raw double").select(
+        "event_type", "ymd", F.col("raw").cast("decimal(18,2)").alias("v")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ymd")
+    stats = daily.select(
+        "event_type",
+        "ymd",
+        F.sum("v").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("v").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    s_abs = F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("total"))
+    top = (
+        stats.select(
+            "event_type", "ymd",
+            F.row_number().over(wt.orderBy(s_abs.desc(), "ymd")).alias("rnk"),
+            (s_abs.cast("double") / F.col("n").cast("double")).alias("stat"),
+        )
+        .filter(F.col("rnk") == 1)
+        .collect()
+    )
+    got = {r["event_type"]: (r["ymd"], r["stat"]) for r in top}
+    assert got["shift"][0] == "20240210" and got["shift"][1] > 0
+    assert got["flat"][0] == "20240201" and got["flat"][1] == 0.0
