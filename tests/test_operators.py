@@ -3659,3 +3659,87 @@ def test_cusum_localizes_a_planted_level_shift(spark):
     got = {r["event_type"]: (r["ymd"], r["stat"]) for r in top}
     assert got["shift"][0] == "20240210" and got["shift"][1] > 0
     assert got["flat"][0] == "20240201" and got["flat"][1] == 0.0
+
+
+def test_twa_on_random_fixture_matches_numpy_integration(spark):
+    """Seeded random irregular step signals: the registered TWA core
+    must equal a direct numpy integration of the step function per
+    (type, day) — including duplicate timestamps (zero-duration holds)
+    and the LOCF-to-midnight boundary extension."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for day in (1, 2):
+        for typ in ("a", "b"):
+            n = int(rng.integers(3, 30))
+            offs = np.sort(rng.integers(0, 86_400_000_000, n))
+            offs[rng.integers(0, n)] = offs[0]  # force a duplicate ts
+            offs = np.sort(offs)
+            for i, off in enumerate(offs):
+                rows.append(
+                    (
+                        len(rows) + 1,
+                        typ,
+                        f"2024-05-0{day} 00:00:00",
+                        int(off),
+                        round(float(rng.uniform(0, 100)), 2),
+                    )
+                )
+    ev = (
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, base string, off_us long, value double"
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.timestamp_micros(
+                F.unix_micros(F.to_timestamp("base")) + F.col("off_us")
+            ).alias("ts"),
+        )
+    )
+    # registered core inline (same expressions as event_value_twa_daily)
+    from pyspark.sql import Window
+
+    ymd = F.date_format("ts", "yyyyMMdd")
+    w = Window.partitionBy("event_type", ymd.alias("ymd")).orderBy("ts", "event_id")
+    day_end = F.date_add(F.to_date("ts"), 1).cast("timestamp")
+    dt_us = F.unix_micros(F.coalesce(F.lead("ts").over(w), day_end)) - F.unix_micros("ts")
+    got = {
+        (r["event_type"], r["ymd"]): (r["active_us"], r["twa"])
+        for r in ev.select(
+            "event_type",
+            ymd.alias("ymd"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            dt_us.alias("dt_us"),
+        )
+        .groupBy("event_type", "ymd")
+        .agg(
+            F.sum("dt_us").cast("bigint").alias("active_us"),
+            (
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double")
+            ).alias("twa"),
+        )
+        .collect()
+    }
+    # numpy integration per (type, day): sort by (off, event_id), value
+    # holds to the next off (or day end)
+    import collections
+
+    by_key = collections.defaultdict(list)
+    for eid, typ, base, off, val in rows:
+        day = base[8:10]
+        by_key[(typ, f"202405{day}")].append((off, eid, val))
+    for key, pts in by_key.items():
+        pts.sort()
+        offs = np.array([p[0] for p in pts], dtype=np.int64)
+        vals = np.array([round(p[2], 2) for p in pts])
+        holds = np.append(offs[1:], 86_400_000_000) - offs
+        active = int(holds.sum())
+        twa = float((vals * holds).sum() / holds.sum())
+        g_active, g_twa = got[key]
+        assert g_active == active, key
+        assert abs(g_twa - twa) < 1e-9 * max(1.0, abs(twa)), key
