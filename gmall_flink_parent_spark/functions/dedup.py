@@ -1394,3 +1394,125 @@ def jaccard_prefix_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join_frame(
         fan_out(spark, load_table(spark, sf_dir, "documents")), STRICT_PREFIX_TAU
     )
+
+
+# -------------------- prefix-filtered exact CONTAINMENT join (asymmetric)
+
+CONTAINMENT_TAU = 0.9
+
+CONTAINMENT_JOIN_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT doc_id_a, doc_id_b, containment
+FROM (
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(a.toks), 6) AS containment
+    FROM t a
+    JOIN t b ON a.doc_id <> b.doc_id
+)
+WHERE containment >= {CONTAINMENT_TAU}
+"""
+
+
+def containment_prefix_join_frame(docs: DataFrame, t: float) -> DataFrame:
+    """Corpus-wide exact CONTAINMENT join: ordered pairs (a, b) with
+    |toks(a) ∩ toks(b)| / |toks(a)| ≥ ``t`` — "a's vocabulary lives
+    (almost) inside b's", the ASYMMETRIC sibling of the Jaccard join
+    that Jaccard structurally cannot express (a 50-token quote inside
+    a 5 000-token document has J ≈ 0.01 but containment 1.0). The
+    partial-copy / quotation / subset-document detector.
+
+    The asymmetry reshapes the prefix filter (the overlap constraint
+    ``O ≥ t·|a|`` binds only the contained side): the A side keeps the
+    standard df-ascending prefix of ``|a| − ⌈t·|a|⌉ + 1`` tokens
+    (pigeonhole: skipping it all leaves < t·|a| shared tokens), but
+    the B side must index EVERY token — a container may hold a's
+    vocabulary anywhere in its tail, so no B prefix is sound. Rare-
+    first ordering still bounds the join: candidates are Σ df(token)
+    over A-PREFIX tokens only, and prefixes hold each document's
+    rarest tokens by construction. Residuals: ``|b| ≥ t·|a|`` (the
+    only sound size filter — containment does not bound |b| above)
+    and the PPJoin-style positional bound ``1 + min(|a|−pa, |b|−pb) ≥
+    t·|a|`` (sound at the pair's first shared token, which the
+    pigeonhole puts inside a's prefix, so at least one generating row
+    always survives). One exact verify per distinct candidate pair;
+    ε-slack on the ADMIT side throughout — the verify is exact.
+    """
+    tt = scoped_persist(
+        docs.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        ).withColumn("sz", F.size("toks"))
+    )
+    toks = tt.select("doc_id", "sz", F.explode("toks").alias("token"))
+    df_tab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+    positioned = scoped_persist(
+        toks.join(df_tab, "token")
+        .withColumn("pos", F.row_number().over(w))
+        .select("token", "doc_id", "sz", "pos")
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    a = positioned.filter(F.col("pos") <= prefix_len).select(
+        F.col("token"),
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = positioned.select(
+        F.col("token"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    t_c = F.lit(t)
+    need = t_c * F.col("sz_a") - F.lit(1e-9)  # ε on the admit side
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
+    cands = (
+        a.join(b, "token")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("sz_b") >= need)
+            & (ubound >= need)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tt.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = tt.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.round(inter.cast("double") / F.size("toks_a"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= t_c)
+    )
+
+
+@register(
+    "containment_prefix_join",
+    oracle=CONTAINMENT_JOIN_ORACLE,
+    tags=("dedup", "similarity-join", "containment"),
+    past_window=True,
+)
+def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t=0.9 registered head of ``containment_prefix_join_frame``.
+    Oracle is the full quadratic, so the driver's hash proves the
+    asymmetric prefix filter complete. Bench-tiered output-bound like
+    the τ=0.6 Jaccard head (QUERIES.md): this dup-saturated corpus
+    makes most ordered pairs qualify, so the answer itself is the
+    cost."""
+    return containment_prefix_join_frame(
+        fan_out(spark, load_table(spark, sf_dir, "documents")), CONTAINMENT_TAU
+    )

@@ -3743,3 +3743,28 @@ def test_twa_on_random_fixture_matches_numpy_integration(spark):
         g_active, g_twa = got[key]
         assert g_active == active, key
         assert abs(g_twa - twa) < 1e-9 * max(1.0, abs(twa)), key
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """The asymmetric case the Jaccard join structurally cannot
+    express: a 10-token 'quote' fully inside a 200-token document has
+    containment 1.0 but J < 0.06 — the containment join must emit it
+    (both only the contained->container direction) while the Jaccard
+    frame at tau=0.6 stays silent."""
+    from gmall_flink_parent_spark.functions.dedup import (
+        containment_prefix_join_frame,
+        jaccard_prefix_join_frame,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(10))
+    big = " ".join(f"tok{i}" for i in range(200))  # superset vocabulary
+    other = " ".join(f"zzz{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, big), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in containment_prefix_join_frame(docs, 0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}  # one direction only; doc 3 untouched
+    assert jaccard_prefix_join_frame(docs, 0.6).count() == 0
