@@ -841,3 +841,201 @@ def event_value_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         (F.col("s_abs").cast("double") / F.col("n").cast("double")).alias("cusum_stat"),
     )
+
+
+# --------------------------------------------- autocorrelation (ACF)
+
+_ACF_LAGS = (1, 2, 3)
+
+ACF_ORACLE = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d')
+), led AS (
+    SELECT event_type, c,
+           lead(c, 1) OVER w AS y1,
+           lead(c, 2) OVER w AS y2,
+           lead(c, 3) OVER w AS y3
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY ymd)
+), pairs AS (
+    SELECT event_type, 1 AS lag, c AS x, y1 AS y FROM led WHERE y1 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 2 AS lag, c AS x, y2 AS y FROM led WHERE y2 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 3 AS lag, c AS x, y3 AS y FROM led WHERE y3 IS NOT NULL
+), agg AS (
+    SELECT event_type, lag,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+            AS DOUBLE) AS acf
+FROM agg
+"""
+
+
+@register(
+    "event_value_acf",
+    oracle=ACF_ORACLE,
+    tags=("dws", "time-series", "autocorrelation"),
+    past_window=True,
+)
+def event_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each type's DAILY value totals at lags
+    1-3 — the memory/periodicity profile every forecasting pass starts
+    from, complementing `event_value_cusum_shift` (where the level
+    moved) and `revenue_trend_fit` (the deterministic drift): Pearson r
+    between the day-k and day-(k+lag) totals, index-lagged over the
+    type's observed-day sequence (the TSDB convention for regular
+    grids; the synthetic feed has no gap days, and a gapped feed would
+    state calendar lags through `regional_revenue_gapfill`'s densify
+    first).
+
+    Exactness: daily totals become integer CENTS (decimal sum × 100 —
+    never a float), so every moment (Σx, Σxy, Σx²) accumulates in
+    exact integer arithmetic — Spark decimal(38,0), DuckDB HUGEINT,
+    same integers — and the classic sums form
+    r = (nΣxy − ΣxΣy) / (√(nΣxx − Σx²)·√(nΣyy − Σy²)) evaluates with
+    exactly three float ops (two correctly-rounded √, one division) on
+    identical inputs, so the doubles match bit-for-bit cross-engine.
+    A constant series (zero variance) yields NULL via NULLIF, not a
+    division error. Scale shape: one map-combined (type, day)
+    aggregate collapses the event grain to days-per-type; the lead
+    window and the moment aggregate both ride the type partition —
+    thousands of rows per type at ANY corpus volume, so the window
+    never sees event-grain data. The integer envelope holds to daily
+    totals of ~10¹⁴ cents before nΣx² would exceed decimal(38).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyyMMdd").alias("ymd")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("decimal(18,0)")
+        .alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("ymd")
+    led = daily.select(
+        "event_type",
+        "c",
+        *[F.lead("c", lag).over(w).alias(f"y{lag}") for lag in _ACF_LAGS],
+    )
+    pairs = None
+    for lag in _ACF_LAGS:
+        p = led.filter(F.col(f"y{lag}").isNotNull()).select(
+            "event_type",
+            F.lit(lag).alias("lag"),
+            F.col("c").alias("x"),
+            F.col(f"y{lag}").alias("y"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (num / F.nullif(F.sqrt(denx) * F.sqrt(deny), F.lit(0.0))).alias("acf"),
+    )
+
+
+# --------------------------------------------- day-of-week seasonality
+
+DOW_SEASONALITY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           dayofweek(CAST(ts AS DATE)) AS dow,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d'), dayofweek(CAST(ts AS DATE))
+), per_type AS (
+    SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n_all, SUM(c) AS s_all
+    FROM daily GROUP BY event_type
+), per_dow AS (
+    SELECT event_type, dow, CAST(COUNT(*) AS HUGEINT) AS n_d, SUM(c) AS s_d
+    FROM daily GROUP BY event_type, dow
+)
+SELECT d.event_type, CAST(d.dow AS INTEGER) AS dow,
+       CAST(d.n_d AS BIGINT) AS n_days,
+       CAST(CAST(d.s_d AS DOUBLE) / CAST(d.n_d * 100 AS DOUBLE) AS DOUBLE)
+           AS mean_daily_value,
+       CAST(CAST(d.s_d * t.n_all AS DOUBLE) / CAST(d.n_d * t.s_all AS DOUBLE)
+            AS DOUBLE) AS seasonal_index
+FROM per_dow d JOIN per_type t USING (event_type)
+"""
+
+
+@register(
+    "event_dow_seasonality",
+    oracle=DOW_SEASONALITY_ORACLE,
+    tags=("dws", "time-series", "seasonality"),
+    past_window=True,
+)
+def event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type — the multiplicative
+    seasonality profile (mean daily total on that weekday ÷ the type's
+    overall mean daily total) that a seasonal-naive forecast or an
+    anomaly baseline divides out before looking at residuals. Index
+    > 1 = the weekday runs hot for that type.
+
+    Both engines compute the weekday from the DATE of ts (0 = Sunday:
+    DuckDB's ``dayofweek`` convention; Spark's 1-based ``dayofweek``
+    shifts by one) at the (type, day) grain, so a day's total lands on
+    exactly one weekday. Exactness: daily totals in integer cents; the
+    index (Σ_dow·n_all)/(n_dow·Σ_all) cross-multiplies to one exact
+    integer numerator and denominator — ONE double division, identical
+    cross-engine; the mean divides the exact cent sum by the exact
+    100·n_dow. Scale shape: two map-combined aggregates (events →
+    day grain → dow grain) and an equi-join at the |event-type
+    vocabulary| grain — the per-type totals frame is vocabulary-sized
+    regardless of corpus volume, so Spark's planner broadcasts it via
+    AQE's size estimate without a hint; no row of event-grain data
+    crosses the second shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").alias("ymd"),
+        (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("decimal(18,0)")
+        .alias("c")
+    )
+    daily = scoped_persist(daily)
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n_all"),
+        F.sum("c").alias("s_all"),
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n_d"),
+        F.sum("c").alias("s_d"),
+    )
+    joined = per_dow.join(per_type, "event_type")
+    return joined.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_d").cast("bigint").alias("n_days"),
+        (
+            F.col("s_d").cast("double") / (F.col("n_d") * 100).cast("double")
+        ).alias("mean_daily_value"),
+        (
+            (F.col("s_d") * F.col("n_all")).cast("double")
+            / (F.col("n_d") * F.col("s_all")).cast("double")
+        ).alias("seasonal_index"),
+    )

@@ -3768,3 +3768,108 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     }
     assert got == {(1, 2): 1.0}  # one direction only; doc 3 untouched
     assert jaccard_prefix_join_frame(docs, 0.6).count() == 0
+
+
+def _write_events_fixture(spark, tmp_path, rows):
+    """rows: (event_type, ts_string, value). Writes an events.parquet
+    with the full events schema so load_table works unchanged."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t, ts, float(v)) for i, (t, ts, v) in enumerate(rows)],
+        "event_id long, event_type string, ts_s string, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        (F.col("event_id") % 7).alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_acf_on_planted_periodic_ramp_and_constant_signals(spark, tmp_path):
+    """Exact planted shapes: an alternating series is perfectly
+    anti-correlated at odd lags and perfectly correlated at even lags;
+    a linear ramp is y = x + lag at every lag (r = 1 exactly); a
+    constant series has zero variance (NULL acf, row still present)."""
+    from gmall_flink_parent_spark.operators.windows import event_value_acf
+
+    rows = []
+    for d in range(1, 10):  # 9 days
+        rows.append(("alt", f"2024-02-{d:02d} 12:00:00", 10.0 if d % 2 else 20.0))
+        rows.append(("ramp", f"2024-02-{d:02d} 12:00:00", float(d)))
+        rows.append(("flat", f"2024-02-{d:02d} 12:00:00", 7.0))
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in event_value_acf(spark, sf).collect()
+    }
+    # |r| = 1 up to the two sqrt roundings (the integer core is exact;
+    # the cross-engine hash is bit-exact because both engines round
+    # identically — this tolerance is only about ±1 not being exactly
+    # representable through sqrt(a)*sqrt(b))
+    assert got[("alt", 1)][0] == 8 and abs(got[("alt", 1)][1] + 1.0) < 1e-12
+    assert got[("alt", 2)][0] == 7 and abs(got[("alt", 2)][1] - 1.0) < 1e-12
+    assert got[("alt", 3)][0] == 6 and abs(got[("alt", 3)][1] + 1.0) < 1e-12
+    for lag in (1, 2, 3):
+        n, acf = got[("ramp", lag)]
+        assert n == 9 - lag and abs(acf - 1.0) < 1e-12
+        n, acf = got[("flat", lag)]
+        assert n == 9 - lag and acf is None
+
+
+def test_acf_on_seeded_noise_matches_numpy(spark, tmp_path):
+    """Seeded random daily totals: the registered head must match a
+    direct numpy Pearson correlation of the lag-paired series to float
+    precision (the head's arithmetic is exact-integer until one
+    division, so the tolerance is pure numpy-side rounding)."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.operators.windows import event_value_acf
+
+    rng = np.random.default_rng(1107)
+    vals = np.round(rng.uniform(1, 500, size=40), 2)
+    rows = [
+        ("noise", f"2024-{1 + d // 28:02d}-{1 + d % 28:02d} 09:00:00", float(v))
+        for d, v in enumerate(vals)
+    ]
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = {
+        r["lag"]: r["acf"] for r in event_value_acf(spark, sf).collect()
+    }
+    for lag in (1, 2, 3):
+        expect = float(np.corrcoef(vals[:-lag], vals[lag:])[0, 1])
+        assert abs(got[lag] - expect) < 1e-9, lag
+
+
+def test_dow_seasonality_on_planted_weekend_signal(spark, tmp_path):
+    """14 days anchored on a known Sunday (2024-02-04): Sundays run
+    70, everything else 7 — the Sunday index must be exactly
+    70/16 = 4.375 (overall mean = (2*70 + 12*7)/14 = 16) and the
+    weighted-by-days mean of the indexes must be exactly 1."""
+    import datetime as _dt
+
+    from gmall_flink_parent_spark.operators.windows import event_dow_seasonality
+
+    start = _dt.date(2024, 2, 4)  # a Sunday
+    rows = []
+    for d in range(14):
+        day = start + _dt.timedelta(days=d)
+        v = 70.0 if day.weekday() == 6 else 7.0  # python weekday: Sunday=6
+        rows.append(("w", f"{day.isoformat()} 03:00:00", v))
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    out = event_dow_seasonality(spark, sf).collect()
+    by_dow = {r["dow"]: r for r in out}
+    assert set(by_dow) == set(range(7))
+    sun = by_dow[0]
+    assert sun["n_days"] == 2
+    assert sun["mean_daily_value"] == 70.0
+    assert sun["seasonal_index"] == 70.0 / 16.0
+    for dow in range(1, 7):
+        assert by_dow[dow]["seasonal_index"] == 7.0 / 16.0
+    n_all = sum(r["n_days"] for r in out)
+    weighted = sum(r["n_days"] * r["seasonal_index"] for r in out)
+    assert n_all == 14 and abs(weighted - 14.0) < 1e-12
