@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register, scoped_persist
@@ -663,3 +663,134 @@ def observed_verdicts(obs, checks: list["Expectation"]) -> list[tuple]:
         m = got.get(c.name)
         out.append((c.name, m, m is not None and c.lo <= m <= c.hi))
     return out
+
+
+# ------------------------------------------- distribution drift (KS)
+
+SOURCE_KS_ORACLE = """
+WITH per AS (
+    SELECT source, n_chars AS v, CAST(count(*) AS HUGEINT) AS c_sv
+    FROM documents GROUP BY source, n_chars
+), tot AS (
+    SELECT source, SUM(c_sv) AS n_s FROM per GROUP BY source
+), vals AS (
+    SELECT v, SUM(c_sv) AS c_v FROM per GROUP BY v
+), n AS (
+    SELECT SUM(c_v) AS n FROM vals
+), pooled AS (
+    SELECT v, SUM(c_v) OVER (ORDER BY v) AS cnt_le FROM vals
+), cums AS (
+    SELECT t.source, t.n_s, p.v, p.cnt_le,
+           SUM(COALESCE(x.c_sv, 0)) OVER (
+               PARTITION BY t.source ORDER BY p.v) AS cnt_s_le
+    FROM tot t CROSS JOIN pooled p
+    LEFT JOIN per x ON x.source = t.source AND x.v = p.v
+), scored AS (
+    SELECT c.source, c.n_s, c.v,
+           (SELECT n FROM n) - c.n_s AS n_o,
+           ABS(c.cnt_s_le * ((SELECT n FROM n) - c.n_s)
+               - (c.cnt_le - c.cnt_s_le) * c.n_s) AS d_num,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.source
+               ORDER BY ABS(c.cnt_s_le * ((SELECT n FROM n) - c.n_s)
+                            - (c.cnt_le - c.cnt_s_le) * c.n_s) DESC,
+                        c.v) AS rnk
+    FROM cums c
+)
+SELECT source,
+       CAST(n_s AS BIGINT) AS n_docs,
+       CAST(n_o AS BIGINT) AS n_rest,
+       CAST(CAST(d_num AS DOUBLE) / NULLIF(CAST(n_s * n_o AS DOUBLE), 0.0)
+            AS DOUBLE) AS ks_stat,
+       CAST(v AS BIGINT) AS ks_at_chars
+FROM scored WHERE rnk = 1
+"""
+
+
+@register(
+    "source_length_ks",
+    oracle=SOURCE_KS_ORACLE,
+    tags=("text", "quality", "validation", "drift"),
+    past_window=True,
+)
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of each source's
+    doc-length (n_chars) distribution against the POOLED REST of the
+    corpus — the unbinned companion to `source_length_psi`: PSI needs
+    a bucket scheme and add-1 smoothing; KS is bucket-free (sup-norm
+    distance between the two empirical CDFs), so it also localizes
+    WHERE the distributions diverge (``ks_at_chars``, tie → smallest
+    length).
+
+    Exactness: both ECDFs are step functions jumping only at observed
+    lengths, so the sup is attained on the pooled distinct-value set;
+    cross-multiplying removes the divisions —
+    D(v)·n_s·n_o = |cnt_s≤v·n_o − cnt_o≤v·n_s| — leaving pure integer
+    arithmetic (Spark decimal, DuckDB HUGEINT) until ONE double
+    division at the output edge, so the statistic matches bit-exact
+    cross-engine. A single-source corpus yields NULL (n_o = 0) rather
+    than a division error. Scale shape: one map-combined
+    (source, n_chars) count collapses the corpus to |sources| ×
+    |distinct lengths| rows; every later frame — the pooled cumulative,
+    the per-source cumulative over the broadcast sources × lengths
+    grid — lives at that bounded grain, so the 100 TB cost is the one
+    scan. The integer envelope holds to ~10¹⁸ docs per side before the
+    count product would exceed decimal(38).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.col("n_chars").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("c_sv"))
+    )
+    per = scoped_persist(per)
+    tot = per.groupBy("source").agg(F.sum("c_sv").alias("n_s"))
+    vals = per.groupBy("v").agg(F.sum("c_sv").alias("c_v"))
+    pooled = vals.select(
+        "v",
+        F.sum("c_v")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cnt_le"),
+    )
+    n_total = vals.agg(F.sum("c_v").alias("n"))
+    # sources × pooled distinct lengths: the broadcast side is the
+    # source-vocabulary frame (|sources| rows at any corpus size)
+    grid = pooled.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(n_total))
+    cums = grid.join(per, ["source", "v"], "left").select(
+        "source",
+        "n_s",
+        "v",
+        "cnt_le",
+        (F.col("n") - F.col("n_s")).alias("n_o"),
+        F.sum(F.coalesce(F.col("c_sv"), F.lit(0).cast("decimal(18,0)")))
+        .over(
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cnt_s_le"),
+    )
+    d_num = F.abs(
+        F.col("cnt_s_le") * F.col("n_o")
+        - (F.col("cnt_le") - F.col("cnt_s_le")) * F.col("n_s")
+    )
+    scored = cums.select(
+        "source",
+        "n_s",
+        "n_o",
+        "v",
+        d_num.alias("d_num"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(d_num.desc(), "v"))
+        .alias("rnk"),
+    )
+    return scored.filter(F.col("rnk") == 1).select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_docs"),
+        F.col("n_o").cast("bigint").alias("n_rest"),
+        (
+            F.col("d_num").cast("double")
+            / F.nullif((F.col("n_s") * F.col("n_o")).cast("double"), F.lit(0.0))
+        ).alias("ks_stat"),
+        F.col("v").cast("bigint").alias("ks_at_chars"),
+    )

@@ -3873,3 +3873,85 @@ def test_dow_seasonality_on_planted_weekend_signal(spark, tmp_path):
     n_all = sum(r["n_days"] for r in out)
     weighted = sum(r["n_days"] * r["seasonal_index"] for r in out)
     assert n_all == 14 and abs(weighted - 14.0) < 1e-12
+
+
+def _write_documents_fixture(spark, tmp_path, rows):
+    """rows: (source, n_chars). Writes a documents.parquet with the
+    full documents schema so load_table works unchanged."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, s, int(n)) for i, (s, n) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    ).select(
+        "doc_id",
+        F.repeat(F.lit("x"), F.col("n_chars").cast("int")).alias("text"),
+        F.lit("en").alias("lang"),
+        "source",
+        "n_chars",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ks_on_planted_shifted_and_identical_distributions(spark, tmp_path):
+    """Two shifted uniform samples A={1,2,3,4}, B={3,4,5,6}: the exact
+    two-sample KS is 1/2, first attained at length 2 (the tie-break
+    localizer). A third case: two sources with IDENTICAL length
+    multisets must score exactly 0 against each other."""
+    from gmall_flink_parent_spark.functions.expectations import source_length_ks
+
+    rows = [("A", v) for v in (1, 2, 3, 4)] + [("B", v) for v in (3, 4, 5, 6)]
+    sf = _write_documents_fixture(spark, tmp_path, rows)
+    got = {r["source"]: r for r in source_length_ks(spark, sf).collect()}
+    assert got["A"]["ks_stat"] == 0.5 and got["A"]["ks_at_chars"] == 2
+    assert got["B"]["ks_stat"] == 0.5 and got["B"]["ks_at_chars"] == 2
+    assert got["A"]["n_docs"] == 4 and got["A"]["n_rest"] == 4
+
+    rows2 = [("A", v) for v in (5, 5, 9)] + [("B", v) for v in (5, 5, 9)]
+    sf2 = _write_documents_fixture(spark, tmp_path / "same", rows2)
+    got2 = {r["source"]: r for r in source_length_ks(spark, sf2).collect()}
+    assert got2["A"]["ks_stat"] == 0.0 and got2["A"]["ks_at_chars"] == 5
+    assert got2["B"]["ks_stat"] == 0.0
+
+
+def test_ks_on_seeded_samples_matches_pure_python(spark, tmp_path):
+    """Seeded random lengths over 3 sources: the head must equal a
+    direct pure-python sup|ECDF_s − ECDF_rest| evaluated at every
+    pooled value — exactly (both sides divide the same two integers)."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.expectations import source_length_ks
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for s, (lo, hi, n) in {
+        "s0": (10, 200, 57),
+        "s1": (50, 260, 43),
+        "s2": (10, 120, 29),
+    }.items():
+        for v in rng.integers(lo, hi, size=n):
+            rows.append((s, int(v)))
+    sf = _write_documents_fixture(spark, tmp_path, rows)
+    got = {r["source"]: r for r in source_length_ks(spark, sf).collect()}
+
+    pooled = sorted({v for _, v in rows})
+    for s in ("s0", "s1", "s2"):
+        mine = sorted(v for src, v in rows if src == s)
+        rest = sorted(v for src, v in rows if src != s)
+        n_s, n_o = len(mine), len(rest)
+        best = (-1, None)
+        import bisect
+
+        for v in pooled:
+            d = abs(
+                bisect.bisect_right(mine, v) * n_o
+                - bisect.bisect_right(rest, v) * n_s
+            )
+            if d > best[0]:
+                best = (d, v)
+        assert got[s]["ks_stat"] == best[0] / (n_s * n_o), s
+        assert got[s]["ks_at_chars"] == best[1], s
+        assert got[s]["n_docs"] == n_s and got[s]["n_rest"] == n_o
