@@ -3955,3 +3955,53 @@ def test_ks_on_seeded_samples_matches_pure_python(spark, tmp_path):
         assert got[s]["ks_stat"] == best[0] / (n_s * n_o), s
         assert got[s]["ks_at_chars"] == best[1], s
         assert got[s]["n_docs"] == n_s and got[s]["n_rest"] == n_o
+
+
+def test_sq8_codes_on_planted_vectors_hit_exact_grid_points(spark):
+    """Known per-dim grid: with corpus min 0 and max 1 in every
+    dimension, an all-0 vector codes to 0, all-1 to 255 (the 256 edge
+    clamps), all-0.5 to exactly 128; a CONSTANT dimension (zero range)
+    codes to 0 instead of dividing by zero."""
+    from gmall_flink_parent_spark.functions.similarity import DIM, sq8_codes_frame
+
+    def vec(v, const_dim_val=0.25):
+        # dim 0 is constant across the corpus; the rest carry v
+        return [const_dim_val] + [v] * (DIM - 1)
+
+    emb = spark.createDataFrame(
+        [(0, vec(0.0), 0), (1, vec(1.0), 0), (2, vec(0.5), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["vec_id"]: r["code"] for r in sq8_codes_frame(emb).collect()}
+    for vid, expect in [(0, 0), (1, 255), (2, 128)]:
+        assert got[vid][0] == 0, "constant dim must code to 0"
+        assert got[vid][1:] == [expect] * (DIM - 1), vid
+
+
+def test_sq8_topk_recall_floor_against_exact_l2(spark, sf_dir):
+    """The quantized ADC ranking must stay close to the EXACT float-L2
+    ranking it approximates (same metric — the cosine baseline head is
+    a different metric and not the right referee). The corpus is
+    near-tie-heavy, so rank flips among near-equal neighbors are
+    expected; the floor pins that quantization never degrades beyond
+    them."""
+    import numpy as np
+
+    from gmall_flink_parent_spark.functions.similarity import embedding_sq8_topk
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows])
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    sq = {}
+    for r in embedding_sq8_topk(spark, sf_dir).collect():
+        sq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for q in range(8):
+        d = ((X - X[ids == q]) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.lexsort((ids, d))[:5]].tolist())
+        recalls.append(len(exact & sq[q]) / 5)
+    assert sum(recalls) / len(recalls) >= 0.7
+    assert min(recalls) >= 0.4

@@ -22,6 +22,7 @@ from gmall_flink_parent_spark import plans
 # CONSTANT (not by data), so the "nested loop" is k comparisons per row.
 BNLJ_ALLOWED = {
     "cosine_topk_bruteforce",  # 8-vector query set × candidates (the baseline)
+    "embedding_sq8_topk",  # 1-row min/max grid + 8-query code set × candidates
     "cosine_topk_multiquery",  # 2 fixed external vectors × candidates
     "chunk_bm25_multiquery",  # fixed query-term table + 1-row stats × chunks
     "ivf_kmeans_assign",  # k=10 centroids × vectors (Lloyd assignment)
