@@ -4005,3 +4005,31 @@ def test_sq8_topk_recall_floor_against_exact_l2(spark, sf_dir):
         recalls.append(len(exact & sq[q]) / 5)
     assert sum(recalls) / len(recalls) >= 0.7
     assert min(recalls) >= 0.4
+
+
+def test_link_prediction_on_planted_path_graph(spark, tmp_path):
+    """Planted co-purchase path 1—2—3—4 (each edge backed by two
+    shared baskets): the open wedges are exactly (1,3) via 2 and
+    (2,4) via 3, each with one common neighbor and Jaccard
+    1/(deg_u + deg_v − 1) = 0.5; the non-wedge pair (1,4) and the
+    adjacent pairs must not be scored."""
+    from gmall_flink_parent_spark.operators.analytics import part_link_prediction
+
+    orders = [
+        (1, [1, 2]), (2, [1, 2]),
+        (3, [2, 3]), (4, [2, 3]),
+        (5, [3, 4]), (6, [3, 4]),
+    ]
+    rows = [(o, p, "2024-02-01 00:00:00") for o, parts in orders for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        (r["part_u"], r["part_v"]): (r["common_neighbors"], r["jaccard"])
+        for r in part_link_prediction(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 3): (1, 0.5), (2, 4): (1, 0.5)}
