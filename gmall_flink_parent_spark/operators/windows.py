@@ -913,14 +913,26 @@ def event_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     never sees event-grain data. The integer envelope holds to daily
     totals of ~10¹⁴ cents before nΣx² would exceed decimal(38).
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
+    return acf_frame(daily_cents_frame(load_table(spark, sf_dir, "events")))
+
+
+def daily_cents_frame(events: DataFrame) -> DataFrame:
+    """(event_type, ymd, c) — per-(type, day) value totals in exact
+    integer CENTS, the shared input grain of the ACF and seasonality
+    cores. The incremental twin derives the same frame from the
+    ``daily_value_store_job`` partials (decimal addition is
+    associative, so partial-merge × 100 equals one-shot × 100)."""
+    return events.groupBy(
         "event_type", F.date_format("ts", "yyyyMMdd").alias("ymd")
     ).agg(
         (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
         .cast("decimal(18,0)")
         .alias("c")
     )
+
+
+def acf_frame(daily: DataFrame) -> DataFrame:
+    """The registered ACF core over any (event_type, ymd, c) frame."""
     w = Window.partitionBy("event_type").orderBy("ymd")
     led = daily.select(
         "event_type",
@@ -1007,17 +1019,24 @@ def event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's size estimate without a hint; no row of event-grain data
     crosses the second shuffle.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type",
-        F.date_format("ts", "yyyyMMdd").alias("ymd"),
-        (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),
-    ).agg(
-        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
-        .cast("decimal(18,0)")
-        .alias("c")
+    return dow_seasonality_frame(
+        daily_cents_frame(load_table(spark, sf_dir, "events"))
     )
-    daily = scoped_persist(daily)
+
+
+def dow_seasonality_frame(daily_in: DataFrame) -> DataFrame:
+    """The registered seasonality core over any (event_type, ymd, c)
+    frame; the weekday derives from ymd (a day's total lands on
+    exactly one weekday, so deriving it after the daily aggregate is
+    lossless)."""
+    daily = scoped_persist(
+        daily_in.select(
+            "event_type",
+            "ymd",
+            (F.dayofweek(F.to_date(F.col("ymd"), "yyyyMMdd")) - 1).alias("dow"),
+            "c",
+        )
+    )
     per_type = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(18,0)").alias("n_all"),
         F.sum("c").alias("s_all"),

@@ -561,9 +561,11 @@ def hourly_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 def daily_value_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     """Day × event-type decimal value partials at ingest — ONE compact
-    store maintains TWO dashboard heads incrementally:
-    ``event_value_correlation_from_store`` (pair-moment Pearson) and
-    ``event_type_pivot_from_store`` (the day × channel matrix), each
+    store maintains FOUR dashboard heads incrementally:
+    ``event_value_correlation_from_store`` (pair-moment Pearson),
+    ``event_type_pivot_from_store`` (the day × channel matrix),
+    ``event_value_acf_from_store`` (lag-1..3 autocorrelation), and
+    ``event_dow_seasonality_from_store`` (weekday indexes), each
     hash-equal to its batch head over the same events.
 
     The partial is the finest grain both consumers share: per-batch
@@ -621,6 +623,39 @@ def event_type_pivot_from_store(spark: SparkSession, store_path: str) -> DataFra
         .pivot("event_type", list(PIVOT_TYPES))
         .agg(F.sum("v_part").cast("double"))
     )
+
+
+def _daily_cents_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The merged store totals in the (event_type, ymd, c) cents grain
+    the time-series cores consume: decimal addition is associative, so
+    merged-partials × 100 equals the batch one-shot sum × 100 exactly."""
+    return daily_value_from_store(spark, store_path).select(
+        "event_type",
+        F.date_format("day", "yyyyMMdd").alias("ymd"),
+        (F.col("v") * 100).cast("decimal(18,0)").alias("c"),
+    )
+
+
+def event_value_acf_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass: lag-1..3 autocorrelation over the incrementally
+    maintained daily totals — hash-equal to batch ``event_value_acf``
+    (the shared ``acf_frame`` core + the exact cents merge guarantee
+    no drift). A third consumer of the one day×type partial store."""
+    from gmall_flink_parent_spark.operators.windows import acf_frame
+
+    return acf_frame(_daily_cents_from_store(spark, store_path))
+
+
+def event_dow_seasonality_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Final pass: day-of-week seasonal indexes from the same store —
+    hash-equal to batch ``event_dow_seasonality`` (shared
+    ``dow_seasonality_frame`` core; the weekday derives from ymd, which
+    the store's day column preserves exactly)."""
+    from gmall_flink_parent_spark.operators.windows import dow_seasonality_frame
+
+    return dow_seasonality_frame(_daily_cents_from_store(spark, store_path))
 
 
 def order_wide_enriched_stream(

@@ -4167,7 +4167,9 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
     type) cells genuinely merge partials from both."""
     from gmall_flink_parent_spark.streaming.jobs import (
         daily_value_store_job,
+        event_dow_seasonality_from_store,
         event_type_pivot_from_store,
+        event_value_acf_from_store,
         event_value_correlation_from_store,
     )
 
@@ -4197,6 +4199,20 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
     want_piv = _rows(plans.query_map()["event_type_pivot"](spark, sf_dir), piv_cols)
     got_piv = _rows(event_type_pivot_from_store(spark, str(tmp_path / "store")), piv_cols)
     assert got_piv == want_piv and len(want_piv) > 0
+
+    acf_cols = ["event_type", "lag", "n_pairs", "acf"]
+    want_acf = _rows(plans.query_map()["event_value_acf"](spark, sf_dir), acf_cols)
+    got_acf = _rows(event_value_acf_from_store(spark, str(tmp_path / "store")), acf_cols)
+    assert got_acf == want_acf and len(want_acf) > 0
+
+    dow_cols = ["event_type", "dow", "n_days", "mean_daily_value", "seasonal_index"]
+    want_dow = _rows(
+        plans.query_map()["event_dow_seasonality"](spark, sf_dir), dow_cols
+    )
+    got_dow = _rows(
+        event_dow_seasonality_from_store(spark, str(tmp_path / "store")), dow_cols
+    )
+    assert got_dow == want_dow and len(want_dow) > 0
 
     # both answers survive store compaction unchanged
     from gmall_flink_parent_spark.streaming.store import compact_fact_store
