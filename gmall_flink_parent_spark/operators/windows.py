@@ -1058,3 +1058,115 @@ def dow_seasonality_frame(daily_in: DataFrame) -> DataFrame:
             / (F.col("n_d") * F.col("s_all")).cast("double")
         ).alias("seasonal_index"),
     )
+
+
+# --------------------------------------------- robust daily outliers
+
+ROBUST_OUTLIER_ORACLE = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d')
+), ranked AS (
+    SELECT event_type, ymd, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, ymd) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), med AS (
+    SELECT event_type, c AS med, n FROM ranked WHERE rn = (n + 1) // 2
+), dev AS (
+    SELECT d.event_type, d.ymd, d.c, m.med, m.n,
+           ABS(d.c - m.med) AS ad
+    FROM daily d JOIN med m USING (event_type)
+), dev_ranked AS (
+    SELECT event_type, ymd, c, med, n, ad,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, ymd) AS rn
+    FROM dev
+), mad AS (
+    SELECT event_type, ad AS mad FROM dev_ranked WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type, d.ymd,
+       CAST(CAST(d.c AS DOUBLE) / 100.0 AS DOUBLE) AS daily_value,
+       CAST(CAST(d.med AS DOUBLE) / 100.0 AS DOUBLE) AS median_value,
+       CAST(CAST(d.ad * 10000 AS DOUBLE)
+            / NULLIF(CAST(14826 * m.mad AS DOUBLE), 0.0) AS DOUBLE) AS robust_z,
+       d.ad * 10000 > 44478 * m.mad AS is_outlier,
+       CAST(d.n AS BIGINT) AS n_days
+FROM dev d JOIN mad m USING (event_type)
+"""
+
+
+@register(
+    "event_daily_robust_outliers",
+    oracle=ROBUST_OUTLIER_ORACLE,
+    tags=("dws", "time-series", "anomaly", "robust"),
+    past_window=True,
+)
+def event_daily_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier days per event type — the ROBUST anomaly
+    gate: `event_value_outliers`' mean/σ z-score is itself dragged by
+    the outliers it hunts (one 100× day inflates σ enough to hide a
+    10× day); the median and the median-absolute-deviation have a 50%
+    breakdown point, so a day is flagged when
+    |c − median| > 3 · 1.4826 · MAD (the Gaussian-consistent MAD
+    scaling) no matter how corrupt the tail is.
+
+    Exactness: daily totals in integer cents; the median is the exact
+    LOWER median (rank ⌊(n+1)/2⌋ of the sorted values — no even-count
+    interpolation, so no engine-specific median() semantics leak in);
+    the flag comparison cross-multiplies the 1.4826·3 constant into
+    integers (ad·10⁴ > 44478·MAD) and the reported robust z is ONE
+    double division of exact integers. MAD = 0 (≥ half the days
+    identical) degrades to flagging any deviating day, with NULL z —
+    the standard MAD caveat, stated rather than patched. Scale shape:
+    identical to the CUSUM head — one map-combined (type, day)
+    aggregate, then windows over bounded days-per-type partitions;
+    nothing event-grain crosses the second shuffle.
+    """
+    daily = scoped_persist(
+        daily_cents_frame(load_table(spark, sf_dir, "events"))
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "c",
+        F.row_number().over(wt.orderBy("c", "ymd")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+    ).select("event_type", F.col("c").alias("med"), "n")
+    dev = scoped_persist(
+        daily.join(med, "event_type").select(
+            "event_type",
+            "ymd",
+            "c",
+            "med",
+            "n",
+            F.abs(F.col("c") - F.col("med")).alias("ad"),
+        )
+    )
+    dev_ranked = dev.select(
+        "event_type",
+        "ad",
+        "n",
+        F.row_number().over(wt.orderBy("ad", "ymd")).alias("rn"),
+    )
+    mad = dev_ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+    ).select("event_type", F.col("ad").alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "ymd",
+            (F.col("c").cast("double") / F.lit(100.0)).alias("daily_value"),
+            (F.col("med").cast("double") / F.lit(100.0)).alias("median_value"),
+            (
+                (F.col("ad") * 10000).cast("double")
+                / F.nullif((14826 * F.col("mad")).cast("double"), F.lit(0.0))
+            ).alias("robust_z"),
+            (F.col("ad") * 10000 > 44478 * F.col("mad")).alias("is_outlier"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+    )

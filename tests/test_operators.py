@@ -4033,3 +4033,34 @@ def test_link_prediction_on_planted_path_graph(spark, tmp_path):
         for r in part_link_prediction(spark, str(tmp_path)).collect()
     }
     assert got == {(1, 3): (1, 0.5), (2, 4): (1, 0.5)}
+
+
+def test_robust_outliers_on_planted_spike_and_degenerate_mad(spark, tmp_path):
+    """Type 'var': days 10,12,..,22 plus a 100-value spike — lower
+    median 16, MAD 4, so only the spike crosses 3·1.4826·MAD, with
+    robust z = 84e6/5.9304e6 exactly. Type 'deg': constant 7s plus one
+    spike — MAD collapses to 0, the spike is still flagged, and the z
+    is NULL (the documented degenerate-MAD contract)."""
+    from gmall_flink_parent_spark.operators.windows import (
+        event_daily_robust_outliers,
+    )
+
+    rows = []
+    for d, v in enumerate([10.0, 12.0, 14.0, 16.0, 18.0, 20.0, 22.0, 100.0]):
+        rows.append(("var", f"2024-03-{d + 1:02d} 10:00:00", v))
+    for d in range(8):
+        rows.append(("deg", f"2024-03-{d + 1:02d} 10:00:00",
+                     100.0 if d == 7 else 7.0))
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    out = event_daily_robust_outliers(spark, sf).collect()
+    flagged = {(r["event_type"], r["ymd"]) for r in out if r["is_outlier"]}
+    assert flagged == {("var", "20240308"), ("deg", "20240308")}
+    by_key = {(r["event_type"], r["ymd"]): r for r in out}
+    spike = by_key[("var", "20240308")]
+    assert spike["daily_value"] == 100.0 and spike["median_value"] == 16.0
+    assert spike["robust_z"] == 84_000_000 / 5_930_400
+    deg = by_key[("deg", "20240308")]
+    assert deg["robust_z"] is None and deg["median_value"] == 7.0
+    # non-spike days are present, unflagged
+    assert by_key[("var", "20240301")]["is_outlier"] is False
+    assert len(out) == 16
