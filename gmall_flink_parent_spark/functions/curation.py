@@ -1451,3 +1451,72 @@ def __getattr__(name: str):
         raise AttributeError(
             f"module {__name__!r} has no attribute {name!r}"
         ) from None
+
+
+# ------------------------------------------------------------- token entropy
+
+TOKEN_ENTROPY_ORACLE = """
+WITH e AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY doc_id, tok
+), d AS (
+    SELECT doc_id,
+           SUM(cnt) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS s
+    FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       n_distinct,
+       ROUND(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
+           AS token_entropy
+FROM d
+"""
+
+
+@register(
+    "doc_token_entropy",
+    oracle=TOKEN_ENTROPY_ORACLE,
+    tags=("text", "quality", "entropy"),
+    past_window=True,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/token) of each document's token frequency
+    distribution — the whole-distribution summary between
+    `doc_top_token` (one mode) and `doc_repetition_profile` (n-gram
+    dup ratios): templated/boilerplate text collapses toward 0 bits,
+    natural prose sits near log2 of its effective vocabulary, and the
+    score is what RefinedWeb-style gibberish/template gates threshold
+    on. Computed as H = log2(n) − (Σ c·log2 c)/n so the per-token
+    probabilities never materialize.
+
+    Determinism: counts are exact integers; c·log2(c) terms are
+    identical doubles cross-engine (log2 on small integers — the LM
+    heads' precedent), and the unordered Σ is guarded by the PSI-style
+    ROUND(…,6) edge (addition-order noise ~1e-13 against a 1e-6
+    grid). Scale shape: explode → map-side-combined (doc, token)
+    counts → one doc-grain aggregate; no windows, no data crosses a
+    second shuffle, and no reducer sees more than one document's
+    vocabulary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    c = e.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.col("cnt").cast("double") * F.log2(F.col("cnt").cast("double"))
+        ).alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_distinct",
+        F.round(
+            F.log2(F.col("n").cast("double")) - F.col("s") / F.col("n").cast("double"),
+            6,
+        ).alias("token_entropy"),
+    )

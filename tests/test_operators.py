@@ -4064,3 +4064,35 @@ def test_robust_outliers_on_planted_spike_and_degenerate_mad(spark, tmp_path):
     # non-spike days are present, unflagged
     assert by_key[("var", "20240301")]["is_outlier"] is False
     assert len(out) == 16
+
+
+def test_token_entropy_on_planted_distributions(spark, tmp_path):
+    """Exact planted entropies: a doc of one repeated token is 0 bits;
+    a doc of 8 distinct tokens is exactly 3 bits; a 2-token doc with
+    counts (3,1) is exactly 2 − (3·log2 3)/4 bits (checked to the
+    round-6 grid the head reports on)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.functions.curation import doc_token_entropy
+
+    import math
+
+    docs = [
+        (0, "a a a a a a"),
+        (1, "t0 t1 t2 t3 t4 t5 t6 t7"),
+        (2, "x x x y"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in doc_token_entropy(spark, str(tmp_path)).collect()}
+    assert got[0]["token_entropy"] == 0.0
+    assert got[0]["n_tokens"] == 6 and got[0]["n_distinct"] == 1
+    assert got[1]["token_entropy"] == 3.0
+    expect = 2.0 - (3 * math.log2(3)) / 4
+    assert abs(got[2]["token_entropy"] - expect) <= 5e-7
+    assert got[2]["n_tokens"] == 4 and got[2]["n_distinct"] == 2
