@@ -1170,3 +1170,164 @@ def event_daily_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_days"),
         )
     )
+
+
+# --------------------------------------------- nonparametric trend
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d'), CAST(ts AS DATE)
+), pairs AS (
+    SELECT a.event_type,
+           CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn,
+           CAST(b.c - a.c AS DOUBLE) / CAST(date_diff('day', a.d, b.d) AS DOUBLE)
+               AS slope,
+           a.ymd AS y1, b.ymd AS y2
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.ymd < b.ymd
+), s_stat AS (
+    SELECT event_type, SUM(sgn) AS s, CAST(COUNT(*) AS HUGEINT) AS n_pairs
+    FROM pairs GROUP BY event_type
+), n_days AS (
+    SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n FROM daily GROUP BY event_type
+), tie_corr AS (
+    SELECT event_type,
+           SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+    FROM (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS t
+        FROM daily GROUP BY event_type, c
+    ) GROUP BY event_type
+), med AS (
+    SELECT event_type, slope AS theil_sen_slope
+    FROM (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope, y1, y2) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+    ) WHERE rn = (np + 1) // 2
+)
+SELECT s.event_type,
+       CAST(n.n AS BIGINT) AS n_days,
+       CAST(s.s AS BIGINT) AS s_statistic,
+       CASE WHEN s.s = 0 THEN 0.0 ELSE
+           CAST(s.s - CASE WHEN s.s > 0 THEN 1 ELSE -1 END AS DOUBLE)
+           / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE)
+                  / 18.0)
+       END AS mk_z,
+       CAST(m.theil_sen_slope / 100.0 AS DOUBLE) AS theil_sen_slope
+FROM s_stat s
+JOIN n_days n USING (event_type)
+JOIN tie_corr t USING (event_type)
+JOIN med m USING (event_type)
+"""
+
+
+@register(
+    "event_trend_mann_kendall",
+    oracle=MANN_KENDALL_ORACLE,
+    tags=("dws", "time-series", "trend", "robust"),
+    past_window=True,
+)
+def event_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend per event type: the Mann-Kendall S statistic
+    and tie-corrected z over the daily value series, plus the Theil-Sen
+    slope (the median of all pairwise day-slopes, in value/day) — the
+    standard robust pair to `revenue_trend_fit`'s OLS line: monotone
+    drift is detected (MK) and sized (Theil-Sen, 29% breakdown point)
+    without assuming linear-in-time Gaussian noise, so one spike day
+    can't fabricate or hide a trend.
+
+    Exactness: S is a pure integer (Σ sign over day pairs); the tie
+    correction Σt(t−1)(2t+5) and n(n−1)(2n+5) are exact integers, so
+    mk_z is a fixed three-float-op chain (÷18, √, ÷) on identical
+    inputs; Theil-Sen picks the exact LOWER-median pair under a
+    deterministic (slope, day, day) order — both engines sort the same
+    doubles — and only the picked slope is reported (÷100 for cents →
+    value units; a binary-exact scaling... it is not, so the ÷100 is
+    spelled identically on both sides). Scale shape: the pairwise
+    frame is day-grain² per type — bounded by the calendar (≈2k pairs
+    per type-month), never event-grain; one map-combined daily
+    aggregate feeds it, the same envelope as the CUSUM/ACF heads.
+    """
+    daily = scoped_persist(
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format("ts", "yyyyMMdd").alias("ymd"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(18,0)")
+            .alias("c")
+        )
+    )
+    a = daily.selectExpr("event_type", "ymd AS y1", "d AS d1", "c AS c1")
+    b = daily.selectExpr("event_type AS et2", "ymd AS y2", "d AS d2", "c AS c2")
+    pairs = scoped_persist(
+        a.join(b, (a["event_type"] == b["et2"]) & (a["y1"] < b["y2"])).select(
+            "event_type",
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("slope"),
+            "y1",
+            "y2",
+        )
+    )
+    s_stat = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("decimal(18,0)").alias("s")
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n")
+    )
+    tie_corr = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    med = (
+        pairs.select(
+            "event_type",
+            "slope",
+            F.row_number().over(wt.orderBy("slope", "y1", "y2")).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("np"),
+        )
+        .filter(F.col("rn") == ((F.col("np") + 1) / 2).cast("long"))
+        .select("event_type", F.col("slope").alias("theil_sen_slope"))
+    )
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("double")
+    z = F.when(F.col("s") == 0, F.lit(0.0)).otherwise(
+        (
+            F.col("s") - F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(-1))
+        ).cast("double")
+        / F.sqrt(var_num / F.lit(18.0))
+    )
+    return (
+        s_stat.join(n_days, "event_type")
+        .join(tie_corr, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("s").cast("bigint").alias("s_statistic"),
+            z.alias("mk_z"),
+            (F.col("theil_sen_slope") / F.lit(100.0)).alias("theil_sen_slope"),
+        )
+    )

@@ -4096,3 +4096,39 @@ def test_token_entropy_on_planted_distributions(spark, tmp_path):
     expect = 2.0 - (3 * math.log2(3)) / 4
     assert abs(got[2]["token_entropy"] - expect) <= 5e-7
     assert got[2]["n_tokens"] == 4 and got[2]["n_distinct"] == 2
+
+
+def test_mann_kendall_on_planted_trends(spark, tmp_path):
+    """Exact planted shapes: a strictly increasing 10-day series has
+    S = C(10,2) = 45 and z = 44/sqrt(125); its mirror has S = -45;
+    a constant series has S = 0, z = 0, slope 0 (the tie correction
+    zeroes the variance and the S=0 branch guards the 0/0); and
+    Theil-Sen holds the exact unit slope through a corrupted day that
+    would drag an OLS fit."""
+    import math
+
+    from gmall_flink_parent_spark.operators.windows import (
+        event_trend_mann_kendall,
+    )
+
+    rows = []
+    for d in range(10):
+        rows.append(("up", f"2024-03-{d + 1:02d} 10:00:00", float(d + 1)))
+        rows.append(("down", f"2024-03-{d + 1:02d} 10:00:00", float(10 - d)))
+        rows.append(("flat", f"2024-03-{d + 1:02d} 10:00:00", 5.0))
+    for d in range(13):
+        v = 1000.0 if d == 6 else float(d + 1)
+        rows.append(("spiked", f"2024-03-{d + 1:02d} 10:00:00", v))
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in event_trend_mann_kendall(spark, sf).collect()}
+
+    z45 = 44.0 / math.sqrt((10 * 9 * 25) / 18.0)
+    assert got["up"]["s_statistic"] == 45 and got["up"]["mk_z"] == z45
+    assert got["up"]["theil_sen_slope"] == 1.0
+    assert got["down"]["s_statistic"] == -45 and got["down"]["mk_z"] == -z45
+    assert got["down"]["theil_sen_slope"] == -1.0
+    assert got["flat"]["s_statistic"] == 0 and got["flat"]["mk_z"] == 0.0
+    assert got["flat"]["theil_sen_slope"] == 0.0
+    # one 1000-value day in a 13-day unit ramp: the median slope holds
+    assert got["spiked"]["theil_sen_slope"] == 1.0
+    assert got["spiked"]["s_statistic"] > 0
