@@ -185,6 +185,15 @@ HEADLINE = [
     "event_value_twa_daily",
     "regional_revenue_interp",
     "event_value_cusum_shift",
+    # round-11 continuation heads
+    "event_value_acf",
+    "event_dow_seasonality",
+    "event_daily_robust_outliers",
+    "event_trend_mann_kendall",
+    "source_length_ks",
+    "doc_token_entropy",
+    "embedding_sq8_topk",
+    "part_link_prediction",
 ]
 
 
