@@ -1123,9 +1123,16 @@ def event_daily_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then windows over bounded days-per-type partitions;
     nothing event-grain crosses the second shuffle.
     """
-    daily = scoped_persist(
+    return robust_outliers_frame(
         daily_cents_frame(load_table(spark, sf_dir, "events"))
     )
+
+
+def robust_outliers_frame(daily_in: DataFrame) -> DataFrame:
+    """The registered median/MAD core over any (event_type, ymd, c)
+    frame — shared by the batch head and the incremental
+    ``event_daily_robust_outliers_from_store`` consumer."""
+    daily = scoped_persist(daily_in)
     wt = Window.partitionBy("event_type")
     ranked = daily.select(
         "event_type",
@@ -1253,17 +1260,18 @@ def event_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type-month), never event-grain; one map-combined daily
     aggregate feeds it, the same envelope as the CUSUM/ACF heads.
     """
+    return mann_kendall_frame(
+        daily_cents_frame(load_table(spark, sf_dir, "events"))
+    )
+
+
+def mann_kendall_frame(daily_in: DataFrame) -> DataFrame:
+    """The registered Mann-Kendall/Theil-Sen core over any
+    (event_type, ymd, c) frame; the calendar date derives from ymd so
+    day spacing survives the store round trip exactly."""
     daily = scoped_persist(
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.date_format("ts", "yyyyMMdd").alias("ymd"),
-            F.to_date("ts").alias("d"),
-        )
-        .agg(
-            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
-            .cast("decimal(18,0)")
-            .alias("c")
+        daily_in.select(
+            "event_type", "ymd", F.to_date(F.col("ymd"), "yyyyMMdd").alias("d"), "c"
         )
     )
     a = daily.selectExpr("event_type", "ymd AS y1", "d AS d1", "c AS c1")

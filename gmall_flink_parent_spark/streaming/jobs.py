@@ -561,11 +561,13 @@ def hourly_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 def daily_value_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     """Day × event-type decimal value partials at ingest — ONE compact
-    store maintains FOUR dashboard heads incrementally:
+    store maintains SIX dashboard heads incrementally:
     ``event_value_correlation_from_store`` (pair-moment Pearson),
     ``event_type_pivot_from_store`` (the day × channel matrix),
-    ``event_value_acf_from_store`` (lag-1..3 autocorrelation), and
-    ``event_dow_seasonality_from_store`` (weekday indexes), each
+    ``event_value_acf_from_store`` (lag-1..3 autocorrelation),
+    ``event_dow_seasonality_from_store`` (weekday indexes),
+    ``event_daily_robust_outliers_from_store`` (median/MAD flags), and
+    ``event_trend_mann_kendall_from_store`` (S/z + Theil-Sen), each
     hash-equal to its batch head over the same events.
 
     The partial is the finest grain both consumers share: per-batch
@@ -656,6 +658,30 @@ def event_dow_seasonality_from_store(
     from gmall_flink_parent_spark.operators.windows import dow_seasonality_frame
 
     return dow_seasonality_frame(_daily_cents_from_store(spark, store_path))
+
+
+def event_daily_robust_outliers_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Final pass: median/MAD outlier days from the incrementally
+    maintained daily totals — hash-equal to batch
+    ``event_daily_robust_outliers`` (shared ``robust_outliers_frame``
+    core over the exact cents merge)."""
+    from gmall_flink_parent_spark.operators.windows import robust_outliers_frame
+
+    return robust_outliers_frame(_daily_cents_from_store(spark, store_path))
+
+
+def event_trend_mann_kendall_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Final pass: Mann-Kendall S/z + Theil-Sen slope from the same
+    store — hash-equal to batch ``event_trend_mann_kendall`` (shared
+    ``mann_kendall_frame`` core; calendar spacing re-derives from ymd,
+    which the store's day column preserves exactly)."""
+    from gmall_flink_parent_spark.operators.windows import mann_kendall_frame
+
+    return mann_kendall_frame(_daily_cents_from_store(spark, store_path))
 
 
 def order_wide_enriched_stream(

@@ -4167,7 +4167,9 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
     type) cells genuinely merge partials from both."""
     from gmall_flink_parent_spark.streaming.jobs import (
         daily_value_store_job,
+        event_daily_robust_outliers_from_store,
         event_dow_seasonality_from_store,
+        event_trend_mann_kendall_from_store,
         event_type_pivot_from_store,
         event_value_acf_from_store,
         event_value_correlation_from_store,
@@ -4213,6 +4215,26 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
         event_dow_seasonality_from_store(spark, str(tmp_path / "store")), dow_cols
     )
     assert got_dow == want_dow and len(want_dow) > 0
+
+    rob_cols = ["event_type", "ymd", "daily_value", "median_value",
+                "robust_z", "is_outlier", "n_days"]
+    want_rob = _rows(
+        plans.query_map()["event_daily_robust_outliers"](spark, sf_dir), rob_cols
+    )
+    got_rob = _rows(
+        event_daily_robust_outliers_from_store(spark, str(tmp_path / "store")),
+        rob_cols,
+    )
+    assert got_rob == want_rob and len(want_rob) > 0
+
+    mk_cols = ["event_type", "n_days", "s_statistic", "mk_z", "theil_sen_slope"]
+    want_mk = _rows(
+        plans.query_map()["event_trend_mann_kendall"](spark, sf_dir), mk_cols
+    )
+    got_mk = _rows(
+        event_trend_mann_kendall_from_store(spark, str(tmp_path / "store")), mk_cols
+    )
+    assert got_mk == want_mk and len(want_mk) > 0
 
     # both answers survive store compaction unchanged
     from gmall_flink_parent_spark.streaming.store import compact_fact_store
