@@ -445,6 +445,20 @@ def topk_spend_from_store(spark: SparkSession, store_path: str, k: int = 5) -> D
     return rank_topk_spend(merged_spend_from_store(spark, store_path), k)
 
 
+def user_spend_concentration_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Final pass: exact Gini + top-decile share over the merged spend
+    partials — hash-equal to batch ``user_spend_concentration``
+    (shared ``spend_concentration_frame`` core; the cents conversion
+    commutes with the associative decimal merge)."""
+    from gmall_flink_parent_spark.operators.analytics import (
+        spend_concentration_frame,
+    )
+
+    return spend_concentration_frame(merged_spend_from_store(spark, store_path))
+
+
 def user_value_distribution_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Second head over the SAME ``topk_spend_job`` store: the full
     per-type spend distribution (percent_rank / cume_dist / ntile via

@@ -4132,3 +4132,54 @@ def test_mann_kendall_on_planted_trends(spark, tmp_path):
     # one 1000-value day in a 13-day unit ramp: the median slope holds
     assert got["spiked"]["theil_sen_slope"] == 1.0
     assert got["spiked"]["s_statistic"] > 0
+
+
+def test_spend_concentration_on_planted_distributions(spark, tmp_path):
+    """Exact planted Gini values: 10 equal spenders score 0; one user
+    holding everything among 10 scores (n-1)/n = 0.9; and the
+    top-decile (k=1) share is exactly that user's fraction. A 5-user
+    type (n < 10) reports NULL top-decile share."""
+    from gmall_flink_parent_spark.operators.analytics import (
+        user_spend_concentration,
+    )
+
+    rows = []
+    for u in range(10):
+        rows.append(("equal", f"2024-03-01 10:{u:02d}:00", 5.0))
+        rows.append(("whale", f"2024-03-01 11:{u:02d}:00",
+                     90.0 if u == 0 else 0.0))
+    for u in range(5):
+        rows.append(("small", f"2024-03-01 12:{u:02d}:00", float(u + 1)))
+    sf = _write_events_fixture_users(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in user_spend_concentration(spark, sf).collect()}
+    eq = got["equal"]
+    assert eq["n_users"] == 10 and eq["gini"] == 0.0
+    assert eq["top_decile_share"] == 0.1 and eq["total_spend"] == 50.0
+    wh = got["whale"]
+    assert wh["n_users"] == 10 and wh["gini"] == 0.9
+    assert wh["top_decile_share"] == 1.0
+    sm = got["small"]
+    assert sm["n_users"] == 5 and sm["top_decile_share"] is None
+    # hand Gini for spends 1..5: G = (2*(1+4+9+16+25) - 6*15)/(5*15)
+    assert sm["gini"] == (2 * 55 - 90) / 75
+
+
+def _write_events_fixture_users(spark, tmp_path, rows):
+    """Like _write_events_fixture but one distinct user per row index
+    WITHIN each event type (user_id = minute of ts) so per-user spend
+    is planted directly."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t, ts, float(v)) for i, (t, ts, v) in enumerate(rows)],
+        "event_id long, event_type string, ts_s string, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        F.minute(F.to_timestamp("ts_s")).cast("long").alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)

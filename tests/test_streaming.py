@@ -880,6 +880,7 @@ def test_topk_spend_job_matches_batch(spark, sf_dir, tmp_path):
     from gmall_flink_parent_spark.streaming.jobs import (
         topk_spend_from_store,
         topk_spend_job,
+        user_spend_concentration_from_store,
         user_value_distribution_from_store,
     )
 
@@ -907,6 +908,15 @@ def test_topk_spend_job_matches_batch(spark, sf_dir, tmp_path):
     )
     dwant = _rows(plans.query_map()["user_value_distribution"](spark, sf_dir), dcols)
     assert dgot == dwant and len(dwant) > len(want)
+    # third head, same store: Gini + top-decile concentration scalars
+    ccols = ["event_type", "n_users", "total_spend", "gini", "top_decile_share"]
+    cgot = _rows(
+        user_spend_concentration_from_store(spark, str(tmp_path / "store")), ccols
+    )
+    cwant = _rows(
+        plans.query_map()["user_spend_concentration"](spark, sf_dir), ccols
+    )
+    assert cgot == cwant and len(cwant) > 0
     # the head persists an intermediate; repeated refreshes (the
     # long-lived dashboard loop) must hold at most ONE live cache —
     # each construction releases the previous call's frame
