@@ -194,6 +194,7 @@ HEADLINE = [
     "doc_token_entropy",
     "embedding_sq8_topk",
     "part_link_prediction",
+    "user_spend_concentration",
 ]
 
 
