@@ -195,6 +195,7 @@ HEADLINE = [
     "embedding_sq8_topk",
     "part_link_prediction",
     "user_spend_concentration",
+    "supplier_lead_time_profile",
 ]
 
 

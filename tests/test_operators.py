@@ -4183,3 +4183,47 @@ def _write_events_fixture_users(spark, tmp_path, rows):
     )
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     return str(tmp_path)
+
+
+def test_lead_time_profile_on_planted_distribution(spark, tmp_path):
+    """Planted lead times 0..10 days for one supplier: exact
+    interpolated percentiles p50 = 5, p90 = 9, p99 = 9.9 and max 10;
+    a second supplier with a constant 3-day lead collapses all
+    percentiles to 3."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.operators.analytics import (
+        supplier_lead_time_profile,
+    )
+
+    line_rows, order_rows = [], []
+    for d in range(11):
+        line_rows.append((d, 1, f"2024-03-{d + 1:02d} 00:00:00"))
+        order_rows.append((d, "2024-03-01 00:00:00"))
+    for i in range(4):
+        line_rows.append((100 + i, 2, "2024-03-04 00:00:00"))
+        order_rows.append((100 + i, "2024-03-01 00:00:00"))
+    spark.createDataFrame(
+        line_rows, "l_orderkey long, l_suppkey long, ship string"
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "CAST(ship AS TIMESTAMP) AS l_shipdate"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        order_rows, "o_orderkey long, od string"
+    ).selectExpr(
+        "o_orderkey", "CAST(od AS TIMESTAMP) AS o_orderdate"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "Alpha"), (2, "Beta")], "s_suppkey long, s_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+
+    got = {
+        r["s_suppkey"]: r
+        for r in supplier_lead_time_profile(spark, str(tmp_path)).collect()
+    }
+    a = got[1]
+    assert a["n_items"] == 11 and a["max_days"] == 10
+    assert a["p50_days"] == 5.0 and a["p90_days"] == 9.0 and a["p99_days"] == 9.9
+    b = got[2]
+    assert b["n_items"] == 4 and b["p50_days"] == 3.0 and b["p99_days"] == 3.0
+    assert b["s_name"] == "Beta"
