@@ -1124,3 +1124,98 @@ def test_partsupp_spread_is_distinct_for_any_supplier_count(s, p):
     keys = {(p + p // s + k * stride) % s for k in range(4)}
     assert len(keys) == 4
     assert all(0 <= k < s for k in keys)
+
+
+spend_strategy = st.lists(
+    st.integers(min_value=0, max_value=10_000),  # cents
+    min_size=2,
+    max_size=30,
+)
+
+
+def _gini_of(spark, cents_list):
+    from gmall_flink_parent_spark import plans  # noqa: F401  (import order:
+    # the registry package first, so operators.analytics is never the
+    # partially-initialized first import of the operator tree)
+    from gmall_flink_parent_spark.operators.analytics import (
+        spend_concentration_frame,
+    )
+
+    spend = spark.createDataFrame(
+        [("t", i, c / 100.0) for i, c in enumerate(cents_list)],
+        "event_type string, user_id long, spend double",
+    ).select(
+        "event_type", "user_id", F.col("spend").cast("decimal(18,2)").alias("spend")
+    )
+    row = spend_concentration_frame(spend).collect()[0]
+    return row["gini"], row["n_users"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cents=spend_strategy)
+def test_gini_properties_hold_for_any_spend_vector(spark, cents):
+    """For any spend vector: Gini is within [0, (n-1)/n]; it is
+    invariant under scaling every spend by an integer constant; and a
+    mean-preserving transfer from a poorer user to a richer one never
+    decreases it (the Pigou-Dalton transfer principle)."""
+    if sum(cents) == 0:
+        return  # zero-total branch yields NULL by contract
+    g, n = _gini_of(spark, cents)
+    assert -1e-12 <= g <= (n - 1) / n + 1e-12
+    g3, _ = _gini_of(spark, [c * 3 for c in cents])
+    assert abs(g - g3) < 1e-12, "Gini must be scale-invariant"
+    # transfer 1 cent from the poorest to the richest
+    lo = min(range(len(cents)), key=lambda i: (cents[i], i))
+    hi = max(range(len(cents)), key=lambda i: (cents[i], i))
+    if lo != hi and cents[lo] >= 1:
+        moved = list(cents)
+        moved[lo] -= 1
+        moved[hi] += 1
+        g2, _ = _gini_of(spark, moved)
+        assert g2 >= g - 1e-12, "regressive transfer must not lower Gini"
+
+
+series_strategy = st.lists(
+    st.integers(min_value=0, max_value=500),
+    min_size=3,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=series_strategy)
+def test_mann_kendall_antisymmetry_under_time_reversal(spark, vals):
+    """Reversing a daily series in time negates the Mann-Kendall S and
+    the Theil-Sen slope exactly (pair signs flip one-for-one, and the
+    lower median of the negated slope multiset is the negated upper
+    median — equal here because the pair multiset is symmetric), and
+    n and |S| are invariant."""
+    from gmall_flink_parent_spark.operators.windows import mann_kendall_frame
+
+    def run(series):
+        daily = spark.createDataFrame(
+            [
+                ("t", f"2024-04-{i + 1:02d}", c)
+                for i, c in enumerate(series)
+            ],
+            "event_type string, ymd string, c long",
+        ).select("event_type", F.regexp_replace("ymd", "-", "").alias("ymd"),
+                 F.col("c").cast("decimal(18,0)").alias("c"))
+        return mann_kendall_frame(daily).collect()[0]
+
+    fwd = run(vals)
+    rev = run(list(reversed(vals)))
+    assert fwd["n_days"] == rev["n_days"] == len(vals)
+    assert fwd["s_statistic"] == -rev["s_statistic"]
+    assert abs(fwd["mk_z"] + rev["mk_z"]) < 1e-12
+    # slope antisymmetry: exact when the median pair is unique, and
+    # within the tie block's width otherwise — assert the negated
+    # reverse slope is a valid median of the forward slope multiset
+    n = len(vals)
+    slopes = sorted(
+        (vals[j] - vals[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    )
+    k = (len(slopes) + 1) // 2
+    lower, upper = slopes[k - 1], slopes[len(slopes) - k]
+    assert lower - 1e-9 <= -rev["theil_sen_slope"] * 100 <= upper + 1e-9
+    assert abs(fwd["theil_sen_slope"] * 100 - lower) < 1e-9
