@@ -196,6 +196,7 @@ HEADLINE = [
     "part_link_prediction",
     "user_spend_concentration",
     "supplier_lead_time_profile",
+    "conversion_latency_profile",
 ]
 
 

@@ -709,3 +709,103 @@ def value_correlation_frame(daily: DataFrame) -> DataFrame:
     return pairs.select(
         "type_a", "type_b", "n_days", F.round(num / den, 6).alias("pearson_r")
     )
+
+
+# ------------------------------------------- conversion latency
+
+CONVERSION_LATENCY_ORACLE = """
+WITH first_click AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events
+    WHERE event_type = 'click' GROUP BY user_id
+), first_purchase AS (
+    SELECT f.user_id, f.t0, MIN(e.ts) AS t1
+    FROM first_click f
+    JOIN events e ON e.user_id = f.user_id
+     AND e.event_type = 'purchase' AND e.ts >= f.t0
+    GROUP BY f.user_id, f.t0
+), lat AS (
+    SELECT strftime(f.t0, '%Y%m%d') AS cohort_ymd,
+           p.user_id IS NOT NULL AS converted,
+           CAST(epoch_us(p.t1) - epoch_us(p.t0) AS BIGINT) AS lat_us
+    FROM first_click f LEFT JOIN first_purchase p USING (user_id)
+)
+SELECT cohort_ymd,
+       CAST(COUNT(*) AS BIGINT) AS n_clickers,
+       CAST(COUNT(*) FILTER (WHERE converted) AS BIGINT) AS n_converted,
+       CAST(CAST(COUNT(*) FILTER (WHERE converted) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS conversion_rate,
+       ROUND(quantile_cont(lat_us, 0.5) FILTER (WHERE converted) / 1e6, 6)
+           AS p50_latency_sec,
+       ROUND(quantile_cont(lat_us, 0.9) FILTER (WHERE converted) / 1e6, 6)
+           AS p90_latency_sec
+FROM lat GROUP BY cohort_ymd
+"""
+
+
+@register(
+    "conversion_latency_profile",
+    oracle=CONVERSION_LATENCY_ORACLE,
+    tags=("dws", "funnel", "quantile"),
+    past_window=True,
+)
+def conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per acquisition cohort: for each
+    first-click day, the share of clickers who EVER purchase at-or-after
+    their first click, and the exact p50/p90 of that latency in
+    seconds — the product-analytics "how long does conversion take"
+    complement to `funnel_conversion` (does it happen in a fixed
+    window) and `retention_cohorts` (does activity persist).
+
+    Semantics pinned in the oracle: anchor is each user's FIRST click;
+    conversion is the first purchase with ts ≥ that anchor (same-
+    instant purchases count — the boundary a half-open anchor would
+    silently drop); latency percentiles interpolate over exact integer
+    microseconds and divide by 1e6 once, under the round-6 edge; the
+    conversion rate is one exact count ratio. Scale shape: two
+    map-combined min-aggregates at the user grain, one user-keyed
+    equi-join (no window at the event grain), then percentiles grouped
+    by cohort DAY — bounded groups, each holding its own day's
+    converters; the heavy lifting is the two scans.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    first_purchase = (
+        first_click.join(purchases, "user_id")
+        .filter(F.col("pts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t1"))
+    )
+    lat = first_click.join(first_purchase, "user_id", "left").select(
+        F.date_format("t0", "yyyyMMdd").alias("cohort_ymd"),
+        F.col("t1").isNotNull().alias("converted"),
+        (F.unix_micros("t1") - F.unix_micros("t0")).alias("lat_us"),
+    )
+    return lat.groupBy("cohort_ymd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clickers"),
+        F.count(F.when(F.col("converted"), 1)).cast("bigint").alias("n_converted"),
+        (
+            F.count(F.when(F.col("converted"), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+        F.round(
+            F.percentile(
+                F.when(F.col("converted"), F.col("lat_us")), F.lit(0.5)
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("p50_latency_sec"),
+        F.round(
+            F.percentile(
+                F.when(F.col("converted"), F.col("lat_us")), F.lit(0.9)
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("p90_latency_sec"),
+    )

@@ -4227,3 +4227,58 @@ def test_lead_time_profile_on_planted_distribution(spark, tmp_path):
     b = got[2]
     assert b["n_items"] == 4 and b["p50_days"] == 3.0 and b["p99_days"] == 3.0
     assert b["s_name"] == "Beta"
+
+
+def test_conversion_latency_on_planted_funnel(spark, tmp_path):
+    """Planted funnel: three clickers on one day — user converting in
+    60 s, user converting in 180 s, user never converting — give
+    conversion 2/3 and interpolated p50 = 120 s exactly; a purchase
+    BEFORE a user's first click must not count (the ts >= anchor
+    boundary), and a same-instant purchase must."""
+    from gmall_flink_parent_spark.operators.cohorts import (
+        conversion_latency_profile,
+    )
+
+    rows = [
+        # user 0 (ts minute 0): click then purchase 60s later
+        ("click", "2024-03-01 10:00:00", 1.0),
+        ("purchase", "2024-03-01 10:01:00", 1.0),
+        # user 1: click then purchase 180s later
+        ("click", "2024-03-01 11:00:00", 1.0),
+        ("purchase", "2024-03-01 11:03:00", 1.0),
+        # user 2: click, never purchases
+        ("click", "2024-03-01 12:00:00", 1.0),
+        # user 3: purchase BEFORE first click — not a conversion
+        ("purchase", "2024-03-01 08:30:00", 1.0),
+        ("click", "2024-03-01 13:00:00", 1.0),
+        # user 4: same-instant purchase — zero-latency conversion
+        ("click", "2024-03-01 14:00:00", 1.0),
+        ("purchase", "2024-03-01 14:00:00", 1.0),
+    ]
+    user_of = [0, 0, 1, 1, 2, 3, 3, 4, 4]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (i, user_of[i], t, ts, v)
+            for i, (t, ts, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts_s string, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = conversion_latency_profile(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cohort_ymd"] == "20240301"
+    assert r["n_clickers"] == 5 and r["n_converted"] == 3
+    assert r["conversion_rate"] == 3 / 5
+    # latencies: 0, 60, 180 s → p50 = 60, p90 interpolates 60..180
+    assert r["p50_latency_sec"] == 60.0
+    assert r["p90_latency_sec"] == 60.0 + 0.8 * 120.0
