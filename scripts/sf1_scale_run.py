@@ -99,6 +99,19 @@ HEADS = [
     "event_value_twa_daily",
     "regional_revenue_interp",
     "event_value_cusum_shift",
+    # round-11 continuation: time-series statistics + concentration ride
+    # the same day-grain envelope; KS/entropy stress the documents scan;
+    # SQ8/link-prediction stress the quantized ADC and wedge joins
+    "event_value_acf",
+    "event_dow_seasonality",
+    "event_daily_robust_outliers",
+    "event_trend_mann_kendall",
+    "user_spend_concentration",
+    "source_length_ks",
+    "doc_token_entropy",
+    "embedding_sq8_topk",
+    "part_link_prediction",
+    "supplier_lead_time_profile",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —

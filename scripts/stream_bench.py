@@ -168,6 +168,24 @@ def _bench_seq_store(spark, events_dir: str, rows_in: int, work: str) -> dict:
     }
 
 
+def _bench_daily_store(spark, events_dir: str, rows_in: int, work: str) -> dict:
+    from gmall_flink_parent_spark.streaming.jobs import daily_value_store_job
+
+    events = _file_stream(spark, events_dir).select("ts", "event_type", "value")
+    t0 = time.monotonic()
+    q = daily_value_store_job(
+        events, f"{work}/daily_store", f"{work}/ck_daily"
+    )
+    stats = _drain(q)
+    wall = round(time.monotonic() - t0, 3)
+    return {
+        "rows_in": rows_in,
+        "wall_sec": wall,
+        "rows_per_sec": round(rows_in / wall, 1),
+        **stats,
+    }
+
+
 def _bench_ingest(spark, docs_dir: str, rows_in: int, work: str) -> dict:
     from gmall_flink_parent_spark.functions.curation import _MIX_HEAD_WEIGHTS
     from gmall_flink_parent_spark.streaming.jobs import curation_ingest_job
@@ -244,6 +262,10 @@ def run(
             ),
             # extrema-partial incremental store (round-11 post-seal)
             "sequence_support_store_job": _bench_seq_store(
+                spark, f"{work}/events", n_events, work
+            ),
+            # the six-consumer day-by-type decimal partial store
+            "daily_value_store_job": _bench_daily_store(
                 spark, f"{work}/events", n_events, work
             ),
         }
