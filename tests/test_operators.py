@@ -4282,3 +4282,37 @@ def test_conversion_latency_on_planted_funnel(spark, tmp_path):
     # latencies: 0, 60, 180 s → p50 = 60, p90 interpolates 60..180
     assert r["p50_latency_sec"] == 60.0
     assert r["p90_latency_sec"] == 60.0 + 0.8 * 120.0
+
+
+def test_acf_integer_envelope_at_huge_magnitudes(spark, tmp_path):
+    """The ACF docstring claims exactness to ~1e14-cent daily totals;
+    pin it at 1e12 cents (1e10-value days, far beyond any float64
+    accumulator's exact range): the head must equal a pure-python
+    EXACT integer-moment computation followed by the same three float
+    ops — bit-for-bit, no tolerance."""
+    import math
+    import random
+
+    from gmall_flink_parent_spark.operators.windows import event_value_acf
+
+    rng = random.Random(7)
+    # one event per day so the daily total IS the value (2dp exact)
+    vals = [round(rng.uniform(9.9e9, 1.0e10), 2) for _ in range(25)]
+    rows = [
+        ("huge", f"2024-05-{d + 1:02d} 12:00:00", v) for d, v in enumerate(vals)
+    ]
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = {r["lag"]: r["acf"] for r in event_value_acf(spark, sf).collect()}
+
+    cents = [round(v * 100) for v in vals]
+    for lag in (1, 2, 3):
+        xs, ys = cents[:-lag], cents[lag:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        num = n * sxy - sx * sy            # exact python ints
+        denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+        expect = float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny)))
+        assert got[lag] == expect, lag
