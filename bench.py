@@ -197,6 +197,7 @@ HEADLINE = [
     "user_spend_concentration",
     "supplier_lead_time_profile",
     "conversion_latency_profile",
+    "daily_mix_kl",
 ]
 
 

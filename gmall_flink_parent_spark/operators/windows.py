@@ -1339,3 +1339,92 @@ def mann_kendall_frame(daily_in: DataFrame) -> DataFrame:
             (F.col("theil_sen_slope") / F.lit(100.0)).alias("theil_sen_slope"),
         )
     )
+
+
+# --------------------------------------------- daily mix drift (KL)
+
+DAILY_MIX_KL_ORACLE = """
+WITH dt AS (
+    SELECT strftime(ts, '%Y%m%d') AS ymd, event_type,
+           CAST(count(*) AS BIGINT) AS c_dt
+    FROM events GROUP BY strftime(ts, '%Y%m%d'), event_type
+), day_tot AS (
+    SELECT ymd, SUM(c_dt) AS n_d, CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM dt GROUP BY ymd
+), type_tot AS (
+    SELECT event_type, SUM(c_dt) AS c_t FROM dt GROUP BY event_type
+), n AS (
+    SELECT SUM(c_t) AS n FROM type_tot
+)
+SELECT d.ymd,
+       CAST(dd.n_d AS BIGINT) AS n_events,
+       dd.n_types,
+       ROUND(SUM((CAST(d.c_dt AS DOUBLE) / CAST(dd.n_d AS DOUBLE))
+                 * log2((CAST(d.c_dt AS DOUBLE) * CAST(n.n AS DOUBLE))
+                        / (CAST(dd.n_d AS DOUBLE) * CAST(t.c_t AS DOUBLE)))),
+             6) AS kl_bits
+FROM dt d
+JOIN day_tot dd USING (ymd)
+JOIN type_tot t USING (event_type)
+CROSS JOIN n
+GROUP BY d.ymd, dd.n_d, dd.n_types
+"""
+
+
+@register(
+    "daily_mix_kl",
+    oracle=DAILY_MIX_KL_ORACLE,
+    tags=("dws", "drift", "entropy"),
+    past_window=True,
+)
+def daily_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence (bits) of each DAY's event-type mix against the
+    corpus-lifetime mix — drift localized in TIME, the third axis of
+    the drift suite: `source_length_psi` (which source changed shape),
+    `source_length_ks` (where in the length distribution), and this
+    head (which day's traffic mix moved — a bot burst or an outage
+    shows up as a KL spike even when volume looks normal). A type
+    absent from a day contributes zero (lim p→0 of p·log p/q); the
+    corpus marginal is never zero for an observed type, so the score
+    is always finite — no smoothing constant to justify.
+
+    Determinism: counts are exact integers; each term's float chain
+    (two divisions-as-one-ratio, one log2, one multiply) is spelled
+    identically in both engines, and the unordered per-day sum rides
+    the PSI-style ROUND(…,6) edge. Scale shape: one map-combined
+    (day, type) count — the |days| × |types| grain — then every join
+    is at that bounded grain or smaller (the type marginal is
+    vocabulary-sized, the corpus total one row); the 100 TB cost is
+    the one scan, and the head shares its first aggregate with any
+    day×type consumer.
+    """
+    events = load_table(spark, sf_dir, "events")
+    dt = events.groupBy(
+        F.date_format("ts", "yyyyMMdd").alias("ymd"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_dt"))
+    dt = scoped_persist(dt)
+    day_tot = dt.groupBy("ymd").agg(
+        F.sum("c_dt").alias("n_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    type_tot = dt.groupBy("event_type").agg(F.sum("c_dt").alias("c_t"))
+    n_tot = type_tot.agg(F.sum("c_t").alias("n"))
+    term = (
+        F.col("c_dt").cast("double") / F.col("n_d").cast("double")
+    ) * F.log2(
+        (F.col("c_dt").cast("double") * F.col("n").cast("double"))
+        / (F.col("n_d").cast("double") * F.col("c_t").cast("double"))
+    )
+    joined = (
+        dt.join(day_tot, "ymd")
+        .join(F.broadcast(type_tot), "event_type")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return joined.groupBy("ymd", "n_d", "n_types").agg(
+        F.round(F.sum(term), 6).alias("kl_bits")
+    ).select(
+        "ymd",
+        F.col("n_d").cast("bigint").alias("n_events"),
+        "n_types",
+        "kl_bits",
+    )

@@ -4316,3 +4316,34 @@ def test_acf_integer_envelope_at_huge_magnitudes(spark, tmp_path):
         denx, deny = n * sxx - sx * sx, n * syy - sy * sy
         expect = float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny)))
         assert got[lag] == expect, lag
+
+
+def test_daily_mix_kl_on_planted_mix_shift(spark, tmp_path):
+    """Three days with a 50/50 click/view corpus: two conforming days
+    score exactly 0 bits; a day that is all-click scores exactly
+    log2(1/q_click) weighted by 1 = 1 bit against the pooled mix —
+    computed here with the pooled marginal the head actually uses.
+    Absent types contribute nothing (no smoothing constant)."""
+    import math
+
+    from gmall_flink_parent_spark.operators.windows import daily_mix_kl
+
+    rows = []
+    # day 1 and 2: 2 clicks + 2 views each; day 3: 4 clicks
+    for d, mix in [(1, ["click"] * 2 + ["view"] * 2),
+                   (2, ["click"] * 2 + ["view"] * 2),
+                   (3, ["click"] * 4)]:
+        for i, t in enumerate(mix):
+            rows.append((t, f"2024-06-{d:02d} 10:0{i}:00", 1.0))
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = {r["ymd"]: r for r in daily_mix_kl(spark, sf).collect()}
+    # pooled: click 8/12, view 4/12
+    q_click = 8 / 12
+    assert got["20240601"]["kl_bits"] != 0.0  # 50/50 vs 2/3-1/3 pooled
+    expect_balanced = round(
+        0.5 * math.log2(0.5 / q_click) + 0.5 * math.log2(0.5 / (4 / 12)), 6
+    )
+    assert got["20240601"]["kl_bits"] == expect_balanced
+    assert got["20240602"]["kl_bits"] == expect_balanced
+    assert got["20240603"]["kl_bits"] == round(math.log2(1 / q_click), 6)
+    assert got["20240603"]["n_types"] == 1 and got["20240603"]["n_events"] == 4

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "token_budget_select",  # 1-row corpus-token-total budget scalar × ranked docs
     "source_length_psi",  # constant 7-row bucket list × sources; 1-row N scalar
     "source_length_ks",  # |sources|-row vocabulary frame × pooled distinct lengths
+    "daily_mix_kl",  # 1-row corpus-total scalar × (day, type) counts
     "referential_integrity",  # 1-row (n_child × n_orphans) count scalars per FK
     "funnel_conversion",  # 1-row per-step user-count scalars × report rows
     "hybrid_rrf_topk",  # inherits chunk_bm25_topk's 1-row corpus-stats broadcast
