@@ -112,6 +112,8 @@ HEADS = [
     "embedding_sq8_topk",
     "part_link_prediction",
     "supplier_lead_time_profile",
+    "conversion_latency_profile",
+    "daily_mix_kl",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —
