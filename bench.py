@@ -198,6 +198,7 @@ HEADLINE = [
     "supplier_lead_time_profile",
     "conversion_latency_profile",
     "daily_mix_kl",
+    "order_detail_semi_join",
 ]
 
 

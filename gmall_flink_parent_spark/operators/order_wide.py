@@ -154,6 +154,50 @@ def order_detail_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMI_JOIN_ORACLE = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+)
+"""
+
+
+@register(
+    "order_detail_semi_join",
+    oracle=SEMI_JOIN_ORACLE,
+    tags=("J1", "W5", "semi-anti"),
+    past_window=True,
+)
+def order_detail_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMI form of the event-time band join: orders with at least
+    one detail inside the [0, +30 d] band, emitted once, order columns
+    only — the "did the join partner ever arrive" question that the
+    inner form answers with a fan-out and the outer form with NULL
+    padding. Physically a LEFT SEMI equi-join with the band residual:
+    the probe side short-circuits on first match, so no detail columns
+    are materialized and the output is bounded by |orders| regardless
+    of details-per-order. Streaming twin:
+    ``streaming/jobs.py::order_wide_semi_stream`` — Spark's
+    stream-stream left-semi join under the same watermarks (state
+    drops an order as soon as one in-band match commits, the cheapest
+    state profile of the three join forms).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return orders.join(lineitem, cond, "left_semi").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+
 PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag,
        l_linestatus,

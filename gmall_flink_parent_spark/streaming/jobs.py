@@ -408,6 +408,32 @@ def order_wide_stream(
     )
 
 
+def order_wide_semi_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the third join form of
+    EP3 next to the inner and left-outer twins: each order is emitted
+    AT MOST ONCE, as soon as one in-band detail commits, with no
+    detail columns materialized. The cheapest state profile of the
+    three: a matched order leaves the state store immediately (nothing
+    further can change its emitted row), while the inner form must
+    buffer for every future fan-out match and the outer form must hold
+    unmatched rows to the watermark horizon. Batch twin (oracle-backed
+    via EXISTS): ``operators/order_wide.py::order_detail_semi_join``.
+    """
+    o = orders.withWatermark("o_orderdate", "3 seconds")
+    d = details.withWatermark("l_shipdate", "3 seconds")
+    return o.join(
+        d,
+        F.expr(
+            """
+            o_orderkey = l_orderkey AND
+            l_shipdate >= o_orderdate AND
+            l_shipdate <= o_orderdate + INTERVAL 30 DAYS
+            """
+        ),
+        "left_semi",
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+
+
 def topk_spend_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     """Streaming twin of batch ``topk_users_by_spend`` (DWS surface).
 

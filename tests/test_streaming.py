@@ -4544,3 +4544,35 @@ def test_sequence_support_store_job_matches_batch(spark, sf_dir, tmp_path):
     dup = spark.read.parquet(store_path)
     dup.write.mode("append").parquet(store_path)
     assert _rows(sequence_support_from_store(spark, store_path), cols) == want
+
+
+def test_order_wide_semi_stream_matches_batch_semi_join(spark, sf_dir):
+    """The stream-stream LEFT SEMI interval join must emit exactly the
+    batch EXISTS head's rows (each qualifying order once, order
+    columns only) — the third join form next to the inner/outer
+    parity pins, with the cheapest state profile of the three."""
+    from gmall_flink_parent_spark.streaming.jobs import order_wide_semi_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orders = spark.readStream.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz, o_orderpriority string"
+    ).option("pathGlobFilter", "orders.parquet").parquet(sf_dir).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    details = spark.readStream.schema(
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ).option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    )
+    out = _run_to_memory(
+        order_wide_semi_stream(orders, details), spark, "ow_semi_out"
+    )
+    batch = plans.query_map()["order_detail_semi_join"](spark, sf_dir)
+    cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    got = _rows(out, cols)
+    assert got == _rows(batch, cols) and len(got) > 0
+    # semi means no duplicates even though orders fan out to many details
+    assert len({r[0] for r in got}) == len(got)
