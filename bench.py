@@ -199,6 +199,7 @@ HEADLINE = [
     "conversion_latency_profile",
     "daily_mix_kl",
     "order_detail_semi_join",
+    "order_detail_anti_join",
 ]
 
 

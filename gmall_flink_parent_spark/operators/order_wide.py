@@ -198,6 +198,50 @@ def order_detail_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANTI_JOIN_ORACLE = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+)
+"""
+
+
+@register(
+    "order_detail_anti_join",
+    oracle=ANTI_JOIN_ORACLE,
+    tags=("J1", "W5", "semi-anti", "X4"),
+    past_window=True,
+)
+def order_detail_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANTI form of the event-time band join: orders with NO detail
+    inside the [0, +30 d] band — the join-level statement of the
+    reference's CEP timeout branch (``UserJumpDetailApp.java``'s
+    within-timeout split, X4): the partner never arrived before the
+    deadline. Completes the four-form family (inner fan-out, outer
+    null-pad, semi once-if-matched, anti once-if-never). Physically a
+    LEFT ANTI equi-join with the band residual — build side probes and
+    discards on first match, output bounded by |orders|. Streaming
+    twin: ``streaming/jobs.py::order_wide_anti_stream``, where the row
+    emits only once the WATERMARK proves no in-band detail can still
+    arrive — the exact Flink timeout-side semantics, expressed as a
+    built-in join instead of custom timers.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return orders.join(lineitem, cond, "left_anti").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+
 PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag,
        l_linestatus,

@@ -434,6 +434,41 @@ def order_wide_semi_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
 
 
+def order_wide_anti_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
+    """Stream-stream ANTI interval join — the timeout side of the
+    four-form family: an order emits exactly once, with no detail
+    columns, only after the watermark proves no in-band detail can
+    still arrive. This IS the reference's CEP timeout semantics
+    (X4's ``within``-expired branch): Flink fires a timer per key;
+    Spark evicts-and-emits when the event-time watermark passes the
+    band. Spark has NO native stream-stream left-anti (the analyzer
+    rejects it), so the twin is the standard rewrite: the supported
+    LEFT OUTER interval join filtered to its null-padded rows — an
+    unmatched order produces exactly one null row at watermark
+    closure, which is precisely the anti row. Emission lags one
+    micro-batch behind the watermark, like the outer form it rides.
+    Batch twin (oracle-backed via NOT EXISTS):
+    ``operators/order_wide.py::order_detail_anti_join``.
+    """
+    o = orders.withWatermark("o_orderdate", "3 seconds")
+    d = details.withWatermark("l_shipdate", "3 seconds")
+    return (
+        o.join(
+            d,
+            F.expr(
+                """
+                o_orderkey = l_orderkey AND
+                l_shipdate >= o_orderdate AND
+                l_shipdate <= o_orderdate + INTERVAL 30 DAYS
+                """
+            ),
+            "leftOuter",
+        )
+        .filter(F.col("l_orderkey").isNull())
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+
+
 def topk_spend_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     """Streaming twin of batch ``topk_users_by_spend`` (DWS surface).
 

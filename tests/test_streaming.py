@@ -4576,3 +4576,68 @@ def test_order_wide_semi_stream_matches_batch_semi_join(spark, sf_dir):
     assert got == _rows(batch, cols) and len(got) > 0
     # semi means no duplicates even though orders fan out to many details
     assert len({r[0] for r in got}) == len(got)
+
+
+def test_order_wide_anti_stream_emits_timeouts_after_watermark(spark, sf_dir, tmp_path):
+    """LEFT ANTI stream-stream interval join — the CEP-timeout side:
+    an order emits exactly once, only after the watermark closes its
+    band with no match. Same sentinel-flush harness as the outer test
+    (emission lags one micro-batch behind the watermark), and the
+    emitted set must equal the batch NOT EXISTS head exactly."""
+    import datetime as _dt
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import order_wide_anti_stream
+
+    o_base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l_base = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    far1 = _dt.datetime(2300, 1, 1)
+    far2 = _dt.datetime(2301, 1, 1)
+    for side, base, key, ts in (
+        ("o", o_base, "o_orderkey", "o_orderdate"),
+        ("l", l_base, "l_orderkey", "l_shipdate"),
+    ):
+        d = tmp_path / side
+        d.mkdir()
+        pdf = base.toPandas()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("datetime64"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(str(d / "f1.parquet"))
+        for i, far in enumerate((far1, far2)):
+            sent = pdf.iloc[:1].copy()
+            sent[key] = -1 - i
+            sent[ts] = far
+            path = str(d / f"sent{i}.parquet")
+            sent.to_parquet(path)
+            t = time.time() + 5 * (i + 1)
+            os.utime(path, (t, t))
+    orders = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderdate timestamp, o_orderpriority string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "o"))
+    )
+    details = (
+        spark.readStream.schema("l_orderkey long, l_shipdate timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "l"))
+    )
+    out = _run_to_memory(
+        order_wide_anti_stream(orders, details), spark, "owa_out"
+    )
+    cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    got = sorted(r for r in _rows(out, cols) if r[0] >= 0)  # drop sentinels
+    want = sorted(
+        _rows(plans.query_map()["order_detail_anti_join"](spark, sf_dir), cols)
+    )
+    assert len(want) > 0, "fixture has no timed-out order"
+    assert got == want
+    # each timeout emits exactly once
+    assert len({r[0] for r in got}) == len(got)
