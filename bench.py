@@ -200,6 +200,7 @@ HEADLINE = [
     "daily_mix_kl",
     "order_detail_semi_join",
     "order_detail_anti_join",
+    "order_detail_interval_join_full",
 ]
 
 

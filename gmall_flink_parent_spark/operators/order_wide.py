@@ -242,6 +242,58 @@ def order_detail_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FULL_INTERVAL_JOIN_ORACLE = """
+SELECT o.o_orderkey,
+       l.l_orderkey,
+       l.l_linenumber,
+       o.o_orderdate,
+       l.l_shipdate,
+       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extended_price
+FROM orders o
+FULL JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+@register(
+    "order_detail_interval_join_full",
+    oracle=FULL_INTERVAL_JOIN_ORACLE,
+    tags=("J1", "W5", "outer", "full"),
+    past_window=True,
+)
+def order_detail_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER event-time band join — the last cell of the join-form
+    matrix (inner / left-outer / semi / anti / full): BOTH preserved
+    sides at once, so one result carries the never-shipped orders
+    (null detail columns) AND the out-of-band shipments no order's
+    window claims (null order columns) — the reconciliation view a
+    late-data audit reads, where either null region is a data-quality
+    finding. Both key columns are kept (they differ exactly on the
+    preserved rows). Physically still the equi-join with the band as a
+    residual, null-padding both sides; Spark's streaming engine also
+    supports this form with watermarks (full-outer stream-stream
+    joins), emitting each preserved row at watermark closure — the
+    batch head is the oracle-checked twin of that plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return orders.join(lineitem, cond, "full").select(
+        "o_orderkey",
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
+    )
+
+
 PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag,
        l_linestatus,

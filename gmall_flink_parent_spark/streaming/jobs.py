@@ -469,6 +469,37 @@ def order_wide_anti_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     )
 
 
+def order_wide_full_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both preserved sides in
+    one stream: never-shipped orders emit with null detail columns and
+    unclaimed shipments emit with null order columns, each exactly once
+    when the watermark closes its band. Same state bound as the inner
+    form (both sides buffer to the band horizon); the preserved
+    emissions ride the same cleanup. Batch twin (oracle-backed):
+    ``operators/order_wide.py::order_detail_interval_join_full``.
+    """
+    o = orders.withWatermark("o_orderdate", "3 seconds")
+    d = details.withWatermark("l_shipdate", "3 seconds")
+    return o.join(
+        d,
+        F.expr(
+            """
+            o_orderkey = l_orderkey AND
+            l_shipdate >= o_orderdate AND
+            l_shipdate <= o_orderdate + INTERVAL 30 DAYS
+            """
+        ),
+        "fullOuter",
+    ).select(
+        "o_orderkey",
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("extended_price"),
+    )
+
+
 def topk_spend_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     """Streaming twin of batch ``topk_users_by_spend`` (DWS surface).
 

@@ -4641,3 +4641,81 @@ def test_order_wide_anti_stream_emits_timeouts_after_watermark(spark, sf_dir, tm
     assert got == want
     # each timeout emits exactly once
     assert len({r[0] for r in got}) == len(got)
+
+
+def test_order_wide_full_stream_preserves_both_sides(spark, sf_dir, tmp_path):
+    """FULL OUTER stream-stream interval join: matched rows plus BOTH
+    preserved sides (null-detail orders, null-order shipments), each
+    exactly once after watermark closure — row-identical to the batch
+    FULL JOIN head under the sentinel-flush harness."""
+    import datetime as _dt
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import order_wide_full_stream
+
+    o_base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l_base = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+    far1 = _dt.datetime(2300, 1, 1)
+    far2 = _dt.datetime(2301, 1, 1)
+    for side, base, key, ts in (
+        ("o", o_base, "o_orderkey", "o_orderdate"),
+        ("l", l_base, "l_orderkey", "l_shipdate"),
+    ):
+        d = tmp_path / side
+        d.mkdir()
+        pdf = base.toPandas()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("datetime64"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(str(d / "f1.parquet"))
+        for i, far in enumerate((far1, far2)):
+            sent = pdf.iloc[:1].copy()
+            sent[key] = -1 - i
+            sent[ts] = far
+            path = str(d / f"sent{i}.parquet")
+            sent.to_parquet(path)
+            t = time.time() + 5 * (i + 1)
+            os.utime(path, (t, t))
+    orders = (
+        spark.readStream.schema("o_orderkey long, o_orderdate timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "o"))
+    )
+    details = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_extendedprice double, l_shipdate timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "l"))
+    )
+    out = _run_to_memory(
+        order_wide_full_stream(orders, details), spark, "owf_out"
+    )
+    cols = ["o_orderkey", "l_orderkey", "l_linenumber", "o_orderdate",
+            "l_shipdate", "extended_price"]
+
+    def rows_of(df):
+        # full outer rows carry None keys, so sort by repr (None vs int
+        # tuples are not orderable) and drop the sentinel rows
+        return sorted(
+            (
+                tuple(r[c] for c in cols)
+                for r in df.collect()
+                if not ((r["o_orderkey"] is not None and r["o_orderkey"] < 0)
+                        or (r["l_orderkey"] is not None and r["l_orderkey"] < 0))
+            ),
+            key=repr,
+        )
+
+    got = rows_of(out)
+    want = rows_of(
+        plans.query_map()["order_detail_interval_join_full"](spark, sf_dir)
+    )
+    assert len([r for r in want if r[1] is None]) > 0, "no never-shipped order"
+    assert len([r for r in want if r[0] is None]) > 0, "no unclaimed shipment"
+    assert got == want
