@@ -201,6 +201,7 @@ HEADLINE = [
     "order_detail_semi_join",
     "order_detail_anti_join",
     "order_detail_interval_join_full",
+    "array_function_surface",
 ]
 
 

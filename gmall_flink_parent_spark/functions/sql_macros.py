@@ -137,3 +137,62 @@ def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_v
         """
     )
+
+
+ARRAY_SURFACE_ORACLE = """
+WITH codes AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS INTEGER))
+               AS c
+    FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(list_filter(c, x -> x > 0)) AS INTEGER) AS n_pos,
+       CAST(list_sum(c) AS BIGINT) AS sum_code,
+       CAST(list_max(c) AS INTEGER) AS max_code,
+       CAST(list_min(c) AS INTEGER) AS min_code,
+       CAST(len(list_distinct(c)) AS INTEGER) AS n_distinct
+FROM codes
+"""
+
+
+@register(
+    "array_function_surface",
+    oracle=ARRAY_SURFACE_ORACLE,
+    tags=("sql", "array", "higher-order"),
+    past_window=True,
+)
+def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function surface driven entirely through
+    ``spark.sql`` — transform / filter / aggregate / array_max /
+    array_distinct over the embedding column, proving the lambda
+    functions a vector-pipeline user reaches for are plain codegen
+    (no BatchEvalPython; the same expressions the similarity tier
+    builds with the DataFrame API). Floats are floored to exact
+    integer millis-codes FIRST (floor of a double is deterministic
+    cross-engine), so every reported value — counts, fold sum, max,
+    min, distinct size — is pure integer arithmetic against DuckDB's
+    ``list_*`` equivalents. Scale shape: map-only scan, no shuffle at
+    all.
+    """
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings_v"
+    )
+    return spark.sql(
+        """
+        SELECT vec_id,
+               size(filter(c, x -> x > 0)) AS n_pos,
+               aggregate(c, 0L, (a, x) -> a + x) AS sum_code,
+               array_max(c) AS max_code,
+               array_min(c) AS min_code,
+               size(array_distinct(c)) AS n_distinct
+        FROM (
+            SELECT vec_id,
+                   transform(embedding,
+                             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS INT))
+                       AS c
+            FROM embeddings_v
+        )
+        """
+    )
