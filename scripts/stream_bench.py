@@ -102,7 +102,13 @@ def _bench_order_wide(spark, orders_dir: str, details_dir: str, rows_in: int,
             enriched_sf_dir,
         )
     else:
-        build = order_wide_outer_stream if outer else order_wide_stream
+        from gmall_flink_parent_spark.streaming.jobs import order_wide_semi_stream
+
+        build = {
+            "inner": order_wide_stream,
+            "outer": order_wide_outer_stream,
+            "semi": order_wide_semi_stream,
+        }[outer if isinstance(outer, str) else ("outer" if outer else "inner")]
         joined = build(
             _file_stream(spark, orders_dir), _file_stream(spark, details_dir)
         )
@@ -244,6 +250,12 @@ def run(
             "order_wide_outer_stream": _bench_order_wide(
                 spark, f"{work}/orders", f"{work}/details",
                 n_orders + n_details, outer=True, checkpoint=f"{work}/ck_outer",
+            ),
+            # the semi form: cheapest state of the join family (a
+            # matched order leaves the state store immediately)
+            "order_wide_semi_stream": _bench_order_wide(
+                spark, f"{work}/orders", f"{work}/details",
+                n_orders + n_details, outer="semi", checkpoint=f"{work}/ck_semi",
             ),
             # full EP3: interval join + 6-way dim enrichment in-stream
             "order_wide_enriched_stream": _bench_order_wide(
