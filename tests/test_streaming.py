@@ -4258,6 +4258,13 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
     assert _rows(
         event_type_pivot_from_store(spark, str(tmp_path / "store")), piv_cols
     ) == want_piv
+    assert _rows(
+        event_value_acf_from_store(spark, str(tmp_path / "store")), acf_cols
+    ) == want_acf
+    assert _rows(
+        event_daily_robust_outliers_from_store(spark, str(tmp_path / "store")),
+        rob_cols,
+    ) == want_rob
 
 
 def test_interval_join_skew_hot_key_is_split_by_aqe(spark):
