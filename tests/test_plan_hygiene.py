@@ -436,3 +436,19 @@ def test_tripped_gate_shuffle_fallback_is_hash_identical(
     assert broadcast_rows == shuffle_rows, (
         f"{head}: shuffle fallback diverged from the broadcast plan"
     )
+
+
+def test_band_join_forms_plan_as_semi_and_anti(spark, sf_dir):
+    """The semi/anti band joins must plan as true LeftSemi/LeftAnti
+    joins (probe short-circuits, no detail column materialized), not
+    as an inner/outer join with a post-hoc distinct or filter."""
+    semi = plans.query_map()["order_detail_semi_join"](spark, sf_dir)
+    anti = plans.query_map()["order_detail_anti_join"](spark, sf_dir)
+    p_semi = _physical_plan(semi)
+    p_anti = _physical_plan(anti)
+    assert "LeftSemi" in p_semi and "Distinct" not in p_semi
+    assert "LeftAnti" in p_anti
+    for p in (p_semi, p_anti):
+        assert "l_extendedprice" not in p.split("== Physical Plan ==")[-1].split(
+            "ReadSchema"
+        )[0], "detail payload columns leaked into the semi/anti plan"
