@@ -114,6 +114,10 @@ HEADS = [
     "supplier_lead_time_profile",
     "conversion_latency_profile",
     "daily_mix_kl",
+    "order_detail_semi_join",
+    "order_detail_anti_join",
+    "order_detail_interval_join_full",
+    "array_function_surface",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —
