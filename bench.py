@@ -202,6 +202,8 @@ HEADLINE = [
     "order_detail_anti_join",
     "order_detail_interval_join_full",
     "array_function_surface",
+    "audience_overlap_matrix",
+    "weekday_hour_heatmap",
 ]
 
 

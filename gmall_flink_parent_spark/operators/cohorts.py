@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.operators.analytics import value_distribution_frame
-from gmall_flink_parent_spark.plans.registry import register
+from gmall_flink_parent_spark.plans.registry import register, scoped_persist
 from gmall_flink_parent_spark.sources.tables import load_table
 
 RETENTION_ORACLE = """
@@ -808,4 +808,118 @@ def conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6),
             6,
         ).alias("p90_latency_sec"),
+    )
+
+
+# ------------------------------------------- audience overlap matrix
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), deg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, da.n AS n_a, db.n AS n_b, p.n_both,
+       CAST(CAST(p.n_both AS DOUBLE)
+            / CAST(da.n + db.n - p.n_both AS DOUBLE) AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN deg da ON da.event_type = p.type_a
+JOIN deg db ON db.event_type = p.type_b
+"""
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle=AUDIENCE_OVERLAP_ORACLE,
+    tags=("dws", "set-op", "jaccard"),
+    past_window=True,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience Jaccard between every event-type pair — the overlap
+    matrix behind "do buyers also browse" dashboards, generalizing
+    `engaged_user_overlap` (one fixed pair via set ops) to all pairs
+    in one pass: |users(A)∩users(B)| / |users(A)∪users(B)| with the
+    union by inclusion-exclusion.
+
+    Exactness: distinct-user counts are integers, ONE double division
+    per pair. Scale shape: the distinct (user, type) projection is the
+    only corpus-grain shuffle; the pair join fans each user's type set
+    (≤ |vocabulary|) into its pairs — Σ per-user |types|², bounded by
+    the type vocabulary squared per user, the same two-hop envelope as
+    the link-prediction wedge join — and the output is the |vocab|²/2
+    matrix. At 100 TB the HLL form of the same matrix (sketch per
+    type, union via merge) drops the pair join entirely; this head is
+    the exact tier the sketch would be audited against.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ut = scoped_persist(events.select("user_id", "event_type").distinct())
+    deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = ut.selectExpr("user_id", "event_type AS type_a")
+    b = ut.selectExpr("user_id AS uid_b", "event_type AS type_b")
+    pairs = (
+        a.join(b, (a["user_id"] == b["uid_b"]) & (a["type_a"] < b["type_b"]))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    da = deg.selectExpr("event_type AS type_a", "n AS n_a")
+    db = deg.selectExpr("event_type AS type_b", "n AS n_b")
+    return (
+        pairs.join(da, "type_a")
+        .join(db, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------- weekday × hour heatmap
+
+HEATMAP_ORACLE = """
+SELECT event_type,
+       CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, dayofweek(CAST(ts AS DATE)), hour(ts)
+"""
+
+
+@register(
+    "weekday_hour_heatmap",
+    oracle=HEATMAP_ORACLE,
+    tags=("dws", "window-agg", "seasonality"),
+    past_window=True,
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour activity heatmap per event type — the 2-D
+    seasonal profile every ops dashboard renders (and the 2-D
+    refinement of `event_dow_seasonality`'s weekday axis): counts and
+    exact decimal value sums per (type, dow 0=Sunday, hour) cell.
+    One map-combined aggregate to a ≤ |vocab|·7·24-row frame — the
+    canonical bounded-grain rollup; the double cast happens once at
+    the output edge.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type",
+        (F.dayofweek(F.to_date("ts")) - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )

@@ -4347,3 +4347,32 @@ def test_daily_mix_kl_on_planted_mix_shift(spark, tmp_path):
     assert got["20240602"]["kl_bits"] == expect_balanced
     assert got["20240603"]["kl_bits"] == round(math.log2(1 / q_click), 6)
     assert got["20240603"]["n_types"] == 1 and got["20240603"]["n_events"] == 4
+
+
+def test_audience_overlap_on_planted_sets(spark, tmp_path):
+    """Planted audiences: A = {1,2,3}, B = {2,3,4} share 2 of 4 users
+    (Jaccard 0.5); C = {9} is disjoint from both so no (·, C) row
+    exists; the pair is emitted once in (type_a < type_b) order."""
+    from gmall_flink_parent_spark.operators.cohorts import audience_overlap_matrix
+
+    rows = []
+    for u in (1, 2, 3):
+        rows.append(("A", f"2024-03-01 10:0{u}:00", 1.0, u))
+    for u in (2, 3, 4):
+        rows.append(("B", f"2024-03-01 11:0{u}:00", 1.0, u))
+    rows.append(("C", "2024-03-01 12:00:00", 1.0, 9))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, u, t, ts, v) for i, (t, ts, v, u) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts_s string, value double",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_both"], r["jaccard"])
+        for r in audience_overlap_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {("A", "B"): (3, 3, 2, 0.5)}
