@@ -118,6 +118,8 @@ HEADS = [
     "order_detail_anti_join",
     "order_detail_interval_join_full",
     "array_function_surface",
+    "audience_overlap_matrix",
+    "weekday_hour_heatmap",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —
