@@ -13,9 +13,9 @@ Layouts:
 - ``shuffled``  — rows in hash-shuffled order (what a naive parallel
   write produces): every row group spans every event type and most of
   the time range, so min/max stats prune nothing.
-- ``clustered`` — ``repartition(event_type)`` +
-  ``sortWithinPartitions(event_type, ts)`` (the Hive/Delta
-  cluster-by-write idiom; 1-D Z-order): a (type, day-range) predicate
+- ``clustered`` — ``repartitionByRange(event_type, ts)`` +
+  ``sortWithinPartitions(event_type, ts)`` (the cluster-by-write
+  idiom: a global (type, time) order): a (type, day-range) predicate
   touches only the row groups whose stats overlap it.
 
 Probe query: ``event_type = <hottest type> AND ts in a 7-day band`` →
@@ -59,7 +59,11 @@ def rowgroup_skip_stats(path_glob: str, event_type: str, lo, hi) -> dict:
                 if st_t.min > event_type or st_t.max < event_type:
                     skip = True
             if not skip and st_ts is not None and st_ts.has_min_max:
-                if st_ts.min > hi or st_ts.max < lo:
+                # TIMESTAMP_MICROS stats come back tz-aware (UTC);
+                # the probe bounds are session-UTC naive — same clock
+                ts_min = st_ts.min.replace(tzinfo=None)
+                ts_max = st_ts.max.replace(tzinfo=None)
+                if ts_min > hi or ts_max < lo:
                     skip = True
             if skip:
                 skippable += 1
@@ -91,8 +95,7 @@ def main() -> int:
         events.groupBy("event_type").count().orderBy(F.desc("count")).first()
     )
     days = events.agg(
-        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("lo"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("hi"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("lo")
     ).first()
     et = probe["event_type"]
     lo = days["lo"] + " 00:00:00"
@@ -109,6 +112,11 @@ def main() -> int:
     # plentiful at the DEFAULT 128 MiB; the small test table needs a
     # proportionally small block size for the skip ratio to be about
     # layout rather than about having two groups total.
+    # INT96 (Spark's default parquet timestamp) carries NO footer
+    # statistics — with it, only the event_type stats can prune and the
+    # time-band predicate contributes nothing. INT64 micros is what a
+    # lakehouse write path uses precisely so time-range scans prune.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     block = {"parquet.block.size": str(256 << 10)}
     events.repartition(8).write.options(**block).parquet(f"{base}/shuffled")
     (

@@ -86,7 +86,7 @@ def _drain(query) -> dict:
 
 
 def _bench_order_wide(spark, orders_dir: str, details_dir: str, rows_in: int,
-                      outer: bool, checkpoint: str,
+                      mode: str, checkpoint: str,
                       enriched_sf_dir: str | None = None) -> dict:
     from gmall_flink_parent_spark.streaming.jobs import (
         order_wide_enriched_stream,
@@ -108,7 +108,7 @@ def _bench_order_wide(spark, orders_dir: str, details_dir: str, rows_in: int,
             "inner": order_wide_stream,
             "outer": order_wide_outer_stream,
             "semi": order_wide_semi_stream,
-        }[outer if isinstance(outer, str) else ("outer" if outer else "inner")]
+        }[mode]
         joined = build(
             _file_stream(spark, orders_dir), _file_stream(spark, details_dir)
         )
@@ -245,22 +245,22 @@ def run(
         heads = {
             "order_wide_stream": _bench_order_wide(
                 spark, f"{work}/orders", f"{work}/details",
-                n_orders + n_details, outer=False, checkpoint=f"{work}/ck_inner",
+                n_orders + n_details, mode="inner", checkpoint=f"{work}/ck_inner",
             ),
             "order_wide_outer_stream": _bench_order_wide(
                 spark, f"{work}/orders", f"{work}/details",
-                n_orders + n_details, outer=True, checkpoint=f"{work}/ck_outer",
+                n_orders + n_details, mode="outer", checkpoint=f"{work}/ck_outer",
             ),
             # the semi form: cheapest state of the join family (a
             # matched order leaves the state store immediately)
             "order_wide_semi_stream": _bench_order_wide(
                 spark, f"{work}/orders", f"{work}/details",
-                n_orders + n_details, outer="semi", checkpoint=f"{work}/ck_semi",
+                n_orders + n_details, mode="semi", checkpoint=f"{work}/ck_semi",
             ),
             # full EP3: interval join + 6-way dim enrichment in-stream
             "order_wide_enriched_stream": _bench_order_wide(
                 spark, f"{work}/orders", f"{work}/details",
-                n_orders + n_details, outer=False,
+                n_orders + n_details, mode="inner",
                 checkpoint=f"{work}/ck_enriched", enriched_sf_dir=sf_dir,
             ),
             "curation_ingest_job": _bench_ingest(
@@ -302,7 +302,7 @@ def run(
             amortization[str(n)] = {
                 "order_wide_stream": _bench_order_wide(
                     spark, od, dd, n_orders + n_details,
-                    outer=False, checkpoint=f"{work}/ck_inner_{n}",
+                    mode="inner", checkpoint=f"{work}/ck_inner_{n}",
                 ),
                 "curation_ingest_job": _bench_ingest(
                     spark, dc, n_docs, amort_work

@@ -3770,18 +3770,22 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     assert jaccard_prefix_join_frame(docs, 0.6).count() == 0
 
 
-def _write_events_fixture(spark, tmp_path, rows):
+def _write_events_fixture(spark, tmp_path, rows, user_id_expr=None):
     """rows: (event_type, ts_string, value). Writes an events.parquet
-    with the full events schema so load_table works unchanged."""
+    with the full events schema so load_table works unchanged.
+    ``user_id_expr`` overrides the default synthetic user assignment
+    (event_id mod 7) — e.g. minute-of-ts for per-user planted spends."""
     from pyspark.sql import functions as F
 
+    if user_id_expr is None:
+        user_id_expr = (F.col("event_id") % 7).cast("long")
     df = spark.createDataFrame(
         [(i, t, ts, float(v)) for i, (t, ts, v) in enumerate(rows)],
         "event_id long, event_type string, ts_s string, value double",
     ).select(
         "event_id",
         F.to_timestamp("ts_s").alias("ts"),
-        (F.col("event_id") % 7).alias("user_id"),
+        user_id_expr.alias("user_id"),
         "event_type",
         "value",
         F.lit("{}").alias("props"),
@@ -4165,24 +4169,14 @@ def test_spend_concentration_on_planted_distributions(spark, tmp_path):
 
 
 def _write_events_fixture_users(spark, tmp_path, rows):
-    """Like _write_events_fixture but one distinct user per row index
-    WITHIN each event type (user_id = minute of ts) so per-user spend
-    is planted directly."""
+    """_write_events_fixture with one distinct user per planted minute
+    (user_id = minute of ts) so per-user spend is planted directly."""
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(
-        [(i, t, ts, float(v)) for i, (t, ts, v) in enumerate(rows)],
-        "event_id long, event_type string, ts_s string, value double",
-    ).select(
-        "event_id",
-        F.to_timestamp("ts_s").alias("ts"),
-        F.minute(F.to_timestamp("ts_s")).cast("long").alias("user_id"),
-        "event_type",
-        "value",
-        F.lit("{}").alias("props"),
+    return _write_events_fixture(
+        spark, tmp_path, rows,
+        user_id_expr=F.minute(F.to_timestamp("ts_s")).cast("long"),
     )
-    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
-    return str(tmp_path)
 
 
 def test_lead_time_profile_on_planted_distribution(spark, tmp_path):
