@@ -204,6 +204,8 @@ HEADLINE = [
     "array_function_surface",
     "audience_overlap_matrix",
     "weekday_hour_heatmap",
+    "event_interarrival_profile",
+    "supplier_revenue_hhi",
 ]
 
 

@@ -3206,3 +3206,104 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_days",
         "max_days",
     )
+
+
+# ------------------------------------------------ supplier concentration
+
+SUPPLIER_HHI_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                * 1000000 AS HUGEINT) AS r
+    FROM lineitem GROUP BY l_suppkey
+), tagged AS (
+    SELECT n.n_name, rev.r
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+), agg AS (
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           SUM(r) AS tot,
+           SUM(r * r) AS sq
+    FROM tagged GROUP BY n_name
+)
+SELECT n_name,
+       n_suppliers,
+       CAST(CAST(tot AS DOUBLE) / 1e6 AS DOUBLE) AS total_revenue,
+       CAST(CAST(sq AS DOUBLE) / NULLIF(CAST(tot AS DOUBLE)
+                                        * CAST(tot AS DOUBLE), 0.0) AS DOUBLE)
+           AS hhi
+FROM agg
+"""
+
+
+@register(
+    "supplier_revenue_hhi",
+    oracle=SUPPLIER_HHI_ORACLE,
+    tags=("join", "distribution", "hhi"),
+    past_window=True,
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue per nation — the
+    market-concentration scalar (Σ share², 1/n for perfect competition,
+    1.0 for a monopoly; antitrust's screening statistic) next to
+    `user_spend_concentration`'s Gini: HHI weighs the HEAD of the
+    distribution (big suppliers dominate the square), Gini the whole
+    curve, so the pair disambiguates "one whale" from "broad
+    inequality".
+
+    Exactness: per-supplier discounted revenue in exact integer
+    MICRO-dollars (the decimal(18,6) pricing grain the TPC-H heads
+    share, ×10⁶); HHI = Σr² / (Σr)² is a ratio of exact integers with
+    the division — and the (Σr)² product — performed identically in
+    double on both engines. Scale shape: one map-combined supplier
+    aggregate on the fact table, then joins at the |suppliers| grain
+    against the size-gated dims; nothing after the first shuffle is
+    fact-sized. The micro-dollar envelope holds to ~10¹⁹ per-nation
+    revenue before Σr² would exceed the 128-bit accumulators.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        (
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            * 1000000
+        )
+        .cast("decimal(18,0)")
+        .alias("r")
+    )
+    supplier = gated_broadcast(
+        spark,
+        sf_dir,
+        "supplier",
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    tagged = (
+        rev.join(supplier, rev["l_suppkey"] == supplier["s_suppkey"])
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "r")
+    )
+    agg = tagged.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("r") * F.col("r")).alias("sq"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        (F.col("tot").cast("double") / F.lit(1e6)).alias("total_revenue"),
+        (
+            F.col("sq").cast("double")
+            / F.nullif(
+                F.col("tot").cast("double") * F.col("tot").cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("hhi"),
+    )

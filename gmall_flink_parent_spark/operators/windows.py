@@ -1428,3 +1428,86 @@ def daily_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         "kl_bits",
     )
+
+
+# --------------------------------------------- interarrival profile
+
+INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS d_us
+    FROM events
+), g AS (
+    SELECT event_type, d_us FROM gaps WHERE d_us IS NOT NULL
+), agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(d_us AS HUGEINT)) AS s,
+           SUM(CAST(d_us AS HUGEINT) * CAST(d_us AS HUGEINT)) AS ss,
+           ROUND(quantile_cont(d_us, 0.5) / 1e6, 6) AS p50_gap_sec,
+           ROUND(quantile_cont(d_us, 0.9) / 1e6, 6) AS p90_gap_sec
+    FROM g GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       p50_gap_sec,
+       p90_gap_sec,
+       CAST(CAST(n * ss - s * s AS DOUBLE)
+            / NULLIF(CAST(s * s AS DOUBLE), 0.0) AS DOUBLE) AS cv2
+FROM agg
+"""
+
+
+@register(
+    "event_interarrival_profile",
+    oracle=INTERARRIVAL_ORACLE,
+    tags=("dws", "time-series", "quantile", "burstiness"),
+    past_window=True,
+)
+def event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time microstructure per event type: exact p50/p90
+    of the gap between consecutive events and the squared coefficient
+    of variation CV² = Var/mean² — the burstiness index (CV² ≈ 1 for a
+    Poisson arrival process, ≫ 1 for bursty traffic, → 0 for a
+    metronome) that capacity planning and anomaly baselines read
+    before trusting any rate threshold. Complements the value-side
+    heads: this profiles WHEN events arrive, not what they carry.
+
+    Exactness: gaps are integer microseconds from the event-time lag
+    (ties ordered by event_id, both engines); CV² cross-multiplies to
+    (n·Σd² − (Σd)²) / (Σd)² — exact integer moments, ONE double
+    division — and the percentiles interpolate over exact integers
+    under the round-6 edge. Scale shape: the lag window partitions by
+    type over time-ordered events — the one per-type event-grain sort
+    in the module (the TWA head's same envelope); the moment aggregate
+    map-combines behind it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("d_us"),
+    ).filter(F.col("d_us").isNotNull())
+    d = F.col("d_us").cast("decimal(18,0)")
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("ss"),
+        F.round(F.percentile("d_us", F.lit(0.5)) / F.lit(1e6), 6).alias(
+            "p50_gap_sec"
+        ),
+        F.round(F.percentile("d_us", F.lit(0.9)) / F.lit(1e6), 6).alias(
+            "p90_gap_sec"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        "p50_gap_sec",
+        "p90_gap_sec",
+        (
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / F.nullif((F.col("s") * F.col("s")).cast("double"), F.lit(0.0))
+        ).alias("cv2"),
+    )

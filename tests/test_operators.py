@@ -4370,3 +4370,73 @@ def test_audience_overlap_on_planted_sets(spark, tmp_path):
         for r in audience_overlap_matrix(spark, str(tmp_path)).collect()
     }
     assert got == {("A", "B"): (3, 3, 2, 0.5)}
+
+
+def test_interarrival_profile_on_planted_arrivals(spark, tmp_path):
+    """Planted arrivals: a metronome (gap exactly 60 s) has p50 = p90 =
+    60 and CV² = 0; a two-gap alternation (10 s, 110 s) has mean 60
+    and CV² = Var/mean² = 2500/3600 exactly."""
+    from gmall_flink_parent_spark.operators.windows import (
+        event_interarrival_profile,
+    )
+
+    rows = []
+    for i in range(11):  # metronome: 10 gaps of 60s
+        rows.append(("tick", f"2024-03-01 10:{i:02d}:00", 1.0))
+    # bursty: gaps alternate 10s, 110s (5 of each)
+    t = 0
+    for i in range(11):
+        rows.append(
+            ("burst", f"2024-03-01 12:{t // 60:02d}:{t % 60:02d}", 1.0)
+        )
+        t += 10 if i % 2 == 0 else 110
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in event_interarrival_profile(spark, sf).collect()}
+    tick = got["tick"]
+    assert tick["n_gaps"] == 10 and tick["cv2"] == 0.0
+    assert tick["p50_gap_sec"] == 60.0 and tick["p90_gap_sec"] == 60.0
+    burst = got["burst"]
+    assert burst["n_gaps"] == 10
+    # gaps: 5x10s + 5x110s -> mean 60, pop var = 2500 (s^2), cv2 = 2500/3600
+    assert abs(burst["cv2"] - 2500 / 3600) < 1e-12
+
+
+def test_hhi_on_planted_market_structures(spark, tmp_path):
+    """Planted markets: four equal suppliers score exactly 1/4; a
+    monopoly scores exactly 1.0; shares are revenue-weighted (one
+    supplier with 3x the revenue of its peer gives 10/16)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.operators.analytics import supplier_revenue_hhi
+
+    # nation 0 "EQ": suppliers 1-4 each 100 revenue; nation 1 "MONO":
+    # supplier 5 alone; nation 2 "SKEW": suppliers 6 (300) and 7 (100)
+    line_rows = []
+    for s in (1, 2, 3, 4):
+        line_rows.append((s, 100.0))
+    line_rows.append((5, 42.0))
+    line_rows.append((6, 300.0))
+    line_rows.append((7, 100.0))
+    spark.createDataFrame(
+        [(i, s, p, 0.0, "2024-03-01 00:00:00") for i, (s, p) in enumerate(line_rows)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, ship string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "CAST(ship AS TIMESTAMP) AS l_shipdate",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(s, f"S{s}", 0 if s <= 4 else (1 if s == 5 else 2), 0.0)
+         for s in range(1, 8)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(0, "EQ"), (1, "MONO"), (2, "SKEW")],
+        "n_nationkey long, n_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+
+    got = {r["n_name"]: r for r in supplier_revenue_hhi(spark, str(tmp_path)).collect()}
+    assert got["EQ"]["hhi"] == 0.25 and got["EQ"]["n_suppliers"] == 4
+    assert got["MONO"]["hhi"] == 1.0
+    assert got["SKEW"]["hhi"] == (300**2 + 100**2) / 400**2  # 10/16
+    assert got["SKEW"]["total_revenue"] == 400.0
