@@ -120,6 +120,8 @@ HEADS = [
     "array_function_surface",
     "audience_overlap_matrix",
     "weekday_hour_heatmap",
+    "event_interarrival_profile",
+    "supplier_revenue_hhi",
 ]
 
 # key columns that get the per-copy offset (sf-proportional keys only —
