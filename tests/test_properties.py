@@ -1219,3 +1219,89 @@ def test_mann_kendall_antisymmetry_under_time_reversal(spark, vals):
     lower, upper = slopes[k - 1], slopes[len(slopes) - k]
     assert lower - 1e-9 <= -rev["theil_sen_slope"] * 100 <= upper + 1e-9
     assert abs(fwd["theil_sen_slope"] * 100 - lower) < 1e-9
+
+
+hhi_strategy = st.lists(
+    st.integers(min_value=1, max_value=100_000),  # micro-dollar revenues
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(revs=hhi_strategy)
+def test_hhi_bounds_and_split_monotonicity(spark, revs):
+    """For any supplier revenue vector: HHI lies in [1/n, 1]; and
+    splitting one supplier into two equal halves strictly decreases it
+    (concentration falls when a market participant fragments) — the
+    defining monotonicity of the index."""
+    import math
+
+    def hhi_of(vals):
+        n = sum(vals)
+        return sum(v * v for v in vals) / (n * n)
+
+    # exact reference in python ints (one float division, same as engine)
+    g = hhi_of(revs)
+    n = len(revs)
+    assert 1 / n - 1e-12 <= g <= 1 + 1e-12
+    # split the largest supplier in two equal halves (even value only)
+    i = max(range(n), key=lambda k: (revs[k], k))
+    if revs[i] >= 2:
+        half = revs[i] // 2
+        rest = revs[i] - half
+        split = revs[:i] + revs[i + 1:] + [half, rest]
+        assert hhi_of(split) < g + 1e-15
+
+
+ks_strategy = st.tuples(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=25),
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=25),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ab=ks_strategy)
+def test_ks_head_matches_exact_python_for_any_multisets(spark, ab, tmp_path_factory):
+    """For ANY two length multisets: the registered KS head equals the
+    exact pure-python sup|ECDF_a − ECDF_rest| (same integer
+    cross-multiplication, same smallest-length tie-break), and the
+    statistic is symmetric between the two sources of a two-source
+    corpus."""
+    import bisect
+
+    from gmall_flink_parent_spark import plans  # noqa: F401  (import order)
+    from gmall_flink_parent_spark.functions.expectations import source_length_ks
+    from pyspark.sql import functions as F
+
+    a, b = ab
+    tmp_path = tmp_path_factory.mktemp("ks")
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(
+        [(i, s, int(v)) for i, (s, v) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    ).select(
+        "doc_id",
+        F.repeat(F.lit("x"), F.col("n_chars").cast("int")).alias("text"),
+        F.lit("en").alias("lang"),
+        "source",
+        "n_chars",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r["source"]: r for r in source_length_ks(spark, str(tmp_path)).collect()}
+
+    pooled = sorted(set(a) | set(b))
+    sa, sb = sorted(a), sorted(b)
+    na, nb = len(sa), len(sb)
+    best = (-1, None)
+    for v in pooled:
+        d = abs(bisect.bisect_right(sa, v) * nb - bisect.bisect_right(sb, v) * na)
+        if d > best[0]:
+            best = (d, v)
+    expect = best[0] / (na * nb)
+    assert got["A"]["ks_stat"] == expect
+    assert got["A"]["ks_at_chars"] == best[1]
+    # two-source corpora are symmetric: rest(A) = B and rest(B) = A
+    assert got["B"]["ks_stat"] == expect
