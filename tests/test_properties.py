@@ -1228,24 +1228,52 @@ hhi_strategy = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(revs=hhi_strategy)
-def test_hhi_bounds_and_split_monotonicity(spark, revs):
-    """For any supplier revenue vector: HHI lies in [1/n, 1]; and
-    splitting one supplier into two equal halves strictly decreases it
-    (concentration falls when a market participant fragments) — the
-    defining monotonicity of the index."""
-    import math
+def test_hhi_bounds_and_split_monotonicity(spark, revs, tmp_path_factory):
+    """For any supplier revenue vector: the ENGINE's HHI equals the
+    exact python reference (same integers, same one division), lies in
+    [1/n, 1], and splitting one supplier into two equal halves
+    strictly decreases it (concentration falls when a market
+    participant fragments) — the defining monotonicity of the index."""
+    from gmall_flink_parent_spark import plans  # noqa: F401  (import order)
+    from gmall_flink_parent_spark.operators.analytics import supplier_revenue_hhi
+    from pyspark.sql import functions as F
 
     def hhi_of(vals):
+        # mirror the engine's float chain exactly: one division by the
+        # double PRODUCT (sq / (tot*tot)), not two sequential divisions
         n = sum(vals)
-        return sum(v * v for v in vals) / (n * n)
+        return sum(v * v for v in vals) / (float(n) * float(n))
 
-    # exact reference in python ints (one float division, same as engine)
-    g = hhi_of(revs)
+    def engine_hhi(vals):
+        tmp_path = tmp_path_factory.mktemp("hhi")
+        spark.createDataFrame(
+            [(i, i + 1, v / 1e6, 0.0, "2024-03-01 00:00:00")
+             for i, v in enumerate(vals)],
+            "l_orderkey long, l_suppkey long, l_extendedprice double, "
+            "l_discount double, ship string",
+        ).selectExpr(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "CAST(ship AS TIMESTAMP) AS l_shipdate",
+        ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            [(i + 1, f"S{i}", 0, 0.0) for i in range(len(vals))],
+            "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+        ).coalesce(1).write.parquet(str(tmp_path / "supplier.parquet"))
+        spark.createDataFrame(
+            [(0, "N")], "n_nationkey long, n_name string"
+        ).coalesce(1).write.parquet(str(tmp_path / "nation.parquet"))
+        return supplier_revenue_hhi(spark, str(tmp_path)).collect()[0]["hhi"]
+
+    # micro-dollar revenues are exact through the double round trip
+    # (v/1e6 at these magnitudes is an exact decimal(18,6) value)
+    g = engine_hhi(revs)
     n = len(revs)
+    assert g == hhi_of(revs)
     assert 1 / n - 1e-12 <= g <= 1 + 1e-12
-    # split the largest supplier in two equal halves (even value only)
+    # split the largest supplier in two equal halves (python side: the
+    # monotonicity is a property of the index, already proven equal)
     i = max(range(n), key=lambda k: (revs[k], k))
     if revs[i] >= 2:
         half = revs[i] // 2
