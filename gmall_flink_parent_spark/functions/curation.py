@@ -168,7 +168,14 @@ FROM documents
 """
 
 
-@register("doc_clean_normalize", oracle=CLEAN_ORACLE, tags=("text", "clean"))
+# rotated out of the driver window in round 12 (long-green since r1;
+# doc_text_profile + pii_scrub keep the text-clean family in-window)
+@register(
+    "doc_clean_normalize",
+    oracle=CLEAN_ORACLE,
+    tags=("text", "clean"),
+    past_window=True,
+)
 def doc_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization pass: lowercase → strip non-alphanumerics → collapse
     whitespace → trim; emits the cleaned-text fingerprint and length.

@@ -225,7 +225,14 @@ SELECT 'ngram3' AS tier, * FROM ({NGRAM_JACCARD_ORACLE})
 """
 
 
-@register("dedup_jaccard_tiers", oracle=JACCARD_TIERS_ORACLE, tags=("dedup", "ngram"))
+# rotated out of the driver window in round 12 (long-green since r1;
+# dedup_exact/minhash/cascade/simhash/prefix keep the family in-window)
+@register(
+    "dedup_jaccard_tiers",
+    oracle=JACCARD_TIERS_ORACLE,
+    tags=("dedup", "ngram"),
+    past_window=True,
+)
 def dedup_jaccard_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both exact-Jaccard ground-truth tiers in one query, tagged by
     ``tier``: token-set Jaccard (order-free, threshold 0.6) and word-

@@ -711,7 +711,7 @@ FROM scored WHERE rnk = 1
     "source_length_ks",
     oracle=SOURCE_KS_ORACLE,
     tags=("text", "quality", "validation", "drift"),
-    past_window=True,
+    # promoted into the driver window in the round-12 rotation
 )
 def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic of each source's

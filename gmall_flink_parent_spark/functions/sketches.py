@@ -249,7 +249,10 @@ FROM hits GROUP BY doc_id
     "contamination_bloom",
     oracle=CONTAMINATION_BLOOM_ORACLE,
     tags=("text", "decontam", "sketch", "approx"),
-    # rotated INTO the driver window in round 9 (swap: vocab_top_tokens out)
+    # rotated INTO the window in round 9 (swap: vocab_top_tokens out);
+    # rotated out in round 12 (long-green r9–r11; contamination_4gram
+    # keeps the decontamination family in-window)
+    past_window=True,
 )
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination — the 100 TB form of

@@ -2734,7 +2734,7 @@ GROUP BY a.t, b.t, c.t
     "event_sequence3_support",
     oracle=SEQUENCE3_SUPPORT_ORACLE,
     tags=("dws", "sequence", "mining"),
-    past_window=True,
+    # promoted into the driver window in the round-12 rotation
 )
 def event_sequence3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-3 sequential-pattern support — users with some A, then a
@@ -3242,7 +3242,7 @@ FROM agg
     "supplier_revenue_hhi",
     oracle=SUPPLIER_HHI_ORACLE,
     tags=("join", "distribution", "hhi"),
-    past_window=True,
+    # promoted into the driver window in the round-12 rotation
 )
 def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl-Hirschman index of supplier revenue per nation — the

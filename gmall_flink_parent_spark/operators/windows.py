@@ -40,7 +40,14 @@ def hourly_grain(events: DataFrame) -> DataFrame:
     )
 
 
-@register("hourly_stats", oracle=HOURLY_STATS_ORACLE, tags=("dws", "window-agg"))
+# rotated out of the driver window in round 12 (long-green since r1;
+# revenue_rollup + session_window_stats keep the window-agg family in)
+@register(
+    "hourly_stats",
+    oracle=HOURLY_STATS_ORACLE,
+    tags=("dws", "window-agg"),
+    past_window=True,
+)
 def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregate per event type.
 
@@ -179,7 +186,14 @@ def rank_topk_spend(spend: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-@register("topk_users_by_spend", oracle=TOPK_ORACLE, tags=("dws", "topk"))
+# rotated out of the driver window in round 12 (long-green since r1;
+# user_value_distribution keeps the per-user rank family in-window)
+@register(
+    "topk_users_by_spend",
+    oracle=TOPK_ORACLE,
+    tags=("dws", "topk"),
+    past_window=True,
+)
 def topk_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 users per event type by exact decimal spend (two-pass top-k).
 
@@ -617,7 +631,7 @@ def _overlap_bucket_us(spark: SparkSession) -> int:
     "session_overlap_pairs",
     oracle=OVERLAP_PAIRS_ORACLE,
     tags=("dws", "session", "interval", "range-join"),
-    past_window=True,
+    # promoted into the driver window in the round-12 rotation
 )
 def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-user session co-presence: for every user pair with at
@@ -1237,7 +1251,7 @@ JOIN med m USING (event_type)
     "event_trend_mann_kendall",
     oracle=MANN_KENDALL_ORACLE,
     tags=("dws", "time-series", "trend", "robust"),
-    past_window=True,
+    # promoted into the driver window in the round-12 rotation
 )
 def event_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nonparametric trend per event type: the Mann-Kendall S statistic

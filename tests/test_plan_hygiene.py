@@ -56,11 +56,88 @@ BNLJ_ALLOWED = {
 }
 
 
+# Deliberate UNPARTITIONED windows (WindowExec with an empty partition
+# spec — "No Partition Defined" at runtime, an Exchange SinglePartition
+# in the plan). A global window serializes its whole input through ONE
+# task, so each entry documents why that input is bounded — never the
+# corpus. Any new head whose plan compiles a global window fails the
+# registry-wide pin below until it is either re-partitioned or added
+# here with its bound (VERDICT r11 "next round" #1).
+GLOBAL_WINDOW_ALLOWED = {
+    # Distributed-prefix-sum summary pass: the window orders the
+    # PER-PARTITION offset frame (one row per shuffle partition, ≤
+    # defaultParallelism rows) — the corpus-sized running sum itself is
+    # local offset + broadcast partition offset, never windowed.
+    "training_mixture": "pid-grain offset summary (≤ #partitions rows)",
+    "curriculum_mixture": "pid-grain offset summary (≤ #partitions rows)",
+    "packed_training_stream": "pid-grain offset summaries (≤ #partitions rows each)",
+    "quality_annealed_mixture": "pid-grain offset summary (≤ #partitions rows)",
+    "token_budget_select": "pid-grain offset summary (≤ #partitions rows)",
+    # Global sums over the per-source mixture summary (one row per
+    # source label — config-bounded, ≤ tens of rows at any corpus size).
+    "mixture_budget_weights": "per-source summary frame (≤ |sources| rows)",
+    # Rank over the lexical retriever's TOP-K output (≤ 50 rows by the
+    # BM25 head's constant-k contract) — constant-size sort.
+    "hybrid_rrf_topk": "lexical top-k frame (≤ 50 rows)",
+    # Pooled-ECDF cumulative sum over DISTINCT length values — the
+    # length domain is value-bounded (doc lengths), not corpus-sized.
+    "source_length_ks": "distinct-length vocabulary frame (value-domain bounded)",
+    # Documented single-partition SQL-surface demo head (QUERIES.md):
+    # proves the chain is expressible from spark.sql alone; the
+    # scale-path twin is `training_mixture`/`packed_training_stream`.
+    "sql_mixture_surface": "single-partition demo head by contract",
+}
+
+
 def _physical_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` substrings of a formatted-plan detail line."""
+    out: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start + 1 : i])
+    return out
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Arguments lines of Window nodes with an EMPTY partition spec.
+
+    A formatted Window detail prints ``Arguments: [exprs], [partition],
+    [order]``; the partition group is dropped when empty, so the
+    unpartitioned signature is <3 top-level groups where the second
+    group (when present) is an ORDER spec (carries ASC/DESC) rather
+    than a bare partition column list.
+    """
+    import re
+
+    hits: list[str] = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) Window$", ln.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                g = _bracket_groups(lines[j])
+                if len(g) >= 3:
+                    break  # [exprs], [partition], [order]
+                if len(g) == 2 and not re.search(r"\b(ASC|DESC)\b", g[1]):
+                    break  # [exprs], [partition] (no order spec)
+                hits.append(lines[j][:160])
+                break
+    return hits
 
 
 def _assert_hygienic(plan: str, name: str) -> None:
@@ -69,6 +146,12 @@ def _assert_hygienic(plan: str, name: str) -> None:
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join outside the constant-broadcast allowlist"
+        )
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        unpart = _unpartitioned_windows(plan)
+        assert not unpart, (
+            f"{name}: unpartitioned Window outside the bounded-frame "
+            f"allowlist (serializes its input through one task): {unpart}"
         )
 
 
@@ -91,6 +174,21 @@ def test_plan_hygiene(spark, sf_dir, name):
     _assert_hygienic(
         _physical_plan(plans.all_queries()[name].fn(spark, sf_dir)), name
     )
+
+
+def test_global_window_allowlist_entries_are_live_and_registered(spark, sf_dir):
+    """Anti-staleness guard for GLOBAL_WINDOW_ALLOWED: every entry must
+    name a registered query whose CURRENT plan still compiles an
+    unpartitioned Window — an entry whose head was re-partitioned (or
+    renamed) must be deleted, so the allowlist never over-grants."""
+    registry = plans.all_queries()
+    for name in sorted(GLOBAL_WINDOW_ALLOWED):
+        assert name in registry, f"{name}: allowlisted but not registered"
+        plan = _physical_plan(registry[name].fn(spark, sf_dir))
+        assert _unpartitioned_windows(plan), (
+            f"{name}: allowlisted but its plan no longer has an "
+            "unpartitioned Window — remove the stale entry"
+        )
 
 
 def test_plan_hygiene_cluster_keep(cluster_keep_df):
