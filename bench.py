@@ -444,23 +444,28 @@ def main() -> None:
         ),
         default=0,
     )
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(
-                {
-                    **base,
-                    "round": this_round,
-                    "reruns": reruns,
-                    "queries": timings,
-                    "rep_spread": spreads,
-                    "loadavg_per_query": load_per_query,
-                    "reps": reps,
-                },
-                fh,
-                indent=1,
-            )
-    except OSError:
-        pass  # diagnosis file is best-effort; the stdout line is the artifact
+    detail = {
+        **base,
+        "round": this_round,
+        "reruns": reruns,
+        "queries": timings,
+        "rep_spread": spreads,
+        "loadavg_per_query": load_per_query,
+        "reps": reps,
+    }
+    # Two copies: the legacy mutable path (tools read "the latest sweep"
+    # here) and an IMMUTABLE per-round artifact — the driver's own sweep
+    # overwrites BENCH_DETAIL.json in the working tree, which made past
+    # rounds' full per-query maps recoverable only via git archaeology
+    # (VERDICT r11 #6). BENCH_DETAIL_r{N}.json is written once per round
+    # and never touched by later sweeps, so adjudication of round N's
+    # movers always has round N's full 163-query map on disk.
+    for path in (detail_path, os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json")):
+        try:
+            with open(path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass  # diagnosis file is best-effort; the stdout line is the artifact
     line = json.dumps(_pack_stdout_queries(timings, base))
     # Hard gate: an oversized line is a FAILED bench run locally, never a
     # silently-decapitated driver artifact.

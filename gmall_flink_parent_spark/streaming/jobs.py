@@ -447,6 +447,18 @@ def order_wide_anti_stream(orders: DataFrame, details: DataFrame) -> DataFrame:
     unmatched order produces exactly one null row at watermark
     closure, which is precisely the anti row. Emission lags one
     micro-batch behind the watermark, like the outer form it rides.
+
+    Finality rule (watermark edge, pinned by
+    ``test_order_wide_anti_stream_timeout_is_final_under_late_data``):
+    once the anti row is EMITTED it is final — a later in-band detail
+    is dropped by the state watermark and can neither revoke nor
+    duplicate it (the append-only sink and the evicted state are both
+    one-way doors), exactly Flink's fired-timer contract
+    (``UserJumpDetailApp.java:134-159``). The edge case: eviction runs
+    at micro-batch END, so a late in-band detail landing in the SAME
+    batch that would evict the order still joins the live state and
+    suppresses the anti row — a one-batch suppression grace, the
+    Spark analog of an event racing the CEP timer inside one firing.
     Batch twin (oracle-backed via NOT EXISTS):
     ``operators/order_wide.py::order_detail_anti_join``.
     """

@@ -4726,3 +4726,105 @@ def test_order_wide_full_stream_preserves_both_sides(spark, sf_dir, tmp_path):
     assert len([r for r in want if r[1] is None]) > 0, "no never-shipped order"
     assert len([r for r in want if r[0] is None]) > 0, "no unclaimed shipment"
     assert got == want
+
+
+def test_order_wide_anti_stream_timeout_is_final_under_late_data(spark, tmp_path):
+    """Watermark-EDGE semantics of the stream-stream ANTI band join —
+    the CEP-timeout FINALITY contract (reference
+    ``UserJumpDetailApp.java:134-159``: once the ``within`` timer fires
+    the timeout side-output row is final; a later in-pattern event
+    cannot recall it). The Spark twin's rule, pinned here per
+    micro-batch:
+
+    - a detail INSIDE an order's band that arrives BEFORE the
+      watermark closes the band SUPPRESSES the anti row (order 2);
+    - a detail INSIDE the band that arrives AFTER the anti row was
+      emitted is DROPPED by the state-watermark filter and must NOT
+      revoke (or duplicate) the emitted row (order 1) — emission is
+      exactly-once and final, the same one-way door as Flink's timer
+      firing.
+
+    One measured nuance (kept out of the contract deliberately): the
+    eviction-and-emit runs at the END of a micro-batch, so a late
+    in-band detail landing in the SAME batch that would evict the
+    order still joins the not-yet-cleaned state and suppresses the
+    anti row — a one-batch suppression grace, mirroring Flink's
+    "event races the timer inside one firing" window. Finality begins
+    at EMISSION: once the anti row is in the sink, no later detail can
+    touch it (state is gone, the row is append-only). Five
+    mtime-ordered single-file micro-batches per side place the late
+    row one batch AFTER the emission batch; its drop is also observed
+    directly in the progress counters (``numRowsDroppedByWatermark``)."""
+    import datetime as _dt
+    import os
+    import time
+
+    import pandas as pd
+
+    from gmall_flink_parent_spark.streaming.jobs import order_wide_anti_stream
+
+    d0 = _dt.datetime(2020, 1, 1)
+    far = [_dt.datetime(2300 + i, 1, 1) for i in range(4)]
+
+    def write(side: str, slot: int, rows: list[tuple], cols: list[str]):
+        d = tmp_path / side
+        d.mkdir(exist_ok=True)
+        pdf = pd.DataFrame(rows, columns=cols)
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("datetime64"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        path = str(d / f"f{slot}.parquet")
+        pdf.to_parquet(path)
+        t = time.time() + 5 * slot
+        os.utime(path, (t, t))
+
+    ocols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    lcols = ["l_orderkey", "l_shipdate"]
+    # slot 1: both real orders; a noise detail pins the l-side watermark
+    write("o", 1, [(1, d0, "1-URGENT"), (2, d0, "1-URGENT")], ocols)
+    write("l", 1, [(-50, d0)], lcols)
+    # slot 2: ON-TIME in-band detail for order 2 (watermark still < band
+    # end, so it suppresses order 2's anti row); o-side sentinel starts
+    # advancing the order watermark
+    write("o", 2, [(-1, far[0], "x")], ocols)
+    write("l", 2, [(2, d0 + _dt.timedelta(days=5))], lcols)
+    # slot 3: both watermarks jump past every band end → next batch
+    # operates at wm ≈ far[0], evicting order 1 and EMITTING its anti row
+    write("o", 3, [(-2, far[1], "x")], ocols)
+    write("l", 3, [(-60, far[0])], lcols)
+    # slot 4: the emission batch (order 1's anti row lands here); fresh
+    # sentinels keep both sources supplying exactly one file per trigger
+    write("o", 4, [(-3, far[2], "x")], ocols)
+    write("l", 4, [(-61, far[1])], lcols)
+    # slot 5: the LATE detail for order 1 — inside its band by event
+    # time, one batch AFTER the anti emission by arrival → must be
+    # dropped by the state watermark; the emitted anti row must stand
+    write("o", 5, [(-4, far[3], "x")], ocols)
+    write("l", 5, [(1, d0 + _dt.timedelta(days=10))], lcols)
+
+    orders = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderdate timestamp, o_orderpriority string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "o"))
+    )
+    details = (
+        spark.readStream.schema("l_orderkey long, l_shipdate timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "l"))
+    )
+    out, q = _run_to_memory(
+        order_wide_anti_stream(orders, details), spark, "owa_edge", with_query=True
+    )
+    keys = [r["o_orderkey"] for r in out.collect() if r["o_orderkey"] > 0]
+    assert keys.count(1) == 1, (
+        f"order 1 must time out exactly once and stay final: {keys}"
+    )
+    assert 2 not in keys, "on-time in-band detail must suppress the anti row"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1, "the late in-band detail never hit the watermark filter"
