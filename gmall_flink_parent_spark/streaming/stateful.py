@@ -388,3 +388,142 @@ def uv_dedup_stream_builtin(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "visit_ymd"])
         .select("user_id", "visit_ymd")
     )
+
+
+# --------------------------------------------------------------------
+# W3 on transformWithStateInPandas (Spark 4's successor stateful API)
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+
+class BounceProcessor(StatefulProcessor):
+    """The bounce CEP state machine on the ``transformWithState``
+    surface — named state variables + first-class timers, Flink's
+    ``onTimer`` shape (``UserJumpDetailApp.java:101-159``:
+    ``first(landing).next(any).within(window)``, matches discarded,
+    timeouts emitted).
+
+    State per key: ``last`` (last seen event micros) and ``cand``
+    (pending landing id/ts + its registered timer ms — kept so a
+    replacement can ``deleteTimer`` the stale registration, which the
+    old API's single implicit timeout slot did automatically). Timer
+    expiries are clamped to watermark + 1 so an already-due timeout
+    fires at the first possible instant, same as the old twin.
+
+    Module-scope (not a closure) so the machine is drivable WITHOUT a
+    streaming runtime: this container lacks the Python ``protobuf``
+    package the ``TransformWithStateInPySpark`` driver worker needs,
+    so the end-to-end form is gated on that import
+    (``tests/test_streaming.py``) while the state machine itself is
+    parity-tested against batch semantics through fake handles.
+    """
+
+    def __init__(self, window_us: int = BOUNCE_WINDOW_US) -> None:
+        self._window_us = window_us
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._last = handle.getValueState("last", "last_us long")
+        self._cand = handle.getValueState(
+            "cand", "cand_id long, cand_us long, reg_ms long"
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        window_us = self._window_us
+        last_us = self._last.get()[0] if self._last.exists() else None
+        cand_id, cand_us, reg_ms = (
+            self._cand.get() if self._cand.exists() else (None, None, None)
+        )
+        bounces: list[tuple[int, int, int]] = []
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ev_us = r.ts.value // 1000
+                if cand_id is not None:
+                    if ev_us - cand_us > window_us:
+                        bounces.append((cand_id, r.user_id, cand_us))
+                    self._handle.deleteTimer(reg_ms)
+                    cand_id, cand_us, reg_ms = None, None, None
+                if last_us is None or ev_us - last_us > window_us:
+                    cand_id, cand_us = r.event_id, ev_us
+                last_us = ev_us
+        self._last.update((last_us,))
+        if cand_id is not None:
+            reg_ms = max(
+                cand_us // 1000 + window_us // 1000 + 1,
+                timerValues.getCurrentWatermarkInMs() + 1,
+            )
+            self._handle.registerTimer(reg_ms)
+            self._cand.update((cand_id, cand_us, reg_ms))
+        else:
+            self._cand.clear()
+        yield pd.DataFrame(
+            {
+                "event_id": [b[0] for b in bounces],
+                "user_id": [b[1] for b in bounces],
+                "ts": [pd.Timestamp(b[2], unit="us") for b in bounces],
+            }
+        )
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame({"event_id": [], "user_id": [], "ts": []})
+        if not self._cand.exists():
+            yield empty
+            return
+        cand_id, cand_us, reg_ms = self._cand.get()
+        if reg_ms != expiredTimerInfo.getExpiryTimeInMs():
+            # stale firing for a replaced candidate — its deleteTimer
+            # raced the expiry; the live registration fires later
+            yield empty
+            return
+        self._cand.clear()
+        yield pd.DataFrame(
+            {
+                "event_id": [cand_id],
+                "user_id": [key[0]],
+                "ts": [pd.Timestamp(cand_us, unit="us")],
+            }
+        )
+
+
+def bounce_detect_tws(
+    events: DataFrame, window_us: int = BOUNCE_WINDOW_US
+) -> DataFrame:
+    """W3 via ``transformWithStateInPandas`` — the SAME bounce machine
+    as ``bounce_detect_stream``, on the API Spark is investing in.
+
+    What the new API buys (SCALE.md "transformWithState trade"): named
+    state variables (one ``ValueState`` per concern instead of one
+    packed tuple), first-class timers (many per key,
+    register/delete/expire callbacks — the old API has ONE implicit
+    timeout slot), built-in per-state TTL
+    (``getValueState(ttlDurationMs=…)`` expresses W6 with zero custom
+    eviction code), and state-schema evolution. The trade: a separate
+    timer store keyed by (key, expiry) and a second state round-trip
+    per batch, vs the old API's single packed tuple.
+
+    Runtime note: executing this plan needs the Python ``protobuf``
+    package (the ``TransformWithStateInPySpark`` worker's state-server
+    protocol), absent from this container — the plan compiles and the
+    machine is batch-parity-tested through fakes; the end-to-end run is
+    import-gated in tests, the same honest seam as the Kafka broker.
+    """
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            BounceProcessor(window_us),
+            outputStructType="event_id long, user_id long, ts timestamp",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

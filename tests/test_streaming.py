@@ -133,6 +133,209 @@ def test_bounce_stream_full_parity_with_epilogue(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def _has_python_protobuf() -> bool:
+    """The TransformWithStateInPySpark driver worker speaks a protobuf
+    state-server protocol; without the Python ``protobuf`` package the
+    query crashes at init (observed: STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE / ImportError google.protobuf.descriptor)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """StatefulProcessorHandle double: named value states + a timer
+    registry, faithful to the real API's per-key expiry set."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+class _FakeExpiredTimerInfo:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def test_bounce_tws_state_machine_matches_batch(spark, sf_dir):
+    """Drive ``BounceProcessor`` through a faithful simulation of the
+    transformWithState runtime contract — per-key ``handleInputRows``
+    with the batch's operating watermark, then ``handleExpiredTimer``
+    for every registered expiry the watermark passed (watermark N =
+    max event time through batch N-1, delay 0 s) — over the full
+    events table plus the same two-sentinel epilogue as the e2e
+    harness. The union of emissions must equal batch ``bounce_detect``
+    EXACTLY, which (with the old API's own full-parity pin) also
+    proves the two streaming forms emit the same rows. The fakes exist
+    because this container lacks Python protobuf (the new API's worker
+    protocol) — the e2e test below runs wherever it is installed."""
+    proc = stateful.BounceProcessor()
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    max_ts = pdf["ts"].max()
+    sentinels = [
+        pd.DataFrame(
+            {
+                "event_id": [10_000_000 + i],
+                "ts": [(max_ts + pd.Timedelta(days=d)).to_datetime64()],
+                "user_id": [-1],
+            }
+        )
+        for i, d in enumerate((30, 60))
+    ]
+    handles: dict = {}
+    emitted = []
+    wm_ms = -(10**15)  # pre-first-batch watermark (epoch-ish floor)
+    seen_max_us = None
+    for batch in (pdf, *sentinels):
+        tv = _FakeTimerValues(wm_ms)
+        for uid, grp in batch.groupby("user_id"):
+            h = handles.get(uid)
+            if h is None:
+                h = handles[uid] = _FakeHandle()
+                proc_h = stateful.BounceProcessor()
+                proc_h.init(h)
+                h.proc = proc_h
+            for out in h.proc.handleInputRows((uid,), iter([grp]), tv):
+                emitted.append(out)
+        # end of batch: advance the watermark, then fire due timers in
+        # the NEXT batch position (Spark fires them with the new wm)
+        batch_max_us = batch["ts"].max().value // 1000
+        seen_max_us = (
+            batch_max_us if seen_max_us is None else max(seen_max_us, batch_max_us)
+        )
+        wm_ms = seen_max_us // 1000  # 0-second delay
+        for uid, h in handles.items():
+            for ms in sorted(h.timers):
+                if ms <= wm_ms:
+                    h.timers.discard(ms)
+                    for out in h.proc.handleExpiredTimer(
+                        (uid,), _FakeTimerValues(wm_ms), _FakeExpiredTimerInfo(ms)
+                    ):
+                        emitted.append(out)
+    got = {
+        (int(r.event_id), int(r.user_id), r.ts)
+        for out in emitted
+        if len(out)
+        for r in out.itertuples(index=False)
+        if r.user_id != -1
+    }
+    want = {
+        (r["event_id"], r["user_id"], pd.Timestamp(r["ts"]))
+        for r in plans.query_map()["bounce_detect"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_bounce_tws_plan_wires_without_runtime(spark, sf_dir):
+    """The transformWithState plan must CONSTRUCT against the real
+    stream source (schema + analyzer checks run here) even where the
+    protobuf runtime is absent — pins the wiring: output schema
+    identical to the old-API twin's, eventTime mode accepted."""
+    new = stateful.bounce_detect_tws(events_stream(spark, sf_dir))
+    old = stateful.bounce_detect_stream(events_stream(spark, sf_dir))
+    assert new.schema == old.schema
+    assert new.isStreaming
+
+
+@pytest.mark.skipif(
+    not _has_python_protobuf(),
+    reason="transformWithStateInPandas needs the Python protobuf package "
+    "(state-server protocol); absent from this container — the state "
+    "machine itself is parity-pinned through fakes above",
+)
+def test_bounce_tws_full_parity_with_both_forms(spark, sf_dir, tmp_path):
+    """The ``transformWithStateInPandas`` bounce twin (Spark 4's
+    successor stateful API: named state variables + first-class
+    timers) must emit EXACTLY the batch ``bounce_detect`` rows under
+    the same sentinel-epilogue harness as the old-API twin — one
+    parity pin covering both forms, since the old API's full-parity
+    test asserts the identical set."""
+    import os
+    import time
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    (tmp_path / "in").mkdir()
+    pdf.to_parquet(str(tmp_path / "in" / "f1.parquet"))
+    max_ts = pdf["ts"].max()
+    for i, days in enumerate((30, 60)):
+        sent = pd.DataFrame(
+            {
+                "event_id": [10_000_000 + i],
+                "ts": [(max_ts + pd.Timedelta(days=days))],
+                "user_id": [-1],
+            }
+        )
+        sent["ts"] = sent["ts"].astype("datetime64[us]")
+        path = str(tmp_path / "in" / f"f{i + 2}.parquet")
+        sent.to_parquet(path)
+        t = time.time() + 5 * (i + 1)
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    out = _run_to_memory(
+        stateful.bounce_detect_tws(stream), spark, "bounce_tws_out"
+    )
+    cols = ["event_id", "user_id", "ts"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in out.filter(F.col("user_id") != -1).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in plans.query_map()["bounce_detect"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_bounce_reference_fixture(spark, tmp_path):
     """The reference's 4-event fixture: mid 101's landing has no next
     event within the window (bounce); mid 102's does (no bounce)."""
