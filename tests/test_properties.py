@@ -1333,3 +1333,177 @@ def test_ks_head_matches_exact_python_for_any_multisets(spark, ab, tmp_path_fact
     assert got["A"]["ks_at_chars"] == best[1]
     # two-source corpora are symmetric: rest(A) = B and rest(B) = A
     assert got["B"]["ks_stat"] == expect
+
+
+# ------------------------------------------------------------------
+# Chaos property: the store-fence protocol under arbitrary interleaved
+# crash sequences (VERDICT r11 "next round" #8) — the strongest
+# exactly-once statement available without a broker.
+
+
+def test_store_fence_chaos_state_machine(spark, tmp_path):
+    """Interleave arbitrary (land-batch, crash-before-commit, replay,
+    compact, crash-between-swap-renames, crash-leaving-stale-debris)
+    sequences against a real `batch_id=N` partial store and assert,
+    after EVERY step, that one protocol-entry heal
+    (``_clear_swap_leftovers`` — what every consumer and maintenance
+    pass runs first) leaves the store aggregate equal to a
+    PREFIX-CONSISTENT batch result: the sum over all committed batches
+    plus at most one landed-but-uncommitted batch, each counted exactly
+    once. Micro-batch determinism (replay rewrites identical rows into
+    its own partition) is the streaming contract the idempotent
+    partition overwrite relies on, so the model replays the same rows.
+
+    Hypothesis drives the schedule; the rules map 1:1 to the crash
+    points the protocol documents:
+
+    - ``land``: the ``_partial_store_job`` foreachBatch body — partition
+      overwrite, then (maybe) the checkpoint commit record; "maybe" IS
+      the crash-between-sink-write-and-commit point.
+    - ``replay``: the stream re-running the uncommitted batch after a
+      crash — identical rows, same ``batch_id=N`` partition, commit.
+    - ``compact``: ``compact_partial_store`` with the checkpoint — only
+      committed batches fold; an uncommitted partition must survive in
+      place for the replay to overwrite.
+    - ``crash_between_renames``: the swap's one exposure window — the
+      table exists only under ``._old`` (plus a garbage ``._tmp``).
+    - ``crash_stale_debris``: crash before the first / after the second
+      rename — ``path`` intact, stale side dirs present.
+    """
+    import os
+    import uuid
+
+    from hypothesis.stateful import (
+        RuleBasedStateMachine,
+        invariant,
+        precondition,
+        rule,
+        run_state_machine_as_test,
+    )
+
+    from gmall_flink_parent_spark.streaming.store import (
+        COMPACT_BASE_ID,
+        _clear_swap_leftovers,
+        compact_partial_store,
+    )
+
+    def batch_rows(n: int) -> list[tuple[int, int]]:
+        # deterministic per batch id — the replay-determinism contract
+        return [(n % 3, n + 1), ((n + 1) % 5, 2 * n + 1)]
+
+    class StoreFenceMachine(RuleBasedStateMachine):
+        def __init__(self):
+            super().__init__()
+            root = tmp_path / uuid.uuid4().hex
+            root.mkdir()
+            self.store = str(root / "store")
+            self.ckpt = str(root / "ckpt")
+            os.makedirs(os.path.join(self.ckpt, "commits"))
+            self.next_id = 0
+            self.committed: list[int] = []
+            self.pending: int | None = None
+
+        def _land_partition(self, n: int) -> None:
+            spark.createDataFrame(batch_rows(n), "k long, v long").write.mode(
+                "overwrite"
+            ).parquet(f"{self.store}/batch_id={n}")
+
+        def _commit(self, n: int) -> None:
+            with open(os.path.join(self.ckpt, "commits", str(n)), "w") as fh:
+                fh.write("v1")
+
+        @precondition(lambda self: self.pending is None)
+        @rule(commit=st.booleans())
+        def land(self, commit: bool):
+            n = self.next_id
+            self.next_id += 1
+            self._land_partition(n)
+            if commit:
+                self._commit(n)
+                self.committed.append(n)
+            else:
+                self.pending = n  # crashed between sink write and commit
+
+        @precondition(lambda self: self.pending is not None)
+        @rule()
+        def replay(self):
+            n = self.pending
+            self._land_partition(n)  # identical rows, same partition
+            self._commit(n)
+            self.committed.append(n)
+            self.pending = None
+
+        @rule()
+        def compact(self):
+            compact_partial_store(
+                spark, self.store, ["k"], checkpoint_location=self.ckpt
+            )
+            if self.pending is not None:
+                # the uncommitted partition must have survived in place
+                assert os.path.exists(
+                    f"{self.store}/batch_id={self.pending}"
+                ), "compaction folded an uncommitted batch"
+
+        @precondition(
+            lambda self: os.path.exists(self.store)
+            and not os.path.exists(self.store + "._old")
+        )
+        @rule()
+        def crash_between_renames(self):
+            os.rename(self.store, self.store + "._old")
+            # the half-written replacement the crash abandoned
+            spark.createDataFrame(
+                [(99, 10**6)], "k long, v long"
+            ).write.mode("overwrite").parquet(self.store + "._tmp")
+
+        @precondition(lambda self: os.path.exists(self.store))
+        @rule()
+        def crash_stale_debris(self):
+            for side in ("._tmp", "._old"):
+                spark.createDataFrame(
+                    [(98, 10**6)], "k long, v long"
+                ).write.mode("overwrite").parquet(self.store + side)
+
+        @invariant()
+        def store_equals_a_prefix_consistent_batch_result(self):
+            _clear_swap_leftovers(spark, self.store)  # any protocol entry
+            seen = list(self.committed) + (
+                [self.pending] if self.pending is not None else []
+            )
+            expect: dict[int, int] = {}
+            for n in seen:
+                for k, v in batch_rows(n):
+                    expect[k] = expect.get(k, 0) + v
+            if not os.path.exists(self.store):
+                assert not seen, "store vanished with landed batches"
+                return
+            got = {
+                r["k"]: r["total"]
+                for r in spark.read.parquet(self.store)
+                .groupBy("k")
+                .agg(F.sum("v").alias("total"))
+                .collect()
+            }
+            assert got == expect, (
+                f"store={got} expected={expect} committed={self.committed} "
+                f"pending={self.pending}"
+            )
+            ids = {
+                int(d.split("=")[1])
+                for d in os.listdir(self.store)
+                if d.startswith("batch_id=")
+            }
+            uncommitted = ids - set(self.committed) - {COMPACT_BASE_ID}
+            assert uncommitted <= {self.pending}, (
+                f"unexplained partitions: {uncommitted}"
+            )
+
+    run_state_machine_as_test(
+        StoreFenceMachine,
+        settings=settings(
+            max_examples=5,
+            stateful_step_count=8,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        ),
+    )
