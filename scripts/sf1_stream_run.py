@@ -127,11 +127,120 @@ def run(work: str | None = None) -> dict:
     return {"metric": "sf1_stream_run", "sf": 1.0, "n_files": N_FILES, "heads": heads}
 
 
+def run_stores(work: str | None = None) -> dict:
+    """Drive the three incremental-STORE jobs over the sf1 shards and
+    hash-compare every from-store final pass against its batch twin AT
+    SF1 (VERDICT r11 next-round #3) — the first at-scale proof of the
+    store-serving pattern end to end. The sf0.1 suite pins hash parity;
+    what only this run can show is (a) store-job throughput at 10× and
+    (b) that the PARITY survives real multi-batch accumulation at sf1
+    volumes (6M events / 6M lineitems through 8 micro-batches)."""
+    import gmall_flink_parent_spark.plans as plans  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.session import get_spark
+    from gmall_flink_parent_spark.sources.tables import load_table
+    from gmall_flink_parent_spark.streaming.jobs import (
+        daily_value_from_store,
+        daily_value_store_job,
+        pricing_summary_from_store,
+        pricing_summary_store_job,
+        sequence_support_from_store,
+        sequence_support_store_job,
+    )
+
+    spark = get_spark("gmall-sf1-stores")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    owns_work = work is None
+    if owns_work:
+        work = tempfile.mkdtemp(prefix="sf1_stores_")
+    heads: dict[str, dict] = {}
+
+    def rows_of(df) -> list[tuple]:
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(repr(r[c]) for c in cols) for r in df.collect()), key=repr
+        )
+
+    try:
+        n_events = _split_table(spark, SF1_DIR, "events", f"{work}/events", N_FILES)
+        n_li = _split_table(spark, SF1_DIR, "lineitem", f"{work}/li", N_FILES)
+
+        def drive(name, job, in_dir, n_rows, store, ck, from_store, batch_df):
+            t0 = time.monotonic()
+            q = job(_file_stream(spark, in_dir), store, ck)
+            stats = _drain(q)
+            wall = round(time.monotonic() - t0, 3)
+            got = rows_of(from_store(spark, store))
+            want = rows_of(batch_df)
+            assert got == want and len(want) > 0, (
+                f"{name}: sf1 store-vs-batch parity broke "
+                f"({len(got)} vs {len(want)} rows)"
+            )
+            heads[name] = {
+                "rows_in": n_rows,
+                "wall_sec": wall,
+                "rows_per_sec": round(n_rows / wall, 1),
+                **stats,
+                "store_vs_batch_sf1": "hash-equal",
+                "result_rows": len(want),
+            }
+
+        ev = load_table(spark, SF1_DIR, "events")
+        drive(
+            "daily_value_store_job",
+            daily_value_store_job,
+            f"{work}/events",
+            n_events,
+            f"{work}/dv_store",
+            f"{work}/ck_dv",
+            daily_value_from_store,
+            ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("v")
+            ),
+        )
+        drive(
+            "sequence_support_store_job",
+            sequence_support_store_job,
+            f"{work}/events",
+            n_events,
+            f"{work}/ss_store",
+            f"{work}/ck_ss",
+            sequence_support_from_store,
+            plans.query_map()["event_sequence_support"](spark, SF1_DIR),
+        )
+        drive(
+            "pricing_summary_store_job",
+            pricing_summary_store_job,
+            f"{work}/li",
+            n_li,
+            f"{work}/ps_store",
+            f"{work}/ck_ps",
+            pricing_summary_from_store,
+            plans.query_map()["pricing_summary"](spark, SF1_DIR),
+        )
+    finally:
+        if owns_work:
+            shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "sf1_store_jobs_run",
+        "sf": 1.0,
+        "n_files": N_FILES,
+        "heads": heads,
+    }
+
+
 def main() -> None:
-    line = json.dumps(run())
+    doc = run_stores() if "--stores" in sys.argv else run()
+    line = json.dumps(doc)
     print(line)
-    if len(sys.argv) > 1:
-        with open(sys.argv[1], "w") as fh:
+    out = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if out:
+        with open(out[0], "w") as fh:
             fh.write(line + "\n")
 
 
