@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_pack_bins",
     "contamination_4gram",
     "sql_function_surface",
+    "sql_dws_surface",
     "vocab_top_tokens",
     "corpus_summary",
     "corpus_filter_pipeline",

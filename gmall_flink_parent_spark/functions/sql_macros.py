@@ -196,3 +196,162 @@ def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ------------------------------------------------------------------
+# W1/W2/W3 as SQL TABLE functions + the SQL-only DWS composite
+
+# Table-valued SQL UDFs (Spark 4: CREATE FUNCTION … RETURNS TABLE …):
+# the stateful trio's BATCH analogs, callable from pure SQL over an
+# `events_v` view — the reference's capabilities (BaseLogTask.java
+# is_new repair, UniqueVisitApp UV dedup, UserJumpDetailApp bounce CEP)
+# with no DataFrame code at all. Bodies are the registered heads'
+# expressions verbatim; each is pinned row-identical to its DataFrame
+# twin in tests/test_operators.py.
+_BOUNCE_US = 30 * 60 * 1_000_000  # mirrors operators/bounce.py
+
+_TABLE_MACROS: list[tuple[str, str, str]] = [
+    (
+        "visitor_repair_sql",
+        "(user_id BIGINT, event_id BIGINT, ymd STRING, is_new STRING)",
+        """
+        SELECT user_id, event_id,
+               date_format(ts, 'yyyyMMdd'),
+               CASE WHEN to_date(ts) = min(to_date(ts)) OVER (PARTITION BY user_id)
+                    THEN '1' ELSE '0' END
+        FROM events_v
+        """,
+    ),
+    (
+        "uv_dedup_sql",
+        "(user_id BIGINT, visit_ymd STRING, first_event_id BIGINT, first_ts TIMESTAMP)",
+        """
+        SELECT user_id, date_format(ts, 'yyyyMMdd'), event_id, ts
+        FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id, to_date(ts)
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM events_v
+        ) WHERE rn = 1
+        """,
+    ),
+    (
+        "bounce_detect_sql",
+        "(event_id BIGINT, user_id BIGINT, ts TIMESTAMP)",
+        f"""
+        SELECT event_id, user_id, ts
+        FROM (
+            SELECT event_id, user_id, ts,
+                   unix_micros(ts) - lag(unix_micros(ts)) OVER w AS pg,
+                   lead(unix_micros(ts)) OVER w - unix_micros(ts) AS ng
+            FROM events_v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE (pg IS NULL OR pg > {_BOUNCE_US})
+          AND (ng IS NULL OR ng > {_BOUNCE_US})
+        """,
+    ),
+]
+
+
+def register_sql_table_functions(spark: SparkSession) -> list[str]:
+    """Install the W1/W2/W3 batch analogs as SQL TABLE functions
+    (idempotent) — ``SELECT * FROM uv_dedup_sql()`` etc. over the
+    ``events_v`` view, which must exist BEFORE this call:
+    ``CREATE FUNCTION`` analyzes the body eagerly against the
+    catalog."""
+    for name, ret_cols, body in _TABLE_MACROS:
+        if spark.catalog.functionExists(name):
+            continue
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}() "
+            f"RETURNS TABLE {ret_cols} RETURN {body}"
+        )
+    return [m[0] for m in _TABLE_MACROS]
+
+
+SQL_DWS_ORACLE = f"""
+WITH marked AS (
+    SELECT event_id, user_id, ts,
+           strftime(ts, '%Y%m%d') AS ymd,
+           CASE WHEN CAST(ts AS DATE) =
+                     min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                THEN 1 ELSE 0 END AS is_new,
+           row_number() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+           ) AS rn,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS pg,
+           lead(epoch_us(ts)) OVER w - epoch_us(ts) AS ng
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT ymd,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uv,
+       CAST(sum(CASE WHEN rn = 1 AND is_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_visitors,
+       CAST(sum(CASE WHEN (pg IS NULL OR pg > {_BOUNCE_US})
+                      AND (ng IS NULL OR ng > {_BOUNCE_US})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM marked
+GROUP BY ymd
+"""
+
+
+@register(
+    "sql_dws_surface",
+    oracle=SQL_DWS_ORACLE,
+    tags=("sql", "dws", "W1", "W2", "W3"),
+    past_window=True,
+)
+def sql_dws_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DWS daily visitor rollup (``VisitorStatsApp``'s
+    uv/new-visitor/bounce counters) computed ENTIRELY through
+    ``spark.sql`` — W1 (is_new repair), W2 (per-user-day dedup) and W3
+    (bounce CEP analog) fused into one query: per day, the unique
+    visitors, the repaired new-visitor count, and the bounce count.
+
+    This is the "query capability" claim in its purest form: a
+    SQL-only user reproduces the stateful trio's batch semantics with
+    zero DataFrame code (the W1/W2/W3 TABLE macros installed by
+    ``register_sql_table_functions`` expose each piece individually;
+    this head fuses them single-scan). Scale shape (pinned in
+    ``tests/test_plan_hygiene.py``): ONE events scan and ONE full-data
+    exchange — hashpartitioning(user_id) — shared by all three windows
+    (Catalyst keeps the (user, day) ranking on the user partitioning
+    since user_id prefixes its key; only the sorts differ), then a
+    map-side-combined day-grain aggregate whose exchange carries ~days
+    rows. Strictly cheaper than unioning the three standalone heads,
+    which would scan and shuffle three times.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        f"""
+        WITH marked AS (
+            SELECT event_id, user_id, ts,
+                   date_format(ts, 'yyyyMMdd') AS ymd,
+                   CASE WHEN to_date(ts) =
+                             min(to_date(ts)) OVER (PARTITION BY user_id)
+                        THEN 1 ELSE 0 END AS is_new,
+                   row_number() OVER (
+                       PARTITION BY user_id, to_date(ts)
+                       ORDER BY ts, event_id
+                   ) AS rn,
+                   unix_micros(ts) - lag(unix_micros(ts)) OVER w AS pg,
+                   lead(unix_micros(ts)) OVER w - unix_micros(ts) AS ng
+            FROM events_v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT ymd,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uv,
+               CAST(sum(CASE WHEN rn = 1 AND is_new = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_visitors,
+               CAST(sum(CASE WHEN (pg IS NULL OR pg > {_BOUNCE_US})
+                              AND (ng IS NULL OR ng > {_BOUNCE_US})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        FROM marked
+        GROUP BY ymd
+        """
+    )

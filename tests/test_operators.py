@@ -4440,3 +4440,35 @@ def test_hhi_on_planted_market_structures(spark, tmp_path):
     assert got["MONO"]["hhi"] == 1.0
     assert got["SKEW"]["hhi"] == (300**2 + 100**2) / 400**2  # 10/16
     assert got["SKEW"]["total_revenue"] == 400.0
+
+
+def test_sql_table_macros_match_dataframe_twins(spark, sf_dir):
+    """The W1/W2/W3 SQL TABLE functions must return row-identical
+    results to their registered DataFrame heads — the pure-SQL user
+    gets the stateful trio's batch semantics verbatim."""
+    from gmall_flink_parent_spark.functions.sql_macros import (
+        register_sql_table_functions,
+    )
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    # the view must exist BEFORE registration: CREATE FUNCTION analyzes
+    # the body eagerly against the catalog
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    register_sql_table_functions(spark)
+    pairs = [
+        ("visitor_repair_sql", "visitor_repair"),
+        ("uv_dedup_sql", "uv_dedup"),
+        ("bounce_detect_sql", "bounce_detect"),
+    ]
+    for macro, head in pairs:
+        got_df = spark.sql(f"SELECT * FROM {macro}()")
+        want_df = plans.query_map()[head](spark, sf_dir)
+        cols = sorted(want_df.columns)
+        assert sorted(got_df.columns) == cols, macro
+        got = sorted(
+            (tuple(repr(r[c]) for c in cols) for r in got_df.collect()), key=repr
+        )
+        want = sorted(
+            (tuple(repr(r[c]) for c in cols) for r in want_df.collect()), key=repr
+        )
+        assert got == want and len(want) > 0, f"{macro} != {head}"

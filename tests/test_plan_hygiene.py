@@ -550,3 +550,18 @@ def test_band_join_forms_plan_as_semi_and_anti(spark, sf_dir):
         assert "l_extendedprice" not in p.split("== Physical Plan ==")[-1].split(
             "ReadSchema"
         )[0], "detail payload columns leaked into the semi/anti plan"
+
+
+def test_sql_dws_surface_shares_one_user_exchange(spark, sf_dir):
+    """The SQL-only W1/W2/W3 composite's scale claim: all three windows
+    ride ONE hashpartitioning(user_id) full-data exchange (the
+    user-day ranking reuses it — user_id prefixes its key); the only
+    other exchange is the ~days-row final aggregate. Pin both, plus
+    the three window passes."""
+    import re
+
+    plan = _physical_plan(plans.all_queries()["sql_dws_surface"].fn(spark, sf_dir))
+    hashes = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert hashes.count("user_id") == 1, hashes
+    assert len(hashes) == 2, hashes  # user_id + the day-grain aggregate
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 3
