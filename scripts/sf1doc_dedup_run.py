@@ -1,0 +1,157 @@
+"""100x documents shard (sf1-doc): direct evidence the banded dedup
+equi-joins hold their LINEARITY two orders of magnitude above bench
+scale (VERDICT r11 next-round #9, stretch).
+
+The sf1 harness inflates every table 10x; dedup truth there is 10
+vocabulary-disjoint copies. This harness inflates DOCUMENTS ONLY to
+100x bench scale (500k docs from the sf0.1 base, same disjoint-vocab
+construction: tokens suffixed "_<copy>", doc_ids offset per copy), then
+runs the two banded-fingerprint heads once each:
+
+- ``dedup_minhash_lsh`` — banded signature equi-join; disjoint copies
+  mean true pairs scale exactly 100x, so wall vs the committed sf0.1 /
+  sf1 numbers reads directly as the linearity curve.
+- ``winnow_near_dup`` — winnowing-fingerprint posting-list join, same
+  argument.
+
+Also emits the LSH **bucket-occupancy histogram** (clusters per
+(band, hash) bucket): per-bucket join work is occupancy², so the
+histogram IS the join-cost model — linearity holds exactly as long as
+occupancy stays flat while bucket COUNT scales, which disjoint copies
+should produce (each copy hashes its own buckets).
+
+Usage: ``python scripts/sf1doc_dedup_run.py [out.json]`` → results to
+SCALE.md "100x documents shard".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.sf1_scale_run import KEY_OFF  # noqa: E402
+
+SF1DOC_DIR = os.environ.get("SPARK_GRAFT_SF1DOC_DIR", "/tmp/spark_graft_sf1doc")
+BASE_DIR = "/root/testdata/sf0.1"
+COPIES = 100
+OUT_FILES = 32
+
+
+def generate(spark) -> None:
+    """Idempotent 100x documents build — same disjoint-vocabulary
+    construction as ``sf1_scale_run._inflate`` (underscore suffix: the
+    base corpus contains no underscores, asserted there)."""
+    marker = os.path.join(SF1DOC_DIR, "_GENERATED")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1DOC_DIR, exist_ok=True)
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE_DIR, "documents")
+    copies = []
+    for i in range(COPIES):
+        df = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFF))
+        if i > 0:
+            df = df.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit("_" + str(i))),
+                    ),
+                    " ",
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        copies.append(df)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(OUT_FILES).write.mode("overwrite").parquet(
+        os.path.join(SF1DOC_DIR, "documents.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
+def bucket_histogram(spark) -> dict:
+    """Clusters per (band, hash) bucket, bucketed by occupancy — the
+    LSH join-cost model (per-bucket work = occupancy²). Uses the SAME
+    signature/band pipeline as the head (one distinct-signature frame,
+    4 band columns stacked)."""
+    from gmall_flink_parent_spark.functions.dedup import (
+        NUM_HASHES,
+        _minhash_sigs,
+        band_hash_cols,
+    )
+    from gmall_flink_parent_spark.sources.tables import fan_out, load_table
+
+    docs = fan_out(spark, load_table(spark, SF1DOC_DIR, "documents"))
+    sig_cols = [f"s{i}" for i in range(NUM_HASHES)]
+    band_cols = band_hash_cols()
+    clusters = (
+        _minhash_sigs(docs).groupBy(*sig_cols).agg(F.count(F.lit(1)))
+        .select(*[c for c in band_cols])
+    )
+    stacked = clusters.selectExpr(
+        "stack({n}, {cols}) AS (band_idx, bh)".format(
+            n=len(band_cols),
+            cols=", ".join(f"{i}, bh{i}" for i in range(len(band_cols))),
+        )
+    )
+    occ = stacked.groupBy("band_idx", "bh").agg(F.count(F.lit(1)).alias("n"))
+    hist_rows = (
+        occ.groupBy("n").agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("n")
+        .collect()
+    )  # bounded: one row per distinct occupancy value
+    return {str(r["n"]): r["n_buckets"] for r in hist_rows}
+
+
+def main() -> None:
+    import gmall_flink_parent_spark.plans as plans
+    from gmall_flink_parent_spark.session import get_spark
+
+    spark = get_spark("gmall-sf1doc")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    generate(spark)
+    gen_sec = round(time.monotonic() - t0, 1)
+    qmap = plans.query_map()
+    heads: dict[str, dict] = {}
+    n_docs = spark.read.parquet(
+        os.path.join(SF1DOC_DIR, "documents.parquet")
+    ).count()
+    for name in ("dedup_minhash_lsh", "winnow_near_dup"):
+        t = time.monotonic()
+        df = qmap[name](spark, SF1DOC_DIR)
+        n_pairs = df.count()
+        wall = round(time.monotonic() - t, 2)
+        heads[name] = {
+            "sec": wall,
+            "pairs": n_pairs,
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+    hist = bucket_histogram(spark)
+    doc = {
+        "metric": "sf1doc_dedup_run",
+        "scale_vs_bench": COPIES,
+        "n_docs": n_docs,
+        "generate_sec": gen_sec,
+        "heads": heads,
+        "lsh_bucket_occupancy_hist": hist,
+    }
+    line = json.dumps(doc)
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
