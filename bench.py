@@ -188,6 +188,7 @@ HEADLINE = [
     "event_value_cusum_shift",
     # round-11 continuation heads
     "event_value_acf",
+    "event_value_ewma",
     "event_dow_seasonality",
     "event_daily_robust_outliers",
     "event_trend_mann_kendall",

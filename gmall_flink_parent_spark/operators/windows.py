@@ -1525,3 +1525,119 @@ def event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif((F.col("s") * F.col("s")).cast("double"), F.lit(0.0))
         ).alias("cv2"),
     )
+
+
+# --------------------------------------------- exponential smoothing
+
+_EWMA_HORIZON = 14  # trailing days
+# alpha = 0.3 = 3/10; relative weight of the day d steps back is
+# a(1-a)^d = 3·7^d / 10^(d+1). Scaling by 10^14 makes every weight an
+# exact INTEGER — 3·7^d·10^(13-d) — so numerator and denominator
+# accumulate in exact integer arithmetic (Spark decimal(38,0), DuckDB
+# HUGEINT, same integers) and the smoothed value is ONE correctly-
+# rounded float division at the very end: bit-exact cross-engine, the
+# `event_value_acf` determinism recipe applied to smoothing.
+_EWMA_W = [3 * 7**d * 10**(_EWMA_HORIZON - 1 - d) for d in range(_EWMA_HORIZON)]
+_EWMA_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN {w}" for d, w in enumerate(_EWMA_W))
+    + " END"
+)
+
+EWMA_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d')
+), pairs AS (
+    SELECT t.event_type, t.ymd, i.c AS c_i,
+           date_diff('day',
+                     CAST(strptime(i.ymd, '%Y%m%d') AS DATE),
+                     CAST(strptime(t.ymd, '%Y%m%d') AS DATE)) AS d
+    FROM daily t JOIN daily i ON t.event_type = i.event_type
+    WHERE date_diff('day',
+                    CAST(strptime(i.ymd, '%Y%m%d') AS DATE),
+                    CAST(strptime(t.ymd, '%Y%m%d') AS DATE))
+          BETWEEN 0 AND {_EWMA_HORIZON - 1}
+)
+SELECT event_type, ymd, n_terms,
+       CAST((num * 20000 + den) // (2 * den) AS DOUBLE) / 1000000.0 AS ewma
+FROM (
+    SELECT event_type, ymd,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           SUM(c_i * ({_EWMA_CASE})) AS num,
+           SUM(CAST(({_EWMA_CASE}) AS HUGEINT)) AS den
+    FROM pairs
+    GROUP BY event_type, ymd
+)
+"""
+
+
+@register(
+    "event_value_ewma",
+    oracle=EWMA_ORACLE,
+    tags=("dws", "time-series", "smoothing"),
+    past_window=True,
+)
+def event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day exponentially weighted moving average (α = 0.3)
+    of each type's daily value totals — the smoothing layer between
+    `revenue_trend_fit`'s global line and `event_daily_robust_outliers`'
+    pointwise flags (the EWMA control-chart statistic, Roberts 1959;
+    the truncated-horizon form every monitoring stack ships because the
+    infinite recursion's weight tail is < 0.7¹⁴ ≈ 0.7%). Weights are
+    normalized over the OBSERVED days in the window, so series edges
+    and calendar gaps are handled by renormalization, not zero-fill.
+
+    Exactness: daily cents × integer weights 3·7^d·10^(13-d) keep both
+    the numerator and the normalizing denominator exact integers; the
+    smoothed value is one float division (+ the /100 cents edge) on
+    identical integers cross-engine — bit-exact, no rounding column.
+
+    Scale shape: the event grain collapses to (type, day) in one
+    map-combined aggregate FIRST; the pairwise frame is then
+    band-limited calendar² (each day joins ≤ 14 predecessors of its
+    own type, equi on event_type — `mann_kendall_frame`'s bound,
+    tightened by the horizon), so no stage ever touches event-grain
+    data twice.
+    """
+    return ewma_frame(daily_cents_frame(load_table(spark, sf_dir, "events")))
+
+
+def ewma_frame(daily: DataFrame) -> DataFrame:
+    """The registered EWMA core over any (event_type, ymd, c) frame —
+    shared with ``event_value_ewma_from_store`` (streaming/jobs.py),
+    the day×type store's seventh consumer."""
+    t = daily.select(
+        "event_type", "ymd", F.to_date("ymd", "yyyyMMdd").alias("day_t")
+    )
+    i = daily.select(
+        F.col("event_type").alias("event_type_i"),
+        F.to_date("ymd", "yyyyMMdd").alias("day_i"),
+        F.col("c").alias("c_i"),
+    )
+    d = F.datediff("day_t", "day_i")
+    pairs = t.join(
+        i,
+        (F.col("event_type") == F.col("event_type_i"))
+        & (d >= 0)
+        & (d < _EWMA_HORIZON),
+    ).select("event_type", "ymd", "c_i", d.alias("d"))
+    w = F.expr(_EWMA_CASE).cast("decimal(18,0)")
+    agg = pairs.groupBy("event_type", "ymd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum((F.col("c_i") * w).cast("decimal(38,0)")).alias("num"),
+        F.sum(w).cast("decimal(38,0)").alias("den"),
+    )
+    # half-up to 4 decimals of CENTS in pure integer arithmetic (`div`
+    # truncates; operands nonneg), THEN one exact small-int → double
+    # conversion: DuckDB's HUGEINT→DOUBLE cast is not correctly rounded
+    # at ~10²² magnitudes (observed 1-ulp drift), so the big integers
+    # must never touch a float.
+    q = F.expr("(num * 20000 + den) div (2 * den)")
+    return agg.select(
+        "event_type",
+        "ymd",
+        "n_terms",
+        (q.cast("double") / F.lit(1000000.0)).alias("ewma"),
+    )

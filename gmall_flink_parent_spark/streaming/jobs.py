@@ -679,13 +679,14 @@ def hourly_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 def daily_value_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
     """Day × event-type decimal value partials at ingest — ONE compact
-    store maintains SIX dashboard heads incrementally:
+    store maintains SEVEN dashboard heads incrementally:
     ``event_value_correlation_from_store`` (pair-moment Pearson),
     ``event_type_pivot_from_store`` (the day × channel matrix),
     ``event_value_acf_from_store`` (lag-1..3 autocorrelation),
     ``event_dow_seasonality_from_store`` (weekday indexes),
-    ``event_daily_robust_outliers_from_store`` (median/MAD flags), and
-    ``event_trend_mann_kendall_from_store`` (S/z + Theil-Sen), each
+    ``event_daily_robust_outliers_from_store`` (median/MAD flags),
+    ``event_trend_mann_kendall_from_store`` (S/z + Theil-Sen), and
+    ``event_value_ewma_from_store`` (the EWMA control statistic), each
     hash-equal to its batch head over the same events.
 
     The partial is the finest grain both consumers share: per-batch
@@ -764,6 +765,17 @@ def event_value_acf_from_store(spark: SparkSession, store_path: str) -> DataFram
     from gmall_flink_parent_spark.operators.windows import acf_frame
 
     return acf_frame(_daily_cents_from_store(spark, store_path))
+
+
+def event_value_ewma_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass: the trailing-14-day EWMA control statistic over the
+    incrementally maintained daily totals — hash-equal to batch
+    ``event_value_ewma`` (shared ``ewma_frame`` core; the exact cents
+    merge and the integer-weight arithmetic leave nothing to drift).
+    The day×type partial store's SEVENTH consumer."""
+    from gmall_flink_parent_spark.operators.windows import ewma_frame
+
+    return ewma_frame(_daily_cents_from_store(spark, store_path))
 
 
 def event_dow_seasonality_from_store(
@@ -980,6 +992,58 @@ def sequence_support_from_store(spark: SparkSession, store_path: str) -> DataFra
         )
     )
     return sequence_support_finish(per)
+
+
+def visitor_stats_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """Incremental-store twin of the reference's DWS VisitorStats
+    serving (``VisitorStatsApp.java``: per-day uv_ct / new_uv rollup) —
+    the FOURTH store family, and the second whose partials are
+    IDEMPOTENT: per micro-batch, the DISTINCT (user_id, day) presence
+    pairs.
+
+    A distinct-count is not sum-mergeable, so the store keeps the W2
+    grain itself — the (user, day) key SET — which merges by union:
+    duplication across batches (or a replayed partition, or an
+    append-gone-wrong) cannot change the merged set, the same
+    replay-safety class as the sequence store's extrema. Both DWS
+    counters derive from the one set in the final pass: uv = pairs per
+    day; new visitors = users whose MIN day is that day (W1's repaired
+    is_new, derived instead of stored — every event lands its (user,
+    day) row, so min(day) over the store IS the user's true first
+    visit). Store size ∝ users × active-days × batches, shrinking
+    under the all-columns-as-keys compaction fold (pure dedup).
+    """
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+
+    return _partial_store_job(
+        events, partials, store_path, f"{checkpoint_dir}/visitor_stats"
+    )
+
+
+def visitor_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``visitor_stats_store_job``'s key-set partials:
+    per day, the unique-visitor count and the repaired new-visitor
+    count — hash-equal to the W1/W2 columns of batch
+    ``sql_dws_surface`` (ymd, n_uv, n_new_visitors) over the same
+    events, pinned in ``tests/test_streaming.py``."""
+    pairs = (
+        spark.read.parquet(store_path).select("user_id", "day").distinct()
+    )
+    first = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        pairs.join(first, "user_id")
+        .groupBy(F.date_format("day", "yyyyMMdd").alias("ymd"))
+        .agg(
+            F.count(F.lit(1)).alias("n_uv"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("n_new_visitors"),
+        )
+    )
 
 
 def revenue_rollup_job(

@@ -4449,6 +4449,15 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
     )
     assert got_mk == want_mk and len(want_mk) > 0
 
+    from gmall_flink_parent_spark.streaming.jobs import event_value_ewma_from_store
+
+    ewma_cols = ["event_type", "ymd", "n_terms", "ewma"]
+    want_ewma = _rows(plans.query_map()["event_value_ewma"](spark, sf_dir), ewma_cols)
+    got_ewma = _rows(
+        event_value_ewma_from_store(spark, str(tmp_path / "store")), ewma_cols
+    )
+    assert got_ewma == want_ewma and len(want_ewma) > 0
+
     # both answers survive store compaction unchanged
     from gmall_flink_parent_spark.streaming.store import compact_fact_store
 
@@ -5031,3 +5040,46 @@ def test_order_wide_anti_stream_timeout_is_final_under_late_data(spark, tmp_path
         for op in p["stateOperators"]
     )
     assert dropped >= 1, "the late in-band detail never hit the watermark filter"
+
+
+def test_visitor_stats_store_job_matches_sql_dws_surface(spark, sf_dir, tmp_path):
+    """Fourth store family — the reference's DWS VisitorStats serving
+    (``VisitorStatsApp.java`` uv_ct/new_uv): per-batch DISTINCT
+    (user, day) key-set partials merged by the final pass must equal
+    the W1/W2 columns of batch ``sql_dws_surface`` exactly; and because
+    the partials are a key SET (union-mergeable, idempotent), the store
+    must survive the all-columns-as-keys compaction fold AND outright
+    row duplication without drifting — the same replay-safety class as
+    the sequence store's extrema."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        visitor_stats_from_store,
+        visitor_stats_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_partial_store
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    stream = _two_file_stream(
+        spark, tmp_path, ev, "event_id",
+        "event_id long, ts timestamp, user_id long",
+    )
+    store_path = str(tmp_path / "store")
+    q = visitor_stats_store_job(stream, store_path, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    store = spark.read.parquet(store_path)
+    assert sorted(
+        r["batch_id"] for r in store.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    cols = ["ymd", "n_uv", "n_new_visitors"]
+    want = _rows(
+        plans.query_map()["sql_dws_surface"](spark, sf_dir).select(*cols), cols
+    )
+    got = _rows(visitor_stats_from_store(spark, store_path), cols)
+    assert got == want and len(want) > 0
+    # maintenance fold: key-set stores compact with EVERY column as a
+    # group key (pure dedup — nothing to sum)
+    compact_partial_store(spark, store_path, ["user_id", "day"])
+    assert _rows(visitor_stats_from_store(spark, store_path), cols) == want
+    # idempotence: duplicating every partial row must not move the merge
+    dup = spark.read.parquet(store_path)
+    dup.write.mode("append").parquet(store_path)
+    assert _rows(visitor_stats_from_store(spark, store_path), cols) == want
