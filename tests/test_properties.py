@@ -1384,6 +1384,7 @@ def test_store_fence_chaos_state_machine(spark, tmp_path):
     from gmall_flink_parent_spark.streaming.store import (
         COMPACT_BASE_ID,
         _clear_swap_leftovers,
+        compact_fact_store,
         compact_partial_store,
     )
 
@@ -1433,11 +1434,19 @@ def test_store_fence_chaos_state_machine(spark, tmp_path):
             self.committed.append(n)
             self.pending = None
 
-        @rule()
-        def compact(self):
-            compact_partial_store(
-                spark, self.store, ["k"], checkpoint_location=self.ckpt
-            )
+        @rule(fact_mode=st.booleans())
+        def compact(self, fact_mode: bool):
+            # BOTH maintenance passes share the fence/swap envelope and
+            # BOTH must preserve the store aggregate: the partial fold
+            # sums the value column, the fact fold moves rows verbatim
+            # — either way Σv per key is invariant, so the one model
+            # checks the two compactors interchangeably.
+            if fact_mode:
+                compact_fact_store(spark, self.store, checkpoint_location=self.ckpt)
+            else:
+                compact_partial_store(
+                    spark, self.store, ["k"], checkpoint_location=self.ckpt
+                )
             if self.pending is not None:
                 # the uncommitted partition must have survived in place
                 assert os.path.exists(
