@@ -527,3 +527,74 @@ def bounce_detect_tws(
             timeMode="eventTime",
         )
     )
+
+
+class UvDedupProcessor(StatefulProcessor):
+    """W2 + W6 on the ``transformWithState`` surface — the API's
+    built-in per-state TTL expressing the reference's
+    ``StateTtlConfig.newBuilder(Time.days(1))``
+    (``UniqueVisitApp.java:65-68``) as ONE constructor argument.
+
+    The whole point next to ``uv_dedup_stream``: that twin spends ~20
+    lines reproducing Flink's TTL by hand (event-time timer per key,
+    watermark clamp, explicit ``state.remove()`` on expiry); here
+    ``getValueState("last_date", …, ttlDurationMs=UV_STATE_TTL_MS)``
+    IS the TTL — idle keys forget their last visit date and a record
+    for an already-emitted day is re-admitted after expiry, with zero
+    custom eviction code. (The API's TTL clock is processing-time,
+    like Flink's default ``ttlTimeCharacteristic``; the old twin's
+    event-time form remains the replayable-pipeline variant.)
+
+    Keyed by user_id; state = the max visit date seen (string ymd),
+    matching the reference's in-order last-visit-date semantics and
+    the old twin's state byte budget.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState(
+            "last_date", "last_date string", ttlDurationMs=UV_STATE_TTL_MS
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        last_date = self._last.get()[0] if self._last.exists() else None
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ymd = pdf["ts"].dt.strftime("%Y%m%d")
+            keep = []
+            for i, d in enumerate(ymd):
+                if last_date is None or d > last_date:
+                    keep.append(i)
+                    last_date = d
+            out = pdf.iloc[keep]
+            yield pd.DataFrame(
+                {
+                    "user_id": out["user_id"],
+                    "visit_ymd": ymd.iloc[keep],
+                    "first_event_id": out["event_id"],
+                    "first_ts": out["ts"],
+                }
+            )
+        if last_date is not None:
+            self._last.update((last_date,))
+
+
+def uv_dedup_tws(events: DataFrame) -> DataFrame:
+    """W2 via ``transformWithStateInPandas`` with the built-in state
+    TTL carrying W6 — same output contract as ``uv_dedup_stream``
+    (batch ``uv_dedup``'s schema). Runtime needs Python protobuf
+    (absent here — import-gated e2e, fake-driven parity in tests,
+    same seam as ``bounce_detect_tws``)."""
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            UvDedupProcessor(),
+            outputStructType=(
+                "user_id long, visit_ymd string, first_event_id long, "
+                "first_ts timestamp"
+            ),
+            outputMode="append",
+            timeMode="processingTime",
+        )
+    )

@@ -5083,3 +5083,62 @@ def test_visitor_stats_store_job_matches_sql_dws_surface(spark, sf_dir, tmp_path
     dup = spark.read.parquet(store_path)
     dup.write.mode("append").parquet(store_path)
     assert _rows(visitor_stats_from_store(spark, store_path), cols) == want
+
+
+def test_uv_dedup_tws_state_machine_matches_batch_and_expresses_ttl(spark, sf_dir):
+    """Drive ``UvDedupProcessor`` through the fake runtime-contract
+    harness over the whole events table (two arrival-ordered batches)
+    and assert (a) the emitted key set equals batch ``uv_dedup``'s
+    exactly, and (b) W6 — the reference's 1-day state TTL — is
+    expressed through the API's OWN ttlDurationMs argument rather than
+    custom eviction code (the fake handle records the registration).
+    The e2e form is protobuf-gated like the bounce twin's."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    pdf = events.toPandas().sort_values(["ts", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    batches = [pdf.iloc[:half], pdf.iloc[half:]]
+    handles: dict = {}
+    ttl_seen: list = []
+
+    class _TtlRecordingHandle(_FakeHandle):
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            ttl_seen.append((name, ttlDurationMs))
+            return super().getValueState(name, schema, ttlDurationMs)
+
+    emitted = []
+    for batch in batches:
+        tv = _FakeTimerValues(0)
+        for uid, grp in batch.groupby("user_id"):
+            h = handles.get(uid)
+            if h is None:
+                h = handles[uid] = _TtlRecordingHandle()
+                proc = stateful.UvDedupProcessor()
+                proc.init(h)
+                h.proc = proc
+            for out in h.proc.handleInputRows((uid,), iter([grp]), tv):
+                emitted.append(out)
+    got = {
+        (int(r.user_id), r.visit_ymd)
+        for out in emitted
+        if len(out)
+        for r in out.itertuples(index=False)
+    }
+    want = {
+        (r["user_id"], r["visit_ymd"])
+        for r in plans.query_map()["uv_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+    assert ("last_date", stateful.UV_STATE_TTL_MS) in ttl_seen, (
+        "W6 must ride the API's built-in ttlDurationMs"
+    )
+
+
+def test_uv_dedup_tws_plan_wires_without_runtime(spark, sf_dir):
+    new = stateful.uv_dedup_tws(events_stream(spark, sf_dir))
+    assert new.isStreaming
+    assert [f.name for f in new.schema.fields] == [
+        "user_id", "visit_ymd", "first_event_id", "first_ts",
+    ]
