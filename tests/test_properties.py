@@ -1516,3 +1516,59 @@ def test_store_fence_chaos_state_machine(spark, tmp_path):
             suppress_health_check=list(HealthCheck),
         ),
     )
+
+
+ewma_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # day offset (gaps intended)
+        st.integers(min_value=0, max_value=10**9),  # daily cents
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(series=ewma_series)
+def test_ewma_matches_exact_integer_reference(spark, series):
+    """For ANY daily series (gaps included): the engine's trailing-14d
+    EWMA equals a pure-python reference computed in EXACT integer
+    arithmetic (same weights 3·7^d·10^(13-d), same half-up-at-1e-4
+    integer rounding, same final small-int→double conversion) —
+    bit-for-bit, no tolerance. Pins the whole determinism chain the
+    oracle parity relies on, for inputs far uglier than the fixture."""
+    import datetime as _dt
+
+    from gmall_flink_parent_spark.operators.windows import (
+        _EWMA_HORIZON,
+        _EWMA_W,
+        ewma_frame,
+    )
+
+    base = _dt.date(2024, 3, 1)
+    days = {off: c for off, c in series}
+    from decimal import Decimal
+
+    daily = spark.createDataFrame(
+        [
+            ("t", (base + _dt.timedelta(days=off)).strftime("%Y%m%d"), Decimal(c))
+            for off, c in series
+        ],
+        "event_type string, ymd string, c decimal(18,0)",
+    )
+    got = {
+        r["ymd"]: (r["n_terms"], r["ewma"])
+        for r in ewma_frame(daily).collect()
+    }
+    for off, _ in series:
+        num = den = n_terms = 0
+        for d in range(_EWMA_HORIZON):
+            if (off - d) in days:
+                num += days[off - d] * _EWMA_W[d]
+                den += _EWMA_W[d]
+                n_terms += 1
+        q = (num * 20000 + den) // (2 * den)
+        ymd = (base + _dt.timedelta(days=off)).strftime("%Y%m%d")
+        assert got[ymd] == (n_terms, float(q) / 1000000.0), ymd
+    assert len(got) == len(series)
