@@ -657,6 +657,26 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite exact, dedup included. Output is the co-presence graph —
     inherently pairwise, linear in TRUE co-presence, not in corpus².
     """
+    ov = _overlap_pair_rows(spark, sf_dir).select(
+        "user_a",
+        "user_b",
+        (
+            F.unix_micros(F.least("a_end", "b_end"))
+            - F.unix_micros(F.greatest("a_start", "b_start"))
+        ).alias("ov_us"),
+    )
+    return ov.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copresent_sessions"),
+        F.sum("ov_us").cast("bigint").alias("overlap_us_total"),
+    )
+
+
+def _overlap_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per overlapping cross-user session pair (user_a <
+    user_b), deduped by the first-shared-bucket filter — the bucketed
+    interval-join core shared by ``session_overlap_pairs`` and
+    ``session_allen_relations``. Columns: user_a, user_b, a_start,
+    a_end, b_start, b_end."""
     bucket_us = _overlap_bucket_us(spark)
     s = session_bounds_frame(load_table(spark, sf_dir, "events"))
     bucketed = s.select(
@@ -686,17 +706,77 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.session_start") <= F.col("a.session_end"))
         & (F.col("a.bucket") == F.greatest(F.col("a.b_start"), F.col("b.b_start"))),
     )
-    ov = pairs.select(
+    return pairs.select(
         F.col("a.user_id").alias("user_a"),
         F.col("b.user_id").alias("user_b"),
-        (
-            F.unix_micros(F.least("a.session_end", "b.session_end"))
-            - F.unix_micros(F.greatest("a.session_start", "b.session_start"))
-        ).alias("ov_us"),
+        F.col("a.session_start").alias("a_start"),
+        F.col("a.session_end").alias("a_end"),
+        F.col("b.session_start").alias("b_start"),
+        F.col("b.session_end").alias("b_end"),
     )
-    return ov.groupBy("user_a", "user_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_copresent_sessions"),
-        F.sum("ov_us").cast("bigint").alias("overlap_us_total"),
+
+
+ALLEN_RELATIONS_ORACLE = """
+WITH s AS ({SESSION_BOUNDS_SQL})
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (
+    SELECT CASE
+    WHEN a.session_start = b.session_start AND a.session_end = b.session_end THEN 'equals'
+    WHEN a.session_start = b.session_start THEN 'starts'
+    WHEN a.session_end = b.session_end THEN 'finishes'
+    WHEN GREATEST(a.session_start, b.session_start) = LEAST(a.session_end, b.session_end) THEN 'meets'
+    WHEN (a.session_start > b.session_start AND a.session_end < b.session_end) OR (b.session_start > a.session_start AND b.session_end < a.session_end)
+         THEN 'during'
+    ELSE 'overlaps'
+END AS relation
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id
+     AND a.session_start <= b.session_end
+     AND b.session_start <= a.session_end
+)
+GROUP BY relation
+"""
+
+
+@register(
+    "session_allen_relations",
+    oracle=ALLEN_RELATIONS_ORACLE.replace("{SESSION_BOUNDS_SQL}", SESSION_BOUNDS_SQL),
+    tags=("dws", "session", "interval", "allen"),
+    past_window=True,
+)
+def session_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-algebra census over the cross-user overlapping
+    session pairs (Allen, CACM 1983): each co-present pair classified
+    as equals / starts / finishes / meets (single-point touch) /
+    during (strict containment) / overlaps (proper partial overlap),
+    counted per relation — the relation mix is the shape profile of
+    co-presence (mostly `meets` = handoffs; mostly `during` = short
+    sessions inside long ones). Pair ordering (user_a < user_b) folds
+    each asymmetric relation with its inverse (starts/started-by,
+    during/contains, overlaps/overlapped-by), and the disjoint
+    "before/after" classes are exactly the pairs the overlap join
+    excludes, so six labels cover the matched set. The CASE ladder is
+    identical text on both engines, so tie cases (zero-length
+    single-event sessions make `meets` vs `starts` genuinely
+    adjacent) resolve identically. Scale shape: the SAME bucketed
+    equi-join core as `session_overlap_pairs` (`_overlap_pair_rows` —
+    per-bucket work bounded by true concurrency²) followed by a
+    6-group aggregate.
+    """
+    pairs = _overlap_pair_rows(spark, sf_dir)
+    relation = F.expr("""CASE
+    WHEN a_start = b_start AND a_end = b_end THEN 'equals'
+    WHEN a_start = b_start THEN 'starts'
+    WHEN a_end = b_end THEN 'finishes'
+    WHEN GREATEST(a_start, b_start) = LEAST(a_end, b_end) THEN 'meets'
+    WHEN (a_start > b_start AND a_end < b_end) OR (b_start > a_start AND b_end < a_end)
+         THEN 'during'
+    ELSE 'overlaps'
+END""".strip())
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
 
 
