@@ -25,6 +25,7 @@ from gmall_flink_parent_spark.streaming.store import (  # noqa: F401
     _partial_store_job,
     compact_fact_store,
     compact_partial_store,
+    heal_store_dirs,
     store_row_count,
     upsert_parquet,
 )
@@ -1185,6 +1186,7 @@ def minhash_dedup_job(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, pairs_path)
         spark = batch.sparkSession
         sigs = minhash_signatures(batch).persist()
         try:
@@ -1222,6 +1224,7 @@ def ann_index_job(
     from gmall_flink_parent_spark.functions.similarity import ivf_assign_incremental
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, cells_path)
         spark = batch.sparkSession
         cents = spark.read.parquet(centroid_path)
         ivf_assign_incremental(batch, cents).write.mode("overwrite").parquet(
@@ -1255,6 +1258,7 @@ def text_profile_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, out_path)
         doc_text_profile_frame(fan_out(batch.sparkSession, batch)).write.mode(
             "overwrite"
         ).parquet(f"{out_path}/batch_id={batch_id}")
@@ -1287,6 +1291,7 @@ def media_features_job(docs: DataFrame, out_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, out_path)
         payload, mime = _routed_payload(
             F.col("doc_id"), F.encode(F.col("text"), "UTF-8")
         )
@@ -1338,6 +1343,7 @@ def mixture_job(
     from gmall_flink_parent_spark.functions.curation import corpus_mix_weighted
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         corpus_mix_weighted(batch, weights, seed=seed).write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
@@ -1421,6 +1427,7 @@ def contamination_job(
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         spark = batch.sparkSession
         bench = spark.read.parquet(bench_path)
         sh = contamination_shingles(fan_out(spark, batch)).filter(
@@ -1624,6 +1631,7 @@ def shingle_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         contamination_shingles(
             fan_out(batch.sparkSession, batch)
         ).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
@@ -1684,6 +1692,7 @@ def vocab_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         doc_term_counts(fan_out(batch.sparkSession, batch)).write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
@@ -1774,6 +1783,7 @@ def dsir_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         hashed_gram_frame(fan_out(batch.sparkSession, batch)).write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
@@ -1835,6 +1845,7 @@ def media_fingerprint_job(docs: DataFrame, store_path: str, checkpoint_dir: str)
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         wide = fan_out(batch.sparkSession, batch)
         payload, mime = _routed_payload(
             F.col("doc_id"), F.encode(F.col("text"), "UTF-8")
@@ -1898,6 +1909,7 @@ def winnow_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         winnow_fp_frame(fan_out(batch.sparkSession, batch)).write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
@@ -1930,6 +1942,7 @@ def filter_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         filter_flags_frame(fan_out(batch.sparkSession, batch)).write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
@@ -1991,6 +2004,7 @@ def span_store_job(docs: DataFrame, store_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         span_frame(fan_out(batch.sparkSession, batch)).write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
@@ -2158,6 +2172,7 @@ def curation_ingest_job(
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, chunk_path, dsir_path, filter_path, mixture_path, profile_path, quality_path, shingle_path, span_path, vocab_path, winnow_path)
         wide = fan_out(batch.sparkSession, batch).persist()
         try:
             doc_text_profile_frame(wide.select("doc_id", "text")).write.mode(
@@ -2271,6 +2286,7 @@ def expectations_job(
     from gmall_flink_parent_spark.functions.expectations import expectation_report
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         report = expectation_report(batch, checks)
         rows = report.collect()  # k check rows — bounded by the suite
         batch.sparkSession.createDataFrame(rows, report.schema).coalesce(
@@ -2318,6 +2334,7 @@ def bloom_bits_job(bench_docs: DataFrame, store_path: str, checkpoint_dir: str):
     from gmall_flink_parent_spark.functions.sketches import bloom_bits
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         bits = bloom_bits(contamination_shingles(batch).select("g").distinct())
         bits.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
@@ -2373,6 +2390,7 @@ def scd2_change_store_job(changes: DataFrame, store_path: str, checkpoint_dir: s
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         batch.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
 
     return (

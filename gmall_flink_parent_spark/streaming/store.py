@@ -453,6 +453,7 @@ def _partial_store_job(stream: DataFrame, partials_fn, store_path: str, checkpoi
     pass reads only the compact store."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        heal_store_dirs(batch.sparkSession, store_path)
         partials_fn(batch).write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
         )
@@ -492,3 +493,25 @@ def replace_parquet(
     """
     _clear_swap_leftovers(spark, path)
     _swap_parquet_dir(spark, build_df(), path, partition_by)
+
+
+def heal_store_dirs(spark: SparkSession, *paths: str) -> None:
+    """Swap-crash heal for every store directory a ``foreachBatch``
+    body writes into — run BEFORE the batch's first write.
+
+    Closes the one ordering hole in the fence protocol (found by the
+    round-12 chaos state machine, reproduced as real data loss): a
+    COMPACTION crash between the two renames leaves the whole table
+    only under ``<path>._old``; if the stream then resumes and lands
+    its ``batch_id=N`` partition first, that write RECREATES the store
+    directory, and the next protocol entry's heal — seeing both the
+    (one-partition) dest and ``._old`` — would drop ``._old`` as
+    debris, destroying every previously folded batch. Healing at batch
+    start restores the table before the partition write can mask it.
+    Idempotent, two metadata existence checks per path per batch;
+    exclusive access holds because compaction never runs concurrently
+    with the stream (the standing protocol precondition). ``None``
+    entries are skipped (optional ingest side-stores)."""
+    for p in paths:
+        if p is not None:
+            _clear_swap_leftovers(spark, p)

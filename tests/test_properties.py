@@ -1386,6 +1386,7 @@ def test_store_fence_chaos_state_machine(spark, tmp_path):
         _clear_swap_leftovers,
         compact_fact_store,
         compact_partial_store,
+        heal_store_dirs,
     )
 
     def batch_rows(n: int) -> list[tuple[int, int]]:
@@ -1405,6 +1406,14 @@ def test_store_fence_chaos_state_machine(spark, tmp_path):
             self.pending: int | None = None
 
         def _land_partition(self, n: int) -> None:
+            # mirrors the FIXED _partial_store_job body: heal swap
+            # leftovers before the partition write. Without the heal,
+            # this machine found real data loss (land after a
+            # compaction crash between renames recreates the store dir,
+            # so the next heal drops ._old — every folded batch gone);
+            # the deterministic regression lives in
+            # test_land_after_half_swap_restores_before_writing.
+            heal_store_dirs(spark, self.store)
             spark.createDataFrame(batch_rows(n), "k long, v long").write.mode(
                 "overwrite"
             ).parquet(f"{self.store}/batch_id={n}")

@@ -5142,3 +5142,78 @@ def test_uv_dedup_tws_plan_wires_without_runtime(spark, sf_dir):
     assert [f.name for f in new.schema.fields] == [
         "user_id", "visit_ymd", "first_event_id", "first_ts",
     ]
+
+
+def test_land_after_half_swap_restores_before_writing(spark, sf_dir, tmp_path):
+    """Deterministic regression for the round-12 chaos finding (real
+    data loss, reproduced before the fix): a COMPACTION crash between
+    the two swap renames leaves the whole store under ``._old``; the
+    stream then resumes and lands its next partition. Pre-fix, that
+    write recreated the store directory and the next heal dropped
+    ``._old`` as debris — every folded batch destroyed. The store jobs
+    now heal BEFORE the partition write (``heal_store_dirs`` at the
+    top of every foreachBatch body), so the resumed stream must see
+    ALL prior batches plus its own."""
+    import os
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        daily_value_from_store,
+        daily_value_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import _clear_swap_leftovers
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, events, "event_id",
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    store = str(tmp_path / "store")
+    q = daily_value_store_job(stream, store, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    cols = ["day", "event_type", "v"]
+    want = _rows(daily_value_from_store(spark, store), cols)
+    # simulate the compaction crash window: table only under ._old,
+    # a garbage half-written replacement under ._tmp
+    os.rename(store, store + "._old")
+    spark.range(1).selectExpr(
+        "DATE'2024-01-01' AS day", "'x' AS event_type",
+        "CAST(9 AS DECIMAL(18,2)) AS v_part", "CAST(99 AS LONG) AS batch_id",
+    ).write.parquet(store + "._tmp")
+    # the resumed stream: a new file in the SAME source dir, the SAME
+    # checkpoint — batch numbering continues (a fresh checkpoint would
+    # restart at 0 and overwrite the first partition by design)
+    import time as _time
+
+    late = events.limit(50)
+    pdf = late.toPandas()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    late_path = str(tmp_path / "in" / "f3.parquet")
+    pdf.to_parquet(late_path)
+    t = _time.time() + 10
+    os.utime(late_path, (t, t))
+    resumed = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).option("maxFilesPerTrigger", "1").parquet(str(tmp_path / "in"))
+    )
+    q2 = daily_value_store_job(resumed, store, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    _clear_swap_leftovers(spark, store)  # the next protocol entry
+    assert not os.path.exists(store + "._old")
+    got_batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(store)
+        if d.startswith("batch_id=")
+    )
+    assert got_batches == [0, 1, 2], (
+        f"prior batches lost after half-swap + resumed landing: {got_batches}"
+    )
+    # and the merged answer still contains every pre-crash total
+    merged = {
+        (r["day"], r["event_type"]) for r in daily_value_from_store(spark, store).collect()
+    }
+    assert {(r[0], r[1]) for r in want} <= merged
