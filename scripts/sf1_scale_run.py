@@ -46,6 +46,10 @@ KEY_OFF = 10**9
 
 # the 10 most expensive r9 bench heads + the broadcast-gate heads
 HEADS = [
+    # round-12 additions
+    "event_value_ewma",
+    "sql_dws_surface",
+    "session_allen_relations",
     "ann_recall_report",
     "dedup_cascade_verify",
     "part_pagerank",
