@@ -1047,6 +1047,48 @@ def visitor_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def bounce_stats_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+    """The uj_ct (bounce-count) leg of the reference's DWS VisitorStats
+    rollup (``VisitorStatsApp.java`` consumes the CEP job's timeout
+    topic and counts per day) — completing the trio next to
+    ``visitor_stats_store_job``'s uv/new legs: the W3 CEP state machine
+    (``stateful.bounce_detect_stream``) runs INSIDE this job, its
+    timeout emissions reduce to per-batch (day, n) count partials, and
+    the final pass sums them — the DWD→DWM→DWS topic chain collapsed
+    to one stateful stream feeding one additive store.
+
+    Partials are plain counts (sum-mergeable); exactly-once holds
+    because bounce emission is exactly-once per candidate (pinned by
+    the anti-finality tests) and the partition overwrite is
+    idempotent under replay like every store in the family.
+    """
+    from gmall_flink_parent_spark.streaming.stateful import bounce_detect_stream
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(F.date_format("ts", "yyyyMMdd").alias("ymd")).agg(
+            F.count(F.lit(1)).alias("n_part")
+        )
+
+    return _partial_store_job(
+        bounce_detect_stream(events),
+        partials,
+        store_path,
+        f"{checkpoint_dir}/bounce_stats",
+    )
+
+
+def bounce_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Final pass over ``bounce_stats_store_job``'s count partials:
+    per-day bounce totals — equal to batch ``sql_dws_surface``'s
+    (ymd, n_bounces) column over the same (watermark-closed) events,
+    pinned in ``tests/test_streaming.py``."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("ymd")
+        .agg(F.sum("n_part").cast("bigint").alias("n_bounces"))
+    )
+
+
 def revenue_rollup_job(
     orders: DataFrame,
     customer: DataFrame,

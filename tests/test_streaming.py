@@ -5217,3 +5217,68 @@ def test_land_after_half_swap_restores_before_writing(spark, sf_dir, tmp_path):
         (r["day"], r["event_type"]) for r in daily_value_from_store(spark, store).collect()
     }
     assert {(r[0], r[1]) for r in want} <= merged
+
+
+def test_bounce_stats_store_job_completes_visitor_stats_trio(spark, sf_dir, tmp_path):
+    """The uj_ct leg: the CEP bounce stream reduced to per-day count
+    partials at ingest must serve (ymd, n_bounces) equal to batch
+    ``sql_dws_surface``'s column — with ``visitor_stats_store_job``
+    covering uv/new, the reference's whole VisitorStats DWS row is now
+    served incrementally. Sentinel-epilogue harness flushes the CEP
+    timers; sentinel bounces land on far-future days and are excluded
+    from the compare. Compaction must not move the counts."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        bounce_stats_from_store,
+        bounce_stats_store_job,
+    )
+    from gmall_flink_parent_spark.streaming.store import compact_partial_store
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    (tmp_path / "in").mkdir()
+    pdf.to_parquet(str(tmp_path / "in" / "f1.parquet"))
+    # sentinel pairs: each watermark-advancing row gets a companion 1 s
+    # later, so the sentinel's candidate is KILLED by its strictly-next
+    # event and user -1 never bounces — the store then holds real-user
+    # days only (year-2300 sentinels would overflow the CEP operator's
+    # pandas ns timestamps, so far-future filtering is not available
+    # here)
+    max_ts = pdf["ts"].max()
+    for i, days in enumerate((30, 60)):
+        base_ts = max_ts + pd.Timedelta(days=days)
+        sent = pd.DataFrame(
+            {
+                "event_id": [10_000_000 + 2 * i, 10_000_001 + 2 * i],
+                "ts": [base_ts, base_ts + pd.Timedelta(seconds=1)],
+                "user_id": [-1, -1],
+            }
+        )
+        sent["ts"] = sent["ts"].astype("datetime64[us]")
+        path = str(tmp_path / "in" / f"f{i + 2}.parquet")
+        sent.to_parquet(path)
+        t = time.time() + 5 * (i + 1)
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    store = str(tmp_path / "store")
+    q = bounce_stats_store_job(stream, store, str(tmp_path / "ck"))
+    assert q.awaitTermination(180), "bounce stats job timed out"
+    cols = ["ymd", "n_bounces"]
+    got = _rows(bounce_stats_from_store(spark, store), cols)
+    want = _rows(
+        plans.query_map()["sql_dws_surface"](spark, sf_dir)
+        .filter(F.col("n_bounces") > 0)
+        .select("ymd", "n_bounces"),
+        cols,
+    )
+    assert got == want and len(want) > 0
+    compact_partial_store(spark, store, ["ymd"])
+    got2 = _rows(bounce_stats_from_store(spark, store), cols)
+    assert got2 == want
