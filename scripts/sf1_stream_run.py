@@ -223,6 +223,45 @@ def run_stores(work: str | None = None) -> dict:
             pricing_summary_from_store,
             plans.query_map()["pricing_summary"](spark, SF1_DIR),
         )
+        from gmall_flink_parent_spark.streaming.jobs import (
+            bounce_stats_store_job,
+            visitor_stats_from_store,
+            visitor_stats_store_job,
+        )
+
+        drive(
+            "visitor_stats_store_job",
+            visitor_stats_store_job,
+            f"{work}/events",
+            n_events,
+            f"{work}/vs_store",
+            f"{work}/ck_vs",
+            visitor_stats_from_store,
+            plans.query_map()["sql_dws_surface"](spark, SF1_DIR).select(
+                "ymd", "n_uv", "n_new_visitors"
+            ),
+        )
+        # bounce_stats: throughput + nonempty only at sf1 — full parity
+        # needs the sentinel-epilogue flush (covered at test scale); the
+        # CEP state machine is the measured cost here
+        t0 = time.monotonic()
+        q = bounce_stats_store_job(
+            _file_stream(spark, f"{work}/events"),
+            f"{work}/bs_store",
+            f"{work}/ck_bs",
+        )
+        stats = _drain(q)
+        wall = round(time.monotonic() - t0, 3)
+        n_days = spark.read.parquet(f"{work}/bs_store").count()
+        assert n_days > 0
+        heads["bounce_stats_store_job"] = {
+            "rows_in": n_events,
+            "wall_sec": wall,
+            "rows_per_sec": round(n_events / wall, 1),
+            **stats,
+            **_state_peak(q),
+            "store_rows": n_days,
+        }
     finally:
         if owns_work:
             shutil.rmtree(work, ignore_errors=True)
