@@ -1581,3 +1581,90 @@ def test_ewma_matches_exact_integer_reference(spark, series):
         ymd = (base + _dt.timedelta(days=off)).strftime("%Y%m%d")
         assert got[ymd] == (n_terms, float(q) / 1000000.0), ymd
     assert len(got) == len(series)
+
+
+def test_upsert_store_chaos_state_machine(spark, tmp_path):
+    """Chaos coverage for the K3 dim-sink path (``upsert_parquet`` —
+    the MERGE emulation every dim store rides): interleave arbitrary
+    (upsert, crash-between-renames, crash-with-stale-debris) sequences
+    and assert after EVERY step that the table equals the
+    LAST-WRITE-WINS fold of all COMPLETED upserts — the dim-table
+    contract. A failed/crashed swap must leave the PREVIOUS table
+    intact (never a torn mix), which is exactly what the model
+    asserts: the half-swap rule fires between upserts, and the next
+    upsert's entry heal restores before merging."""
+    import os
+    import uuid
+
+    from hypothesis.stateful import (
+        RuleBasedStateMachine,
+        precondition,
+        invariant,
+        rule,
+        run_state_machine_as_test,
+    )
+
+    from gmall_flink_parent_spark.streaming.store import (
+        _clear_swap_leftovers,
+        upsert_parquet,
+    )
+
+    class UpsertChaosMachine(RuleBasedStateMachine):
+        def __init__(self):
+            super().__init__()
+            self.path = str(tmp_path / uuid.uuid4().hex / "dim")
+            os.makedirs(os.path.dirname(self.path))
+            self.model: dict[int, int] = {}
+            self.seq = 0
+
+        @rule(keys=st.sets(st.integers(min_value=0, max_value=6), min_size=1, max_size=3))
+        def upsert(self, keys):
+            self.seq += 1
+            rows = [(k, self.seq * 100 + k) for k in sorted(keys)]
+            upsert_parquet(
+                spark,
+                spark.createDataFrame(rows, "k long, v long"),
+                self.path,
+                key="k",
+            )
+            self.model.update(dict(rows))
+
+        @precondition(
+            lambda self: os.path.exists(self.path)
+            and not os.path.exists(self.path + "._old")
+        )
+        @rule()
+        def crash_between_renames(self):
+            os.rename(self.path, self.path + "._old")
+            spark.createDataFrame([(99, -1)], "k long, v long").write.mode(
+                "overwrite"
+            ).parquet(self.path + "._tmp")
+
+        @precondition(lambda self: os.path.exists(self.path))
+        @rule()
+        def crash_stale_debris(self):
+            for side in ("._tmp", "._old"):
+                spark.createDataFrame([(98, -2)], "k long, v long").write.mode(
+                    "overwrite"
+                ).parquet(self.path + side)
+
+        @invariant()
+        def table_is_last_write_wins(self):
+            _clear_swap_leftovers(spark, self.path)
+            if not os.path.exists(self.path):
+                assert not self.model
+                return
+            got = {
+                r["k"]: r["v"] for r in spark.read.parquet(self.path).collect()
+            }
+            assert got == self.model, f"{got} != {self.model}"
+
+    run_state_machine_as_test(
+        UpsertChaosMachine,
+        settings=settings(
+            max_examples=5,
+            stateful_step_count=7,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        ),
+    )
