@@ -1626,6 +1626,13 @@ def test_upsert_store_chaos_state_machine(spark, tmp_path):
                 spark.createDataFrame(rows, "k long, v long"),
                 self.path,
                 key="k",
+                # the replay-fence pattern: the sidecar travels in the
+                # SAME swap, so store and fence are atomic together
+                sidecars={
+                    "fence": spark.createDataFrame(
+                        [(self.seq,)], "seq long"
+                    )
+                },
             )
             self.model.update(dict(rows))
 
@@ -1649,7 +1656,7 @@ def test_upsert_store_chaos_state_machine(spark, tmp_path):
                 ).parquet(self.path + side)
 
         @invariant()
-        def table_is_last_write_wins(self):
+        def table_is_last_write_wins_and_fence_atomic(self):
             _clear_swap_leftovers(spark, self.path)
             if not os.path.exists(self.path):
                 assert not self.model
@@ -1658,6 +1665,13 @@ def test_upsert_store_chaos_state_machine(spark, tmp_path):
                 r["k"]: r["v"] for r in spark.read.parquet(self.path).collect()
             }
             assert got == self.model, f"{got} != {self.model}"
+            # the fence sidecar must be exactly the last COMPLETED
+            # upsert's — store and fence can never be torn apart by any
+            # crash state, because they travel in one swap
+            fence = spark.read.parquet(f"{self.path}/_fence").collect()
+            assert [r["seq"] for r in fence] == [self.seq], (
+                f"fence {fence} vs last completed upsert {self.seq}"
+            )
 
     run_state_machine_as_test(
         UpsertChaosMachine,
