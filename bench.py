@@ -208,6 +208,11 @@ HEADLINE = [
     "weekday_hour_heatmap",
     "event_interarrival_profile",
     "supplier_revenue_hhi",
+    # round-12 continuation heads
+    "part_clustering_coeff",
+    "part_label_propagation",
+    "phrase_search_positional",
+    "collocation_pmi",
 ]
 
 

@@ -609,3 +609,130 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_TOP)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# --------------------------------------- positional phrase search
+
+# Fixed demo phrase workload: five bigrams plus one trigram, all drawn
+# from the corpus vocabulary. Any phrase set works — probe cost is
+# proportional to the QUERY TERMS' posting lists, never the corpus.
+PHRASES = (
+    "table hash",
+    "order fast",
+    "part filter",
+    "scan slow",
+    "spark data",
+    "window fast query",
+)
+
+
+def _phrase_terms() -> list[tuple[str, str, int, int]]:
+    """(phrase, term, offset, n_terms) rows for the phrase workload."""
+    rows = []
+    for p in PHRASES:
+        toks = p.split(" ")
+        rows += [(p, t, i, len(toks)) for i, t in enumerate(toks)]
+    return rows
+
+
+def _phrase_oracle() -> str:
+    values = ", ".join(
+        f"('{p}', '{t}', {off}, {n})" for p, t, off, n in _phrase_terms()
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+    SELECT doc_id, u.w, u.i
+    FROM toks, LATERAL (
+        SELECT UNNEST(t) AS w, UNNEST(range(0, len(t))) AS i
+    ) u
+), terms(phrase, term, off, n_terms) AS (
+    VALUES {values}
+), probe AS (
+    SELECT tm.phrase, p.doc_id, p.i - tm.off AS start, tm.off, tm.n_terms
+    FROM pos p JOIN terms tm ON p.w = tm.term
+), spans AS (
+    SELECT phrase, doc_id, start, n_terms,
+           count(DISTINCT off) AS k
+    FROM probe GROUP BY phrase, doc_id, start, n_terms
+)
+SELECT phrase, doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM spans WHERE k = n_terms
+GROUP BY phrase, doc_id
+"""
+
+
+PHRASE_ORACLE = _phrase_oracle()
+
+
+@register(
+    "phrase_search_positional",
+    oracle=PHRASE_ORACLE,
+    tags=("text", "retrieval", "phrase"),
+    past_window=True,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: for each
+    query phrase, every document containing it verbatim, with its
+    occurrence count and first token position — the retrieval primitive
+    BM25 can't express (bag-of-words scoring loses adjacency) and the
+    reason real search indexes store positions.
+
+    Plan = the positional-index probe, not a text rescan per phrase:
+    tokens posexplode once into (doc, pos, token) postings; an inner
+    join against the BROADCAST query-term table (term, offset) discards
+    every posting outside the query vocabulary — on a stored index this
+    is the partition-pruned read of the query terms' posting lists —
+    and adjacency then resolves WITHOUT any positional self-join: a
+    posting for offset-``o`` of a phrase starting at ``pos − o`` votes
+    for span ``start = pos − o``, so ONE map-side-combined aggregate on
+    (phrase, doc, start) counting distinct offsets finds the complete
+    spans (repeated words in a phrase are handled because votes at the
+    same start come from distinct offsets). The final per-(phrase, doc)
+    rollup is a second small aggregate. Cost scales with the query
+    terms' posting lists; phrase length only widens the tiny broadcast.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    return phrase_match_frame(spark, positional_postings_frame(docs))
+
+
+def positional_postings_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) positional postings of a (doc_id, text)
+    frame — the stored shape of a positional inverted index. Shared by
+    the batch head and the ingest-time postings store
+    (``streaming/jobs.py``), so index rows cannot drift from the
+    in-query tokenization."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+def phrase_match_frame(spark: SparkSession, postings: DataFrame) -> DataFrame:
+    """The phrase probe over any (doc_id, pos, token) postings frame —
+    shared by the batch head (postings derived in-query) and
+    ``phrase_search_from_store`` (postings read from the ingest store,
+    text never re-scanned)."""
+    terms = spark.createDataFrame(
+        _phrase_terms(), "phrase string, term string, off int, n_terms int"
+    )
+    probe = postings.join(
+        F.broadcast(terms), postings["token"] == terms["term"]
+    ).select(
+        "phrase",
+        "doc_id",
+        (F.col("pos") - F.col("off")).alias("start"),
+        "off",
+        "n_terms",
+    )
+    spans = (
+        probe.groupBy("phrase", "doc_id", "start", "n_terms")
+        .agg(F.countDistinct("off").alias("k"))
+        .filter(F.col("k") == F.col("n_terms"))
+    )
+    return spans.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("start").cast("bigint").alias("first_pos"),
+    )

@@ -352,3 +352,134 @@ def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# --------------------------------------------- PMI collocations
+
+_PMI_MIN_PAIR = 5  # noise floor: pairs seen fewer times carry no signal
+
+PMI_ORACLE = f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+), uni AS (
+    SELECT unnest(t) AS tok FROM toks
+), cnt1 AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY tok
+), n1 AS (
+    SELECT CAST(count(*) AS BIGINT) AS total1 FROM uni
+), pairs AS (
+    SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+    FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
+), cnt2 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+    FROM pairs GROUP BY w1, w2
+), n2 AS (
+    SELECT CAST(count(*) AS BIGINT) AS total2 FROM pairs
+)
+SELECT c.w1, c.w2, c.n_pair,
+       ROUND(ln(CAST(c.n_pair * n1.total1 * n1.total1 AS DOUBLE)
+                / CAST(n2.total2 * a.c1 * b.c1 AS DOUBLE)), 6) AS pmi
+FROM cnt2 c
+JOIN cnt1 a ON a.tok = c.w1
+JOIN cnt1 b ON b.tok = c.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE c.n_pair >= {_PMI_MIN_PAIR}
+"""
+
+
+@register(
+    "collocation_pmi",
+    oracle=PMI_ORACLE,
+    tags=("text", "stats", "collocation"),
+    past_window=True,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs (Church &
+    Hanks 1990): ``ln(P(w1,w2) / (P(w1)·P(w2)))`` for every bigram
+    seen ≥ 5 times — the collocation-mining statistic behind phrase
+    vocabularies and tokenizer merge candidates (`doc_bpe_tokens`
+    trains merges by raw pair COUNT; PMI is the associativity view
+    that separates "of the" (frequent, independent) from genuinely
+    bound pairs). `phrase_heavy_hitters` surfaces the top pair counts;
+    this head scores ALL above-floor pairs by association strength.
+
+    Determinism: the ratio is assembled from five exact BIGINT counts
+    as ONE integer numerator and ONE integer denominator, each cast to
+    double only at the final division (both < 2⁵³, so the casts are
+    exact) — ln + round-6 of identical doubles on both engines, the
+    `source_zipf_slope` recipe.
+
+    Scale shape: ONE corpus scan explodes each document's tagged
+    unigram + bigram instances (the zip-shift slice, no self-join);
+    the single map-side-combined aggregate lands at VOCABULARY grain,
+    and everything downstream — the two 1-row totals (derived by
+    summing the count table, never re-scanning the corpus), the
+    unigram broadcasts, the final ratio — is vocab-sized.
+    """
+    from gmall_flink_parent_spark.plans.registry import scoped_persist
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(toks.alias("toks"))
+    bg = F.zip_with(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    # one explode carries both gram orders (the ngram-diversity
+    # tagged-array recipe): tag 1 = unigram instance, tag 2 = bigram
+    tagged = F.concat(
+        F.transform(
+            F.col("toks"),
+            lambda t: F.struct(
+                F.lit(1).alias("n"), t.alias("w1"), F.lit("").alias("w2")
+            ),
+        ),
+        F.transform(
+            bg,
+            lambda p: F.struct(
+                F.lit(2).alias("n"),
+                p["w1"].alias("w1"),
+                p["w2"].alias("w2"),
+            ),
+        ),
+    )
+    counts = scoped_persist(
+        base.select(F.explode(tagged).alias("g"))
+        .select("g.n", "g.w1", "g.w2")
+        .groupBy("n", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cnt1 = counts.filter(F.col("n") == 1).select(
+        F.col("w1").alias("tok"), F.col("c").alias("c1")
+    )
+    n1 = cnt1.agg(F.sum("c1").cast("bigint").alias("total1"))
+    cnt2_all = counts.filter(F.col("n") == 2).select(
+        "w1", "w2", F.col("c").alias("n_pair")
+    )
+    n2 = cnt2_all.agg(F.sum("n_pair").cast("bigint").alias("total2"))
+    cnt2 = cnt2_all.filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    a = cnt1.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a"))
+    b = cnt1.select(F.col("tok").alias("w2"), F.col("c1").alias("c1b"))
+    return (
+        cnt2.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("total1") * F.col("total1")).cast(
+                        "double"
+                    )
+                    / (F.col("total2") * F.col("c1a") * F.col("c1b")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1717,6 +1717,19 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     it), which the oracle hash proves every run. Role explosion +
     one map-side-combined aggregate lands the per-part counts.
     """
+    _deg, counts = _triangle_frames(spark, sf_dir)
+    return counts
+
+
+def _triangle_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Degree and per-part triangle-count frames of the support ≥ 2
+    co-purchase graph — the degree-ordered-orientation core shared by
+    ``part_triangle_count`` (counts only) and ``part_clustering_coeff``
+    (counts normalized by the degree frame). Returns
+    ``(deg(p, d), counts(part, n_triangles))``; ``deg`` spans every
+    graph vertex, ``counts`` only vertices in ≥ 1 triangle."""
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1772,7 +1785,229 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("b").alias("part")))
         .unionByName(tri.select(F.col("c").alias("part")))
     )
-    return roles.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = roles.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return deg, counts
+
+
+# ------------------------------------- local clustering coefficient
+
+CLUSTERING_ORACLE = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= {_TRIANGLE_MIN_SUP}
+), sym AS (
+    SELECT part_a AS u, part_b AS v FROM edges
+    UNION ALL SELECT part_b, part_a FROM edges
+), deg AS (
+    SELECT u AS part, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY u
+), tri AS (
+    SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.part_a = e1.part_a AND e1.part_b < e2.part_b
+    JOIN edges e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b
+), roles AS (
+    SELECT a AS part FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+), tcount AS (
+    SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM roles GROUP BY part
+)
+SELECT d.part, d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+           ROUND(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+       ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tcount t ON t.part = d.part
+"""
+
+
+@register(
+    "part_clustering_coeff",
+    oracle=CLUSTERING_ORACLE,
+    tags=("graph", "market-basket"),
+    past_window=True,
+)
+def part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part of the support ≥ 2
+    co-purchase graph (Watts & Strogatz 1998): closed wedges at the
+    vertex over all wedges at the vertex, ``2T(v) / d(v)(d(v)−1)`` —
+    the per-node transitivity that separates hub-and-spoke catalog
+    structure (hubs with cc → 0) from clique-like bundles (cc → 1).
+    Degree-1 vertices carry cc = 0 by the usual convention.
+
+    Rides the exact triangle core `part_triangle_count` runs (degree-
+    ordered orientation, no hub fan-out — that head's docstring carries
+    the scale argument); this head adds only a vertex-grain LEFT join
+    of the degree frame against the triangle counts plus one division.
+    Determinism: T and d are exact BIGINTs on both engines, so the one
+    double division of identical integers is bit-identical; rounded to
+    6 for the hash like every ratio head.
+    """
+    deg, counts = _triangle_frames(spark, sf_dir)
+    d = F.col("d")
+    n = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    return (
+        deg.join(counts, deg["p"] == counts["part"], "left")
+        .select(
+            deg["p"].alias("part"),
+            d.cast("bigint").alias("degree"),
+            n.alias("n_triangles"),
+            F.when(
+                d >= 2,
+                F.round(
+                    (F.lit(2) * n).cast("double")
+                    / (d * (d - F.lit(1))).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+# --------------------------------------------- label propagation (LPA)
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    """4 unrolled synchronous label-propagation rounds over the
+    co-purchase graph. Majority-neighbor label with the smallest-label
+    tie-break makes every round a deterministic function of exact
+    integer counts, so the trajectory hash-compares cross-engine —
+    the `part_pagerank` unrolled-oracle recipe applied to communities."""
+    sql = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= {_TRIANGLE_MIN_SUP}
+),
+edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION ALL
+    SELECT part_b, part_a FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    for k in range(1, _LPA_ITERS + 1):
+        sql += f""",
+l{k} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, label
+               ) AS rn
+        FROM (
+            SELECT e.dst AS node, p.label, count(*) AS c
+            FROM edges e JOIN l{k - 1} p ON e.src = p.node
+            GROUP BY e.dst, p.label
+        )
+    ) WHERE rn = 1
+)"""
+    return sql + f""",
+sizes AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS community_size
+    FROM l{_LPA_ITERS} GROUP BY label
+)
+SELECT l.node AS part, l.label AS community, s.community_size
+FROM l{_LPA_ITERS} l JOIN sizes s ON s.label = l.label
+"""
+
+
+LPA_ORACLE = _lpa_oracle()
+
+
+@register(
+    "part_label_propagation",
+    oracle=LPA_ORACLE,
+    tags=("graph", "iterative", "market-basket"),
+    past_window=True,
+)
+def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the support ≥ 2 co-purchase graph: each
+    part starts in its own community and, for 4 fixed rounds, adopts
+    its neighbors' majority label (smallest label on ties) — the
+    cheap-and-scalable community primitive between `part_pagerank`
+    (global centrality) and the connected-components family (pure
+    reachability). Output: each part's community plus that community's
+    size.
+
+    Determinism: synchronous updates + exact integer neighbor-label
+    counts + the total (count DESC, label ASC) tie-break make every
+    round a pure function of the previous labeling — no float, no
+    summation-order dependence — so 4 unrolled SQL rounds hash-match
+    the engine's loop exactly. Fixed iteration count keeps the plan
+    finite (the repo's k-means/CC/pagerank convention).
+
+    Scale: per round ONE join of the label frame against the edge list
+    (both graph-sized, equi on the node key) + one map-side-combined
+    (node, label) count + one per-node top-1 window PARTITIONED BY
+    node — every frame is edge- or vertex-grain, never corpus-grain,
+    and the per-node window state is bounded by that node's distinct
+    neighbor labels (≤ degree).
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = scoped_persist(
+        a.join(b, (a["k"] == b["k"]) & (a["pa"] < b["pb"]))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _TRIANGLE_MIN_SUP)
+        .select("pa", "pb")
+    )
+    edges = scoped_persist(
+        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+            pairs.selectExpr("pb AS src", "pa AS dst")
+        )
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # Materialize each round (vertex-grain, tiny): without this the
+        # unrolled lineage deepens 3 stages per round and the final
+        # two consumers (sizes + the output join) re-execute it — at
+        # sf0.1 the cached loop runs 31 s → ~4 s. On a cluster this is
+        # the standard iterate-persist cadence (same as CC/k-means).
+        labels = scoped_persist(
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy(F.col("label").alias("sz_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), labels["label"] == sizes["sz_label"])
+        .select(
+            F.col("node").alias("part"),
+            F.col("label").alias("community"),
+            "community_size",
+        )
+    )
 
 
 LARGE_ORDER_ORACLE = """

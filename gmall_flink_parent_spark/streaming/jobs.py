@@ -2177,6 +2177,7 @@ def curation_ingest_job(
     dsir_path: str | None = None,
     span_path: str | None = None,
     filter_path: str | None = None,
+    postings_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
     text-profile store, the shingle store, the mixture store — and,
@@ -2184,8 +2185,10 @@ def curation_ingest_job(
     ``chunk_path`` / ``dsir_path`` / ``span_path`` / ``filter_path``
     are given, the unigram doc-term store, the winnowing-fingerprint
     store, the Gopher repetition-verdict store, the retrieval-chunk
-    store, the DSIR hashed-gram store, the repeated-span store, and
-    the curation-filter-signal store — together.
+    store, the DSIR hashed-gram store, the repeated-span store,
+    the curation-filter-signal store, and (``postings_path``) the
+    positional-postings store behind ``phrase_search_from_store`` —
+    together.
     At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
     ingest cost, so running `text_profile_job` + `shingle_store_job` +
     `mixture_job` + `vocab_store_job` as separate streams would pay it
@@ -2208,13 +2211,14 @@ def curation_ingest_job(
     )
     from gmall_flink_parent_spark.functions.chunks import chunk_windows_frame
     from gmall_flink_parent_spark.functions.quality import doc_repetition_profile_frame
+    from gmall_flink_parent_spark.functions.retrieval import positional_postings_frame
     from gmall_flink_parent_spark.functions.selection import hashed_gram_frame
     from gmall_flink_parent_spark.functions.spans import span_frame, winnow_fp_frame
     from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        heal_store_dirs(batch.sparkSession, chunk_path, dsir_path, filter_path, mixture_path, profile_path, quality_path, shingle_path, span_path, vocab_path, winnow_path)
+        heal_store_dirs(batch.sparkSession, chunk_path, dsir_path, filter_path, mixture_path, postings_path, profile_path, quality_path, shingle_path, span_path, vocab_path, winnow_path)
         wide = fan_out(batch.sparkSession, batch).persist()
         try:
             doc_text_profile_frame(wide.select("doc_id", "text")).write.mode(
@@ -2254,6 +2258,10 @@ def curation_ingest_job(
                 filter_flags_frame(wide.select("doc_id", "text")).write.mode(
                     "overwrite"
                 ).parquet(f"{filter_path}/batch_id={batch_id}")
+            if postings_path is not None:
+                positional_postings_frame(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{postings_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 
@@ -2278,6 +2286,27 @@ def term_postings_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     release_caches()
     return postings_stats_frame(
         spark.read.parquet(store_path).select("doc_id", "chunk_id", "chunk_text")
+    )
+
+
+def phrase_search_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Exact phrase search over the ingest-time POSITIONAL postings
+    store (``curation_ingest_job``'s ``postings_path``): the tokenize +
+    posexplode pass ran once at ingest, so a phrase query is one probe
+    of stored (doc_id, pos, token) rows — broadcast the query terms,
+    aggregate the surviving postings by (phrase, doc, start) — with the
+    document text never re-scanned. Same ``phrase_match_frame`` core as
+    the batch ``phrase_search_positional``, so store and batch results
+    are hash-identical over the same corpus. The store is append-only
+    (a document's postings never change), so incremental maintenance is
+    exactly the batch_id partition landing — no merge pass exists to
+    drift."""
+    from gmall_flink_parent_spark.functions.retrieval import phrase_match_frame
+    from gmall_flink_parent_spark.plans.registry import release_caches
+
+    release_caches()
+    return phrase_match_frame(
+        spark, spark.read.parquet(store_path).select("doc_id", "pos", "token")
     )
 
 

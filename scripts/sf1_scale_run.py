@@ -47,6 +47,9 @@ KEY_OFF = 10**9
 # the 10 most expensive r9 bench heads + the broadcast-gate heads
 HEADS = [
     # round-12 additions
+    "part_clustering_coeff",
+    "part_label_propagation",
+    "phrase_search_positional",
     "event_value_ewma",
     "sql_dws_surface",
     "session_allen_relations",

@@ -4472,3 +4472,118 @@ def test_sql_table_macros_match_dataframe_twins(spark, sf_dir):
             (tuple(repr(r[c]) for c in cols) for r in want_df.collect()), key=repr
         )
         assert got == want and len(want) > 0, f"{macro} != {head}"
+
+
+def test_clustering_coeff_on_planted_triangle_with_pendant(spark, tmp_path):
+    """Planted support-2 graph: triangle 1-2-3 plus pendant edge 3-4
+    (every edge backed by two shared baskets). cc(1)=cc(2)=1 (their
+    whole neighborhood is closed), cc(3)=2·1/(3·2)=1/3 (one closed
+    wedge of three), cc(4)=0 by the degree-1 convention."""
+    from gmall_flink_parent_spark.operators.analytics import part_clustering_coeff
+
+    orders = [
+        (1, [1, 2]), (2, [1, 2]),
+        (3, [1, 3]), (4, [1, 3]),
+        (5, [2, 3]), (6, [2, 3]),
+        (7, [3, 4]), (8, [3, 4]),
+    ]
+    rows = [(o, p, "2024-02-01 00:00:00") for o, parts in orders for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["part"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in part_clustering_coeff(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 0.333333),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_label_propagation_on_planted_disjoint_cliques(spark, tmp_path):
+    """Two disjoint planted triangles {1,2,3} and {10,11,12}: synchronous
+    LPA with the min-label tie-break converges inside two rounds to one
+    community per clique, labeled by the clique's smallest node (the
+    deterministic trajectory: identity → min-of-others → all-min)."""
+    from gmall_flink_parent_spark.operators.analytics import part_label_propagation
+
+    cliques = [(1, 2, 3), (10, 11, 12)]
+    orders, oid = [], 0
+    for c in cliques:
+        for i in range(3):
+            for j in range(i + 1, 3):
+                for _ in range(2):  # support 2 per edge
+                    oid += 1
+                    orders.append((oid, [c[i], c[j]]))
+    rows = [(o, p, "2024-02-01 00:00:00") for o, parts in orders for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["part"]: (r["community"], r["community_size"])
+        for r in part_label_propagation(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+    }
+
+
+def test_phrase_search_on_planted_texts(spark, tmp_path):
+    """Planted documents pin the positional semantics the LIKE-style
+    scan can't express: self-overlapping repeats ('table hash table
+    hash table' = TWO starts, 0 and 2), a phrase whose words appear
+    but never adjacently ('order order fast fast' matches 'order fast'
+    only at position 1), and the trigram path."""
+    from gmall_flink_parent_spark.functions.retrieval import (
+        phrase_search_positional,
+    )
+
+    docs = [
+        (1, "table hash table hash table"),
+        (2, "order order fast fast window fast query"),
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "src", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search_positional(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("table hash", 1): (2, 0),
+        ("order fast", 2): (1, 1),
+        ("window fast query", 2): (1, 4),
+    }
+
+
+def test_collocation_pmi_on_planted_counts(spark, tmp_path):
+    """Planted corpus where exact PMI is computable by hand: one doc of
+    five 'x y' repeats (pair (x,y) seen 5 ≥ floor, (y,x) only 4 —
+    filtered), so PMI(x,y) = ln(5·10·10 / (9·5·5)) over total1=10
+    unigrams and total2=9 bigrams."""
+    import math
+
+    from gmall_flink_parent_spark.functions.text import collocation_pmi
+
+    spark.createDataFrame(
+        [(1, "x y x y x y x y x y", "en", "src", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = collocation_pmi(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["n_pair"]) == ("x", "y", 5)
+    assert r["pmi"] == round(math.log((5 * 10 * 10) / (9 * 5 * 5)), 6)

@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "important_part_stock",  # 1-row (total, n) threshold scalars × per-part values
     "important_part_stock_partsupp",  # same 1-row threshold scalars, partsupp measure
     "event_sequence_support",  # 1-row distinct-user-count scalar × |types|² matrix
+    "collocation_pmi",  # two 1-row gram-total scalars × vocab-grain pair counts
 }
 
 

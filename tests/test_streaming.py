@@ -5282,3 +5282,46 @@ def test_bounce_stats_store_job_completes_visitor_stats_trio(spark, sf_dir, tmp_
     compact_partial_store(spark, store, ["ymd"])
     got2 = _rows(bounce_stats_from_store(spark, store), cols)
     assert got2 == want
+
+
+def test_postings_store_serves_phrase_search(spark, sf_dir, tmp_path):
+    """The positional-postings store end to end: two micro-batches land
+    (doc_id, pos, token) rows at ingest, and `phrase_search_from_store`
+    over the stored index must hash-equal the batch
+    `phrase_search_positional` (which re-derives postings from text) —
+    the append-only index-maintenance contract: a doc's postings never
+    change, so accumulation ≡ one-shot."""
+    from gmall_flink_parent_spark.streaming.jobs import (
+        curation_ingest_job,
+        phrase_search_from_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string, source string"
+    )
+    curation_ingest_job(
+        stream,
+        str(tmp_path / "prof"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "mix"),
+        str(tmp_path / "ck"),
+        weights={f"src{i}": 1.0 for i in range(20)},
+        postings_path=str(tmp_path / "post"),
+    ).awaitTermination(120)
+
+    got = {
+        (r["phrase"], r["doc_id"], r["n_matches"], r["first_pos"])
+        for r in phrase_search_from_store(
+            spark, str(tmp_path / "post")
+        ).collect()
+    }
+    want = {
+        (r["phrase"], r["doc_id"], r["n_matches"], r["first_pos"])
+        for r in plans.query_map()["phrase_search_positional"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and len(want) > 0
