@@ -213,6 +213,7 @@ HEADLINE = [
     "part_label_propagation",
     "phrase_search_positional",
     "collocation_pmi",
+    "term_proximity_search",
 ]
 
 

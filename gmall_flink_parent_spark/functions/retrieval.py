@@ -736,3 +736,102 @@ def phrase_match_frame(spark: SparkSession, postings: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.min("start").cast("bigint").alias("first_pos"),
     )
+
+
+# ------------------------------------------- proximity (NEAR) search
+
+# Fixed demo NEAR workload over the corpus vocabulary: unordered term
+# pairs that must co-occur within PROX_SLOP tokens.
+PROX_PAIRS = (
+    ("spark", "join"),
+    ("table", "scan"),
+    ("fast", "slow"),
+)
+PROX_SLOP = 3
+
+
+def _prox_oracle() -> str:
+    values = ", ".join(f"('{a}', '{b}')" for a, b in PROX_PAIRS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+    SELECT doc_id, u.w, u.i
+    FROM toks, LATERAL (
+        SELECT UNNEST(t) AS w, UNNEST(range(0, len(t))) AS i
+    ) u
+), qp(term_a, term_b) AS (
+    VALUES {values}
+), hits AS (
+    SELECT qp.term_a, qp.term_b, a.doc_id,
+           abs(a.i - b.i) AS dist
+    FROM qp
+    JOIN pos a ON a.w = qp.term_a
+    JOIN pos b ON b.w = qp.term_b AND b.doc_id = a.doc_id
+    WHERE abs(a.i - b.i) <= {PROX_SLOP}
+)
+SELECT term_a, term_b, doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(min(dist) AS BIGINT) AS min_dist
+FROM hits GROUP BY term_a, term_b, doc_id
+"""
+
+
+PROX_ORACLE = _prox_oracle()
+
+
+@register(
+    "term_proximity_search",
+    oracle=PROX_ORACLE,
+    tags=("text", "retrieval", "proximity"),
+    past_window=True,
+)
+def term_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR operator over the positional index: for each query term
+    pair, every document where the two terms co-occur within
+    ``PROX_SLOP`` tokens (unordered), with the within-window pair count
+    and the closest distance — the proximity-search primitive between
+    bag-of-words BM25 (no positions) and `phrase_search_positional`
+    (exact adjacency), and the classic signal for "terms about the
+    same thing HERE, not merely in the same document".
+
+    Plan: the same broadcast index probe as the phrase head — postings
+    join the tiny query-pair table on the term, so only the query
+    terms' posting lists survive — then the two sides meet in ONE
+    equi-join on (pair, doc) with the band predicate |pa − pb| ≤ slop
+    as a residual. Per-(pair, doc) work is that document's tf(a)·tf(b)
+    — bounded by per-doc term frequency, never corpus² — and the final
+    aggregate is map-side combined at (pair, doc) grain. The oracle
+    states the naive all-positions join; the probe is losslessly
+    identical (hash-proved every run).
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    qp = spark.createDataFrame(list(PROX_PAIRS), "term_a string, term_b string")
+    vocab = qp.select(F.col("term_a").alias("qterm")).unionByName(
+        qp.select(F.col("term_b").alias("qterm"))
+    ).distinct()
+    # ONE corpus scan: only postings of the query vocabulary survive the
+    # broadcast probe; both join sides below read this tiny cached frame.
+    probe = scoped_persist(
+        positional_postings_frame(docs).join(
+            F.broadcast(vocab), F.col("token") == F.col("qterm")
+        ).select("doc_id", "token", "pos")
+    )
+    a = probe.join(F.broadcast(qp), probe["token"] == F.col("term_a")).select(
+        "term_a", "term_b", "doc_id", F.col("pos").alias("pa")
+    )
+    b = probe.select(
+        F.col("token").alias("tb"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+    )
+    hits = a.join(
+        b,
+        (F.col("term_b") == F.col("tb"))
+        & (F.col("doc_id") == F.col("doc_b"))
+        & (F.abs(F.col("pa") - F.col("pb")) <= PROX_SLOP),
+    )
+    return hits.groupBy("term_a", "term_b", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.min(F.abs(F.col("pa") - F.col("pb"))).cast("bigint").alias("min_dist"),
+    )

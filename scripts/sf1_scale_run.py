@@ -50,6 +50,8 @@ HEADS = [
     "part_clustering_coeff",
     "part_label_propagation",
     "phrase_search_positional",
+    "collocation_pmi",
+    "term_proximity_search",
     "event_value_ewma",
     "sql_dws_surface",
     "session_allen_relations",

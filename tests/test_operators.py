@@ -4587,3 +4587,37 @@ def test_collocation_pmi_on_planted_counts(spark, tmp_path):
     r = rows[0]
     assert (r["w1"], r["w2"], r["n_pair"]) == ("x", "y", 5)
     assert r["pmi"] == round(math.log((5 * 10 * 10) / (9 * 5 * 5)), 6)
+
+
+def test_proximity_search_on_planted_texts(spark, tmp_path):
+    """Planted NEAR semantics: 'spark a a join' co-occurs at distance 3
+    (= slop, included); 'spark a a a join' at distance 4 (excluded);
+    'join spark' counts unordered at distance 1; two spark×two join
+    occurrences in one doc yield every within-slop position pair."""
+    from gmall_flink_parent_spark.functions.retrieval import (
+        term_proximity_search,
+    )
+
+    docs = [
+        (1, "spark a a join"),
+        (2, "spark a a a join"),
+        (3, "join spark"),
+        (4, "spark join spark join"),
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "src", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["term_a"], r["term_b"], r["doc_id"]): (r["n_windows"], r["min_dist"])
+        for r in term_proximity_search(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("spark", "join", 1): (1, 3),
+        ("spark", "join", 3): (1, 1),
+        # doc 4 positions: spark@0, join@1, spark@2, join@3 — pairs
+        # within slop 3: (0,1) (0,3) (2,1) (2,3) = 4 windows, min 1
+        ("spark", "join", 4): (4, 1),
+    }
