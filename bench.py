@@ -214,6 +214,7 @@ HEADLINE = [
     "phrase_search_positional",
     "collocation_pmi",
     "term_proximity_search",
+    "event_value_holt_forecast",
 ]
 
 

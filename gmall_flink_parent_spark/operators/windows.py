@@ -1721,3 +1721,152 @@ def ewma_frame(daily: DataFrame) -> DataFrame:
         "n_terms",
         (q.cast("double") / F.lit(1000000.0)).alias("ewma"),
     )
+
+
+# ------------------------------------- double-exponential forecast
+
+_HOLT_H = 7  # first-smoothing horizon (days); second spans 2H-1 lags
+# alpha = 0.3: first-smoothing weights are the EWMA integers
+# 3*7^d*10^(H-1-d); the SECOND smoothing's weights are their exact
+# self-convolution, and Brown's one-step forecast (2 + a/(1-a))S1 -
+# (1 + a/(1-a))S2 = (17*S1 - 10*S2)/7 collapses into ONE integer
+# coefficient per lag: c_k = 17*W*w_k - 10*u_k over denominator 7*W^2.
+_HOLT_W = [3 * 7**d * 10 ** (_HOLT_H - 1 - d) for d in range(_HOLT_H)]
+_HOLT_WSUM = sum(_HOLT_W)
+_HOLT_U = [
+    sum(
+        _HOLT_W[i] * _HOLT_W[k - i]
+        for i in range(max(0, k - _HOLT_H + 1), min(k, _HOLT_H - 1) + 1)
+    )
+    for k in range(2 * _HOLT_H - 1)
+]
+_HOLT_C = [
+    17 * _HOLT_WSUM * (_HOLT_W[k] if k < _HOLT_H else 0) - 10 * _HOLT_U[k]
+    for k in range(2 * _HOLT_H - 1)
+]
+_HOLT_DEN = 7 * _HOLT_WSUM * _HOLT_WSUM
+_HOLT_LAGS = 2 * _HOLT_H - 1
+_HOLT_CASE = (
+    "CASE d " + " ".join(f"WHEN {k} THEN {c}" for k, c in enumerate(_HOLT_C)) + " END"
+)
+
+HOLT_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d')
+), bounds AS (
+    SELECT event_type,
+           MIN(CAST(strptime(ymd, '%Y%m%d') AS DATE)) AS d0,
+           MAX(CAST(strptime(ymd, '%Y%m%d') AS DATE)) AS d1
+    FROM daily GROUP BY event_type
+), cal AS (
+    SELECT event_type, d0 + CAST(u.k AS INTEGER) AS day_t
+    FROM bounds, LATERAL (
+        SELECT UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS k
+    ) u
+), agg AS (
+    SELECT cal.event_type, cal.day_t,
+           SUM(i.c * ({_HOLT_CASE})) AS num
+    FROM cal JOIN (
+        SELECT event_type, CAST(strptime(ymd, '%Y%m%d') AS DATE) AS day_i, c
+        FROM daily
+    ) i ON i.event_type = cal.event_type
+       AND date_diff('day', i.day_i, cal.day_t)
+           BETWEEN 0 AND {_HOLT_LAGS - 1}
+    CROSS JOIN LATERAL (
+        SELECT date_diff('day', i.day_i, cal.day_t) AS d
+    ) dd
+    GROUP BY cal.event_type, cal.day_t
+)
+SELECT cal.event_type, strftime(cal.day_t, '%Y%m%d') AS ymd,
+       CAST((GREATEST(COALESCE(a.num, 0), 0) * 20000 + {_HOLT_DEN})
+            // (2 * {_HOLT_DEN}) AS DOUBLE) / 1000000.0 AS holt_forecast
+FROM cal LEFT JOIN agg a
+  ON a.event_type = cal.event_type AND a.day_t = cal.day_t
+"""
+
+
+@register(
+    "event_value_holt_forecast",
+    oracle=HOLT_ORACLE,
+    tags=("dws", "time-series", "forecast"),
+    past_window=True,
+)
+def event_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead revenue forecast per event type by Brown's
+    double exponential smoothing (alpha = 0.3, LES — the linear-trend
+    upgrade of `event_value_ewma`'s level-only statistic): for every
+    calendar day in the type's observed span, the value forecast for
+    the NEXT day, floored at zero (a revenue forecast below zero is
+    pinned to the no-revenue floor). Days with no events are true
+    zero-revenue observations here (the zero-fill contract — unlike
+    the EWMA head, which renormalizes over observed days, a FORECAST
+    must see the zeros or it extrapolates past gaps it should decay
+    through).
+
+    Exactness: both smoothings and the trend extrapolation collapse
+    into one integer coefficient per lag — c_k = 17·W·w_k − 10·u_k
+    with u the exact self-convolution of the EWMA weight integers —
+    so the forecast is Σ c_k·cents over the constant denominator 7W²,
+    floored, half-up-rounded and converted to double ONCE: bit-exact
+    cross-engine, the `event_value_ewma` recipe lifted through the
+    second smoothing.
+
+    Scale shape: event grain collapses to (type, day) first; the
+    calendar spine is generated per type (calendar-grain, never
+    event-grain); the pairwise frame joins the spine against OBSERVED
+    days only (zero terms contribute nothing, so zero-fill costs no
+    rows), equi on event_type with the 13-day band residual — the
+    `mann_kendall_frame` bound tightened by the horizon — and the
+    final LEFT join restores all-quiet windows as forecast 0.
+    """
+    return holt_frame(
+        spark, daily_cents_frame(load_table(spark, sf_dir, "events"))
+    )
+
+
+def holt_frame(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The forecast core over any (event_type, ymd, c) frame — shared
+    with ``event_value_holt_forecast_from_store`` (streaming/jobs.py),
+    the day×type store's eighth consumer."""
+    d0 = F.to_date(F.col("ymd"), "yyyyMMdd")
+    bounds = daily.groupBy("event_type").agg(
+        F.min(d0).alias("d0"), F.max(d0).alias("d1")
+    )
+    cal = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(0, datediff(d1, d0))")).alias("k"),
+        "d0",
+    ).select("event_type", F.expr("date_add(d0, k)").alias("day_t"))
+    obs = daily.select(
+        F.col("event_type").alias("event_type_i"),
+        F.to_date("ymd", "yyyyMMdd").alias("day_i"),
+        F.col("c").alias("c_i"),
+    )
+    d = F.datediff("day_t", "day_i")
+    pairs = cal.join(
+        obs,
+        (F.col("event_type") == F.col("event_type_i"))
+        & (d >= 0)
+        & (d < _HOLT_LAGS),
+    ).select("event_type", "day_t", "c_i", d.alias("d"))
+    w = F.expr(_HOLT_CASE).cast("decimal(18,0)")
+    agg = pairs.groupBy(F.col("event_type").alias("et_a"), F.col("day_t").alias("dt_a")).agg(
+        F.sum((F.col("c_i") * w).cast("decimal(38,0)")).alias("num")
+    )
+    q = F.expr(
+        f"(greatest(coalesce(num, 0), 0) * 20000 + {_HOLT_DEN}) div (2 * {_HOLT_DEN})"
+    )
+    return (
+        cal.join(
+            agg,
+            (F.col("event_type") == F.col("et_a")) & (F.col("day_t") == F.col("dt_a")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.date_format("day_t", "yyyyMMdd").alias("ymd"),
+            (q.cast("double") / F.lit(1000000.0)).alias("holt_forecast"),
+        )
+    )

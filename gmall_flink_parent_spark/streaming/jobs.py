@@ -687,8 +687,9 @@ def daily_value_store_job(events: DataFrame, store_path: str, checkpoint_dir: st
     ``event_dow_seasonality_from_store`` (weekday indexes),
     ``event_daily_robust_outliers_from_store`` (median/MAD flags),
     ``event_trend_mann_kendall_from_store`` (S/z + Theil-Sen), and
-    ``event_value_ewma_from_store`` (the EWMA control statistic), each
-    hash-equal to its batch head over the same events.
+    ``event_value_ewma_from_store`` (the EWMA control statistic), and
+    ``event_value_holt_forecast_from_store`` (Brown's one-step
+    forecast), each hash-equal to its batch head over the same events.
 
     The partial is the finest grain both consumers share: per-batch
     (day, type) decimal sums. Decimal addition is associative,
@@ -777,6 +778,19 @@ def event_value_ewma_from_store(spark: SparkSession, store_path: str) -> DataFra
     from gmall_flink_parent_spark.operators.windows import ewma_frame
 
     return ewma_frame(_daily_cents_from_store(spark, store_path))
+
+
+def event_value_holt_forecast_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Final pass: Brown's double-exponential one-step forecast over
+    the incrementally maintained daily totals — hash-equal to batch
+    ``event_value_holt_forecast`` (shared ``holt_frame`` core; the
+    exact cents merge and the integer convolution coefficients leave
+    nothing to drift). The day×type partial store's EIGHTH consumer."""
+    from gmall_flink_parent_spark.operators.windows import holt_frame
+
+    return holt_frame(spark, _daily_cents_from_store(spark, store_path))
 
 
 def event_dow_seasonality_from_store(

@@ -52,6 +52,7 @@ HEADS = [
     "phrase_search_positional",
     "collocation_pmi",
     "term_proximity_search",
+    "event_value_holt_forecast",
     "event_value_ewma",
     "sql_dws_surface",
     "session_allen_relations",

@@ -4621,3 +4621,38 @@ def test_proximity_search_on_planted_texts(spark, tmp_path):
         # within slop 3: (0,1) (0,3) (2,1) (2,3) = 4 windows, min 1
         ("spark", "join", 4): (4, 1),
     }
+
+
+def test_holt_forecast_on_planted_series(spark, tmp_path):
+    """Three planted regimes pin the forecast algebra: a CONSTANT
+    series forecasts itself exactly once the 13-lag window is full
+    (Σc_k = 7W² = the denominator), a rising linear ramp extrapolates
+    ABOVE its last observation (the trend term Brown's adds over the
+    EWMA), and a type quiet for a full window forecasts exactly 0 via
+    the zero-fill contract."""
+    from gmall_flink_parent_spark.operators.windows import (
+        _HOLT_LAGS,
+        event_value_holt_forecast,
+    )
+
+    rows = []
+    for d in range(30):
+        rows.append(("flat", f"2024-03-{d + 1:02d} 10:00:00", 2.5))
+        rows.append(("ramp", f"2024-03-{d + 1:02d} 10:00:00", 10.0 + d))
+    rows.append(("gap", "2024-03-01 10:00:00", 50.0))
+    rows.append(("gap", "2024-03-30 10:00:00", 60.0))
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    out = {
+        (r["event_type"], r["ymd"]): r["holt_forecast"]
+        for r in event_value_holt_forecast(spark, sf).collect()
+    }
+    # constant series: exact self-forecast on every full-window day
+    for d in range(_HOLT_LAGS - 1, 30):
+        assert out[("flat", f"202403{d + 1:02d}")] == 2.5
+    # rising ramp: steady-state forecast extrapolates past the level
+    assert out[("ramp", "20240330")] > 10.0 + 29
+    # quiet-for-a-window days forecast exactly zero
+    for d in range(_HOLT_LAGS, 29):
+        assert out[("gap", f"202403{d + 1:02d}")] == 0.0
+    # the gap type's calendar is zero-filled end to end (30 rows)
+    assert sum(1 for k in out if k[0] == "gap") == 30

@@ -4458,6 +4458,20 @@ def test_daily_value_store_serves_correlation_and_pivot_exactly(
     )
     assert got_ewma == want_ewma and len(want_ewma) > 0
 
+    from gmall_flink_parent_spark.streaming.jobs import (
+        event_value_holt_forecast_from_store,
+    )
+
+    holt_cols = ["event_type", "ymd", "holt_forecast"]
+    want_holt = _rows(
+        plans.query_map()["event_value_holt_forecast"](spark, sf_dir), holt_cols
+    )
+    got_holt = _rows(
+        event_value_holt_forecast_from_store(spark, str(tmp_path / "store")),
+        holt_cols,
+    )
+    assert got_holt == want_holt and len(want_holt) > 0
+
     # both answers survive store compaction unchanged
     from gmall_flink_parent_spark.streaming.store import compact_fact_store
 
