@@ -806,6 +806,14 @@ def term_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical (hash-proved every run).
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    return proximity_match_frame(spark, positional_postings_frame(docs))
+
+
+def proximity_match_frame(spark: SparkSession, postings: DataFrame) -> DataFrame:
+    """The NEAR probe over any (doc_id, pos, token) postings frame —
+    shared by the batch head (postings derived in-query) and
+    ``term_proximity_from_store`` (the SAME stored positional index
+    that serves the phrase probe: one index, both query types)."""
     qp = spark.createDataFrame(list(PROX_PAIRS), "term_a string, term_b string")
     vocab = qp.select(F.col("term_a").alias("qterm")).unionByName(
         qp.select(F.col("term_b").alias("qterm"))
@@ -813,7 +821,7 @@ def term_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus scan: only postings of the query vocabulary survive the
     # broadcast probe; both join sides below read this tiny cached frame.
     probe = scoped_persist(
-        positional_postings_frame(docs).join(
+        postings.join(
             F.broadcast(vocab), F.col("token") == F.col("qterm")
         ).select("doc_id", "token", "pos")
     )

@@ -2324,6 +2324,21 @@ def phrase_search_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def term_proximity_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The NEAR operator over the SAME ingest-time positional postings
+    store that serves ``phrase_search_from_store`` — one stored index,
+    both positional query types, neither ever re-scanning text. Shared
+    ``proximity_match_frame`` core, so store and batch results are
+    hash-identical over the same corpus."""
+    from gmall_flink_parent_spark.functions.retrieval import proximity_match_frame
+    from gmall_flink_parent_spark.plans.registry import release_caches
+
+    release_caches()
+    return proximity_match_frame(
+        spark, spark.read.parquet(store_path).select("doc_id", "pos", "token")
+    )
+
+
 def chunk_bm25_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """BM25 top-k over the ingest-time chunk store — query-time lexical
     ranking with zero text re-scans: the store already holds the chunk

@@ -598,3 +598,59 @@ def uv_dedup_tws(events: DataFrame) -> DataFrame:
             timeMode="processingTime",
         )
     )
+
+
+class VisitorRepairProcessor(StatefulProcessor):
+    """W1 on the ``transformWithState`` surface — the stateful trio's
+    third member on the successor API (W3 `BounceProcessor`, W2+W6
+    `UvDedupProcessor`), so the reference's full
+    ``applyInPandasWithState`` surface has a 1:1 twin on the API Spark
+    is investing in. Reference semantics: ``BaseLogTask.java:65-99`` —
+    a named ValueState holds the user's first visit date, and a later
+    day's is_new claim is rewritten to '0'. No timers, no TTL: the
+    repair state is the user's PERMANENT first-seen date (the
+    reference keeps it unexpired too), so this machine exercises the
+    API's simplest profile — one named state, pure per-row rewrite.
+    Same fake-harness testability contract as the other two.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._first = handle.getValueState("first_date", "first_date string")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        first_date = self._first.get()[0] if self._first.exists() else None
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ymd = pdf["ts"].dt.strftime("%Y%m%d")
+            if first_date is None and len(ymd):
+                first_date = ymd.iloc[0]
+            is_new = (ymd == first_date).map({True: "1", False: "0"})
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "ymd": ymd,
+                    "is_new": is_new,
+                }
+            )
+        if first_date is not None:
+            self._first.update((first_date,))
+
+
+def visitor_repair_tws(events: DataFrame) -> DataFrame:
+    """W1 via ``transformWithStateInPandas`` — same output contract as
+    ``visitor_repair_stream`` (batch ``visitor_repair``'s schema).
+    Runtime needs Python protobuf (absent here — import-gated e2e,
+    fake-driven parity in tests, same seam as the other two twins)."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            VisitorRepairProcessor(),
+            outputStructType="event_id long, user_id long, ymd string, is_new string",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -5339,3 +5339,72 @@ def test_postings_store_serves_phrase_search(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+    from gmall_flink_parent_spark.streaming.jobs import term_proximity_from_store
+
+    got_px = {
+        tuple(r)
+        for r in term_proximity_from_store(
+            spark, str(tmp_path / "post")
+        ).collect()
+    }
+    want_px = {
+        tuple(r)
+        for r in plans.query_map()["term_proximity_search"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got_px == want_px and len(want_px) > 0
+
+
+def test_visitor_repair_tws_state_machine_matches_batch(spark, sf_dir):
+    """Drive ``VisitorRepairProcessor`` (the stateful trio's third
+    member on the transformWithState API) through the fake runtime
+    contract — per-key ``handleInputRows`` over ts-ordered input — and
+    the emissions must equal batch ``visitor_repair`` exactly (which,
+    with the old API's parity pin, also equates the two streaming
+    forms). No timers in this machine, so no expiry phase."""
+    proc_cls = stateful.VisitorRepairProcessor
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # two ts-ordered micro-batches so the first-date state must CARRY
+    # across handleInputRows calls (a later-day batch-2 claim of
+    # is_new='1' is repairable only from persisted batch-1 state)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    half = len(pdf) // 2
+    batches = [pdf.iloc[:half], pdf.iloc[half:]]
+    emitted = []
+    tv = _FakeTimerValues(-(10**15))
+    procs: dict = {}
+    for batch in batches:
+        for uid, grp in batch.groupby("user_id"):
+            proc = procs.get(uid)
+            if proc is None:
+                proc = procs[uid] = proc_cls()
+                proc.init(_FakeHandle())
+            for out in proc.handleInputRows((uid,), iter([grp]), tv):
+                emitted.append(out)
+    got = {
+        (int(r.event_id), int(r.user_id), r.ymd, r.is_new)
+        for out in emitted
+        if len(out)
+        for r in out.itertuples(index=False)
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["ymd"], r["is_new"])
+        for r in plans.query_map()["visitor_repair"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_visitor_repair_tws_plan_wires_without_runtime(spark, sf_dir):
+    """The W1 transformWithState plan must construct against the real
+    stream source (schema + analyzer checks) even without the protobuf
+    runtime — output schema identical to the old-API twin's."""
+    new = stateful.visitor_repair_tws(events_stream(spark, sf_dir))
+    old = stateful.visitor_repair_stream(events_stream(spark, sf_dir))
+    assert new.schema == old.schema
+    assert new.isStreaming
