@@ -215,6 +215,7 @@ HEADLINE = [
     "collocation_pmi",
     "term_proximity_search",
     "event_value_holt_forecast",
+    "holt_forecast_backtest",
 ]
 
 

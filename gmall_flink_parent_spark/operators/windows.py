@@ -1870,3 +1870,177 @@ def holt_frame(spark: SparkSession, daily: DataFrame) -> DataFrame:
             (q.cast("double") / F.lit(1000000.0)).alias("holt_forecast"),
         )
     )
+
+
+# ------------------------------------------------ forecast backtest
+
+HOLT_BACKTEST_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y%m%d') AS ymd,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+    FROM events GROUP BY event_type, strftime(ts, '%Y%m%d')
+), bounds AS (
+    SELECT event_type,
+           MIN(CAST(strptime(ymd, '%Y%m%d') AS DATE)) AS d0,
+           MAX(CAST(strptime(ymd, '%Y%m%d') AS DATE)) AS d1
+    FROM daily GROUP BY event_type
+), cal AS (
+    SELECT event_type, d0 + CAST(u.k AS INTEGER) AS day_t
+    FROM bounds, LATERAL (
+        SELECT UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS k
+    ) u
+), obs AS (
+    SELECT event_type, CAST(strptime(ymd, '%Y%m%d') AS DATE) AS day_i, c
+    FROM daily
+), filled AS (
+    SELECT cal.event_type, cal.day_t,
+           COALESCE(o.c, 0) * 10000 AS a
+    FROM cal LEFT JOIN obs o
+      ON o.event_type = cal.event_type AND o.day_i = cal.day_t
+), agg AS (
+    SELECT cal.event_type, cal.day_t,
+           SUM(i.c * ({_HOLT_CASE})) AS num
+    FROM cal JOIN obs i
+      ON i.event_type = cal.event_type
+     AND date_diff('day', i.day_i, cal.day_t)
+         BETWEEN 0 AND {_HOLT_LAGS - 1}
+    CROSS JOIN LATERAL (
+        SELECT date_diff('day', i.day_i, cal.day_t) AS d
+    ) dd
+    GROUP BY cal.event_type, cal.day_t
+), q AS (
+    SELECT f.event_type, f.day_t, f.a,
+           (GREATEST(COALESCE(g.num, 0), 0) * 20000 + {_HOLT_DEN})
+               // (2 * {_HOLT_DEN}) AS q
+    FROM filled f LEFT JOIN agg g
+      ON g.event_type = f.event_type AND g.day_t = f.day_t
+), paired AS (
+    SELECT t.event_type,
+           ABS(t.q - n.a) AS e_holt,
+           ABS(t.a - n.a) AS e_naive
+    FROM q t JOIN q n
+      ON n.event_type = t.event_type
+     AND n.day_t = t.day_t + INTERVAL 1 DAY
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(e_holt) AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mae_holt,
+       ROUND(CAST(SUM(e_naive) AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mae_naive,
+       ROUND(CAST(SUM(e_holt) AS DOUBLE)
+             / CAST(NULLIF(SUM(e_naive), 0) AS DOUBLE), 6) AS mase
+FROM paired GROUP BY event_type
+"""
+
+
+@register(
+    "holt_forecast_backtest",
+    oracle=HOLT_BACKTEST_ORACLE,
+    tags=("dws", "time-series", "forecast", "eval", "report"),
+    past_window=True,
+)
+def holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step backtest of `event_value_holt_forecast` against the
+    naive persistence forecast (tomorrow = today): per event type, the
+    mean absolute error of each over every consecutive calendar-day
+    pair in the type's span, plus their ratio — MASE's in-sample form
+    (Hyndman & Koehler 2006), the accept/reject statistic every
+    forecast ships with (ratio < 1 = the smoother beats persistence).
+
+    Determinism: the MAE sums never touch floats — the forecast is the
+    exact integer q both engines round identically (micro-dollar
+    units), the zero-filled actual is cents·10⁴ (same units), and
+    |q − a| accumulates in exact integer addition (order-free), so the
+    two final divisions are single double ops on identical integers.
+
+    Scale shape: everything up to the pairing is
+    `event_value_holt_forecast`'s plan (calendar spine × observed-day
+    band join, map-combined); the backtest adds ONE equi self-join of
+    the calendar-grain forecast frame on (type, day+1) and a
+    calendar-grain aggregate — nothing event-grain is touched twice.
+    """
+    daily = daily_cents_frame(load_table(spark, sf_dir, "events"))
+    d0 = F.to_date(F.col("ymd"), "yyyyMMdd")
+    bounds = daily.groupBy("event_type").agg(
+        F.min(d0).alias("d0"), F.max(d0).alias("d1")
+    )
+    cal = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(0, datediff(d1, d0))")).alias("k"),
+        "d0",
+    ).select("event_type", F.expr("date_add(d0, k)").alias("day_t"))
+    obs = daily.select(
+        F.col("event_type").alias("event_type_i"),
+        F.to_date("ymd", "yyyyMMdd").alias("day_i"),
+        F.col("c").alias("c_i"),
+    )
+    filled = cal.join(
+        obs,
+        (F.col("event_type") == F.col("event_type_i"))
+        & (F.col("day_t") == F.col("day_i")),
+        "left",
+    ).select(
+        "event_type",
+        "day_t",
+        (F.coalesce(F.col("c_i"), F.lit(0)).cast("decimal(38,0)") * 10000)
+        .cast("decimal(38,0)")
+        .alias("a"),
+    )
+    d = F.datediff("day_t", "day_i")
+    pairs = cal.join(
+        obs,
+        (F.col("event_type") == F.col("event_type_i"))
+        & (d >= 0)
+        & (d < _HOLT_LAGS),
+    ).select("event_type", "day_t", "c_i", d.alias("d"))
+    w = F.expr(_HOLT_CASE).cast("decimal(18,0)")
+    agg = pairs.groupBy(
+        F.col("event_type").alias("et_a"), F.col("day_t").alias("dt_a")
+    ).agg(F.sum((F.col("c_i") * w).cast("decimal(38,0)")).alias("num"))
+    qf = (
+        filled.join(
+            agg,
+            (F.col("event_type") == F.col("et_a"))
+            & (F.col("day_t") == F.col("dt_a")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day_t",
+            "a",
+            F.expr(
+                f"(greatest(coalesce(num, 0), 0) * 20000 + {_HOLT_DEN})"
+                f" div (2 * {_HOLT_DEN})"
+            ).alias("q"),
+        )
+    )
+    nxt = qf.select(
+        F.col("event_type").alias("et_n"),
+        F.col("day_t").alias("dt_n"),
+        F.col("a").alias("a_n"),
+    )
+    paired = qf.join(
+        nxt,
+        (F.col("event_type") == F.col("et_n"))
+        & (F.expr("date_add(day_t, 1)") == F.col("dt_n")),
+    ).select(
+        "event_type",
+        F.abs(F.col("q").cast("decimal(38,0)") - F.col("a_n")).alias("e_holt"),
+        F.abs(F.col("a") - F.col("a_n")).alias("e_naive"),
+    )
+    n = F.count(F.lit(1))
+    sh = F.sum("e_holt")
+    sn = F.sum("e_naive")
+    return paired.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(
+            sh.cast("double") / (n * F.lit(1000000)).cast("double"), 6
+        ).alias("mae_holt"),
+        F.round(
+            sn.cast("double") / (n * F.lit(1000000)).cast("double"), 6
+        ).alias("mae_naive"),
+        F.round(sh.cast("double") / F.nullif(sn, F.lit(0)).cast("double"), 6).alias(
+            "mase"
+        ),
+    )

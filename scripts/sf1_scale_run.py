@@ -53,6 +53,7 @@ HEADS = [
     "collocation_pmi",
     "term_proximity_search",
     "event_value_holt_forecast",
+    "holt_forecast_backtest",
     "event_value_ewma",
     "sql_dws_surface",
     "session_allen_relations",

@@ -4656,3 +4656,23 @@ def test_holt_forecast_on_planted_series(spark, tmp_path):
         assert out[("gap", f"202403{d + 1:02d}")] == 0.0
     # the gap type's calendar is zero-filled end to end (30 rows)
     assert sum(1 for k in out if k[0] == "gap") == 30
+
+
+def test_holt_backtest_on_planted_series(spark, tmp_path):
+    """Backtest algebra on planted regimes: a constant series makes the
+    naive persistence forecast PERFECT (mae_naive = 0, mase NULL by the
+    guarded division), and a +1.0/day ramp makes the naive error
+    exactly 1.0 — both exact because the error sums are integer."""
+    from gmall_flink_parent_spark.operators.windows import holt_forecast_backtest
+
+    rows = []
+    for d in range(30):
+        rows.append(("flat", f"2024-03-{d + 1:02d} 10:00:00", 2.5))
+        rows.append(("ramp", f"2024-03-{d + 1:02d} 10:00:00", 10.0 + d))
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in holt_forecast_backtest(spark, sf).collect()}
+    assert out["flat"]["n_days"] == 29
+    assert out["flat"]["mae_naive"] == 0.0
+    assert out["flat"]["mase"] is None
+    assert out["ramp"]["mae_naive"] == 1.0
+    assert out["ramp"]["mae_holt"] > 0.0
