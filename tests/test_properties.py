@@ -1682,3 +1682,201 @@ def test_upsert_store_chaos_state_machine(spark, tmp_path):
             suppress_health_check=list(HealthCheck),
         ),
     )
+
+
+# ------------------------------------------------------------------
+# Positional-index heads vs pure-python references (round 12)
+
+_POS_ALPHABET = [
+    "table", "hash", "order", "fast", "part", "filter", "scan",
+    "slow", "spark", "data", "window", "query", "join", "zz",
+]
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(_POS_ALPHABET), min_size=1, max_size=14
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _write_docs(spark, tmp_path, docs):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    spark.createDataFrame(
+        [(i, " ".join(toks), "en", "src", len(" ".join(toks)))
+         for i, toks in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=corpus_strategy)
+def test_phrase_and_proximity_match_python_for_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """For ANY corpus over the query vocabulary: the positional phrase
+    probe equals the naive python substring-of-tokens matcher
+    (overlaps and repeated words included), and the NEAR probe equals
+    the naive all-position-pairs scan."""
+    from gmall_flink_parent_spark.functions.retrieval import (
+        PHRASES,
+        PROX_PAIRS,
+        PROX_SLOP,
+        phrase_search_positional,
+        term_proximity_search,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("pos")
+    _write_docs(spark, tmp_path, docs)
+
+    want_phrase = {}
+    for p in PHRASES:
+        pt = p.split(" ")
+        for did, toks in enumerate(docs):
+            starts = [
+                i
+                for i in range(len(toks) - len(pt) + 1)
+                if toks[i:i + len(pt)] == pt
+            ]
+            if starts:
+                want_phrase[(p, did)] = (len(starts), min(starts))
+    got_phrase = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search_positional(spark, str(tmp_path)).collect()
+    }
+    assert got_phrase == want_phrase
+
+    want_prox = {}
+    for a, b in PROX_PAIRS:
+        for did, toks in enumerate(docs):
+            dists = [
+                abs(i - j)
+                for i, ta in enumerate(toks)
+                if ta == a
+                for j, tb in enumerate(toks)
+                if tb == b and abs(i - j) <= PROX_SLOP
+            ]
+            if dists:
+                want_prox[(a, b, did)] = (len(dists), min(dists))
+    got_prox = {
+        (r["term_a"], r["term_b"], r["doc_id"]): (r["n_windows"], r["min_dist"])
+        for r in term_proximity_search(spark, str(tmp_path)).collect()
+    }
+    assert got_prox == want_prox
+
+
+pmi_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=2, max_size=40),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=pmi_corpus_strategy)
+def test_collocation_pmi_matches_python_for_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """For ANY corpus over a 3-token alphabet (dense enough to cross
+    the ≥5 pair floor): every above-floor bigram's count matches the
+    python counter exactly and its PMI matches the same exact-integer
+    ratio through ln to the rounding grid."""
+    import math
+    from collections import Counter
+
+    from gmall_flink_parent_spark.functions.text import (
+        _PMI_MIN_PAIR,
+        collocation_pmi,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("pmi")
+    _write_docs(spark, tmp_path, docs)
+
+    uni = Counter(t for toks in docs for t in toks)
+    pairs = Counter(
+        (toks[i], toks[i + 1]) for toks in docs for i in range(len(toks) - 1)
+    )
+    n1, n2 = sum(uni.values()), sum(pairs.values())
+    want = {
+        (a, b): (
+            c,
+            round(math.log((c * n1 * n1) / (n2 * uni[a] * uni[b])), 6),
+        )
+        for (a, b), c in pairs.items()
+        if c >= _PMI_MIN_PAIR
+    }
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in collocation_pmi(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for k, (c, pmi) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - pmi) <= 1e-6, (k, got[k][1], pmi)
+
+
+holt_series_strategy = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=35),  # day offsets (gappy)
+    values=st.integers(min_value=0, max_value=10**7),  # cents
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(series=holt_series_strategy)
+def test_holt_forecast_matches_python_for_any_gapped_series(
+    spark, series, tmp_path_factory
+):
+    """For ANY gapped daily series: the forecast equals a pure-python
+    walk of the same integer coefficients over the zero-filled
+    calendar — pinning the calendar-spine generation, the zero-fill
+    contract, the band join, and the floor/rounding edge
+    independently of the oracle."""
+    from gmall_flink_parent_spark.operators.windows import (
+        _HOLT_C,
+        _HOLT_DEN,
+        _HOLT_LAGS,
+        event_value_holt_forecast,
+    )
+    from tests.test_operators import _write_events_fixture
+
+    tmp_path = tmp_path_factory.mktemp("holt")
+    base = 1  # day-of-month base: offsets 0..35 → March 1 .. April 5
+    rows = []
+    for off, cents in sorted(series.items()):
+        day = off + base
+        month, dom = (3, day) if day <= 31 else (4, day - 31)
+        rows.append(
+            (
+                "t",
+                f"2024-{month:02d}-{dom:02d} 10:00:00",
+                cents / 100.0,
+            )
+        )
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = {
+        r["ymd"]: r["holt_forecast"]
+        for r in event_value_holt_forecast(spark, sf).collect()
+    }
+
+    import datetime
+
+    offs = sorted(series)
+    lo, hi = offs[0], offs[-1]
+    want = {}
+    for t in range(lo, hi + 1):
+        num = sum(
+            _HOLT_C[t - k] * series.get(k, 0)
+            for k in range(max(lo, t - _HOLT_LAGS + 1), t + 1)
+        )
+        q = (max(num, 0) * 20000 + _HOLT_DEN) // (2 * _HOLT_DEN)
+        ymd = (
+            datetime.date(2024, 3, 1) + datetime.timedelta(days=t)
+        ).strftime("%Y%m%d")
+        want[ymd] = q / 1_000_000.0
+    assert got == want
