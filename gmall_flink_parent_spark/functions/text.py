@@ -453,10 +453,21 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt1 = counts.filter(F.col("n") == 1).select(
         F.col("w1").alias("tok"), F.col("c").alias("c1")
     )
-    n1 = cnt1.agg(F.sum("c1").cast("bigint").alias("total1"))
     cnt2_all = counts.filter(F.col("n") == 2).select(
         "w1", "w2", F.col("c").alias("n_pair")
     )
+    return pmi_from_counts(cnt1, cnt2_all)
+
+
+def pmi_from_counts(cnt1: DataFrame, cnt2_all: DataFrame) -> DataFrame:
+    """The PMI scoring core over any unigram-count (tok, c1) and
+    bigram-count (w1, w2, n_pair) frames — shared by the batch head
+    (counts from the tagged-gram scan) and
+    ``collocation_pmi_from_store`` (counts derived from the stored
+    positional postings, text never re-scanned). The two totals are
+    SUMS of the count tables, so both callers stay vocab-grain past
+    their counting pass."""
+    n1 = cnt1.agg(F.sum("c1").cast("bigint").alias("total1"))
     n2 = cnt2_all.agg(F.sum("n_pair").cast("bigint").alias("total2"))
     cnt2 = cnt2_all.filter(F.col("n_pair") >= _PMI_MIN_PAIR)
     a = cnt1.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a"))
@@ -469,7 +480,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w1",
             "w2",
-            "n_pair",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
             F.round(
                 F.log(
                     (F.col("n_pair") * F.col("total1") * F.col("total1")).cast(

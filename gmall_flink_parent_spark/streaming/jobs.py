@@ -2339,6 +2339,40 @@ def term_proximity_from_store(spark: SparkSession, store_path: str) -> DataFrame
     )
 
 
+def collocation_pmi_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """PMI collocations from the stored positional postings — the
+    index's THIRD query type (after phrase and NEAR): unigram counts
+    are one group-by over stored (doc_id, pos, token) rows, bigram
+    counts are the postings' self-join on (doc, pos + 1) — both
+    vocab-grain after their aggregate, text never re-scanned. Shared
+    ``pmi_from_counts`` core, so store and batch scores are
+    hash-identical over the same corpus."""
+    from gmall_flink_parent_spark.functions.text import pmi_from_counts
+    from gmall_flink_parent_spark.plans.registry import release_caches, scoped_persist
+
+    release_caches()
+    post = scoped_persist(
+        spark.read.parquet(store_path).select("doc_id", "pos", "token")
+    )
+    cnt1 = post.groupBy(F.col("token").alias("tok")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    nxt = post.select(
+        F.col("doc_id").alias("doc_n"),
+        (F.col("pos") - 1).alias("pos_n"),
+        F.col("token").alias("w2"),
+    )
+    cnt2_all = (
+        post.join(
+            nxt,
+            (F.col("doc_id") == F.col("doc_n")) & (F.col("pos") == F.col("pos_n")),
+        )
+        .groupBy(F.col("token").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    return pmi_from_counts(cnt1, cnt2_all)
+
+
 def chunk_bm25_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """BM25 top-k over the ingest-time chunk store — query-time lexical
     ranking with zero text re-scans: the store already holds the chunk

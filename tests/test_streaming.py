@@ -5356,6 +5356,20 @@ def test_postings_store_serves_phrase_search(spark, sf_dir, tmp_path):
     }
     assert got_px == want_px and len(want_px) > 0
 
+    from gmall_flink_parent_spark.streaming.jobs import collocation_pmi_from_store
+
+    got_pmi = {
+        tuple(r)
+        for r in collocation_pmi_from_store(
+            spark, str(tmp_path / "post")
+        ).collect()
+    }
+    want_pmi = {
+        tuple(r)
+        for r in plans.query_map()["collocation_pmi"](spark, sf_dir).collect()
+    }
+    assert got_pmi == want_pmi and len(want_pmi) > 0
+
 
 def test_visitor_repair_tws_state_machine_matches_batch(spark, sf_dir):
     """Drive ``VisitorRepairProcessor`` (the stateful trio's third
