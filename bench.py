@@ -216,6 +216,7 @@ HEADLINE = [
     "term_proximity_search",
     "event_value_holt_forecast",
     "holt_forecast_backtest",
+    "sql_retrieval_surface",
 ]
 
 

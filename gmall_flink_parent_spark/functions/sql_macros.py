@@ -355,3 +355,63 @@ def sql_dws_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ymd
         """
     )
+
+
+def _phrase_values_sql() -> str:
+    from gmall_flink_parent_spark.functions.retrieval import _phrase_terms
+
+    return ", ".join(
+        f"('{p}', '{t}', {off}, {n})" for p, t, off, n in _phrase_terms()
+    )
+
+
+def _sql_retrieval_oracle() -> str:
+    from gmall_flink_parent_spark.functions.retrieval import PHRASE_ORACLE
+
+    return PHRASE_ORACLE
+
+
+@register(
+    "sql_retrieval_surface",
+    oracle=_sql_retrieval_oracle(),
+    tags=("sql", "text", "retrieval", "phrase"),
+    past_window=True,
+)
+def sql_retrieval_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional phrase probe computed ENTIRELY through
+    ``spark.sql`` — the `sql_dws_surface` capability claim extended to
+    the retrieval family: a SQL-only user builds the positional
+    postings (LATERAL VIEW posexplode), probes them against an inline
+    query-term VALUES table (broadcast-hinted), and resolves adjacency
+    with the same (phrase, doc, start) distinct-offset aggregate as
+    the DataFrame head — zero DataFrame code, same plan shape, and the
+    oracle is `phrase_search_positional`'s verbatim, so the two
+    surfaces can never drift.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        f"""
+        WITH pos AS (
+            SELECT doc_id, p.pos, p.token
+            FROM documents_v
+            LATERAL VIEW posexplode(split(text, ' ')) p AS pos, token
+        ), terms AS (
+            SELECT * FROM VALUES {_phrase_values_sql()}
+                AS t(phrase, term, off, n_terms)
+        ), probe AS (
+            SELECT /*+ BROADCAST(terms) */
+                   tm.phrase, p.doc_id, p.pos - tm.off AS start,
+                   tm.off, tm.n_terms
+            FROM pos p JOIN terms tm ON p.token = tm.term
+        ), spans AS (
+            SELECT phrase, doc_id, start, n_terms,
+                   count(DISTINCT off) AS k
+            FROM probe GROUP BY phrase, doc_id, start, n_terms
+        )
+        SELECT phrase, doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(start) AS BIGINT) AS first_pos
+        FROM spans WHERE k = n_terms
+        GROUP BY phrase, doc_id
+        """
+    )
