@@ -217,6 +217,7 @@ HEADLINE = [
     "event_value_holt_forecast",
     "holt_forecast_backtest",
     "sql_retrieval_surface",
+    "source_js_divergence",
 ]
 
 

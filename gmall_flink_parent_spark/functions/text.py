@@ -494,3 +494,120 @@ def pmi_from_counts(cnt1: DataFrame, cnt2_all: DataFrame) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------- cross-source JS divergence
+
+JS_DIVERGENCE_ORACLE = """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY source, tok
+), tot AS (
+    SELECT source, SUM(c) AS n FROM cnt GROUP BY source
+), shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+    FROM cnt a
+    JOIN cnt b ON b.tok = a.tok AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+), terms AS (
+    SELECT source_a, source_b,
+           (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+             * log2(CAST(2 * ca * nb AS DOUBLE)
+                    / CAST(ca * nb + cb * na AS DOUBLE))
+           + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             * log2(CAST(2 * cb * na AS DOUBLE)
+                    / CAST(ca * nb + cb * na AS DOUBLE)) AS t,
+           ca, cb, na, nb
+    FROM shared
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_terms,
+       ROUND(0.5 * SUM(t)
+             + 0.5 * (1.0 - CAST(SUM(ca) AS DOUBLE) / CAST(MIN(na) AS DOUBLE))
+             + 0.5 * (1.0 - CAST(SUM(cb) AS DOUBLE) / CAST(MIN(nb) AS DOUBLE)),
+             6) AS js_bits
+FROM terms GROUP BY source_a, source_b
+"""
+
+
+@register(
+    "source_js_divergence",
+    oracle=JS_DIVERGENCE_ORACLE,
+    tags=("text", "stats", "drift", "distribution"),
+    past_window=True,
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between every source pair's
+    unigram distribution — the symmetric, bounded [0, 1] cross-source
+    drift matrix: `daily_mix_kl` watches the mix drift over TIME,
+    `source_length_ks` compares length SHAPES; this is the vocabulary
+    answer to "which sources are interchangeable and which bring
+    genuinely different text" (the mixture-design input).
+
+    Identity that keeps the join INNER: a term present in only one
+    source contributes exactly half its probability mass to JS
+    (p·log₂(p/(p/2)) = p), so JS = ½Σ_shared[p·log₂(2pN_b/(pN_b+qN_a))
+    + q·log₂(2qN_a/(pN_b+qN_a))] + ½(1 − shared_a/N_a) +
+    ½(1 − shared_b/N_b) — the one-sided tails fold into the shared
+    sums and the per-source totals, no full-outer vocabulary join.
+    Every log argument is a ratio of exact BIGINTs (the
+    `daily_mix_kl` recipe); rounded to 6 for the cross-engine hash.
+
+    Scale shape: one corpus scan lands vocab-grain (source, tok)
+    counts; the pair join runs at (source-pair, shared-term) grain —
+    |sources|² × vocab, dim-bounded, never corpus-row-sized — and the
+    totals broadcast.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    from gmall_flink_parent_spark.plans.registry import scoped_persist
+
+    cnt = scoped_persist(
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy(F.col("source").alias("t_src")).agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    a = cnt.select(
+        F.col("source").alias("source_a"), "tok", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("source_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("c").alias("cb"),
+    )
+    ta = tot.select(F.col("t_src").alias("sa"), F.col("n").alias("na"))
+    tb = tot.select(F.col("t_src").alias("sb"), F.col("n").alias("nb"))
+    shared = (
+        a.join(b, (a["tok"] == b["tok_b"]) & (a["source_a"] < b["source_b"]))
+        .join(F.broadcast(ta), F.col("source_a") == F.col("sa"))
+        .join(F.broadcast(tb), F.col("source_b") == F.col("sb"))
+    )
+    denom = (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")).cast("double")
+    t = (
+        F.col("ca").cast("double") / F.col("na").cast("double")
+    ) * F.log2((F.lit(2) * F.col("ca") * F.col("nb")).cast("double") / denom) + (
+        F.col("cb").cast("double") / F.col("nb").cast("double")
+    ) * F.log2((F.lit(2) * F.col("cb") * F.col("na")).cast("double") / denom)
+    return shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+        F.round(
+            F.lit(0.5) * F.sum(t)
+            + F.lit(0.5)
+            * (
+                F.lit(1.0)
+                - F.sum("ca").cast("double") / F.min("na").cast("double")
+            )
+            + F.lit(0.5)
+            * (
+                F.lit(1.0)
+                - F.sum("cb").cast("double") / F.min("nb").cast("double")
+            ),
+            6,
+        ).alias("js_bits"),
+    )

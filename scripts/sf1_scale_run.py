@@ -54,6 +54,7 @@ HEADS = [
     "term_proximity_search",
     "event_value_holt_forecast",
     "holt_forecast_backtest",
+    "source_js_divergence",
     "event_value_ewma",
     "sql_dws_surface",
     "session_allen_relations",

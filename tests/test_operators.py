@@ -4676,3 +4676,38 @@ def test_holt_backtest_on_planted_series(spark, tmp_path):
     assert out["flat"]["mase"] is None
     assert out["ramp"]["mae_naive"] == 1.0
     assert out["ramp"]["mae_holt"] > 0.0
+
+
+def test_js_divergence_on_planted_vocabularies(spark, tmp_path):
+    """JS algebra on planted sources: identical vocabularies → 0 bits;
+    a hand-computed partial overlap matches the shared-terms identity
+    to the rounding grid; a fully DISJOINT pair emits NO row (the
+    documented inner-join contract: absence = JS 1, nothing shared)."""
+    import math
+
+    from gmall_flink_parent_spark.functions.text import source_js_divergence
+
+    docs = [
+        (1, "x x y", "A"), (2, "x z", "B"),
+        (3, "q q r", "C"), (4, "q q r", "D"),  # identical to each other
+        (5, "only tokens here", "E"),  # disjoint from everything
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared_terms"], r["js_bits"])
+        for r in source_js_divergence(spark, str(tmp_path)).collect()
+    }
+    # identical sources: every term shared, zero divergence
+    assert got[("C", "D")] == (2, 0.0)
+    # hand case A={x:2,y:1} B={x:1,z:1}: shared {x}, the identity value
+    t = (2 / 3) * math.log2(8 / 7) + (1 / 2) * math.log2(6 / 7)
+    want = round(0.5 * t + 0.5 * (1 - 2 / 3) + 0.5 * (1 - 1 / 2), 6)
+    n, js = got[("A", "B")]
+    assert n == 1 and abs(js - want) <= 1e-6
+    # E shares nothing with anyone: no pair rows involve it
+    assert not any("E" in k for k in got)
