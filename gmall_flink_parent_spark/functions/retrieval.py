@@ -672,7 +672,7 @@ PHRASE_ORACLE = _phrase_oracle()
     "phrase_search_positional",
     oracle=PHRASE_ORACLE,
     tags=("text", "retrieval", "phrase"),
-    past_window=True,
+    # promoted into the driver window in the round-13 rotation
 )
 def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search over a positional inverted index: for each
@@ -784,7 +784,7 @@ PROX_ORACLE = _prox_oracle()
     "term_proximity_search",
     oracle=PROX_ORACLE,
     tags=("text", "retrieval", "proximity"),
-    past_window=True,
+    # promoted into the driver window in the round-13 rotation
 )
 def term_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NEAR operator over the positional index: for each query term

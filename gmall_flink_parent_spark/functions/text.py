@@ -161,7 +161,15 @@ FROM documents
 """
 
 
-@register("doc_quality_lang", oracle=QUALITY_LANG_ORACLE, tags=("text", "quality", "langid"))
+# rotated out of the driver window in round 13 (long-green since r3;
+# corpus_filter_pipeline + doc_text_profile keep the quality family
+# in-window)
+@register(
+    "doc_quality_lang",
+    oracle=QUALITY_LANG_ORACLE,
+    tags=("text", "quality", "langid"),
+    past_window=True,
+)
 def doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score + language ID per document, one scan.
 
@@ -391,7 +399,7 @@ WHERE c.n_pair >= {_PMI_MIN_PAIR}
     "collocation_pmi",
     oracle=PMI_ORACLE,
     tags=("text", "stats", "collocation"),
-    past_window=True,
+    # promoted into the driver window in the round-13 rotation
 )
 def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information of adjacent word pairs (Church &

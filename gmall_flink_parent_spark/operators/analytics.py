@@ -1832,7 +1832,7 @@ FROM deg d LEFT JOIN tcount t ON t.part = d.part
     "part_clustering_coeff",
     oracle=CLUSTERING_ORACLE,
     tags=("graph", "market-basket"),
-    past_window=True,
+    # promoted into the driver window in the round-13 rotation
 )
 def part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per part of the support ≥ 2

@@ -85,7 +85,14 @@ WHERE event_type = 'purchase'
 """
 
 
-@register("purchase_asof_view", oracle=ASOF_ORACLE, tags=("J1", "asof"))
+# rotated out of the driver window in round 13 (long-green since r2;
+# purchase_dim_asof keeps the as-of family in-window)
+@register(
+    "purchase_asof_view",
+    oracle=ASOF_ORACLE,
+    tags=("J1", "asof"),
+    past_window=True,
+)
 def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior view.
 

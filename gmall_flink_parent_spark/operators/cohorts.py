@@ -632,7 +632,10 @@ FROM pairs
     "event_value_correlation",
     oracle=VALUE_CORR_ORACLE,
     tags=("dws", "stats", "correlation"),
-    # promoted into the driver window in the round-10 rotation
+    # promoted in the round-10 rotation; rotated back out in round 13
+    # (event_trend_mann_kendall + supplier_revenue_hhi + the newly
+    # promoted event_value_holt_forecast keep the stats family in-window)
+    past_window=True,
 )
 def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between event types' DAILY value totals,

@@ -31,7 +31,15 @@ GROUP BY c.c_mktsegment
 """
 
 
-@register("skew_salted_join", oracle=SALTED_JOIN_ORACLE, tags=("join", "skew"))
+# rotated out of the driver window in round 13 (long-green since r1;
+# order_wide_enriched + the interval-join pair keep the join family
+# in-window)
+@register(
+    "skew_salted_join",
+    oracle=SALTED_JOIN_ORACLE,
+    tags=("join", "skew"),
+    past_window=True,
+)
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim equi-join rewritten with an 8-way salt, then aggregated.
 

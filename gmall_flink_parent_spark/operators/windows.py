@@ -219,7 +219,15 @@ GROUP BY ROLLUP (r.r_name, n.n_name)
 """
 
 
-@register("revenue_rollup", oracle=ROLLUP_ORACLE, tags=("dws", "rollup"))
+# rotated out of the driver window in round 13 (long-green since r1;
+# pricing_summary + user_value_distribution keep the rollup/agg family
+# in-window)
+@register(
+    "revenue_rollup",
+    oracle=ROLLUP_ORACLE,
+    tags=("dws", "rollup"),
+    past_window=True,
+)
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Region→nation revenue rollup (grouping-sets surface).
 
@@ -1791,7 +1799,7 @@ FROM cal LEFT JOIN agg a
     "event_value_holt_forecast",
     oracle=HOLT_ORACLE,
     tags=("dws", "time-series", "forecast"),
-    past_window=True,
+    # promoted into the driver window in the round-13 rotation
 )
 def event_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead revenue forecast per event type by Brown's
