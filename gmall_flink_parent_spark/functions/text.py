@@ -385,8 +385,10 @@ WITH toks AS (
     SELECT CAST(count(*) AS BIGINT) AS total2 FROM pairs
 )
 SELECT c.w1, c.w2, c.n_pair,
-       ROUND(ln(CAST(c.n_pair * n1.total1 * n1.total1 AS DOUBLE)
-                / CAST(n2.total2 * a.c1 * b.c1 AS DOUBLE)), 6) AS pmi
+       ROUND(ln(CAST(CAST(c.n_pair AS HUGEINT) * CAST(n1.total1 AS HUGEINT)
+                     * CAST(n1.total1 AS HUGEINT) AS DOUBLE)
+                / CAST(CAST(n2.total2 AS HUGEINT) * CAST(a.c1 AS HUGEINT)
+                       * CAST(b.c1 AS HUGEINT) AS DOUBLE)), 6) AS pmi
 FROM cnt2 c
 JOIN cnt1 a ON a.tok = c.w1
 JOIN cnt1 b ON b.tok = c.w2
@@ -412,10 +414,14 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     this head scores ALL above-floor pairs by association strength.
 
     Determinism: the ratio is assembled from five exact BIGINT counts
-    as ONE integer numerator and ONE integer denominator, each cast to
-    double only at the final division (both < 2⁵³, so the casts are
-    exact) — ln + round-6 of identical doubles on both engines, the
-    `source_zipf_slope` recipe.
+    as ONE integer numerator and ONE integer denominator, multiplied in
+    DECIMAL(38,0) (HUGEINT in the oracle) so the products stay exact far
+    past int64 — total1² alone crosses 2⁵³ near ~1e8 corpus tokens and
+    overflows int64 past ~3e9, where Spark would silently wrap while
+    DuckDB raises. Each side is cast to double exactly once at the
+    final division; both engines round the same exact integer to the
+    nearest double, so ln + round-6 agree bit-for-bit — the
+    `source_zipf_slope` recipe, upgraded for 100 TB token counts.
 
     Scale shape: ONE corpus scan explodes each document's tagged
     unigram + bigram instances (the zip-shift slice, no self-join);
@@ -427,6 +433,33 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_parent_spark.plans.registry import scoped_persist
 
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    counts = scoped_persist(gram_count_frame(docs))
+    cnt1 = counts.filter(F.col("n") == 1).select(
+        F.col("w1").alias("tok"), F.col("c").alias("c1")
+    )
+    cnt2_all = counts.filter(F.col("n") == 2).select(
+        "w1", "w2", F.col("c").alias("n_pair")
+    )
+    return pmi_from_counts(cnt1, cnt2_all)
+
+
+def gram_count_frame(docs: DataFrame) -> DataFrame:
+    """Tagged unigram + bigram counts ``(n, w1, w2, c)`` from ONE scan
+    of a (…, text) frame — rows with ``n = 1`` are unigram counts
+    (``w2 = ''``), rows with ``n = 2`` adjacent-pair counts. The
+    counting core of ``collocation_pmi`` and the per-batch PARTIAL the
+    ingest job lands in the gram store (``curation_ingest_job``'s
+    ``gram_path``): counts are additive, so store partials merge by a
+    vocab-grain SUM — the exactly-once contract is per DOCUMENT (each
+    doc's text contributes from exactly ONE batch partition; a replayed
+    batch overwrites its own ``batch_id=N`` partition, so checkpoint
+    replay cannot double-count, but re-ingesting the same document
+    under a NEW batch_id would — the store is append-only by doc, like
+    the positional-postings store it rides along with).
+
+    Scale shape: the explode carries both gram orders in one pass (the
+    zip-shift slice, no self-join) into one map-side-combined aggregate
+    that lands at VOCABULARY grain."""
     toks = F.split(F.col("text"), " ")
     base = docs.select(toks.alias("toks"))
     bg = F.zip_with(
@@ -452,19 +485,12 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    counts = scoped_persist(
+    return (
         base.select(F.explode(tagged).alias("g"))
         .select("g.n", "g.w1", "g.w2")
         .groupBy("n", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    cnt1 = counts.filter(F.col("n") == 1).select(
-        F.col("w1").alias("tok"), F.col("c").alias("c1")
-    )
-    cnt2_all = counts.filter(F.col("n") == 2).select(
-        "w1", "w2", F.col("c").alias("n_pair")
-    )
-    return pmi_from_counts(cnt1, cnt2_all)
 
 
 def pmi_from_counts(cnt1: DataFrame, cnt2_all: DataFrame) -> DataFrame:
@@ -474,7 +500,9 @@ def pmi_from_counts(cnt1: DataFrame, cnt2_all: DataFrame) -> DataFrame:
     ``collocation_pmi_from_store`` (counts derived from the stored
     positional postings, text never re-scanned). The two totals are
     SUMS of the count tables, so both callers stay vocab-grain past
-    their counting pass."""
+    their counting pass. The integer products run in DECIMAL(38,0) so
+    they stay exact at 100 TB token counts (int64 wraps past ~3e9
+    tokens); the single double cast happens at the final division."""
     n1 = cnt1.agg(F.sum("c1").cast("bigint").alias("total1"))
     n2 = cnt2_all.agg(F.sum("n_pair").cast("bigint").alias("total2"))
     cnt2 = cnt2_all.filter(F.col("n_pair") >= _PMI_MIN_PAIR)
@@ -491,12 +519,16 @@ def pmi_from_counts(cnt1: DataFrame, cnt2_all: DataFrame) -> DataFrame:
             F.col("n_pair").cast("bigint").alias("n_pair"),
             F.round(
                 F.log(
-                    (F.col("n_pair") * F.col("total1") * F.col("total1")).cast(
-                        "double"
-                    )
-                    / (F.col("total2") * F.col("c1a") * F.col("c1b")).cast(
-                        "double"
-                    )
+                    (
+                        F.col("n_pair").cast("decimal(38,0)")
+                        * F.col("total1").cast("decimal(38,0)")
+                        * F.col("total1").cast("decimal(38,0)")
+                    ).cast("double")
+                    / (
+                        F.col("total2").cast("decimal(38,0)")
+                        * F.col("c1a").cast("decimal(38,0)")
+                        * F.col("c1b").cast("decimal(38,0)")
+                    ).cast("double")
                 ),
                 6,
             ).alias("pmi"),
@@ -532,13 +564,22 @@ WITH toks AS (
            ca, cb, na, nb
     FROM shared
 )
-SELECT source_a, source_b,
-       CAST(count(*) AS BIGINT) AS n_shared_terms,
-       ROUND(0.5 * SUM(t)
-             + 0.5 * (1.0 - CAST(SUM(ca) AS DOUBLE) / CAST(MIN(na) AS DOUBLE))
-             + 0.5 * (1.0 - CAST(SUM(cb) AS DOUBLE) / CAST(MIN(nb) AS DOUBLE)),
-             6) AS js_bits
-FROM terms GROUP BY source_a, source_b
+SELECT s.source_a, s.source_b,
+       COALESCE(g.n_shared_terms, 0) AS n_shared_terms,
+       COALESCE(g.js_bits, 1.0) AS js_bits
+FROM (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM tot a JOIN tot b ON a.source < b.source
+) s
+LEFT JOIN (
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_terms,
+           ROUND(0.5 * SUM(t)
+                 + 0.5 * (1.0 - CAST(SUM(ca) AS DOUBLE) / CAST(MIN(na) AS DOUBLE))
+                 + 0.5 * (1.0 - CAST(SUM(cb) AS DOUBLE) / CAST(MIN(nb) AS DOUBLE)),
+                 6) AS js_bits
+    FROM terms GROUP BY source_a, source_b
+) g ON g.source_a = s.source_a AND g.source_b = s.source_b
 """
 
 
@@ -562,6 +603,12 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     + q·log₂(2qN_a/(pN_b+qN_a))] + ½(1 − shared_a/N_a) +
     ½(1 − shared_b/N_b) — the one-sided tails fold into the shared
     sums and the per-source totals, no full-outer vocabulary join.
+    A source pair with FULLY DISJOINT vocabularies has no shared-term
+    row at all, yet is exactly the maximum-drift pair (JS = 1); the
+    |sources|-row totals frame therefore builds a pair SPINE that the
+    shared-term aggregate left-joins onto, emitting
+    (n_shared_terms = 0, js_bits = 1.0) for zero-overlap pairs — a
+    consumer scanning the matrix for worst drift always sees them.
     Every log argument is a ratio of exact BIGINTs (the
     `daily_mix_kl` recipe); rounded to 6 for the cross-engine hash.
 
@@ -602,7 +649,7 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.log2((F.lit(2) * F.col("ca") * F.col("nb")).cast("double") / denom) + (
         F.col("cb").cast("double") / F.col("nb").cast("double")
     ) * F.log2((F.lit(2) * F.col("cb") * F.col("na")).cast("double") / denom)
-    return shared.groupBy("source_a", "source_b").agg(
+    agg = shared.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
         F.round(
             F.lit(0.5) * F.sum(t)
@@ -618,4 +665,23 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("js_bits"),
+    )
+    # zero-overlap pairs (JS = 1, the maximum) have no shared-term row:
+    # spine every source pair from the |sources|-row totals frame and
+    # left-join the aggregate — the theta self-join is a broadcast
+    # nested loop over ≤ |sources|² rows, dim-bounded.
+    spine = (
+        tot.select(F.col("t_src").alias("source_a"))
+        .join(
+            F.broadcast(tot.select(F.col("t_src").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    return spine.join(agg, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared_terms"), F.lit(0).cast("bigint")).alias(
+            "n_shared_terms"
+        ),
+        F.coalesce(F.col("js_bits"), F.lit(1.0)).alias("js_bits"),
     )

@@ -46,9 +46,17 @@ def visitor_repair_stream(events: DataFrame) -> DataFrame:
     def repair(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # The runtime does NOT guarantee ts-ordered Arrow chunks within
+        # one call: a later chunk can hold the key's EARLIEST visit, so
+        # first_date must be fixed over the whole group before any row
+        # is labeled — concatenate (one key's rows in one micro-batch,
+        # micro-batch-bounded) and sort once.
         (first_date,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             ymd = pdf["ts"].dt.strftime("%Y%m%d")
             if first_date is None:
                 first_date = ymd.iloc[0]
@@ -105,8 +113,15 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
             return
         (last_date,) = state.get if state.exists else (None,)
         last_event_ms = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # chunks within one call are NOT guaranteed ts-ordered: a later
+        # chunk holding an earlier day would be admitted after its own
+        # day was already emitted — concatenate and sort the whole
+        # group (one key's rows in one micro-batch) before scanning.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             ymd = pdf["ts"].dt.strftime("%Y%m%d")
             keep = []
             for i, d in enumerate(ymd):
@@ -559,8 +574,14 @@ class UvDedupProcessor(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         last_date = self._last.get()[0] if self._last.exists() else None
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # the runtime does not guarantee ts-ordered chunks within one
+        # handleInputRows call — concatenate and sort the whole group
+        # (one key's rows in one micro-batch) before the dedup scan
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             ymd = pdf["ts"].dt.strftime("%Y%m%d")
             keep = []
             for i, d in enumerate(ymd):
@@ -621,10 +642,16 @@ class VisitorRepairProcessor(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         first_date = self._first.get()[0] if self._first.exists() else None
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # fix first_date over ALL chunks before labeling any row: the
+        # runtime may deliver a later chunk holding the key's earliest
+        # visit (chunks are not ts-ordered within one call)
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             ymd = pdf["ts"].dt.strftime("%Y%m%d")
-            if first_date is None and len(ymd):
+            if first_date is None:
                 first_date = ymd.iloc[0]
             is_new = (ymd == first_date).map({True: "1", False: "0"})
             yield pd.DataFrame(

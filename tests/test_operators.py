@@ -4681,8 +4681,9 @@ def test_holt_backtest_on_planted_series(spark, tmp_path):
 def test_js_divergence_on_planted_vocabularies(spark, tmp_path):
     """JS algebra on planted sources: identical vocabularies → 0 bits;
     a hand-computed partial overlap matches the shared-terms identity
-    to the rounding grid; a fully DISJOINT pair emits NO row (the
-    documented inner-join contract: absence = JS 1, nothing shared)."""
+    to the rounding grid; a fully DISJOINT pair emits an explicit
+    maximum-drift row (n_shared_terms = 0, js_bits = 1.0) via the
+    source-pair spine — a consumer scanning for worst drift sees it."""
     import math
 
     from gmall_flink_parent_spark.functions.text import source_js_divergence
@@ -4709,5 +4710,9 @@ def test_js_divergence_on_planted_vocabularies(spark, tmp_path):
     want = round(0.5 * t + 0.5 * (1 - 2 / 3) + 0.5 * (1 - 1 / 2), 6)
     n, js = got[("A", "B")]
     assert n == 1 and abs(js - want) <= 1e-6
-    # E shares nothing with anyone: no pair rows involve it
-    assert not any("E" in k for k in got)
+    # E shares nothing with anyone: every pair involving it is an
+    # explicit maximum-drift row, and the matrix is the full 5-choose-2
+    assert len(got) == 10
+    for k, v in got.items():
+        if "E" in k:
+            assert v == (0, 1.0), k

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "important_part_stock_partsupp",  # same 1-row threshold scalars, partsupp measure
     "event_sequence_support",  # 1-row distinct-user-count scalar × |types|² matrix
     "collocation_pmi",  # two 1-row gram-total scalars × vocab-grain pair counts
+    "source_js_divergence",  # |sources|-row totals self-join pair spine (≤ |sources|²)
 }
 
 

@@ -5324,6 +5324,7 @@ def test_postings_store_serves_phrase_search(spark, sf_dir, tmp_path):
         str(tmp_path / "ck"),
         weights={f"src{i}": 1.0 for i in range(20)},
         postings_path=str(tmp_path / "post"),
+        gram_path=str(tmp_path / "gram"),
     ).awaitTermination(120)
 
     got = {
@@ -5358,10 +5359,12 @@ def test_postings_store_serves_phrase_search(spark, sf_dir, tmp_path):
 
     from gmall_flink_parent_spark.streaming.jobs import collocation_pmi_from_store
 
+    # PMI is served from the vocab-grain GRAM store (additive partial
+    # merge — no postings self-join), landed by the same ingest pass
     got_pmi = {
         tuple(r)
         for r in collocation_pmi_from_store(
-            spark, str(tmp_path / "post")
+            spark, str(tmp_path / "gram")
         ).collect()
     }
     want_pmi = {
@@ -5412,6 +5415,44 @@ def test_visitor_repair_tws_state_machine_matches_batch(spark, sf_dir):
         for r in plans.query_map()["visitor_repair"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_tws_processors_fix_state_over_out_of_order_chunks():
+    """The runtime does not guarantee ts-ordered Arrow chunks within one
+    ``handleInputRows`` call: a LATER chunk may hold the key's EARLIEST
+    visit. Both processors must fix their state decision over the whole
+    group before labeling/admitting any row (the round-12 advisor
+    finding; fix: concatenate chunks, sort once). Chunk 1 here carries
+    day-2 rows and chunk 2 the day-1 visit — first-chunk-only logic
+    would label day 2 as the first visit and drop/flip day 1."""
+    tv = _FakeTimerValues(-(10**15))
+    day1 = pd.Timestamp("2024-03-01 09:00:00").to_datetime64()
+    day2a = pd.Timestamp("2024-03-02 10:00:00").to_datetime64()
+    day2b = pd.Timestamp("2024-03-02 11:00:00").to_datetime64()
+    chunk_late = pd.DataFrame(
+        {"event_id": [21, 22], "ts": [day2a, day2b], "user_id": [7, 7]}
+    )
+    chunk_early = pd.DataFrame({"event_id": [11], "ts": [day1], "user_id": [7]})
+
+    proc = stateful.VisitorRepairProcessor()
+    proc.init(_FakeHandle())
+    out = pd.concat(
+        list(proc.handleInputRows((7,), iter([chunk_late, chunk_early]), tv))
+    )
+    got = {int(r.event_id): r.is_new for r in out.itertuples(index=False)}
+    assert got == {11: "1", 21: "0", 22: "0"}
+    assert proc._first.get() == ("20240301",)
+
+    proc = stateful.UvDedupProcessor()
+    proc.init(_FakeHandle())
+    out = pd.concat(
+        list(proc.handleInputRows((7,), iter([chunk_late, chunk_early]), tv))
+    )
+    # one row per day, each the day's earliest event — day 1 admitted
+    # even though it arrived in the second chunk
+    got = {r.visit_ymd: int(r.first_event_id) for r in out.itertuples(index=False)}
+    assert got == {"20240301": 11, "20240302": 21}
+    assert proc._last.get() == ("20240302",)
 
 
 def test_visitor_repair_tws_plan_wires_without_runtime(spark, sf_dir):
