@@ -1075,6 +1075,16 @@ def bounce_stats_store_job(events: DataFrame, store_path: str, checkpoint_dir: s
     because bounce emission is exactly-once per candidate (pinned by
     the anti-finality tests) and the partition overwrite is
     idempotent under replay like every store in the family.
+
+    Unlike the additive partial jobs (which accept micro-batches in
+    ANY order), this job consumes an IN-ORDER log: the CEP machine
+    rides a bounded watermark, so a replay whose later micro-batches
+    carry rows behind the already-advanced watermark silently DROPS
+    them (measured at sf1: a random 8-way file split produced 13/30
+    correct days). Replays must feed time-ordered batches — Kafka's
+    per-partition order in production; a ts-range-partitioned split
+    with staggered mtimes in the file-source harness
+    (``scripts/stream_bench._split_table_ordered``).
     """
     from gmall_flink_parent_spark.streaming.stateful import bounce_detect_stream
 
@@ -2192,6 +2202,7 @@ def curation_ingest_job(
     span_path: str | None = None,
     filter_path: str | None = None,
     postings_path: str | None = None,
+    gram_path: str | None = None,
 ):
     """The combined ingest pass: ONE scan of each micro-batch feeds the
     text-profile store, the shingle store, the mixture store — and,
@@ -2200,9 +2211,10 @@ def curation_ingest_job(
     are given, the unigram doc-term store, the winnowing-fingerprint
     store, the Gopher repetition-verdict store, the retrieval-chunk
     store, the DSIR hashed-gram store, the repeated-span store,
-    the curation-filter-signal store, and (``postings_path``) the
-    positional-postings store behind ``phrase_search_from_store`` —
-    together.
+    the curation-filter-signal store, (``postings_path``) the
+    positional-postings store behind ``phrase_search_from_store``, and
+    (``gram_path``) the vocab-grain gram-count partial store behind
+    ``collocation_pmi_from_store`` — together.
     At 100 TB the scan (decompress + tokenize-adjacent CPU) dominates
     ingest cost, so running `text_profile_job` + `shingle_store_job` +
     `mixture_job` + `vocab_store_job` as separate streams would pay it
@@ -2228,11 +2240,14 @@ def curation_ingest_job(
     from gmall_flink_parent_spark.functions.retrieval import positional_postings_frame
     from gmall_flink_parent_spark.functions.selection import hashed_gram_frame
     from gmall_flink_parent_spark.functions.spans import span_frame, winnow_fp_frame
-    from gmall_flink_parent_spark.functions.text import doc_text_profile_frame
+    from gmall_flink_parent_spark.functions.text import (
+        doc_text_profile_frame,
+        gram_count_frame,
+    )
     from gmall_flink_parent_spark.sources.tables import fan_out
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        heal_store_dirs(batch.sparkSession, chunk_path, dsir_path, filter_path, mixture_path, postings_path, profile_path, quality_path, shingle_path, span_path, vocab_path, winnow_path)
+        heal_store_dirs(batch.sparkSession, chunk_path, dsir_path, filter_path, gram_path, mixture_path, postings_path, profile_path, quality_path, shingle_path, span_path, vocab_path, winnow_path)
         wide = fan_out(batch.sparkSession, batch).persist()
         try:
             doc_text_profile_frame(wide.select("doc_id", "text")).write.mode(
@@ -2276,6 +2291,10 @@ def curation_ingest_job(
                 positional_postings_frame(wide.select("doc_id", "text")).write.mode(
                     "overwrite"
                 ).parquet(f"{postings_path}/batch_id={batch_id}")
+            if gram_path is not None:
+                gram_count_frame(wide.select("doc_id", "text")).write.mode(
+                    "overwrite"
+                ).parquet(f"{gram_path}/batch_id={batch_id}")
         finally:
             wide.unpersist()
 
@@ -2339,36 +2358,37 @@ def term_proximity_from_store(spark: SparkSession, store_path: str) -> DataFrame
     )
 
 
-def collocation_pmi_from_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """PMI collocations from the stored positional postings — the
-    index's THIRD query type (after phrase and NEAR): unigram counts
-    are one group-by over stored (doc_id, pos, token) rows, bigram
-    counts are the postings' self-join on (doc, pos + 1) — both
-    vocab-grain after their aggregate, text never re-scanned. Shared
-    ``pmi_from_counts`` core, so store and batch scores are
-    hash-identical over the same corpus."""
+def collocation_pmi_from_store(spark: SparkSession, gram_path: str) -> DataFrame:
+    """PMI collocations from the ingest-time GRAM-COUNT partial store
+    (``curation_ingest_job``'s ``gram_path``) — the positional family's
+    third query type, now served at VOCABULARY grain: each batch landed
+    its tagged (n, w1, w2, c) counts at ingest, so scoring is one
+    additive merge (groupBy + SUM over vocab-sized partials) feeding
+    the shared ``pmi_from_counts`` core — text never re-scanned, no
+    postings self-join (the round-12 form re-derived bigrams from the
+    (doc, pos)→(doc, pos+1) postings join and ran 3× the batch head at
+    sf1; this path is partial-merge-proportional, cheaper than batch).
+
+    Exactly-once contract (per document, the additive-merge
+    precondition): a replayed micro-batch OVERWRITES its own
+    ``batch_id=N`` partition, so checkpoint replay cannot double-count;
+    re-ingesting a document under a NEW batch_id would (the store is
+    append-only by doc — same contract as the postings store). Store
+    and batch scores are hash-identical over the same corpus."""
     from gmall_flink_parent_spark.functions.text import pmi_from_counts
     from gmall_flink_parent_spark.plans.registry import release_caches, scoped_persist
 
     release_caches()
-    post = scoped_persist(
-        spark.read.parquet(store_path).select("doc_id", "pos", "token")
+    merged = scoped_persist(
+        spark.read.parquet(gram_path)
+        .groupBy("n", "w1", "w2")
+        .agg(F.sum("c").cast("bigint").alias("c"))
     )
-    cnt1 = post.groupBy(F.col("token").alias("tok")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1")
+    cnt1 = merged.filter(F.col("n") == 1).select(
+        F.col("w1").alias("tok"), F.col("c").alias("c1")
     )
-    nxt = post.select(
-        F.col("doc_id").alias("doc_n"),
-        (F.col("pos") - 1).alias("pos_n"),
-        F.col("token").alias("w2"),
-    )
-    cnt2_all = (
-        post.join(
-            nxt,
-            (F.col("doc_id") == F.col("doc_n")) & (F.col("pos") == F.col("pos_n")),
-        )
-        .groupBy(F.col("token").alias("w1"), "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    cnt2_all = merged.filter(F.col("n") == 2).select(
+        "w1", "w2", F.col("c").alias("n_pair")
     )
     return pmi_from_counts(cnt1, cnt2_all)
 

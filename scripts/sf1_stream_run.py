@@ -34,7 +34,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.sf1_scale_run import SF1_DIR, generate  # noqa: E402
-from scripts.stream_bench import _drain, _file_stream, _split_table  # noqa: E402
+from scripts.stream_bench import (  # noqa: E402
+    _drain,
+    _file_stream,
+    _split_table,
+    _split_table_ordered,
+)
 
 N_FILES = 8  # micro-batches per side: a real state build/drain series
 
@@ -241,26 +246,80 @@ def run_stores(work: str | None = None) -> dict:
                 "ymd", "n_uv", "n_new_visitors"
             ),
         )
-        # bounce_stats: throughput + nonempty only at sf1 — full parity
-        # needs the sentinel-epilogue flush (covered at test scale); the
-        # CEP state machine is the measured cost here
+        # bounce_stats at FULL sf1 parity (r12 verdict next-round #3):
+        # the CEP machine only emits a day's last candidates once the
+        # watermark passes them, so two sentinel PAIRS (each
+        # watermark-advancing row followed 1 s later by its killer, so
+        # user -1 itself never bounces) flush every real timer — the
+        # same deterministic epilogue the test-scale pin uses, here
+        # driven over 600k events so the store's count partials must
+        # hash-match the batch rollup at 10× bench scale.
+        from gmall_flink_parent_spark.streaming.jobs import bounce_stats_from_store
+
+        # the CEP machine consumes an IN-ORDER log (a random split makes
+        # later micro-batches carry rows behind the advanced watermark,
+        # which the 0 s-delay stream drops — undercounting vs batch), so
+        # the bounce replay is range-partitioned on ts
+        ev_stream_dir = f"{work}/events_bs"
+        _split_table_ordered(spark, SF1_DIR, "events", ev_stream_dir, N_FILES)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        ev_schema = spark.read.parquet(ev_stream_dir).schema
+        for i, days in enumerate((30, 60)):
+            import datetime
+
+            base_ts = max_ts + datetime.timedelta(days=days)
+            sent = spark.createDataFrame(
+                [
+                    (10_000_000 + 2 * i, base_ts, -1),
+                    (
+                        10_000_001 + 2 * i,
+                        base_ts + datetime.timedelta(seconds=1),
+                        -1,
+                    ),
+                ],
+                "event_id long, ts timestamp, user_id long",
+            )
+            for f in ev_schema.fields:
+                if f.name not in ("event_id", "ts", "user_id"):
+                    sent = sent.withColumn(f.name, F.lit(None).cast(f.dataType))
+            sent_path = f"{ev_stream_dir}/sentinel_{i}"
+            sent.select([f.name for f in ev_schema.fields]).coalesce(
+                1
+            ).write.parquet(sent_path)
+            t = time.time() + 100 * (i + 1)  # strictly after every staggered part mtime
+            for fn in os.listdir(sent_path):
+                full = os.path.join(sent_path, fn)
+                os.utime(full, (t, t))
+                if fn.endswith(".parquet"):
+                    shutil.move(full, f"{ev_stream_dir}/zsent_{i}.parquet")
+                    os.utime(f"{ev_stream_dir}/zsent_{i}.parquet", (t, t))
+            shutil.rmtree(sent_path, ignore_errors=True)
         t0 = time.monotonic()
         q = bounce_stats_store_job(
-            _file_stream(spark, f"{work}/events"),
+            _file_stream(spark, ev_stream_dir),
             f"{work}/bs_store",
             f"{work}/ck_bs",
         )
         stats = _drain(q)
         wall = round(time.monotonic() - t0, 3)
-        n_days = spark.read.parquet(f"{work}/bs_store").count()
-        assert n_days > 0
+        got = rows_of(bounce_stats_from_store(spark, f"{work}/bs_store"))
+        want = rows_of(
+            plans.query_map()["sql_dws_surface"](spark, SF1_DIR)
+            .filter(F.col("n_bounces") > 0)
+            .select("ymd", "n_bounces")
+        )
+        assert got == want and len(want) > 0, (
+            f"bounce_stats_store_job: sf1 store-vs-batch parity broke "
+            f"({len(got)} vs {len(want)} rows)"
+        )
         heads["bounce_stats_store_job"] = {
             "rows_in": n_events,
             "wall_sec": wall,
             "rows_per_sec": round(n_events / wall, 1),
             **stats,
             **_state_peak(q),
-            "store_rows": n_days,
+            "store_vs_batch_sf1": "hash-equal",
+            "result_rows": len(want),
         }
     finally:
         if owns_work:
@@ -273,8 +332,95 @@ def run_stores(work: str | None = None) -> dict:
     }
 
 
+def run_gram(work: str | None = None) -> dict:
+    """Drive the GRAM-COUNT partial store at sf1 (r12 verdict
+    next-round #2): the ingest pass lands vocab-grain (n, w1, w2, c)
+    partials, and ``collocation_pmi_from_store`` must (a) hash-equal
+    the batch ``collocation_pmi`` over the same 50k-doc corpus and
+    (b) run at most as long as the batch head — the partial merge is
+    vocab-sized where the batch head re-scans all text (the round-12
+    postings-self-join form ran 3× batch; this closes it)."""
+    import gmall_flink_parent_spark.plans as plans
+
+    from gmall_flink_parent_spark.functions.curation import _MIX_HEAD_WEIGHTS
+    from gmall_flink_parent_spark.session import get_spark
+    from gmall_flink_parent_spark.streaming.jobs import (
+        collocation_pmi_from_store,
+        curation_ingest_job,
+    )
+
+    spark = get_spark("gmall-sf1-gram")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    owns_work = work is None
+    if owns_work:
+        work = tempfile.mkdtemp(prefix="sf1_gram_")
+    heads: dict[str, dict] = {}
+
+    def rows_of(df) -> list[tuple]:
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(repr(r[c]) for c in cols) for r in df.collect()), key=repr
+        )
+
+    try:
+        n_docs = _split_table(spark, SF1_DIR, "documents", f"{work}/docs", N_FILES)
+        docs = _file_stream(spark, f"{work}/docs").select(
+            "doc_id", "text", "source", "lang"
+        )
+        t0 = time.monotonic()
+        q = curation_ingest_job(
+            docs,
+            f"{work}/prof",
+            f"{work}/sh",
+            f"{work}/mix",
+            f"{work}/ck_ingest",
+            _MIX_HEAD_WEIGHTS,
+            gram_path=f"{work}/gram",
+        )
+        stats = _drain(q)
+        ingest_wall = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        got = rows_of(collocation_pmi_from_store(spark, f"{work}/gram"))
+        store_sec = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        want = rows_of(plans.query_map()["collocation_pmi"](spark, SF1_DIR))
+        batch_sec = round(time.monotonic() - t0, 3)
+        assert got == want and len(want) > 0, (
+            f"collocation_pmi: sf1 store-vs-batch parity broke "
+            f"({len(got)} vs {len(want)} rows)"
+        )
+        heads["gram_store_ingest"] = {
+            "rows_in": n_docs,
+            "wall_sec": ingest_wall,
+            "rows_per_sec": round(n_docs / ingest_wall, 1),
+            **stats,
+        }
+        heads["collocation_pmi_from_store"] = {
+            "store_sec": store_sec,
+            "batch_sec": batch_sec,
+            "store_vs_batch_sf1": "hash-equal",
+            "result_rows": len(want),
+        }
+    finally:
+        if owns_work:
+            shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "sf1_gram_store_run",
+        "sf": 1.0,
+        "n_files": N_FILES,
+        "heads": heads,
+    }
+
+
 def main() -> None:
-    doc = run_stores() if "--stores" in sys.argv else run()
+    if "--stores" in sys.argv:
+        doc = run_stores()
+    elif "--gram" in sys.argv:
+        doc = run_gram()
+    else:
+        doc = run()
     line = json.dumps(doc)
     print(line)
     out = [a for a in sys.argv[1:] if not a.startswith("--")]

@@ -58,6 +58,33 @@ def _split_table(spark, sf_dir: str, name: str, out_dir: str, n: int) -> int:
     return df.count()
 
 
+def _split_table_ordered(
+    spark, sf_dir: str, name: str, out_dir: str, n: int, ts_col: str = "ts"
+) -> int:
+    """Like ``_split_table`` but RANGE-partitioned on ``ts_col`` so the
+    file stream replays the table as an in-order log: file k holds the
+    k-th time range and the source's (modTime, path) ordering feeds
+    them oldest-first. Required by watermark-driven consumers (the CEP
+    bounce machine drops rows behind the advanced watermark, so a
+    random split silently undercounts); the additive partial stores
+    accept either split."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, name)
+    df.repartitionByRange(n, ts_col).write.mode("overwrite").parquet(out_dir)
+    # the source orders files by (modTime); a bulk write gives every
+    # part an identical mtime, leaving the replay order arbitrary —
+    # stagger mtimes in part-name order (part-0000k = k-th time range)
+    base = time.time()
+    for i, fn in enumerate(sorted(os.listdir(out_dir))):
+        if fn.endswith(".parquet"):
+            os.utime(os.path.join(out_dir, fn), (base + i, base + i))
+    return df.count()
+
+
 def _file_stream(spark, path: str, files_per_trigger: int = 1):
     schema = spark.read.parquet(path).schema
     return (
