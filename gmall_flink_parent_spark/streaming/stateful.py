@@ -416,6 +416,22 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
 )
 
 
+def _bounce_rows_frame(rows: list) -> pd.DataFrame:
+    """Typed (event_id, user_id, ts) emission frame for the bounce
+    machines — explicit dtypes so the Arrow boundary never sees an
+    inferred float64 column where the schema says int64/timestamp."""
+    return pd.DataFrame(
+        {
+            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "user_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "ts": pd.Series(
+                [pd.Timestamp(r[2], unit="us") for r in rows],
+                dtype="datetime64[us]",
+            ),
+        }
+    )
+
+
 class BounceProcessor(StatefulProcessor):
     """The bounce CEP state machine on the ``transformWithState``
     surface — named state variables + first-class timers, Flink's
@@ -430,12 +446,13 @@ class BounceProcessor(StatefulProcessor):
     expiries are clamped to watermark + 1 so an already-due timeout
     fires at the first possible instant, same as the old twin.
 
-    Module-scope (not a closure) so the machine is drivable WITHOUT a
-    streaming runtime: this container lacks the Python ``protobuf``
-    package the ``TransformWithStateInPySpark`` driver worker needs,
-    so the end-to-end form is gated on that import
-    (``tests/test_streaming.py``) while the state machine itself is
-    parity-tested against batch semantics through fake handles.
+    Module-scope (not a closure) so the machine is drivable BOTH ways:
+    end to end on the real runtime (the vendored protobuf shim in
+    vendor/README.md supplies the ``TransformWithStateInPySpark``
+    worker's state-server protocol; RocksDB provides the column-family
+    state store) AND through fake handles for fast batch-parity tests
+    over arbitrary interleavings — both pinned in
+    ``tests/test_streaming.py``.
     """
 
     def __init__(self, window_us: int = BOUNCE_WINDOW_US) -> None:
@@ -479,35 +496,24 @@ class BounceProcessor(StatefulProcessor):
             self._cand.update((cand_id, cand_us, reg_ms))
         else:
             self._cand.clear()
-        yield pd.DataFrame(
-            {
-                "event_id": [b[0] for b in bounces],
-                "user_id": [b[1] for b in bounces],
-                "ts": [pd.Timestamp(b[2], unit="us") for b in bounces],
-            }
-        )
+        # emit TYPED frames only when non-empty: the real runtime's
+        # Arrow serializer cannot cast an untyped (float64) empty column
+        # to timestamp, and an empty iterator is a legal emission
+        if bounces:
+            yield _bounce_rows_frame(bounces)
 
     def handleExpiredTimer(
         self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        empty = pd.DataFrame({"event_id": [], "user_id": [], "ts": []})
         if not self._cand.exists():
-            yield empty
             return
         cand_id, cand_us, reg_ms = self._cand.get()
         if reg_ms != expiredTimerInfo.getExpiryTimeInMs():
             # stale firing for a replaced candidate — its deleteTimer
             # raced the expiry; the live registration fires later
-            yield empty
             return
         self._cand.clear()
-        yield pd.DataFrame(
-            {
-                "event_id": [cand_id],
-                "user_id": [key[0]],
-                "ts": [pd.Timestamp(cand_us, unit="us")],
-            }
-        )
+        yield _bounce_rows_frame([(cand_id, key[0], cand_us)])
 
 
 def bounce_detect_tws(
@@ -526,11 +532,12 @@ def bounce_detect_tws(
     timer store keyed by (key, expiry) and a second state round-trip
     per batch, vs the old API's single packed tuple.
 
-    Runtime note: executing this plan needs the Python ``protobuf``
-    package (the ``TransformWithStateInPySpark`` worker's state-server
-    protocol), absent from this container — the plan compiles and the
-    machine is batch-parity-tested through fakes; the end-to-end run is
-    import-gated in tests, the same honest seam as the Kafka broker.
+    Runtime note: the ``TransformWithStateInPySpark`` worker's
+    state-server protocol needs the Python ``protobuf`` package; where
+    it is absent the package exposes a minimal vendored pure-python
+    runtime (vendor/README.md), so this plan EXECUTES for real — e2e
+    batch parity is pinned in tests next to the fake-harness pins.
+    Requires a column-family-capable state store (RocksDB provider).
     """
     return (
         events.withWatermark("ts", "0 seconds")
@@ -604,9 +611,13 @@ class UvDedupProcessor(StatefulProcessor):
 def uv_dedup_tws(events: DataFrame) -> DataFrame:
     """W2 via ``transformWithStateInPandas`` with the built-in state
     TTL carrying W6 — same output contract as ``uv_dedup_stream``
-    (batch ``uv_dedup``'s schema). Runtime needs Python protobuf
-    (absent here — import-gated e2e, fake-driven parity in tests,
-    same seam as ``bounce_detect_tws``)."""
+    (batch ``uv_dedup``'s schema). Runs on the REAL runtime via the
+    vendored protobuf shim (vendor/README.md) + RocksDB state store;
+    e2e parity with batch is pinned in ``tests/test_streaming.py``.
+    Operational note: in processingTime timeMode, Spark's
+    ``shouldRunAnotherBatch`` is unconditionally true, so drive this
+    with ``Trigger.Once`` per drain — an availableNow run schedules
+    empty timer micro-batches forever."""
     return (
         events.groupBy("user_id")
         .transformWithStateInPandas(
@@ -669,8 +680,9 @@ class VisitorRepairProcessor(StatefulProcessor):
 def visitor_repair_tws(events: DataFrame) -> DataFrame:
     """W1 via ``transformWithStateInPandas`` — same output contract as
     ``visitor_repair_stream`` (batch ``visitor_repair``'s schema).
-    Runtime needs Python protobuf (absent here — import-gated e2e,
-    fake-driven parity in tests, same seam as the other two twins)."""
+    Runs on the REAL runtime via the vendored protobuf shim
+    (vendor/README.md) + RocksDB state store; e2e parity with batch is
+    pinned in ``tests/test_streaming.py``."""
     return (
         events.withWatermark("ts", "0 seconds")
         .groupBy("user_id")

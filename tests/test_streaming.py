@@ -25,15 +25,49 @@ from gmall_flink_parent_spark.streaming.jobs import (
 from gmall_flink_parent_spark.sources.tables import load_table
 
 
-def _run_to_memory(df, spark, name: str, with_query: bool = False):
+from contextlib import contextmanager
+
+
+@contextmanager
+def _rocksdb_state(spark):
+    """transformWithState needs a state store with column families
+    (named state variables + timers each get one); the default
+    HDFSBackedStateStoreProvider refuses, so the e2e tests run their
+    queries under the RocksDB provider Spark ships, restoring the
+    session's provider afterwards."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _run_to_memory(
+    df, spark, name: str, with_query: bool = False, timeout: int = 120,
+    once: bool = False,
+):
+    """``once=True`` runs a single Trigger.Once micro-batch instead of
+    availableNow — required for transformWithState queries in
+    processingTime timeMode, whose ``shouldRunAnotherBatch`` is
+    unconditionally true (processing time always advances), so an
+    availableNow run schedules empty timer batches forever."""
+    trigger = {"once": True} if once else {"availableNow": True}
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .trigger(availableNow=True)
+        .trigger(**trigger)
         .start()
     )
-    assert q.awaitTermination(120), f"stream {name} timed out"
+    assert q.awaitTermination(timeout), f"stream {name} timed out"
     out = spark.sql(f"SELECT * FROM {name}")
     return (out, q) if with_query else out
 
@@ -137,7 +171,11 @@ def _has_python_protobuf() -> bool:
     """The TransformWithStateInPySpark driver worker speaks a protobuf
     state-server protocol; without the Python ``protobuf`` package the
     query crashes at init (observed: STREAMING_PYTHON_RUNNER_
-    INITIALIZATION_FAILURE / ImportError google.protobuf.descriptor)."""
+    INITIALIZATION_FAILURE / ImportError google.protobuf.descriptor).
+    In this repo the package import above activates the vendored
+    minimal pure-python runtime (vendor/README.md) when the real one is
+    absent, so this gate normally passes and the e2e tests run for
+    real; it stays as a portability guard for stripped environments."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -206,9 +244,9 @@ def test_bounce_tws_state_machine_matches_batch(spark, sf_dir):
     events table plus the same two-sentinel epilogue as the e2e
     harness. The union of emissions must equal batch ``bounce_detect``
     EXACTLY, which (with the old API's own full-parity pin) also
-    proves the two streaming forms emit the same rows. The fakes exist
-    because this container lacks Python protobuf (the new API's worker
-    protocol) — the e2e test below runs wherever it is installed."""
+    proves the two streaming forms emit the same rows. The fakes
+    complement the real-runtime e2e below (vendored protobuf shim):
+    they drive interleavings the file-source harness can't stage."""
     proc = stateful.BounceProcessor()
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id"
@@ -321,9 +359,10 @@ def test_bounce_tws_full_parity_with_both_forms(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(str(tmp_path / "in"))
     )
-    out = _run_to_memory(
-        stateful.bounce_detect_tws(stream), spark, "bounce_tws_out"
-    )
+    with _rocksdb_state(spark):
+        out = _run_to_memory(
+            stateful.bounce_detect_tws(stream), spark, "bounce_tws_out"
+        )
     cols = ["event_id", "user_id", "ts"]
     got = {
         tuple(r[c] for c in cols)
@@ -5158,6 +5197,33 @@ def test_uv_dedup_tws_plan_wires_without_runtime(spark, sf_dir):
     ]
 
 
+@pytest.mark.skipif(
+    not _has_python_protobuf(),
+    reason="transformWithStateInPandas needs the Python protobuf package "
+    "(state-server protocol); the repo vendors a minimal pure-python "
+    "runtime, so this runs wherever the vendor activates",
+)
+def test_uv_dedup_tws_full_parity_with_batch(spark, sf_dir):
+    """W2 on the REAL transformWithState runtime (vendored protobuf
+    shim + RocksDB state store): the tws twin over the whole events
+    table must emit exactly batch ``uv_dedup``'s rows — the
+    fake-harness parity pin promoted to a real-runtime proof."""
+    with _rocksdb_state(spark):
+        # once=True: in processingTime timeMode an availableNow run
+        # never terminates (endless empty timer batches); one batch
+        # carries the whole table here, so parity is exact
+        out = _run_to_memory(
+            stateful.uv_dedup_tws(events_stream(spark, sf_dir)),
+            spark,
+            "uv_tws_out",
+            timeout=240,
+            once=True,
+        )
+    batch = plans.query_map()["uv_dedup"](spark, sf_dir)
+    cols = ["user_id", "visit_ymd", "first_event_id", "first_ts"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
 def test_land_after_half_swap_restores_before_writing(spark, sf_dir, tmp_path):
     """Deterministic regression for the round-12 chaos finding (real
     data loss, reproduced before the fix): a COMPACTION crash between
@@ -5463,3 +5529,25 @@ def test_visitor_repair_tws_plan_wires_without_runtime(spark, sf_dir):
     old = stateful.visitor_repair_stream(events_stream(spark, sf_dir))
     assert new.schema == old.schema
     assert new.isStreaming
+
+
+@pytest.mark.skipif(
+    not _has_python_protobuf(),
+    reason="transformWithStateInPandas needs the Python protobuf package "
+    "(state-server protocol); the repo vendors a minimal pure-python "
+    "runtime, so this runs wherever the vendor activates",
+)
+def test_visitor_repair_tws_full_parity_with_batch(spark, sf_dir):
+    """W1 on the REAL transformWithState runtime (vendored protobuf
+    shim + RocksDB state store): the tws twin over the whole events
+    table must emit exactly batch ``visitor_repair``'s rows — the
+    fake-harness parity pin promoted to a real-runtime proof."""
+    with _rocksdb_state(spark):
+        out = _run_to_memory(
+            stateful.visitor_repair_tws(events_stream(spark, sf_dir)),
+            spark,
+            "vr_tws_out",
+        )
+    batch = plans.query_map()["visitor_repair"](spark, sf_dir)
+    cols = ["event_id", "user_id", "ymd", "is_new"]
+    assert _rows(out, cols) == _rows(batch, cols)
