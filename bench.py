@@ -218,6 +218,8 @@ HEADLINE = [
     "holt_forecast_backtest",
     "sql_retrieval_surface",
     "source_js_divergence",
+    # round-13 heads
+    "sql_order_wide_surface",
 ]
 
 

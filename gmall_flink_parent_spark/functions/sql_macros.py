@@ -415,3 +415,111 @@ def sql_retrieval_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY phrase, doc_id
         """
     )
+
+
+# --------------------------------- SQL-only order-wide (EP3) surface
+
+SQL_ORDER_WIDE_ORACLE = """
+SELECT o.o_orderkey,
+       l.l_linenumber,
+       strftime(o.o_orderdate, '%Y%m%d') AS order_ymd,
+       o.o_orderpriority,
+       c.c_mktsegment,
+       n.n_name AS nation_name,
+       r.r_name AS region_name,
+       p.p_name AS part_name,
+       s.s_name AS supplier_name,
+       CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS DOUBLE)
+           AS revenue
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+LEFT JOIN customer c ON o.o_custkey   = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+LEFT JOIN part p     ON l.l_partkey   = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+"""
+
+
+def _gated_hint_list(sf_dir: str, names: dict[str, str]) -> str:
+    """The SQL-surface mirror of ``gated_broadcast``: emit a BROADCAST
+    hint only for the dims the DataFrame form would hint — bounded dims
+    always; sf-proportional dims under the parquet byte gate (module
+    constant read at call time, same as the gate itself) — so the two
+    surfaces compile the same join strategy at every scale, and at a
+    scale where a dim outgrows the gate BOTH drop the hint for AQE.
+    ``names`` maps table name → the query ALIAS the hint must cite
+    (Spark resolves hints against relation aliases, not view names)."""
+    import gmall_flink_parent_spark.sources.tables as T
+
+    hinted = []
+    for name, alias in names.items():
+        if name in T.BOUNDED_DIMS:
+            hinted.append(alias)
+            continue
+        size = T.table_parquet_bytes(sf_dir, name)
+        if size is not None and size <= T.DIM_BROADCAST_MAX_BYTES:
+            hinted.append(alias)
+    return ", ".join(f"BROADCAST({a})" for a in hinted)
+
+
+@register(
+    "sql_order_wide_surface",
+    oracle=SQL_ORDER_WIDE_ORACLE,
+    tags=("sql", "J1", "J2", "W5"),
+    past_window=True,
+)
+def sql_order_wide_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship EP3 topology (``OrderWideApp.java``:
+    interval join + six async dim enrichments) computed ENTIRELY
+    through ``spark.sql`` — the last of the reference's five
+    capabilities expressible from pure SQL: the orders ⋈ lineitem
+    event-time BAND join (`order_detail_interval_join`'s [0, +30 d]
+    ship-date band) fused with the 5-way left dim enrichment
+    (`order_wide_enriched`'s J2 collapse of the per-record
+    Redis/Phoenix lookups into broadcast hash joins).
+
+    Plan shape (pinned in ``tests/test_plan_hygiene.py``): identical
+    strategy to the DataFrame forms — the fact-fact band join carries
+    the o_orderkey EQUI component (never a cartesian; the band rides
+    as a post-join filter), and each dim joins by BROADCAST under the
+    same size gate ``gated_broadcast`` applies (``_gated_hint_list``
+    re-derives the hint set from the same byte bound, so the two
+    surfaces cannot diverge at scale).
+    """
+    for t in ("orders", "lineitem", "customer", "nation", "region", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    hints = _gated_hint_list(
+        sf_dir,
+        {"customer": "c", "nation": "n", "region": "r", "part": "p", "supplier": "s"},
+    )
+    hint_clause = f"/*+ {hints} */ " if hints else ""
+    return spark.sql(
+        f"""
+        SELECT {hint_clause}
+               o.o_orderkey,
+               l.l_linenumber,
+               date_format(o.o_orderdate, 'yyyyMMdd') AS order_ymd,
+               o.o_orderpriority,
+               c.c_mktsegment,
+               n.n_name AS nation_name,
+               r.r_name AS region_name,
+               p.p_name AS part_name,
+               s.s_name AS supplier_name,
+               CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                    AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        LEFT JOIN customer c ON o.o_custkey   = c.c_custkey
+        LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN part p     ON l.l_partkey   = p.p_partkey
+        LEFT JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+        """
+    )

@@ -567,3 +567,26 @@ def test_sql_dws_surface_shares_one_user_exchange(spark, sf_dir):
     assert hashes.count("user_id") == 1, hashes
     assert len(hashes) == 2, hashes  # user_id + the day-grain aggregate
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 3
+
+
+def test_sql_order_wide_surface_compiles_same_join_strategy_as_dataframe_form(
+    spark, sf_dir
+):
+    """The SQL-only EP3 surface must compile the SAME join strategies as
+    the DataFrame forms it mirrors: the band join keeps its o_orderkey
+    equi component (no cartesian/BNLJ — the band rides as a post-join
+    filter) and the dims broadcast under the shared size gate
+    (`_gated_hint_list` re-derives `gated_broadcast`'s decision), so
+    the two surfaces cannot diverge at any scale."""
+    from gmall_flink_parent_spark import plans
+
+    def strategies(name):
+        df = plans.all_queries()[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        return {
+            k: plan.count(k)
+            for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        }
+
+    assert strategies("sql_order_wide_surface") == strategies("order_wide_enriched")

@@ -4773,6 +4773,87 @@ def test_interval_join_drops_rows_behind_the_watermark(spark, tmp_path):
     assert got == [(2, 1), (2, 2), (2, 3)], got
 
 
+@pytest.mark.parametrize("job_name", ["daily_value", "sequence_support", "pricing_summary"])
+def test_partial_store_jobs_survive_out_of_order_late_batches(
+    spark, sf_dir, tmp_path, job_name
+):
+    """Late-data matrix for the additive/extrema partial stores (r12
+    verdict next-round #7): each day's rows are deliberately SPLIT
+    ACROSS NON-ADJACENT, time-interleaved micro-batches (a modulo-3
+    split — every batch carries rows from every day, so batch 3 is
+    'late' for every day batch 1 already opened). The partial merges
+    are additive (sums) or idempotent (extrema), so the final pass
+    must still equal the one-shot batch answer — this pins that no
+    watermark or ordering assumption crept into the three decimal/
+    extrema store jobs (contrast: the CEP bounce store REQUIRES an
+    in-order log, documented on the job)."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming import jobs as J
+
+    cfg = {
+        "daily_value": (
+            J.daily_value_store_job,
+            J.daily_value_from_store,
+            ["event_id", "ts", "user_id", "event_type", "value"],
+            "events",
+            lambda: load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("v")
+            ),
+        ),
+        "sequence_support": (
+            J.sequence_support_store_job,
+            J.sequence_support_from_store,
+            ["event_id", "ts", "user_id", "event_type"],
+            "events",
+            lambda: plans.query_map()["event_sequence_support"](spark, sf_dir),
+        ),
+        "pricing_summary": (
+            J.pricing_summary_store_job,
+            J.pricing_summary_from_store,
+            None,  # full lineitem schema
+            "lineitem",
+            lambda: plans.query_map()["pricing_summary"](spark, sf_dir),
+        ),
+    }
+    job, from_store, cols, table, batch_fn = cfg[job_name]
+    df = load_table(spark, sf_dir, table)
+    if cols is not None:
+        df = df.select(*cols)
+    key = "event_id" if table == "events" else "l_orderkey"
+    (tmp_path / "in").mkdir()
+    pdf = df.toPandas()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf[key] % 3 == i]
+        path = str(tmp_path / "in" / f"f{i}.parquet")
+        part.to_parquet(path)
+        t = time.time() + 5 * i
+        os.utime(path, (t, t))
+    schema = spark.read.parquet(str(tmp_path / "in" / "f0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = job(stream, str(tmp_path / "store"), str(tmp_path / "ck"))
+    assert q.awaitTermination(180), f"{job_name} store job timed out"
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.select("batch_id").distinct().count() == 3
+    want_df = batch_fn()
+    out_cols = sorted(want_df.columns)
+    want = _rows(want_df, out_cols)
+    got = _rows(from_store(spark, str(tmp_path / "store")), out_cols)
+    assert got == want and len(want) > 0
+
+
 def test_sequence_support_store_job_matches_batch(spark, sf_dir, tmp_path):
     """Extrema-partial store twin of ``event_sequence_support``: per-
     batch (user, type) min/max merged by the final pass must be
