@@ -429,6 +429,36 @@ def main() -> None:
     # gets the summary + a budget-packed slowest-first subset of per-query
     # mins; the FULL per-query map, rerun bodies, rep spreads, and
     # per-query loadavg all go to BENCH_DETAIL.json (committed each round).
+    # Machine-generated A/B adjudication (VERDICT r12 next-round #5):
+    # any query still >1.3x its committed prior-round time after the
+    # rerun pass gets an ISOLATED min-of-3 on BOTH the prior round's
+    # git tree and the current tree (fresh subprocess sessions, same
+    # protocol as the round-12 manual adjudication) — the block lands
+    # in BENCH_DETAIL_r{N}.json so regression-vs-host-noise is
+    # answerable from the artifact alone. Guarded: the A/B must never
+    # take down the sweep (the driver depends on the stdout line).
+    ab = None
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        movers = sorted(
+            (
+                (timings[n] / prior[n], n)
+                for n in timings
+                if n in prior and prior[n] > 0 and timings[n] > 1.3 * prior[n]
+            ),
+            reverse=True,
+        )
+        mover_names = [n for _, n in movers[:6]]
+        if mover_names:
+            try:
+                sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+                from scripts.bench_ab import ab_block, prior_round_ref
+
+                ref = prior_round_ref()
+                if ref is not None:
+                    ab = ab_block(mover_names, ref, sf_dir, reps=3)
+            except Exception as ex:  # noqa: BLE001 — artifact note, not a failure
+                ab = {"metric": "bench_ab", "error": str(ex)[:300]}
+
     try:  # host pressure at sweep end — the stall-adjudication context
         loadavg = [round(x, 1) for x in os.getloadavg()]
     except OSError:
@@ -461,6 +491,7 @@ def main() -> None:
     detail = {
         **base,
         "round": this_round,
+        "ab_adjudication": ab,
         "reruns": reruns,
         "queries": timings,
         "rep_spread": spreads,
