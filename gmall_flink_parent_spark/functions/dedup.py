@@ -810,7 +810,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 32
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 32,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation + pointer jumping.
 
@@ -827,6 +830,8 @@ def connected_components(
     covers diameters beyond 2³², i.e. never in practice).
 
     Returns ``(doc_id, label)`` with label = min doc_id of the component.
+    ``stats`` (optional dict) receives ``{"rounds": n}`` on convergence —
+    the scale-run artifact records iterations × edge throughput.
     """
     edges = pairs.unionByName(
         pairs.select(
@@ -835,7 +840,7 @@ def connected_components(
     ).persist()
     try:
         labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
-        for _ in range(max_rounds):
+        for _round in range(max_rounds):
             neighbor_min = (
                 edges.join(labels, edges.doc_id_b == labels.doc_id)
                 .groupBy("doc_id_a")
@@ -872,6 +877,8 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = _round + 1
                 return labels
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} rounds"

@@ -414,11 +414,130 @@ def run_gram(work: str | None = None) -> dict:
     }
 
 
+def run_ann(work: str | None = None) -> dict:
+    """Streaming ANN maintenance at sf1 (r12 verdict stretch #9): seed
+    the coarse quantizer offline, drive `centroid_refresh_job` over the
+    sf1 embedding shards (8 micro-batches of exact mini-batch k-means),
+    build the cell index from the REFRESHED store via `ann_index_job`,
+    then serve IVF top-k from that index and pin recall vs brute force
+    over the same corpus."""
+    import gmall_flink_parent_spark.plans as plans  # noqa: F401  (registry)
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_parent_spark.functions.similarity import (
+        TOP_K,
+        N_QUERIES,
+        cosine_topk_frame,
+        ivf_assign_incremental,
+    )
+    from gmall_flink_parent_spark.session import get_spark
+    from gmall_flink_parent_spark.sources.tables import load_table
+    from gmall_flink_parent_spark.streaming.jobs import (
+        ann_index_job,
+        centroid_refresh_job,
+        write_initial_centroid_store,
+    )
+
+    spark = get_spark("gmall-sf1-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    owns_work = work is None
+    if owns_work:
+        work = tempfile.mkdtemp(prefix="sf1_ann_")
+    heads: dict[str, dict] = {}
+    try:
+        n_emb = _split_table(spark, SF1_DIR, "embeddings", f"{work}/emb", N_FILES)
+        t0 = time.monotonic()
+        write_initial_centroid_store(spark, SF1_DIR, f"{work}/cents")
+        seed_sec = round(time.monotonic() - t0, 1)
+
+        t0 = time.monotonic()
+        q = centroid_refresh_job(
+            _file_stream(spark, f"{work}/emb").select("vec_id", "embedding"),
+            f"{work}/cents",
+            f"{work}/ck_cr",
+        )
+        stats = _drain(q)
+        refresh_wall = round(time.monotonic() - t0, 3)
+        heads["centroid_refresh_job"] = {
+            "rows_in": n_emb,
+            "seed_sec": seed_sec,
+            "wall_sec": refresh_wall,
+            "rows_per_sec": round(n_emb / refresh_wall, 1),
+            **stats,
+        }
+
+        t0 = time.monotonic()
+        q = ann_index_job(
+            _file_stream(spark, f"{work}/emb").select("vec_id", "embedding"),
+            f"{work}/cents",
+            f"{work}/cells",
+            f"{work}/ck_ai",
+        )
+        stats = _drain(q)
+        index_wall = round(time.monotonic() - t0, 3)
+        heads["ann_index_job"] = {
+            "rows_in": n_emb,
+            "wall_sec": index_wall,
+            "rows_per_sec": round(n_emb / index_wall, 1),
+            **stats,
+        }
+
+        # serve IVF top-k FROM the refreshed store: candidate cells come
+        # from the streamed index, query cells from the refreshed
+        # quantizer — zero reliance on the fixture's precomputed label
+        emb = load_table(spark, SF1_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        cells = spark.read.parquet(f"{work}/cells").select(
+            "vec_id", F.col("cell").alias("label")
+        )
+        emb_cells = emb.join(cells, "vec_id")
+        cents = spark.read.parquet(f"{work}/cents").select("cell", "centroid")
+        q_emb = emb.filter(F.col("vec_id") < N_QUERIES)
+        q_cells = ivf_assign_incremental(q_emb, cents).select(
+            F.col("vec_id").alias("query_id"), F.col("cell").alias("q_label")
+        )
+        queries = q_emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ).join(q_cells, "query_id")
+
+        t0 = time.monotonic()
+        ivf = cosine_topk_frame(emb_cells, queries, TOP_K, same_label=True)
+        ivf_rows = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+        ivf_sec = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        exact = cosine_topk_frame(emb.withColumn("label", F.lit(0)), queries, TOP_K)
+        exact_rows = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        exact_sec = round(time.monotonic() - t0, 3)
+        recall = round(len(ivf_rows & exact_rows) / len(exact_rows), 4)
+        heads["ann_ivf_from_refreshed_store"] = {
+            "n_queries": N_QUERIES,
+            "top_k": TOP_K,
+            "ivf_sec": ivf_sec,
+            "bruteforce_sec": exact_sec,
+            "recall_vs_bruteforce": recall,
+        }
+        assert recall >= 0.9, f"sf1 IVF recall floor broke: {recall}"
+    finally:
+        if owns_work:
+            shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "sf1_ann_maintenance_run",
+        "sf": 1.0,
+        "n_files": N_FILES,
+        "heads": heads,
+    }
+
+
 def main() -> None:
     if "--stores" in sys.argv:
         doc = run_stores()
     elif "--gram" in sys.argv:
         doc = run_gram()
+    elif "--ann" in sys.argv:
+        doc = run_ann()
     else:
         doc = run()
     line = json.dumps(doc)

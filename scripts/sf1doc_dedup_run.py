@@ -113,9 +113,86 @@ def bucket_histogram(spark) -> dict:
     return {str(r["n"]): r["n_buckets"] for r in hist_rows}
 
 
+def run_cc() -> dict:
+    """Connected components over the 100x near-dup pair graph (VERDICT
+    r12 next-round #6): the linear-state fixed point two orders above
+    bench scale. The edge set is the MinHash head's own verified output
+    (est-Jaccard >= its threshold — the "verified tier"); correctness
+    at this scale is pinned by the disjoint-copy invariant: the 100
+    copies share no vocabulary, so the pair graph decomposes copy-wise
+    and the component count must be EXACTLY 100x the sf0.1 base
+    component count (computed here with the same code on the base)."""
+    import gmall_flink_parent_spark.plans as plans
+    from gmall_flink_parent_spark.functions.dedup import connected_components
+    from gmall_flink_parent_spark.session import get_spark
+    from gmall_flink_parent_spark.sources.tables import load_table
+
+    spark = get_spark("gmall-sf1doc-cc")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    qmap = plans.query_map()
+
+    def components(sf_dir: str) -> tuple[int, int, dict]:
+        pairs = qmap["dedup_minhash_lsh"](spark, sf_dir).select(
+            "doc_id_a", "doc_id_b"
+        )
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        stats: dict = {}
+        labels = connected_components(docs, pairs, stats=stats)
+        return labels.select("label").distinct().count(), labels.count(), stats
+
+    t0 = time.monotonic()
+    base_components, base_docs, _ = components(BASE_DIR)
+    base_sec = round(time.monotonic() - t0, 1)
+
+    t0 = time.monotonic()
+    pairs = qmap["dedup_minhash_lsh"](spark, SF1DOC_DIR).select(
+        "doc_id_a", "doc_id_b"
+    )
+    n_edges = pairs.count()
+    pair_sec = round(time.monotonic() - t0, 1)
+    docs = load_table(spark, SF1DOC_DIR, "documents").select("doc_id")
+    n_docs = docs.count()
+    stats: dict = {}
+    t0 = time.monotonic()
+    labels = connected_components(docs, pairs, stats=stats)
+    n_components = labels.select("label").distinct().count()
+    cc_sec = round(time.monotonic() - t0, 1)
+    rounds = stats.get("rounds", -1)
+    assert n_components == COPIES * base_components, (
+        f"disjoint-copy invariant broke: {n_components} components at 100x "
+        f"vs {base_components} at base (expected exactly {COPIES}x)"
+    )
+    return {
+        "metric": "sf1doc_cc_run",
+        "scale_vs_bench": COPIES,
+        "n_docs": n_docs,
+        "n_edges": n_edges,
+        "pair_gen_sec": pair_sec,
+        "cc_sec": cc_sec,
+        "rounds": rounds,
+        "directed_edge_rows_per_round": 2 * n_edges,
+        "edge_rows_per_sec": round(2 * n_edges * rounds / cc_sec, 1) if cc_sec else None,
+        "n_components": n_components,
+        "base_components_sf01": base_components,
+        "base_cc_sec": base_sec,
+        "invariant": f"components == {COPIES} x base — held",
+    }
+
+
 def main() -> None:
     import gmall_flink_parent_spark.plans as plans
     from gmall_flink_parent_spark.session import get_spark
+
+    if "--cc" in sys.argv:
+        doc = run_cc()
+        line = json.dumps(doc)
+        print(line)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as fh:
+                fh.write(line + "\n")
+        return
 
     spark = get_spark("gmall-sf1doc")
     spark.sparkContext.setLogLevel("ERROR")
