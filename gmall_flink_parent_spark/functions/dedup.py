@@ -1540,3 +1540,77 @@ def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_prefix_join_frame(
         fan_out(spark, load_table(spark, sf_dir, "documents")), CONTAINMENT_TAU
     )
+
+
+# --------------------------------- MinHash estimator calibration
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()},
+t AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT p.est_jaccard,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) AS exact_jaccard,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM mh_pairs p
+JOIN t a ON a.doc_id = p.doc_id_a
+JOIN t b ON b.doc_id = p.doc_id_b
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "minhash_estimator_calibration",
+    oracle=_calibration_oracle(),
+    tags=("dedup", "minhash", "calibration", "validation"),
+    past_window=True,
+)
+def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (estimated, exact) Jaccard distribution over the MinHash
+    head's surviving candidate pairs — the estimator's calibration
+    table: for each of the ≤ NUM_HASHES+1 discrete estimate values the
+    LSH join can emit, how the TRUE token-set Jaccard of those pairs
+    distributes. Motivated by a real finding of the 100× CC run
+    (SCALE.md "connected components at 100x"): borderline pairs flip
+    in/out of the candidate set per hash family because the 16-hash
+    estimate carries ~1/√16 standard error — this head quantifies
+    exactly that spread, pair-accounting which estimates over/under
+    shoot and by how much, so a threshold choice reads off the table
+    instead of folklore. (Broder 1997's bound; the per-bucket spread
+    IS the resampling variance the CC invariant hit.)
+
+    Determinism: the output is pure INTEGER counts grouped by two
+    discrete keys — the estimate is k/16 by construction and the exact
+    Jaccard is one round-6 ratio of integers per pair — no
+    floating-point aggregation at all, so Spark and DuckDB agree
+    bit-for-bit with no summation-order caveat.
+
+    Scale shape: candidate pairs only (never all-pairs — the LSH
+    equi-join bounds the input), two doc_id equi-joins to attach token
+    sets, one map-side-combined count at the tiny (est, exact) grain.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", "est_jaccard"
+    )
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "est_jaccard",
+            F.round(inter.cast("double") / union, 6).alias("exact_jaccard"),
+        )
+        .groupBy("est_jaccard", "exact_jaccard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
