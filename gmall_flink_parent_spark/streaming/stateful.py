@@ -693,3 +693,56 @@ def visitor_repair_tws(events: DataFrame) -> DataFrame:
             timeMode="eventTime",
         )
     )
+
+
+class DedupExactProcessor(StatefulProcessor):
+    """The LLM-pipeline exact-dedup keeper on the ``transformWithState``
+    surface — fourth and last of the repo's keyed-state machines to get
+    a twin on the successor API, so EVERY ``applyInPandasWithState``
+    operator now has a 1:1 ``transformWithStateInPandas`` form (W1/W2/
+    W3 mirror the reference's machines; this one mirrors
+    ``_keep_first_fingerprint``). One boolean ValueState per distinct
+    content fingerprint — the minimum state budget; within a call the
+    min doc_id is taken over ALL chunks before emitting (a group can
+    span Arrow chunks), across batches the first batch wins.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState("seen", "seen boolean")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        seen = self._seen.get()[0] if self._seen.exists() else False
+        best: int | None = None
+        for pdf in rows:
+            if seen or not len(pdf):
+                continue
+            chunk_min = int(pdf["doc_id"].min())
+            best = chunk_min if best is None else min(best, chunk_min)
+        if not seen and best is not None:
+            self._seen.update((True,))
+            yield pd.DataFrame(
+                {
+                    "fingerprint": pd.Series([key[0]], dtype="object"),
+                    "keep_doc_id": pd.Series([best], dtype="int64"),
+                }
+            )
+
+
+def dedup_exact_tws(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup via ``transformWithStateInPandas`` — same
+    output contract as ``dedup_exact_stream``. Runs on the real runtime
+    (vendored protobuf shim + RocksDB store); e2e parity with the batch
+    keepers is pinned in ``tests/test_streaming.py``. timeMode "none":
+    no timers, no TTL — the state is permanent content identity, so
+    availableNow drains terminate normally (unlike processingTime)."""
+    keyed = docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+    )
+    return keyed.groupBy("fingerprint").transformWithStateInPandas(
+        DedupExactProcessor(),
+        outputStructType="fingerprint string, keep_doc_id long",
+        outputMode="append",
+        timeMode="none",
+    )

@@ -841,6 +841,47 @@ def test_dedup_exact_stream_min_across_arrow_chunks():
     assert state.updated == (True,)
 
 
+def test_dedup_exact_tws_plan_wires_without_runtime(spark, sf_dir, tmp_path):
+    """The exact-dedup tws plan must construct against a real stream
+    source with the old-API twin's output schema."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (tmp_path / "in").mkdir()
+    docs.limit(5).toPandas().to_parquet(str(tmp_path / "in" / "f.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path / "in")
+    )
+    new = stateful.dedup_exact_tws(stream)
+    old = stateful.dedup_exact_stream(stream)
+    assert new.isStreaming and new.schema == old.schema
+
+
+@pytest.mark.skipif(
+    not _has_python_protobuf(),
+    reason="transformWithStateInPandas needs the Python protobuf package "
+    "(state-server protocol); the repo vendors a minimal pure-python "
+    "runtime, so this runs wherever the vendor activates",
+)
+def test_dedup_exact_tws_full_parity_with_batch_keepers(spark, sf_dir, tmp_path):
+    """Exact dedup on the REAL transformWithState runtime: fed in
+    doc_id order over two micro-batches, the tws keeper must equal the
+    batch keeper per fingerprint — cross-batch suppression through the
+    boolean ValueState, min-over-chunks within a batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _two_file_stream(
+        spark, tmp_path, docs, "doc_id", "doc_id long, text string"
+    )
+    with _rocksdb_state(spark):
+        out = _run_to_memory(
+            stateful.dedup_exact_tws(stream), spark, "dedup_tws_out"
+        )
+    got = {r["fingerprint"]: r["keep_doc_id"] for r in out.collect()}
+    batch = {
+        r["fingerprint"]: r["keep_doc_id"]
+        for r in plans.query_map()["dedup_exact"](spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 0
+
+
 def test_dedup_exact_stream_matches_batch_with_tiny_arrow_chunks(
     spark, sf_dir, tmp_path
 ):
