@@ -4895,6 +4895,65 @@ def test_partial_store_jobs_survive_out_of_order_late_batches(
     assert got == want and len(want) > 0
 
 
+def test_gram_store_survives_out_of_order_late_batches(spark, sf_dir, tmp_path):
+    """The gram-count partial store under the same late-data matrix as
+    the decimal/extrema stores: documents split by doc_id modulo 3, so
+    every micro-batch carries part of every source/vocabulary slice and
+    batch 3 is 'late' for counts batch 1 already opened. Gram counts
+    merge by addition (each document contributes from exactly one
+    batch), so `collocation_pmi_from_store` must still hash-equal the
+    batch head over the arbitrarily interleaved replay."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        collocation_pmi_from_store,
+        curation_ingest_job,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    pdf = docs.toPandas()
+    (tmp_path / "in").mkdir()
+    for i in range(3):
+        part = pdf[pdf["doc_id"] % 3 == i]
+        path = str(tmp_path / "in" / f"f{i}.parquet")
+        part.to_parquet(path)
+        t = time.time() + 5 * i
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    curation_ingest_job(
+        stream,
+        str(tmp_path / "prof"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "mix"),
+        str(tmp_path / "ck"),
+        weights={f"src{i}": 1.0 for i in range(20)},
+        gram_path=str(tmp_path / "gram"),
+    ).awaitTermination(120)
+    assert (
+        spark.read.parquet(str(tmp_path / "gram"))
+        .select("batch_id")
+        .distinct()
+        .count()
+        == 3
+    )
+    got = {
+        tuple(r)
+        for r in collocation_pmi_from_store(spark, str(tmp_path / "gram")).collect()
+    }
+    want = {
+        tuple(r)
+        for r in plans.query_map()["collocation_pmi"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_sequence_support_store_job_matches_batch(spark, sf_dir, tmp_path):
     """Extrema-partial store twin of ``event_sequence_support``: per-
     batch (user, type) min/max merged by the final pass must be
