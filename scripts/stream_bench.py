@@ -183,6 +183,58 @@ def _bench_uv_dedup(
     }
 
 
+def _bench_visitor_repair(
+    spark, events_dir: str, rows_in: int, checkpoint: str, tws: bool = False
+) -> dict:
+    """Same-semantics A/B of the two keyed-state APIs: W1 visitor
+    repair on ``applyInPandasWithState`` (per-key pandas state inline
+    in the worker) vs ``transformWithStateInPandas`` (named state
+    behind the JVM state-server protocol — one socket round trip per
+    state op, RocksDB column-family store). Identical input feed,
+    identical output contract, so the wall gap IS the API cost."""
+    from gmall_flink_parent_spark.streaming.stateful import (
+        visitor_repair_stream,
+        visitor_repair_tws,
+    )
+
+    build = visitor_repair_tws if tws else visitor_repair_stream
+    events = _file_stream(spark, events_dir).select("event_id", "ts", "user_id")
+    prev = None
+    if tws:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        t0 = time.monotonic()
+        q = (
+            build(events)
+            .writeStream.format("noop")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        stats = _drain(q)
+        wall = round(time.monotonic() - t0, 3)
+    finally:
+        if tws:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+    return {
+        "rows_in": rows_in,
+        "wall_sec": wall,
+        "rows_per_sec": round(rows_in / wall, 1),
+        **stats,
+    }
+
+
 def _bench_seq_store(spark, events_dir: str, rows_in: int, work: str) -> dict:
     from gmall_flink_parent_spark.streaming.jobs import sequence_support_store_job
 
@@ -298,6 +350,14 @@ def run(
             ),
             "uv_dedup_stream_builtin": _bench_uv_dedup(
                 spark, f"{work}/events", n_events, f"{work}/ck_uvb", builtin=True
+            ),
+            # the two keyed-state APIs head to head on W1 (round 13:
+            # the tws twin now runs on the real state-server runtime)
+            "visitor_repair_stream": _bench_visitor_repair(
+                spark, f"{work}/events", n_events, f"{work}/ck_vrs"
+            ),
+            "visitor_repair_tws": _bench_visitor_repair(
+                spark, f"{work}/events", n_events, f"{work}/ck_vrt", tws=True
             ),
             # extrema-partial incremental store (round-11 post-seal)
             "sequence_support_store_job": _bench_seq_store(
