@@ -107,10 +107,8 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()  # TTL expiry — forget the last visit date
-            yield pd.DataFrame(
-                {"user_id": [], "visit_ymd": [], "first_event_id": [], "first_ts": []}
-            )
-            return
+            return  # no emission: an empty iterator is legal, and an
+            # untyped empty frame (float64 columns) is an Arrow hazard
         (last_date,) = state.get if state.exists else (None,)
         last_event_ms = None
         # chunks within one call are NOT guaranteed ts-ordered: a later
