@@ -47,10 +47,17 @@ def _expose_vendored_protobuf() -> None:
     # PYTHONPATH the JVM builds); the jar ships google/protobuf/*.proto
     # RESOURCES, which zipimport treats as a namespace-package portion —
     # the failed import above then leaves location-less namespace
-    # modules cached, shadowing the vendored regular package. Drop any
-    # cached location-less google modules so the retry resolves to the
-    # vendor path (a regular package beats namespace portions).
-    for name in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+    # modules cached, shadowing the vendored package. Drop ONLY the
+    # cached location-less `google` / `google.protobuf` entries so the
+    # retry resolves through the vendor path; other google.* modules
+    # (google.auth, google.cloud.*, ...) are left untouched — the
+    # vendored google/ is namespace-extending (pkgutil.extend_path),
+    # so re-resolution keeps every sibling portion importable.
+    for name in [
+        m
+        for m in sys.modules
+        if m in ("google", "google.protobuf") or m.startswith("google.protobuf.")
+    ]:
         mod = sys.modules[name]
         if getattr(mod, "__file__", None) is None:
             del sys.modules[name]

@@ -215,3 +215,38 @@ def test_file_descriptor_parser_against_pysparks_blob():
     assert val.type == mini.TYPE_BYTES and val.repeated
     handle = {e.name: e for e in enums}["HandleState"]
     assert dict(handle.values)["PRE_INIT"] == 0 and dict(handle.values)["CLOSED"] == 5
+
+
+def test_vendored_google_does_not_shadow_sibling_namespace_portions(tmp_path):
+    """Round-13 advisor finding: the vendored ``google`` used to be a
+    plain regular package, so once vendor/ joined sys.path it won over
+    every OTHER PEP 420 ``google.*`` namespace portion (google-auth,
+    google-cloud-*, ...) — fresh imports of unrelated google
+    distributions failed process-wide. The fix makes vendor/google
+    namespace-extending via ``pkgutil.extend_path``. Reproduce the
+    advisor's case in a clean subprocess: a sibling ``google.fakelib``
+    namespace portion must stay importable after the package exposes
+    the vendored protobuf, and the vendored protobuf itself must still
+    resolve."""
+    import subprocess
+    import sys
+
+    portion = tmp_path / "portion" / "google" / "fakelib"
+    portion.mkdir(parents=True)
+    (portion / "__init__.py").write_text("MARK = 'sibling-portion'\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys;"
+        f"sys.path.insert(0, {str(tmp_path / 'portion')!r});"
+        f"sys.path.insert(0, {repo!r});"
+        "import gmall_flink_parent_spark;"
+        "from google.protobuf import descriptor;"  # vendored (or real) runtime
+        "import google.fakelib;"
+        "assert google.fakelib.MARK == 'sibling-portion';"
+        "print('OK')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
