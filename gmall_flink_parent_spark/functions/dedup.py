@@ -1528,7 +1528,6 @@ def containment_prefix_join_frame(docs: DataFrame, t: float) -> DataFrame:
     "containment_prefix_join",
     oracle=CONTAINMENT_JOIN_ORACLE,
     tags=("dedup", "similarity-join", "containment"),
-    past_window=True,
 )
 def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The t=0.9 registered head of ``containment_prefix_join_frame``.
@@ -1567,7 +1566,6 @@ GROUP BY 1, 2
     "minhash_estimator_calibration",
     oracle=_calibration_oracle(),
     tags=("dedup", "minhash", "calibration", "validation"),
-    past_window=True,
 )
 def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint (estimated, exact) Jaccard distribution over the MinHash

@@ -470,7 +470,6 @@ def _gated_hint_list(sf_dir: str, names: dict[str, str]) -> str:
     "sql_order_wide_surface",
     oracle=SQL_ORDER_WIDE_ORACLE,
     tags=("sql", "J1", "J2", "W5"),
-    past_window=True,
 )
 def sql_order_wide_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship EP3 topology (``OrderWideApp.java``:

@@ -587,7 +587,6 @@ LEFT JOIN (
     "source_js_divergence",
     oracle=JS_DIVERGENCE_ORACLE,
     tags=("text", "stats", "drift", "distribution"),
-    past_window=True,
 )
 def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence (bits) between every source pair's

@@ -114,7 +114,7 @@ def value_distribution_frame(spark: SparkSession, spend: DataFrame) -> DataFrame
     )
 
 
-@register("user_value_distribution", oracle=VALUE_DIST_ORACLE, tags=("dws", "window-fn"))
+@register("user_value_distribution", oracle=VALUE_DIST_ORACLE, tags=("dws", "window-fn"), past_window=True)
 def user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type spend distribution (percent_rank / cume_dist / ntile)
     over the shared ``spend_by_type_user`` grain — the scalable

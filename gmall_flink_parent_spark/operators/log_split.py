@@ -37,7 +37,7 @@ WHERE event_type = 'signup'
 """
 
 
-@register("log_split_start", oracle=LOG_SPLIT_START_ORACLE, tags=("X1", "P1", "P8"))
+@register("log_split_start", oracle=LOG_SPLIT_START_ORACLE, tags=("X1", "P1", "P8"), past_window=True)
 def log_split_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Start-log branch of the 3-way split (BaseLogTask.java:117-121).
 
@@ -115,7 +115,7 @@ WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
 """
 
 
-@register("props_json_extract", oracle=PROPS_EXTRACT_ORACLE, tags=("P1", "json"))
+@register("props_json_extract", oracle=PROPS_EXTRACT_ORACLE, tags=("P1", "json"), past_window=True)
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON field extraction (P1) + derived bucket (P6).
 

@@ -309,7 +309,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("pricing_summary", oracle=PRICING_SUMMARY_ORACLE, tags=("agg", "dws"))
+@register("pricing_summary", oracle=PRICING_SUMMARY_ORACLE, tags=("agg", "dws"), past_window=True)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style pricing summary — the DWS aggregation surface.
 

@@ -91,7 +91,7 @@ FROM events
 """
 
 
-@register("cdc_envelope_parse", oracle=CDC_ENVELOPE_ORACLE, tags=("P1", "P4", "P6"))
+@register("cdc_envelope_parse", oracle=CDC_ENVELOPE_ORACLE, tags=("P1", "P4", "P6"), past_window=True)
 def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maxwell CDC envelope round trip: serialize → parse → normalize →
     validity-filter → project (BaseDbTask's first stage).

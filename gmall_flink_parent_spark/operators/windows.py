@@ -1946,7 +1946,6 @@ FROM paired GROUP BY event_type
     "holt_forecast_backtest",
     oracle=HOLT_BACKTEST_ORACLE,
     tags=("dws", "time-series", "forecast", "eval", "report"),
-    past_window=True,
 )
 def holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step backtest of `event_value_holt_forecast` against the

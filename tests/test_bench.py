@@ -172,3 +172,24 @@ def test_outlier_suspects_selection():
     # zero/absent priors never divide
     assert bench._outlier_suspects({"a": 9.0}, {"a": 0.0}) == []
     assert bench._outlier_suspects({"a": 9.0}, {}) == []
+
+
+def test_queries_md_table_is_fresh():
+    """QUERIES.md's per-query table and prose counts are machine-owned
+    (``scripts/gen_queries_md.py``); round 13 found the committed table
+    drifting from the registry mid-round. Regeneration must be a no-op
+    on the committed file — if this fails, run
+    ``python scripts/gen_queries_md.py`` and commit the result."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_queries_md", os.path.join(here, "scripts", "gen_queries_md.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    with open(os.path.join(here, "QUERIES.md"), encoding="utf-8") as fh:
+        committed = fh.read()
+    assert gen.render() == committed, (
+        "QUERIES.md is stale — run python scripts/gen_queries_md.py"
+    )
