@@ -231,13 +231,21 @@ def _prior_round_times(here: str | None = None) -> dict[str, float]:
     round. Because the stdout line is now budget-packed (slowest queries
     first — see ``_pack_stdout_queries``), the driver artifact may omit
     fast queries; those gaps are filled from the committed
-    BENCH_DETAIL.json — but ONLY when the detail file was written by the
-    same round's sweep (its ``round`` stamp matches the selected
-    artifact). When the newest round is unparseable and an older round's
-    queries win, the newer detail file is from a DIFFERENT sweep and
-    mixing its timings into the adjudication baseline would compare
-    against numbers taken under different host conditions. Empty dict
-    when no prior artifact exists (round 1, or a fresh checkout)."""
+    the committed PER-ROUND ``BENCH_DETAIL_r{N}.json`` (the full
+    175-head map, written once at round close, same-round by
+    construction), falling back to the working-tree BENCH_DETAIL.json
+    only for legacy rounds without a per-round detail file — and then
+    ONLY when that file's ``round`` stamp matches the selected artifact.
+
+    Round-13 review: relying on the working-tree detail file alone let
+    the widest raw mover (``collocation_pmi``, 8.4× apparent) escape
+    the in-artifact A/B entirely — at driver time the working
+    BENCH_DETAIL.json was already stamped with the CURRENT round by the
+    builder's own sweep, so the baseline shrank to the 46 budget-packed
+    stdout heads. The immutable per-round file cannot be overwritten by
+    a later sweep, so every head in the prior round's full map now gets
+    a prior. Empty dict when no prior artifact exists (round 1, or a
+    fresh checkout)."""
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
     rounds: list[tuple[int, str]] = []
@@ -260,20 +268,33 @@ def _prior_round_times(here: str | None = None) -> dict[str, float]:
         except (OSError, ValueError, AttributeError, TypeError):
             continue  # malformed artifact: fall back to the next round
     # fill queries the budget-packed driver line omitted from the committed
-    # full-map detail file — same round's sweep only (see docstring)
-    try:
-        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
-            detail = json.load(fh)
-        detail_round = detail.get("round")
-        if detail_round is None:
-            # legacy detail file without a round stamp: it was written by
-            # the newest round's sweep, so it matches only that round
-            detail_round = max((r for r, _ in rounds), default=None)
-        if selected_round is not None and detail_round == selected_round:
-            for k, v in (detail.get("queries") or {}).items():
-                out.setdefault(k, float(v))
-    except (OSError, ValueError, AttributeError, TypeError):
-        pass
+    # full-map detail artifacts — immutable per-round file first, then the
+    # working-tree detail file for legacy rounds (see docstring)
+    if selected_round is not None:
+        for path, need_stamp in (
+            (os.path.join(here, f"BENCH_DETAIL_r{selected_round:02d}.json"), False),
+            (os.path.join(here, "BENCH_DETAIL.json"), True),
+        ):
+            try:
+                with open(path) as fh:
+                    detail = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if need_stamp:
+                detail_round = detail.get("round")
+                if detail_round is None:
+                    # legacy detail file without a round stamp: it was
+                    # written by the newest round's sweep, so it matches
+                    # only that round
+                    detail_round = max((r for r, _ in rounds), default=None)
+                if detail_round != selected_round:
+                    continue
+            try:
+                for k, v in (detail.get("queries") or {}).items():
+                    out.setdefault(k, float(v))
+            except (AttributeError, TypeError, ValueError):
+                continue
+            break  # per-round file found and used: it is the full map
     return out
 
 
@@ -453,9 +474,19 @@ def main() -> None:
                 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
                 from scripts.bench_ab import ab_block, prior_round_ref
 
-                ref = prior_round_ref()
+                ref, ref_note = prior_round_ref()
                 if ref is not None:
                     ab = ab_block(mover_names, ref, sf_dir, reps=3)
+                    ab["ref_note"] = ref_note
+                else:
+                    # adjudication must never disappear silently from the
+                    # artifact (round-13 advisor): say WHY there's no ref
+                    ab = {
+                        "metric": "bench_ab",
+                        "ref": None,
+                        "ref_unresolved": ref_note,
+                        "movers": mover_names,
+                    }
             except Exception as ex:  # noqa: BLE001 — artifact note, not a failure
                 ab = {"metric": "bench_ab", "error": str(ex)[:300]}
 

@@ -141,26 +141,65 @@ def measure_worktree(
     )
 
 
-def prior_round_ref(here: str = REPO) -> str | None:
-    """The commit that landed the newest ``BENCH_r{N}.json`` — the
-    driver's end-of-round commit, i.e. the previous round's final tree."""
+# the paths whose content defines "the engine's code" for the
+# self-comparison guard below (docs/artifacts excluded on purpose: the
+# stamp commit adds artifacts without touching these)
+_CODE_PATHS = ("gmall_flink_parent_spark", "__spark_entry__.py", "bench.py")
+
+
+def prior_round_ref(here: str = REPO) -> tuple[str | None, str]:
+    """Resolve the PRIOR round's final tree: the commit that landed the
+    newest ``BENCH_r{N}.json`` whose code differs from the current
+    working tree.
+
+    Returns ``(sha_or_None, note)`` — the note says which artifact the
+    ref came from, or why none resolved (recorded verbatim in the ab
+    block so adjudication never disappears silently; round-13 advisor
+    finding).
+
+    The differs-from-working-tree guard closes the self-comparison
+    hazard: if the CURRENT round's closing stamp has already committed
+    its own BENCH_r{N}.json when bench runs, the newest artifact's
+    landing commit contains the current code and an A/B against it
+    compares the tree to itself (ratio ~1 regardless of real
+    regressions). Such a candidate is skipped in favor of the next
+    round back. A candidate whose CODE genuinely didn't change between
+    rounds is skipped too — harmless, since an A/B of identical code
+    carries no information."""
     import re
 
-    rounds = [
-        int(m.group(1))
-        for fn in os.listdir(here)
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
-    ]
-    if not rounds:
-        return None
-    target = f"BENCH_r{max(rounds):02d}.json"
-    proc = subprocess.run(
-        ["git", "-C", here, "log", "-1", "--format=%H", "--", target],
-        capture_output=True,
-        text=True,
+    rounds = sorted(
+        (
+            int(m.group(1))
+            for fn in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+        ),
+        reverse=True,
     )
-    sha = proc.stdout.strip()
-    return sha or None
+    if not rounds:
+        return None, "no BENCH_r{N}.json artifact on disk"
+    for rnum in rounds:
+        target = f"BENCH_r{rnum:02d}.json"
+        proc = subprocess.run(
+            ["git", "-C", here, "log", "-1", "--format=%H", "--", target],
+            capture_output=True,
+            text=True,
+        )
+        sha = proc.stdout.strip()
+        if not sha:
+            continue  # artifact untracked: its round never closed in git
+        same = subprocess.run(
+            ["git", "-C", here, "diff", "--quiet", sha, "--", *_CODE_PATHS],
+            capture_output=True,
+        )
+        if same.returncode == 0:
+            # identical code → self-comparison; try the round before
+            continue
+        return sha, f"commit landing {target}"
+    return None, (
+        "every committed BENCH_r{N}.json landing commit matches the "
+        "current working tree's code — no distinct prior tree to A/B"
+    )
 
 
 def ab_block(
@@ -203,10 +242,14 @@ def main() -> int:
     ap.add_argument("out", nargs="?", default=None)
     args = ap.parse_args()
 
-    ref = args.ref or prior_round_ref()
-    if ref is None:
-        print("no prior-round artifact to resolve a ref from; pass --ref", file=sys.stderr)
-        return 2
+    if args.ref:
+        ref = args.ref
+    else:
+        ref, note = prior_round_ref()
+        if ref is None:
+            print(f"ref unresolved ({note}); pass --ref", file=sys.stderr)
+            return 2
+        print(f"ref {ref[:12]} ({note})", file=sys.stderr)
     if args.queries:
         queries = [q.strip() for q in args.queries.split(",") if q.strip()]
     else:

@@ -193,3 +193,101 @@ def test_queries_md_table_is_fresh():
     assert gen.render() == committed, (
         "QUERIES.md is stale — run python scripts/gen_queries_md.py"
     )
+
+
+def test_prior_round_times_fills_from_immutable_per_round_detail(tmp_path):
+    """Round-13 review finding: the widest raw mover escaped the
+    in-artifact A/B because the working-tree BENCH_DETAIL.json had
+    already been re-stamped by the CURRENT round's sweep, shrinking the
+    baseline to the budget-packed stdout subset. The immutable
+    per-round BENCH_DETAIL_r{N}.json (full map, written once at round
+    close) must now be the gap-fill source of record: every head in
+    the prior round's full detail map gets a prior, regardless of what
+    the working-tree detail file says."""
+    # prior round's driver artifact: budget-packed subset only
+    (tmp_path / "BENCH_r12.json").write_text(
+        json.dumps({"n": 12, "parsed": {"queries": {"slow_a": 5.0, "slow_b": 4.0}}})
+    )
+    # prior round's immutable full map
+    full = {"slow_a": 5.1, "slow_b": 4.1, "fast_c": 0.3, "fast_d": 0.7}
+    (tmp_path / "BENCH_DETAIL_r12.json").write_text(
+        json.dumps({"round": 12, "queries": full})
+    )
+    # working-tree detail already re-stamped by the CURRENT round's sweep
+    # (the round-13 poison shape) — must NOT shrink or pollute the baseline
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"round": 13, "queries": {"slow_a": 99.0, "poison": 1.0}})
+    )
+    got = bench._prior_round_times(str(tmp_path))
+    # stdout subset wins verbatim where present; per-round map fills ALL gaps
+    assert got == {"slow_a": 5.0, "slow_b": 4.0, "fast_c": 0.3, "fast_d": 0.7}
+    for head in full:
+        assert head in got, f"{head} has no prior — A/B would skip it"
+    # corrupt per-round file → legacy working-tree fallback still applies
+    (tmp_path / "BENCH_DETAIL_r12.json").write_text("{not json")
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"round": 12, "queries": {"fast_c": 0.2}})
+    )
+    got = bench._prior_round_times(str(tmp_path))
+    assert got == {"slow_a": 5.0, "slow_b": 4.0, "fast_c": 0.2}
+
+
+def test_prior_round_ref_skips_self_comparison(tmp_path):
+    """Round-13 advisor finding: if the current round's closing stamp
+    has already committed its own BENCH_r{N}.json when bench runs, the
+    newest artifact's landing commit contains the current code and the
+    A/B would compare the tree to itself (ratio ~1, masking real
+    regressions). prior_round_ref must skip any candidate whose code
+    matches the working tree and fall back to the round before — and
+    report an explicit reason instead of None-silence when nothing
+    resolves."""
+    import importlib.util
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_ab", os.path.join(here, "scripts", "bench_ab.py")
+    )
+    bench_ab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_ab)
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args], check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    pkg = repo / "gmall_flink_parent_spark"
+    pkg.mkdir()
+    (pkg / "mod.py").write_text("V = 1\n")
+    (repo / "BENCH_r01.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 1 stamp")
+    # round 2: code changes, then the r2 stamp lands WITH the new code
+    (pkg / "mod.py").write_text("V = 2\n")
+    (repo / "BENCH_r02.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 2 stamp")
+    # working tree == r2 stamp code → r2 is a self-comparison, r1 wins
+    sha, note = bench_ab.prior_round_ref(str(repo))
+    assert sha is not None and "BENCH_r01.json" in note
+    head1 = subprocess.run(
+        ["git", "-C", str(repo), "log", "--format=%H", "--", "BENCH_r01.json"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert sha == head1
+    # new working-tree code → the newest stamp is a genuine prior again
+    (pkg / "mod.py").write_text("V = 3\n")
+    sha2, note2 = bench_ab.prior_round_ref(str(repo))
+    assert "BENCH_r02.json" in note2
+    # no distinct prior anywhere → explicit reason, not silent None-None
+    git("checkout", "-q", "--", ".")
+    (repo / "BENCH_r01.json").unlink()
+    # r2's code == working tree and r1's artifact is gone
+    sha3, note3 = bench_ab.prior_round_ref(str(repo))
+    assert sha3 is None and "no distinct prior tree" in note3
