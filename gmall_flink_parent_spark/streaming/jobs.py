@@ -1061,7 +1061,126 @@ def visitor_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
-def bounce_stats_store_job(events: DataFrame, store_path: str, checkpoint_dir: str):
+class ReplayOrderError(RuntimeError):
+    """A CEP store job consumed an out-of-order replay (or its store
+    carries the quarantine marker a prior violating run left)."""
+
+
+_REPLAY_MARKER = "_REPLAY_VIOLATION"
+
+_DELAY_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _delay_to_ms(delay: str) -> int:
+    """Parse a Spark watermark-delay string ('10 seconds', '1 minute')."""
+    n, unit = delay.strip().split()
+    return int(n) * _DELAY_UNITS_MS[unit.rstrip("s")]
+
+
+class _OrderedReplayQuery:
+    """Thin proxy over a StreamingQuery that, after termination, sweeps
+    the per-batch ``observe`` input spans and turns an out-of-order
+    replay into a LOUD failure: the store gets a quarantine marker
+    (refused by ``bounce_stats_from_store`` until removed) and
+    ``awaitTermination`` raises :class:`ReplayOrderError`.
+
+    Violation rule = exactly when Spark's global watermark drops rows:
+    a batch whose min event time is strictly behind
+    ``max(prior batches' max event time) - delay`` had rows behind the
+    already-advanced watermark, so the CEP machine silently undercounts
+    (measured at sf1: a random 8-way split produced 13/30 correct
+    days). The sweep reads ``recentProgress`` (capped by
+    ``spark.sql.streaming.numRecentProgressUpdates``, default 100
+    batches — far above the harness's replay sizes; a production Kafka
+    deployment instead relies on per-partition order + a
+    ``watermark_delay`` ≥ the max cross-partition event-time skew, see
+    ``bounce_detect_stream``)."""
+
+    def __init__(self, query, spark: SparkSession, store_path: str,
+                 metric_name: str, delay_ms: int):
+        self._query = query
+        self._spark = spark
+        self._store_path = store_path
+        self._metric_name = metric_name
+        self._delay_ms = delay_ms
+
+    def __getattr__(self, name):
+        return getattr(self._query, name)
+
+    def awaitTermination(self, timeout=None):  # noqa: N802 — Spark API name
+        if timeout is None:
+            res = self._query.awaitTermination()
+        else:
+            res = self._query.awaitTermination(timeout)
+        if timeout is None or res:
+            # verify only once the run actually terminated — a timed-out
+            # wait would sweep a partial progress log
+            self.verify_ordered()
+        return res
+
+    def verify_ordered(self) -> None:
+        import pandas as pd
+
+        spans: list[tuple[int, pd.Timestamp, pd.Timestamp]] = []
+        for p in self._query.recentProgress:
+            om = (p.get("observedMetrics") or {}).get(self._metric_name)
+            if om is None:
+                continue  # no-data batch
+            vals = list(om.values()) if isinstance(om, dict) else list(om)
+            min_ts, max_ts, n = vals[0], vals[1], vals[2]
+            if not n or min_ts is None:
+                continue
+            spans.append(
+                (p["batchId"], pd.Timestamp(min_ts), pd.Timestamp(max_ts))
+            )
+        spans.sort()
+        violations = []
+        high = None
+        for batch_id, lo, hi in spans:
+            if high is not None and lo < high - pd.Timedelta(
+                milliseconds=self._delay_ms
+            ):
+                violations.append(
+                    {"batch_id": batch_id, "min_ts": str(lo),
+                     "watermark": str(high - pd.Timedelta(
+                         milliseconds=self._delay_ms))}
+                )
+            high = hi if high is None else max(high, hi)
+        if violations:
+            import json as _json
+
+            payload = _json.dumps(
+                {"error": "out-of-order replay: rows behind the advanced "
+                          "watermark were silently dropped by the CEP "
+                          "machine — store contents undercount",
+                 "violations": violations}
+            )
+            fs, marker = _hadoop_fs(
+                self._spark, f"{self._store_path}/{_REPLAY_MARKER}"
+            )
+            out = fs.create(marker, True)
+            out.write(bytearray(payload.encode("utf-8")))
+            out.close()
+            raise ReplayOrderError(
+                f"bounce store {self._store_path}: {len(violations)} "
+                f"micro-batch(es) arrived behind the advanced watermark "
+                f"(first: {violations[0]}); store quarantined with "
+                f"{_REPLAY_MARKER}"
+            )
+
+
+def bounce_stats_store_job(
+    events: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "0 seconds",
+):
     """The uj_ct (bounce-count) leg of the reference's DWS VisitorStats
     rollup (``VisitorStatsApp.java`` consumes the CEP job's timeout
     topic and counts per day) — completing the trio next to
@@ -1080,24 +1199,45 @@ def bounce_stats_store_job(events: DataFrame, store_path: str, checkpoint_dir: s
     ANY order), this job consumes an IN-ORDER log: the CEP machine
     rides a bounded watermark, so a replay whose later micro-batches
     carry rows behind the already-advanced watermark silently DROPS
-    them (measured at sf1: a random 8-way file split produced 13/30
-    correct days). Replays must feed time-ordered batches — Kafka's
-    per-partition order in production; a ts-range-partitioned split
-    with staggered mtimes in the file-source harness
-    (``scripts/stream_bench._split_table_ordered``).
+    them. That contract is now ENFORCED, not just documented: the
+    input stream carries an ``observe`` span metric, and the returned
+    query (an :class:`_OrderedReplayQuery` proxy) sweeps the per-batch
+    spans after termination — an out-of-order replay quarantines the
+    store (``_REPLAY_VIOLATION`` marker, refused by
+    ``bounce_stats_from_store``) and raises :class:`ReplayOrderError`
+    from ``awaitTermination``. In production the contract maps to
+    Kafka per-partition order with ONE input partition, or a
+    ``watermark_delay`` of at least the max cross-partition event-time
+    skew (Spark's watermark is global — see ``bounce_detect_stream``);
+    in the file-source harness, a ts-range-partitioned split with
+    staggered mtimes (``scripts/stream_bench._split_table_ordered``).
     """
+    import uuid
+
     from gmall_flink_parent_spark.streaming.stateful import bounce_detect_stream
+
+    metric_name = f"bounce_input_span_{uuid.uuid4().hex[:8]}"
+    observed = events.observe(
+        metric_name,
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
 
     def partials(batch: DataFrame) -> DataFrame:
         return batch.groupBy(F.date_format("ts", "yyyyMMdd").alias("ymd")).agg(
             F.count(F.lit(1)).alias("n_part")
         )
 
-    return _partial_store_job(
-        bounce_detect_stream(events),
+    query = _partial_store_job(
+        bounce_detect_stream(observed, watermark_delay=watermark_delay),
         partials,
         store_path,
         f"{checkpoint_dir}/bounce_stats",
+    )
+    return _OrderedReplayQuery(
+        query, events.sparkSession, store_path, metric_name,
+        _delay_to_ms(watermark_delay),
     )
 
 
@@ -1105,7 +1245,21 @@ def bounce_stats_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Final pass over ``bounce_stats_store_job``'s count partials:
     per-day bounce totals — equal to batch ``sql_dws_surface``'s
     (ymd, n_bounces) column over the same (watermark-closed) events,
-    pinned in ``tests/test_streaming.py``."""
+    pinned in ``tests/test_streaming.py``.
+
+    Refuses a quarantined store: if a prior run's replay-order guard
+    left a ``_REPLAY_VIOLATION`` marker, the partials undercount and
+    reading them would silently propagate wrong totals — raise
+    :class:`ReplayOrderError` until the store is rebuilt (delete the
+    store dir + checkpoint and replay in order)."""
+    fs, marker = _hadoop_fs(spark, f"{store_path}/{_REPLAY_MARKER}")
+    if fs.exists(marker):
+        raise ReplayOrderError(
+            f"bounce store {store_path} is quarantined by {_REPLAY_MARKER} "
+            f"(an out-of-order replay undercounted it — the marker body "
+            f"lists the violating batches); rebuild the store before "
+            f"reading"
+        )
     return (
         spark.read.parquet(store_path)
         .groupBy("ymd")

@@ -219,7 +219,11 @@ def dedup_exact_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-def bounce_detect_stream(events: DataFrame, window_us: int = BOUNCE_WINDOW_US) -> DataFrame:
+def bounce_detect_stream(
+    events: DataFrame,
+    window_us: int = BOUNCE_WINDOW_US,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
     """W3: CEP sequence-with-timeout — landing events with no strictly-next
     event inside the window are emitted on event-time timeout.
 
@@ -230,6 +234,18 @@ def bounce_detect_stream(events: DataFrame, window_us: int = BOUNCE_WINDOW_US) -
     landing candidate; timeout registered at candidate_ts + window via
     ``setTimeoutTimestamp``. Strict contiguity holds because *any* next
     event for the key clears or replaces the candidate.
+
+    ``watermark_delay``: Spark's watermark is GLOBAL — max event time
+    across ALL input partitions minus this delay — so "per-partition
+    order suffices" is only true for a single input partition. With a
+    multi-partition Kafka source, ordinary cross-partition skew puts a
+    lagging partition's rows behind the watermark and they are
+    silently dropped at the stateful operator. In that deployment set
+    the delay to at least the maximum cross-partition event-time skew
+    (at the cost of delaying timeout emissions by the same amount);
+    the default 0 expresses the single-partition / globally-ordered
+    log contract, which ``bounce_stats_store_job``'s replay-order
+    guard turns into a loud failure instead of a silent undercount.
     """
 
     def detect(
@@ -285,7 +301,7 @@ def bounce_detect_stream(events: DataFrame, window_us: int = BOUNCE_WINDOW_US) -
         )
 
     return (
-        events.withWatermark("ts", "0 seconds")
+        events.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             detect,

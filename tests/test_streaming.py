@@ -5808,3 +5808,57 @@ def test_visitor_repair_tws_full_parity_with_batch(spark, sf_dir):
     batch = plans.query_map()["visitor_repair"](spark, sf_dir)
     cols = ["event_id", "user_id", "ymd", "is_new"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_bounce_store_out_of_order_replay_fails_loudly(spark, tmp_path):
+    """Round-13 brief #3: the CEP bounce store's in-order-log contract
+    used to live in a docstring while a random split silently
+    undercounted (13/30 correct days at sf1). The job now observes
+    each micro-batch's input event-time span and, on termination,
+    QUARANTINES the store and raises when any batch arrived behind the
+    already-advanced watermark — the exact condition under which
+    Spark's global watermark silently drops rows from the stateful
+    operator. Ordered replays (the production Kafka-partition-order
+    contract) still pass: the trio test above drives the same job
+    in order and compares hash-equal to batch."""
+    import os
+    import time
+
+    from gmall_flink_parent_spark.streaming.jobs import (
+        ReplayOrderError,
+        bounce_stats_from_store,
+        bounce_stats_store_job,
+    )
+
+    (tmp_path / "in").mkdir()
+    base = pd.Timestamp("2024-01-01")
+    # three files with STAGGERED mtimes so batch order is deterministic,
+    # but the third goes BACKWARD in event time: its rows sit behind the
+    # watermark the second file advanced, so the CEP machine drops them
+    spans = [(0, 10), (40, 50), (20, 30)]
+    for i, (lo, hi) in enumerate(spans):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [100 * i, 100 * i + 1],
+                "ts": [base + pd.Timedelta(days=lo), base + pd.Timedelta(days=hi)],
+                "user_id": [1000 + i, 2000 + i],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = str(tmp_path / "in" / f"f{i}.parquet")
+        pdf.to_parquet(path)
+        t = time.time() + 5 * (i + 1)
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    store = str(tmp_path / "store")
+    q = bounce_stats_store_job(stream, store, str(tmp_path / "ck"))
+    with pytest.raises(ReplayOrderError, match="behind the advanced watermark"):
+        q.awaitTermination()
+    # the quarantine marker poisons every later read until a rebuild
+    assert os.path.exists(os.path.join(store, "_REPLAY_VIOLATION"))
+    with pytest.raises(ReplayOrderError, match="quarantined"):
+        bounce_stats_from_store(spark, store)
