@@ -501,8 +501,20 @@ def pmi_from_counts(cnt1: DataFrame, cnt2_all: DataFrame) -> DataFrame:
     positional postings, text never re-scanned). The two totals are
     SUMS of the count tables, so both callers stay vocab-grain past
     their counting pass. The integer products run in DECIMAL(38,0) so
-    they stay exact at 100 TB token counts (int64 wraps past ~3e9
-    tokens); the single double cast happens at the final division."""
+    they stay exact far past int64 (which wraps past ~3e9 tokens); the
+    single double cast happens at the final division.
+
+    Validity bound (round-13 review): DECIMAL(38,0) caps both products
+    at 10^38 — the numerator ``n_pair*total1^2`` reaches it around
+    total1 ~ 1e13 tokens with a frequent pair (n_pair ~ 1e12). Past the
+    bound Spark (non-ANSI) silently NULLs the product while the DuckDB
+    HUGEINT oracle errors loudly — a silent cross-engine divergence —
+    so both products carry a per-row ``assert_true`` guard on their
+    log10 magnitude: an overflowing corpus fails the job with an
+    explicit message instead of scoring NULL. The guard is a couple of
+    codegen flops per surviving bigram (the frame is vocab-grain, not
+    corpus-grain) and conservatively rejects within ~1e-6 of the exact
+    cap to absorb double rounding."""
     n1 = cnt1.agg(F.sum("c1").cast("bigint").alias("total1"))
     n2 = cnt2_all.agg(F.sum("n_pair").cast("bigint").alias("total2"))
     cnt2 = cnt2_all.filter(F.col("n_pair") >= _PMI_MIN_PAIR)
@@ -517,18 +529,53 @@ def pmi_from_counts(cnt1: DataFrame, cnt2_all: DataFrame) -> DataFrame:
             "w1",
             "w2",
             F.col("n_pair").cast("bigint").alias("n_pair"),
+            "total1",
+            "total2",
+            "c1a",
+            "c1b",
+        )
+        .withColumn(
+            "_bound_ok",
+            F.assert_true(
+                (
+                    F.log10(F.col("n_pair").cast("double"))
+                    + F.lit(2.0) * F.log10(F.col("total1").cast("double"))
+                    < F.lit(38.0 - 1e-6)
+                )
+                & (
+                    F.log10(F.col("total2").cast("double"))
+                    + F.log10(F.col("c1a").cast("double"))
+                    + F.log10(F.col("c1b").cast("double"))
+                    < F.lit(38.0 - 1e-6)
+                ),
+                F.lit(
+                    "pmi_from_counts: count product exceeds the "
+                    "DECIMAL(38,0) validity bound (n_pair*total1^2 or "
+                    "total2*c1a*c1b >= 1e38) — Spark would silently NULL "
+                    "the score; shard the corpus or compute PMI per "
+                    "sub-corpus and merge"
+                ),
+            ),
+        )
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
             F.round(
-                F.log(
-                    (
-                        F.col("n_pair").cast("decimal(38,0)")
-                        * F.col("total1").cast("decimal(38,0)")
-                        * F.col("total1").cast("decimal(38,0)")
-                    ).cast("double")
-                    / (
-                        F.col("total2").cast("decimal(38,0)")
-                        * F.col("c1a").cast("decimal(38,0)")
-                        * F.col("c1b").cast("decimal(38,0)")
-                    ).cast("double")
+                F.when(
+                    F.col("_bound_ok").isNull(),
+                    F.log(
+                        (
+                            F.col("n_pair").cast("decimal(38,0)")
+                            * F.col("total1").cast("decimal(38,0)")
+                            * F.col("total1").cast("decimal(38,0)")
+                        ).cast("double")
+                        / (
+                            F.col("total2").cast("decimal(38,0)")
+                            * F.col("c1a").cast("decimal(38,0)")
+                            * F.col("c1b").cast("decimal(38,0)")
+                        ).cast("double")
+                    ),
                 ),
                 6,
             ).alias("pmi"),

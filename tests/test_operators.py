@@ -4716,3 +4716,32 @@ def test_js_divergence_on_planted_vocabularies(spark, tmp_path):
     for k, v in got.items():
         if "E" in k:
             assert v == (0, 1.0), k
+
+
+def test_pmi_decimal_bound_guard_trips_before_silent_null(spark):
+    """Round-13 brief #4: DECIMAL(38,0) caps the PMI products at 1e38;
+    past it Spark (non-ANSI) silently NULLs the score while the DuckDB
+    HUGEINT oracle errors — a silent cross-engine divergence.
+    pmi_from_counts now carries a per-row assert_true guard on the
+    log10 magnitude of both products: a planted overflow (counts near
+    bigint max, so n_pair*total1^2 ~ 1e56 >> 1e38) must FAIL with the
+    explicit bound message, never emit a NULL pmi. In-range corpora
+    are untouched (every collocation_pmi oracle row still hash-equal —
+    pinned by the parity suite)."""
+    from gmall_flink_parent_spark.functions.text import pmi_from_counts
+
+    cnt1 = spark.createDataFrame(
+        [("a", 3_000_000_000_000_000_000), ("b", 3_000_000_000_000_000_000)],
+        "tok string, c1 long",
+    )
+    cnt2 = spark.createDataFrame(
+        [("a", "b", 2_000_000_000_000_000_000)],
+        "w1 string, w2 string, n_pair long",
+    )
+    with pytest.raises(Exception, match="validity bound"):
+        pmi_from_counts(cnt1, cnt2).collect()
+    # well in range: tiny counts score non-null
+    ok1 = spark.createDataFrame([("a", 10), ("b", 20)], "tok string, c1 long")
+    ok2 = spark.createDataFrame([("a", "b", 5)], "w1 string, w2 string, n_pair long")
+    rows = pmi_from_counts(ok1, ok2).collect()
+    assert len(rows) == 1 and rows[0]["pmi"] is not None
