@@ -49,8 +49,13 @@ def visitor_repair_stream(events: DataFrame) -> DataFrame:
         # The runtime does NOT guarantee ts-ordered Arrow chunks within
         # one call: a later chunk can hold the key's EARLIEST visit, so
         # first_date must be fixed over the whole group before any row
-        # is labeled — concatenate (one key's rows in one micro-batch,
-        # micro-batch-bounded) and sort once.
+        # is labeled — concatenate and sort once.
+        # per-(key,batch) memory bound: this materializes the key's
+        # full micro-batch in ONE pandas frame (the old chunk-streaming
+        # form was order-unsafe) — the bound is the hottest key's rows
+        # in one micro-batch, never the corpus; if a single key can
+        # carry millions of rows per batch, cap the trigger size or
+        # salt upstream.
         (first_date,) = state.get if state.exists else (None,)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
@@ -114,7 +119,10 @@ def uv_dedup_stream(events: DataFrame) -> DataFrame:
         # chunks within one call are NOT guaranteed ts-ordered: a later
         # chunk holding an earlier day would be admitted after its own
         # day was already emitted — concatenate and sort the whole
-        # group (one key's rows in one micro-batch) before scanning.
+        # group before scanning. Memory bound = the hottest key's rows
+        # in ONE micro-batch (never the corpus); cap the trigger size
+        # or salt upstream if a single key can carry millions of rows
+        # per batch.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
@@ -597,7 +605,10 @@ class UvDedupProcessor(StatefulProcessor):
         last_date = self._last.get()[0] if self._last.exists() else None
         # the runtime does not guarantee ts-ordered chunks within one
         # handleInputRows call — concatenate and sort the whole group
-        # (one key's rows in one micro-batch) before the dedup scan
+        # before the dedup scan. Memory bound = the hottest key's rows
+        # in ONE micro-batch (never the corpus); cap the trigger size
+        # or salt upstream if a single key can carry millions of rows
+        # per batch.
         chunks = [pdf for pdf in rows if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
@@ -669,7 +680,10 @@ class VisitorRepairProcessor(StatefulProcessor):
         first_date = self._first.get()[0] if self._first.exists() else None
         # fix first_date over ALL chunks before labeling any row: the
         # runtime may deliver a later chunk holding the key's earliest
-        # visit (chunks are not ts-ordered within one call)
+        # visit (chunks are not ts-ordered within one call). Memory
+        # bound = the hottest key's rows in ONE micro-batch (never the
+        # corpus); cap the trigger size or salt upstream if a single
+        # key can carry millions of rows per batch.
         chunks = [pdf for pdf in rows if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(

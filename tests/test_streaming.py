@@ -5862,3 +5862,97 @@ def test_bounce_store_out_of_order_replay_fails_loudly(spark, tmp_path):
     assert os.path.exists(os.path.join(store, "_REPLAY_VIOLATION"))
     with pytest.raises(ReplayOrderError, match="quarantined"):
         bounce_stats_from_store(spark, store)
+
+
+def test_chunk_concat_twins_survive_hot_key_batch(spark, tmp_path):
+    """Round-13 brief #5: the chunk-order fix concatenates a key's FULL
+    micro-batch into one pandas frame. This pins (a) correctness under
+    a deliberately skewed key — one user with 120k rows in a single
+    micro-batch, written in SHUFFLED order so the sort actually works —
+    and (b) the documented memory bound: the concat spans one
+    (key, micro-batch), not the corpus, shown by a second batch whose
+    already-seen days dedup against STATE (not against a corpus-wide
+    frame). Covers both chunk-concat twins on the old API
+    (visitor_repair_stream, uv_dedup_stream)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 120_000
+    base = pd.Timestamp("2024-03-01")
+    days = rng.integers(0, 3, size=n)  # 3 distinct days for the hot key
+    hot = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": [
+                base + pd.Timedelta(days=int(d), seconds=int(s))
+                for d, s in zip(days, rng.integers(0, 86_000, size=n))
+            ],
+            "user_id": np.full(n, 77, dtype="int64"),
+        }
+    )
+    cold = pd.DataFrame(
+        {
+            "event_id": [10_000_000, 10_000_001],
+            "ts": [base, base + pd.Timedelta(days=1)],
+            "user_id": [88, 88],
+        }
+    )
+    batch1 = pd.concat([hot, cold]).sample(frac=1.0, random_state=3)
+    batch1["ts"] = batch1["ts"].astype("datetime64[us]")
+    (tmp_path / "in").mkdir()
+    batch1.to_parquet(str(tmp_path / "in" / "b1.parquet"))
+    # second batch: same days again (must dedup via STATE) + one new day
+    batch2 = pd.DataFrame(
+        {
+            "event_id": [20_000_000, 20_000_001],
+            "ts": [
+                base + pd.Timedelta(days=1, hours=1),
+                base + pd.Timedelta(days=5),
+            ],
+            "user_id": [77, 77],
+        }
+    )
+    batch2["ts"] = batch2["ts"].astype("datetime64[us]")
+    p2 = str(tmp_path / "in" / "b2.parquet")
+    batch2.to_parquet(p2)
+    import time as _time
+
+    t = _time.time() + 10
+    os.utime(p2, (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    # --- uv dedup: first event per (user, day), state carries max day
+    out = _run_to_memory(stateful.uv_dedup_stream(stream), spark, "hotkey_uv")
+    rows = _rows(out, ["user_id", "visit_ymd", "first_event_id"])
+    all_rows = pd.concat([batch1, batch2]).sort_values(["ts", "event_id"])
+    all_rows["ymd"] = all_rows["ts"].dt.strftime("%Y%m%d")
+    # the batch-1 surviving rows: in-ts-order strictly-increasing new days
+    want = []
+    for uid, grp in all_rows.groupby("user_id"):
+        last = None
+        for r in grp.itertuples(index=False):
+            if last is None or r.ymd > last:
+                want.append((uid, r.ymd, r.event_id))
+                last = r.ymd
+    # batch-2's repeat of day 2 (20_000_000) must NOT appear — its day
+    # deduped against state; day 6 (20_000_001) must appear
+    want_ids = sorted(w[2] for w in want)
+    assert 20_000_001 in want_ids and 20_000_000 not in want_ids
+    assert sorted(r[2] for r in rows) == want_ids
+    assert rows == sorted(want)
+    # --- visitor repair: every row labeled, is_new only on first day
+    out2 = _run_to_memory(
+        stateful.visitor_repair_stream(stream), spark, "hotkey_vr"
+    )
+    got2 = _rows(out2, ["event_id", "user_id", "ymd", "is_new"])
+    assert len(got2) == len(all_rows)
+    first_day = {
+        uid: grp["ymd"].min() for uid, grp in all_rows.groupby("user_id")
+    }
+    for event_id, uid, ymd, is_new in got2:
+        assert is_new == ("1" if ymd == first_day[uid] else "0"), (
+            event_id, uid, ymd,
+        )
