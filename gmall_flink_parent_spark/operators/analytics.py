@@ -338,6 +338,64 @@ HAVING count(*) >= {_COPURCHASE_MIN_SUP}
 """
 
 
+def _basket_pair_counts(
+    spark: SparkSession, sf_dir: str, min_sup: int, prune: bool = False
+) -> DataFrame:
+    """Support counts ``(pa, pb, s)``, ``pa < pb``, of unordered
+    co-purchase part pairs — the candidate core shared by the whole
+    market-basket/graph tier (co-purchase, pagerank, triangles,
+    clustering coefficient, LPA, link prediction).
+
+    Value-identical to the oracle's basket self-join + GROUP BY (pair
+    support = number of DISTINCT orders containing both parts), built
+    WITHOUT the self-join (guide §2.4 — remove shuffles outright):
+    per-order part sets via one map-side-combinable ``collect_set``
+    (which also subsumes the DISTINCT pass), sorted ascending and
+    pair-exploded inline in codegen (``pa < pb`` falls out of the
+    sort), then one map-side-combined pair count. Two exchanges total
+    where the self-join form paid four (distinct, two join
+    repartitions, pair aggregate) plus the sort-merge join's sorts.
+
+    Scale: per-order fan-out is bounded by basket size squared —
+    baskets are order-sized (single digits in order data) at every
+    corpus scale, so the explode is O(1) per row and the per-group
+    ``collect_set`` state is equally bounded; the pair aggregate
+    remains the real shuffle, map-side combined exactly as before.
+    ``prune=True`` applies the Apriori monotonicity prune (a part in
+    < min_sup baskets cannot reach pair support min_sup) via a
+    size-gated broadcast semi-join BEFORE set building — losslessly
+    identical output, same as the r12 pruned self-join form.
+    """
+    rows = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if prune:
+        frequent = (
+            rows.groupBy("l_partkey")
+            .agg(F.count_distinct("l_orderkey").alias("f"))
+            .filter(F.col("f") >= min_sup)
+            .select("l_partkey")
+        )
+        rows = rows.join(
+            gated_broadcast(spark, sf_dir, "part", frequent), "l_partkey"
+        )
+    sets = rows.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)), "
+                "y -> named_struct('pa', x, 'pb', y))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= min_sup)
+    )
+
+
 @register(
     "part_copurchase_pairs",
     oracle=COPURCHASE_ORACLE,
@@ -362,32 +420,12 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     support, broadcast; a degenerate corpus where most parts are
     frequent degrades gracefully to the naive plan's cost, never worse.
     """
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    baskets = scoped_persist(baskets)
-    frequent = (
-        baskets.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .filter(F.col("f") >= _COPURCHASE_MIN_SUP)
-        .select("l_partkey")
-    )
-    # frequent is part-vocabulary-bounded — size-gate its broadcast on
-    # the backing part table (same rationale as the triangle degrees).
-    pruned = baskets.join(gated_broadcast(spark, sf_dir, "part", frequent), "l_partkey")
-    a = pruned.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = pruned.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
-    )
-    return (
-        a.join(b, (a["k"] == b["k"]) & (a["part_a"] < b["part_b"]))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _COPURCHASE_MIN_SUP)
+    return _basket_pair_counts(
+        spark, sf_dir, _COPURCHASE_MIN_SUP, prune=True
+    ).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("s").alias("support"),
     )
 
 
@@ -1730,19 +1768,10 @@ def _triangle_frames(
     (counts normalized by the degree frame). Returns
     ``(deg(p, d), counts(part, n_triangles))``; ``deg`` spans every
     graph vertex, ``counts`` only vertices in ≥ 1 triangle."""
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
     edges = scoped_persist(
-        a.join(b, (a["k"] == b["k"]) & (a["u"] < b["v"]))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= _TRIANGLE_MIN_SUP)
-        .select("u", "v")
+        _basket_pair_counts(spark, sf_dir, _TRIANGLE_MIN_SUP).select(
+            F.col("pa").alias("u"), F.col("pb").alias("v")
+        )
     )
     deg = (
         edges.select(F.col("u").alias("p"))
@@ -1958,19 +1987,8 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-node window state is bounded by that node's distinct
     neighbor labels (≤ degree).
     """
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     pairs = scoped_persist(
-        a.join(b, (a["k"] == b["k"]) & (a["pa"] < b["pb"]))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= _TRIANGLE_MIN_SUP)
-        .select("pa", "pb")
+        _basket_pair_counts(spark, sf_dir, _TRIANGLE_MIN_SUP).select("pa", "pb")
     )
     edges = scoped_persist(
         pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
@@ -3170,33 +3188,10 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     every frame after the wedge aggregate lives at the
     open-wedge-pair grain.
     """
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    baskets = scoped_persist(baskets)
-    frequent = (
-        baskets.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .filter(F.col("f") >= _LINKPRED_MIN_SUP)
-        .select("l_partkey")
-    )
-    pruned = baskets.join(
-        gated_broadcast(spark, sf_dir, "part", frequent), "l_partkey"
-    )
-    a_side = pruned.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b_side = pruned.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
     pairs = scoped_persist(
-        a_side.join(b_side, (a_side["k"] == b_side["k"]) & (a_side["pa"] < b_side["pb"]))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _LINKPRED_MIN_SUP)
-        .select("pa", "pb")
+        _basket_pair_counts(
+            spark, sf_dir, _LINKPRED_MIN_SUP, prune=True
+        ).select("pa", "pb")
     )
     edges = scoped_persist(
         pairs.selectExpr("pa AS u", "pb AS v").unionAll(
