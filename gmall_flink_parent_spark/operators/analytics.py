@@ -1981,11 +1981,14 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite (the repo's k-means/CC/pagerank convention).
 
     Scale: per round ONE join of the label frame against the edge list
-    (both graph-sized, equi on the node key) + one map-side-combined
-    (node, label) count + one per-node top-1 window PARTITIONED BY
-    node — every frame is edge- or vertex-grain, never corpus-grain,
-    and the per-node window state is bounded by that node's distinct
-    neighbor labels (≤ degree).
+    (both graph-sized, equi on the node key — AQE picks the strategy;
+    an interleaved r14 A/B showed per-round broadcast hints LOSE to the
+    shuffle join here, 5.3 s vs 4.5 s at sf0.1, because each round pays
+    a serial driver-side broadcast build) + one map-side-combined
+    (node, label) count + one per-node ``max_by`` argmax — every frame
+    is edge- or vertex-grain, never corpus-grain, and per-group
+    aggregate state is bounded by that node's distinct neighbor labels
+    (≤ degree).
     """
     pairs = scoped_persist(
         _basket_pair_counts(spark, sf_dir, _TRIANGLE_MIN_SUP).select("pa", "pb")
@@ -1998,7 +2001,6 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(_LPA_ITERS):
         votes = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -2010,10 +2012,18 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two consumers (sizes + the output join) re-execute it — at
         # sf0.1 the cached loop runs 31 s → ~4 s. On a cluster this is
         # the standard iterate-persist cadence (same as CC/k-means).
+        # The (count DESC, label ASC) argmax is a max_by over the
+        # (c, -label) struct — a hash aggregate with map-side partials
+        # instead of the r13 row_number window's full per-round sort
+        # (guide §2.3 "aggregate before you shuffle"); the ordering
+        # struct is unique per (node, label) row, so the argmax is
+        # deterministic and value-identical to the rn = 1 filter.
         labels = scoped_persist(
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node").agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
         )
     sizes = labels.groupBy(F.col("label").alias("sz_label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
