@@ -1146,20 +1146,47 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     exact = scoped_persist(_cosine_topk(spark, sf_dir, TOP_K, same_label=False))
 
-    def hits(approx: DataFrame, k: int) -> tuple[int, int]:
-        truth = exact.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
-        n_hit = approx.select("query_id", "neighbor_id").join(
-            truth, ["query_id", "neighbor_id"]
-        ).count()
-        return n_hit, truth.count()
-
-    report = []
-    for method, frame, k in (
+    # ONE union job scores all three methods (their independent plans
+    # run as concurrent stages of a single action, back-filling idle
+    # cores — guide §2.6) and ONE 1-row aggregate reads the truth
+    # counts off the persisted exact frame: 2 driver actions instead of
+    # the r13 form's 8 sequential join/count jobs. Counts — and hence
+    # the Python-side round() — are unchanged.
+    methods = (
         ("ann_ivf_bucketed", ann_ivf_bucketed(spark, sf_dir), IVF_TOP_K),
         ("ann_srp_lsh", ann_srp_lsh(spark, sf_dir), SRP_TOP_K),
         ("ann_srp_multiprobe", ann_srp_multiprobe(spark, sf_dir), SRP_TOP_K),
-    ):
-        n_hit, n_exact = hits(frame, k)
+    )
+    tagged = None
+    for method, frame, k in methods:
+        t = frame.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.lit(k).alias("k"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hit_rows = (
+        tagged.join(
+            exact.select("query_id", "neighbor_id", "rnk"),
+            ["query_id", "neighbor_id"],
+        )
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hit_map = {r["method"]: int(r["n"]) for r in hit_rows}
+    truth_row = exact.agg(
+        *[
+            F.sum((F.col("rnk") <= k).cast("long")).alias(f"t{k}")
+            for k in sorted({k for _, _, k in methods})
+        ]
+    ).collect()[0]
+    report = []
+    for method, _, k in methods:
+        n_hit = hit_map.get(method, 0)
+        n_exact = int(truth_row[f"t{k}"])
         report.append((method, n_hit, n_exact, round(n_hit / n_exact, 6)))
     return spark.createDataFrame(
         report, "method string, n_hits long, n_exact long, recall double"
