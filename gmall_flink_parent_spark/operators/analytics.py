@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.plans.registry import register, scoped_persist
-from gmall_flink_parent_spark.sources.tables import gated_broadcast, load_table
+from gmall_flink_parent_spark.sources.tables import fan_out, gated_broadcast, load_table
 
 VALUE_DIST_ORACLE = """
 SELECT event_type, user_id, CAST(spend AS DOUBLE) AS spend,
@@ -3412,8 +3412,15 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices, and the supplier name attaches AFTER the aggregate at the
     supplier grain (size-gated broadcast), never widening fact rows.
     """
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    # fan_out after the 3-column projection: the join's exact-percentile
+    # aggregate is fed from the scan stage, single-task on a
+    # one-row-group input (guide §2.6); no-op at real scale. Measured
+    # 0.88× at sf0.1, interleaved min-of-5.
+    lineitem = fan_out(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        ),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
