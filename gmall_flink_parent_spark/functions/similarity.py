@@ -343,7 +343,15 @@ SRP_TOP_K = 3
 
 
 def _srp_bucket_col() -> Column:
-    """16-bit SRP bucket id: bit r = [⟨embedding, plane_r⟩ > 0]."""
+    """16-bit SRP bucket id: bit r = [⟨embedding, plane_r⟩ > 0].
+
+    r14 note: an unrolled single-SQL-string form (1024 inline plane
+    coefficients, fully codegen) was measured against this fold in an
+    interleaved same-session A/B and LOST (1.74 s vs 1.50 s warm at
+    sf0.1) — the giant expression's parse + codegen outweighs the py4j
+    savings, unlike sq8's grid where the py4j count dominated. Kept on
+    the compact interpreted fold deliberately.
+    """
     bits = []
     for r in range(SRP_BITS):
         plane = F.array(*[F.lit(c) for c in _SRP_PLANES[r]])

@@ -120,19 +120,59 @@ TS_COLUMNS = {
 }
 
 
+# Session-scoped DataFrame HANDLE cache: (session, absolute path, file
+# signature) → the lazily-planned frame. This memoizes plan METADATA
+# only — ``spark.read.parquet`` (file listing + footer schema read),
+# the dtypes analysis, and the timestamp-repair expressions — never
+# rows: every action on the returned frame still scans the parquet
+# from disk, so repeated bench/oracle invocations recompute from the
+# inputs exactly as before. Measured ~130–170 ms per uncached call on
+# this host; a 175-head bench sweep makes ~300 load_table calls (~40 s
+# of pure driver-side re-planning of the same ten tables). The file
+# signature (mtime_ns, size — or the directory mtime for multi-file
+# tables, whose name set changes on any Spark overwrite) invalidates
+# the handle when a test rewrites the path; the session object rides
+# in the value so a stopped session's entries can never be revived by
+# an id() collision.
+_HANDLE_CACHE: dict[tuple[int, str, tuple[int, int] | None], tuple[SparkSession, DataFrame]] = {}
+_HANDLE_CACHE_MAX = 256
+
+
+def _path_sig(path: str) -> tuple[int, int] | None:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one logical table from ``{sf_dir}/{name}.parquet``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Event-time semantics are UTC-naive (parquet NTZ / DuckDB naive);
     # pin the session so day-bucketing agrees regardless of host TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    sig = _path_sig(path)
+    key = (id(spark), os.path.abspath(path), sig)
+    hit = _HANDLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for c in TS_COLUMNS.get(name, ()):
         if dtypes.get(c) == "bigint":  # nanos-as-long → truncate to micros
             df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
         else:  # TIMESTAMP_NTZ → session-TZ timestamp (UTC, so same wall time)
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if sig is not None:
+        if len(_HANDLE_CACHE) >= _HANDLE_CACHE_MAX:
+            _HANDLE_CACHE.clear()
+        _HANDLE_CACHE[key] = (spark, df)
     return df
 
 

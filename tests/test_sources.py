@@ -437,3 +437,38 @@ def test_warc_gzip_per_record_members(spark, tmp_path):
     df = spark.read.format("warclite").option("path", str(d)).load()
     rows = sorted((r.record_seq, r.target_uri, bytes(r.payload)) for r in df.collect())
     assert rows == [(0, "http://a/1", b"one"), (1, "http://a/2", b"two")]
+
+
+# ---------------------------------------------- load_table handle cache
+
+
+def test_load_table_handle_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
+    """r14: load_table memoizes the PLAN HANDLE per (session, path, file
+    signature) — ~130 ms of re-planning per call on the bench path. The
+    cache must (a) return the same lazy frame for an unchanged path,
+    (b) drop the handle the moment the file's bytes change (tests
+    rewrite corpora in place), and (c) never leak rows: a rewritten
+    path must be re-read from disk."""
+    import shutil
+
+    from gmall_flink_parent_spark.sources import tables
+
+    a = tables.load_table(spark, sf_dir, "nation")
+    b = tables.load_table(spark, sf_dir, "nation")
+    assert a is b, "unchanged path must hit the handle cache"
+
+    work = tmp_path / "nation.parquet"
+    shutil.copy(f"{sf_dir}/nation.parquet", work)
+    c1 = tables.load_table(spark, str(tmp_path), "nation")
+    n_full = c1.count()
+    assert n_full == 25
+    assert c1 is not a, "different path must not share a handle"
+
+    # rewrite the file with a 1-row slice: new (mtime, size) signature
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(work))
+    pq.write_table(t.slice(0, 1), str(work))
+    c2 = tables.load_table(spark, str(tmp_path), "nation")
+    assert c2 is not c1, "rewritten file must invalidate the handle"
+    assert c2.count() == 1, "fresh handle must read the rewritten bytes"
