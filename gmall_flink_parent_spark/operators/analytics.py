@@ -366,7 +366,20 @@ def _basket_pair_counts(
     size-gated broadcast semi-join BEFORE set building — losslessly
     identical output, same as the r12 pruned self-join form.
     """
-    rows = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Keyed parallelism repair (guide §2.5 input skew / §2.4 shared
+    # exchange): the bench tables are single-row-group parquet, so the
+    # scan is ONE task and the map-side collect_set partials would run
+    # single-threaded over the whole corpus. Hashing on the GROUP key
+    # moves that work behind the exact exchange the aggregate needs —
+    # still one exchange total — and the guard makes the repair a no-op
+    # once the table scans as ≥ cores splits (round-robin fan_out was
+    # measured SLOWER here: it adds a second exchange plus the
+    # sort-before-repartition pass — 2.75 s vs 1.08 s at sf0.1).
+    rows = fan_out(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     if prune:
         frequent = (
             rows.groupBy("l_partkey")
@@ -408,20 +421,23 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence mining.
 
     The oracle states the NAIVE semantics (basket self-join, group,
-    HAVING); the plan applies the Apriori monotonicity prune first: a
-    part occurring in fewer than min_sup baskets cannot appear in any
-    qualifying pair, so the basket stream is semi-joined against the
-    frequent-part set BEFORE the pair fan-out — losslessly identical
-    results (the oracle hash proves it every run), but the quadratic
-    per-basket pair generation runs only over frequent items. Per-order
-    fan-out is bounded by basket size (single digits in order data);
-    the real shuffle is the pair aggregate, map-side combined. The
-    frequent-part set is df-thresholded — small under any realistic
-    support, broadcast; a degenerate corpus where most parts are
-    frequent degrades gracefully to the naive plan's cost, never worse.
+    HAVING); the plan runs the set-build + inline pair explode + one
+    map-side-combined pair aggregate (``_basket_pair_counts``). The
+    Apriori monotonicity prune (semi-join the basket stream against
+    parts in ≥ min_sup baskets before the pair fan-out) stays available
+    via ``prune=True`` but is OFF here: it is lossless, yet on
+    order-shaped data it selects essentially everything — measured
+    100.0% of parts pass f ≥ 3 at sf0.01 AND sf0.1 — so it paid a full
+    extra corpus aggregate (count_distinct expand) + semi-join to
+    remove zero rows (2.31 s → 1.08 s at sf0.1 without it; the oracle
+    hash proves output identity). Flip it back on for corpora with a
+    long infrequent-item tail, where it bounds the pair-aggregate
+    shuffle. Per-order fan-out is bounded by basket size (single digits
+    in order data); the real shuffle is the pair aggregate, map-side
+    combined.
     """
     return _basket_pair_counts(
-        spark, sf_dir, _COPURCHASE_MIN_SUP, prune=True
+        spark, sf_dir, _COPURCHASE_MIN_SUP, prune=False
     ).select(
         F.col("pa").alias("part_a"),
         F.col("pb").alias("part_b"),

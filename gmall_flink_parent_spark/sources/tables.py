@@ -193,10 +193,19 @@ def _parse_bytes(s: str) -> int:
     return int(s)
 
 
-def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Parallelism repair before a compute-dense stage: round-robin
-    repartition IFF the scan has fewer partitions than the cluster has
-    cores.
+def fan_out(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
+    """Parallelism repair before a compute-dense stage: repartition IFF
+    the scan has fewer partitions than the cluster has cores —
+    round-robin by default, HASH on ``keys`` when given.
+
+    Pass ``keys`` when the next operation clusters by those columns
+    (``groupBy(*keys)``, a join key): the repair's exchange then IS the
+    exchange the downstream aggregation/join needed, so the repaired
+    plan still carries ONE exchange (the aggregate's partial/final pair
+    fuses into one wide stage on top of it) — where the round-robin form
+    would add a second. Keyed repair also skips round-robin's
+    sort-before-repartition pass (hash placement is already
+    deterministic under task retry).
 
     Single-file / single-row-group inputs scan as ONE task, and a
     broadcast join or per-row expression stage inherits that parallelism
@@ -256,6 +265,8 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     # construction.
     if df.rdd.getNumPartitions() >= target:
         return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 
