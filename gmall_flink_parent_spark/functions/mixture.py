@@ -36,7 +36,11 @@ from gmall_flink_parent_spark.plans.registry import (
     retain_latest,
     scoped_persist,
 )
-from gmall_flink_parent_spark.sources.tables import fan_out, load_table
+from gmall_flink_parent_spark.sources.tables import (
+    fan_out,
+    gated_broadcast,
+    load_table,
+)
 
 # ------------------------------------------------------------ data mixing
 
@@ -511,18 +515,93 @@ def packed_training_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the one head whose oracle checks a GLOBAL prefix sum (the
     packing offsets) computed distributively on the Spark side — range
-    partitioning on sample_idx, per-partition Arrow cumsum, broadcast
-    partition offsets (``pack_sequences``) — against DuckDB's
-    single-node window. Agreement on every (seq_id, seq_offset) proves
-    the distributed prefix sum is exact, not approximately ordered.
+    partitioning, per-partition Arrow cumsum, broadcast partition
+    offsets — against DuckDB's single-node window. Agreement on every
+    (seq_id, seq_offset) proves the distributed prefix sum is exact,
+    not approximately ordered.
+
+    FUSED order + pack (guide §2.4 — remove shuffles outright): the
+    composed ``training_order`` → ``pack_sequences`` form range-sorts
+    TWICE (by the order key, then by ``sample_idx``), but ``sample_idx``
+    order IS the order-key sort order — the second range exchange (plus
+    its bounds-sampling pass, eager fill, and offsets summary) re-built
+    a layout the first sort already produced. Here ``n_tokens`` rides a
+    size-gated broadcast join onto the mixture BEFORE the one range
+    sort, ONE #partitions-row summary carries BOTH the row-count offset
+    (→ sample_idx) and the token offset (→ seq_id/seq_offset), and one
+    Arrow cumsum pass finishes the prefix sum: one range exchange where
+    the composed form paid two, 24 jobs → ~12 at sf0.1 (isolated
+    min-of-3: 4.57 s → see OPTIMIZATION_r14.md). Output is
+    value-identical (same sort key, same cumsum order); the library
+    stages keep their own contracts for external callers.
     """
-    stream = assemble_training_mixture(
-        spark, sf_dir, _MIX_HEAD_WEIGHTS, seed=_PIPE_HEAD_SEED
+    kept = (
+        corpus_filter_pipeline(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
     )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .join(kept, "doc_id", "left_semi")
+    )
+    mix = corpus_mix_weighted(docs, _MIX_HEAD_WEIGHTS, f"{_PIPE_HEAD_SEED}:mix")
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    return pack_sequences(stream.join(toks, "doc_id"))
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(f"{_PIPE_HEAD_SEED}:order"),
+            F.col("epoch").cast("string"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    mixt = mix.join(
+        gated_broadcast(spark, sf_dir, "documents", toks), "doc_id"
+    ).withColumn("__k", key)
+    part = _range_sorted_positions(mixt, ["__k", "doc_id", "epoch"], eager=True)
+    retain_latest()
+    totals = part.groupBy(_mid_pid().alias("pid")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("n_tokens").cast("long")).alias("tok"),
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.coalesce(F.sum("tok").over(w_off), F.lit(0)).alias("part_off"),
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
+    ) + ", cum_in_part long"
+
+    def cumsum(batches):
+        offset = 0
+        for pdf in batches:
+            # int64 accumulation: an int32 n_tokens would wrap silently
+            # once a partition's running total passes 2^31
+            t = pdf["n_tokens"].astype("int64")
+            pdf = pdf.assign(cum_in_part=offset + t.cumsum() - t)
+            offset += int(t.sum())
+            yield pdf
+
+    cum = part.mapInPandas(cumsum, schema=schema)
+    return (
+        cum.withColumn("pid", _mid_pid())
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("cum_before", F.col("part_off") + F.col("cum_in_part"))
+        .select(
+            (F.col("off") + _mid_local_offset()).alias("sample_idx"),
+            "doc_id",
+            "source",
+            "epoch",
+            "n_tokens",
+            # long integral division, same exactness note as pack_sequences
+            F.expr(f"cum_before div {int(_PACK_CAP)}").cast("long").alias("seq_id"),
+            (F.col("cum_before") % _PACK_CAP).cast("long").alias("seq_offset"),
+        )
+    )
 
 
 # ------------------------------------------------ mixture weight planning

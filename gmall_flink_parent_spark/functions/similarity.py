@@ -345,23 +345,33 @@ SRP_TOP_K = 3
 def _srp_bucket_col() -> Column:
     """16-bit SRP bucket id: bit r = [⟨embedding, plane_r⟩ > 0].
 
-    r14 note: an unrolled single-SQL-string form (1024 inline plane
-    coefficients, fully codegen) was measured against this fold in an
+    Built as ONE parsed SQL expression (the sq8-grid trick): the
+    column-API form constructed 16 × 64 ``F.lit`` plane coefficients —
+    ~1,100 py4j round trips, ~1.4 s of pure construction per bench rep
+    (measured: nearly ALL of this head's bench time). Here the planes
+    are a single inline array-of-arrays literal and the projection fold
+    is the same interpreted ``zip_with``/``aggregate`` the column form
+    compiled to, so execution is unchanged — only the construction path
+    shrinks (one parse, ~ms).
+
+    r14 note (still valid): a fully UNROLLED flat-arithmetic form
+    (1024 codegen terms, no fold) was measured against the fold in an
     interleaved same-session A/B and LOST (1.74 s vs 1.50 s warm at
-    sf0.1) — the giant expression's parse + codegen outweighs the py4j
-    savings, unlike sq8's grid where the py4j count dominated. Kept on
-    the compact interpreted fold deliberately.
+    sf0.1) — giant-expression codegen outweighs its per-row win at this
+    scale. This change keeps the fold; it only removes the py4j loop.
     """
-    bits = []
-    for r in range(SRP_BITS):
-        plane = F.array(*[F.lit(c) for c in _SRP_PLANES[r]])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0)))
-    return reduce(lambda a, b: a + b, bits).cast("long")
+    planes = ",".join(
+        "array(" + ",".join(f"{c:.1f}D" for c in row) + ")" for row in _SRP_PLANES
+    )
+    return F.expr(
+        "CAST(aggregate("
+        f"  zip_with(array({planes}), sequence(0, {SRP_BITS - 1}), (p, r) ->"
+        "    CASE WHEN aggregate(zip_with(embedding, p,"
+        "                        (x, c) -> CAST(x AS DOUBLE) * c),"
+        "                        0.0D, (acc, v) -> acc + v) > 0"
+        "         THEN shiftleft(CAST(1 AS BIGINT), r) ELSE CAST(0 AS BIGINT) END),"
+        "  CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)"
+    )
 
 
 def _srp_bucket_sql() -> str:
