@@ -678,7 +678,10 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    deg = scoped_persist(deg, eager=True)
+    # ONE count both fills the cache chain (pairs → edges → deg, the
+    # eager anti-race fill) and returns n — eager=True would run the
+    # same count a second time just to discard it.
+    deg = scoped_persist(deg)
     n = deg.count()
     base = (15 * _PR_SCALE) // (100 * n)
     ranks = deg.select("node", "d", F.lit(_PR_SCALE // n).alias("r"))
@@ -3214,9 +3217,14 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     every frame after the wedge aggregate lives at the
     open-wedge-pair grain.
     """
+    # prune=False: the Apriori prune is lossless but selects ~100% of
+    # parts on order-shaped data even at f >= 3 (measured, see
+    # part_copurchase_pairs) — at this head's f >= 2 it is strictly
+    # more inclusive, i.e. a full count_distinct aggregate + semi-join
+    # that removes nothing.
     pairs = scoped_persist(
         _basket_pair_counts(
-            spark, sf_dir, _LINKPRED_MIN_SUP, prune=True
+            spark, sf_dir, _LINKPRED_MIN_SUP, prune=False
         ).select("pa", "pb")
     )
     edges = scoped_persist(
