@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 
 from gmall_flink_parent_spark.functions.mixture import (
     _mid_pid,
-    _partition_offsets,
     _range_sorted_positions,
 )
 from gmall_flink_parent_spark.plans.registry import register, scoped_persist
@@ -429,10 +428,6 @@ def token_budget_select_frame(
         "doc_id", "clf_margin", F.col("n_tokens").cast("long").alias("n_tokens")
     ).withColumn("_negm", -F.col("clf_margin"))
     part = _range_sorted_positions(ranked, ["_negm", "doc_id"], eager=True)
-    # budget total reads the PERSISTED range-sorted frame — computing it
-    # from `scored` would re-run the whole classifier scoring lineage
-    # (a second corpus scan) just for one scalar
-    total = part.agg(F.sum(F.col("n_tokens").cast("long")).alias("_total"))
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
     ) + ", cum_in_part long"
@@ -446,11 +441,25 @@ def token_budget_select_frame(
             yield pdf
 
     cum = part.mapInPandas(cumsum, schema=schema)
-    offsets = _partition_offsets(part, F.col("n_tokens").cast("long"), "part_off")
+    # The budget total rides the SAME #partitions-row summary as the
+    # offsets (a window over all pids) — a separate full-frame aggregate
+    # + crossJoin broadcast paid one extra job + broadcast build for a
+    # scalar the summary already holds.
+    totals = part.groupBy(_mid_pid().alias("pid")).agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("v")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("v").over(w_off), F.lit(0)).alias("part_off"),
+        F.sum("v").over(w_all).alias("_total"),
+    )
     return (
         cum.withColumn("pid", _mid_pid())
         .join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(total))
         .withColumn(
             "cum_before", (F.col("part_off") + F.col("cum_in_part")).cast("long")
         )
