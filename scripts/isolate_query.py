@@ -3,8 +3,9 @@
 Runs the named registered queries (or the N slowest from a bench detail
 map) one at a time in THIS process: min-of-REPS noop-sink timing with
 the exact bench methodology, and optionally writes
-``plans/r14/<name>_<tag>.txt`` with the ``.explain('formatted')`` output
-so plan claims are reviewable without Spark.
+``<plandir>/<name>_<tag>.txt`` (default ``plans/r15``) with the
+``.explain('formatted')`` output so plan claims are reviewable without
+Spark.
 
 Usage:
     python scripts/isolate_query.py [--sf DIR] [--reps N] [--plans TAG] q1 q2 ...
@@ -29,7 +30,8 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="write plans/r14/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="write <plandir>/<q>_<TAG>.txt")
+    ap.add_argument("--plandir", default="plans/r15")
     ap.add_argument("--slowest", type=int, default=0)
     args = ap.parse_args()
 
@@ -59,12 +61,12 @@ def main() -> int:
     out: dict[str, float] = {}
     for name in names:
         if args.plans:
-            os.makedirs("plans/r14", exist_ok=True)
+            os.makedirs(args.plandir, exist_ok=True)
             df = qmap[name](spark, args.sf)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"plans/r14/{name}_{args.plans}.txt", "w") as f:
+            with open(f"{args.plandir}/{name}_{args.plans}.txt", "w") as f:
                 f.write(buf.getvalue())
         if args.reps == 0:
             print(f"plan-only  {name}", flush=True)

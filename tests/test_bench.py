@@ -28,11 +28,16 @@ def test_prior_round_times_reads_latest_parseable_committed_bench():
     here = os.path.dirname(os.path.abspath(bench.__file__))
     # the latest PARSEABLE round's queries must all be present verbatim
     latest_q: dict = {}
+    import re
+
+    # Same filename contract as bench._prior_round_times: sidecar artifacts
+    # like BENCH_r14_c8.json (the driver's low-core scaling run) are not
+    # round artifacts and must be ignored, not crashed on.
     for n in sorted(
         (
-            int(fn[7:-5])
+            int(m.group(1))
             for fn in os.listdir(here)
-            if fn.startswith("BENCH_r") and fn.endswith(".json")
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
         ),
         reverse=True,
     ):
