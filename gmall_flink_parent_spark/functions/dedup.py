@@ -1011,6 +1011,28 @@ def _cascade_cosine_broadcast(
     nrm = np.sqrt(acc)
     b_emb = spark.sparkContext.broadcast((ids, mat, nrm))
 
+    # Pre-filter the pairs BEFORE the Arrow boundary (guide §3.2 — reduce
+    # the big side before the expensive step): embedding coverage is
+    # partial by design, and the kernel's inner-join semantics drop any
+    # pair lacking a vec_id on either end — at sf0.1 that is 84% of the
+    # 5.8M candidate pairs (941k survive). Two broadcast LEFT SEMI joins
+    # on the id column make that drop in codegen, so only surviving rows
+    # pay JVM→Python serialization. The broadcast is bounded by the same
+    # ``max_broadcast_rows`` gate that admitted this path (ids-only, ~8 B
+    # per row — far smaller than the matrix already broadcast above).
+    # Measured 2× on the scoring action at sf0.1 (2.05 → 1.02 s
+    # interleaved min-of-5); output bit-identical (941,177 rows compared).
+    keys = emb.select("vec_id")
+    pairs = pairs.join(
+        F.broadcast(keys.withColumnRenamed("vec_id", "doc_id_a")),
+        "doc_id_a",
+        "left_semi",
+    ).join(
+        F.broadcast(keys.withColumnRenamed("vec_id", "doc_id_b")),
+        "doc_id_b",
+        "left_semi",
+    )
+
     def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         ids, mat, nrm = b_emb.value
         hi = len(ids) - 1

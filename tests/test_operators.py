@@ -156,6 +156,29 @@ def test_pricing_summary_plan_shape(spark, sf_dir):
     )
 
 
+def test_cascade_semi_prefilter_precedes_python_boundary(spark, sf_dir):
+    """The cascade head's broadcast-scoring path must drop pairs lacking
+    an embedding BEFORE the Arrow boundary (guide §3.2): two broadcast
+    LEFT SEMI joins on vec_id upstream of the MapInPandas node. Without
+    them, every non-covered candidate pair (84% at sf0.1) pays
+    JVM→Python serialization just to be discarded inside the kernel —
+    measured 2× on the scoring action. Output is unchanged (the kernel's
+    inner-join semantics made the same drop); the oracle pins that."""
+    import contextlib
+    import io
+
+    df = plans.query_map()["dedup_cascade_verify"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan, "expected the broadcast BLAS path at test scale"
+    semi = [
+        ln for ln in plan.splitlines() if ln.strip() == "Join type: LeftSemi"
+    ]
+    assert len(semi) >= 2, f"expected 2 semi pre-filters, plan has {len(semi)}:\n{plan}"
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Co-located joins via bucketing (the SCALE.md claim, demonstrated):
     both fact tables bucketed+sorted on the join key plan as a
