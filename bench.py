@@ -223,6 +223,57 @@ HEADLINE = [
 ]
 
 
+def _prior_stdout_queries(here: str) -> tuple[int | None, dict[str, float]]:
+    """(round, stdout `queries` subset) of the latest *parseable* committed
+    BENCH_r{N}.json — the exact per-query map the driver's round-over-round
+    differ sees, BEFORE detail-file gap fill. Used both as the adjudication
+    baseline seed and to annotate which previously-reported heads fell out
+    of this round's budget-packed stdout subset (``packed_out``)."""
+    rounds: list[tuple[int, str]] = []
+    for fn in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            rounds.append((int(m.group(1)), os.path.join(here, fn)))
+    for rnum, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            # the driver wraps the stdout line: {"n": ..., "parsed": {...}}
+            q = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
+            if q:
+                return rnum, {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError, AttributeError, TypeError):
+            continue  # malformed artifact: fall back to the next round
+    return None, {}
+
+
+def _rotated_out(here: str, window_names: set[str], registered: set[str]) -> list[str]:
+    """Names the latest committed CORRECTNESS_r{N}.json checked that are
+    still registered but no longer inside the driver's 50-query window —
+    i.e. policy rotation, not breakage. A name missing from the registry
+    entirely is NOT listed (that would be a real drop and must stay loud).
+    Emitted on the stdout line so the driver's differ can tell the two
+    apart without judge re-derivation (VERDICT r14 next-round #6)."""
+    rounds: list[tuple[int, str]] = []
+    try:
+        names = os.listdir(here)
+    except OSError:
+        return []
+    for fn in names:
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if m:
+            rounds.append((int(m.group(1)), os.path.join(here, fn)))
+    for _rnum, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(doc, dict) and doc:
+            return sorted((set(doc) & registered) - window_names)
+    return []
+
+
 def _prior_round_times(here: str | None = None) -> dict[str, float]:
     """Per-query times from the latest *parseable* committed BENCH_r{N}.json
     — the outlier-adjudication baseline. An unparseable driver artifact
@@ -248,25 +299,7 @@ def _prior_round_times(here: str | None = None) -> dict[str, float]:
     fresh checkout)."""
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
-    rounds: list[tuple[int, str]] = []
-    for fn in os.listdir(here):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
-        if m:
-            rounds.append((int(m.group(1)), os.path.join(here, fn)))
-    out: dict[str, float] = {}
-    selected_round: int | None = None
-    for rnum, path in sorted(rounds, reverse=True):
-        try:
-            with open(path) as fh:
-                doc = json.load(fh)
-            # the driver wraps the stdout line: {"n": ..., "parsed": {...}}
-            q = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
-            if q:
-                out = {k: float(v) for k, v in q.items()}
-                selected_round = rnum
-                break
-        except (OSError, ValueError, AttributeError, TypeError):
-            continue  # malformed artifact: fall back to the next round
+    selected_round, out = _prior_stdout_queries(here)
     # fill queries the budget-packed driver line omitted from the committed
     # full-map detail artifacts — immutable per-round file first, then the
     # working-tree detail file for legacy rounds (see docstring)
@@ -286,7 +319,14 @@ def _prior_round_times(here: str | None = None) -> dict[str, float]:
                     # legacy detail file without a round stamp: it was
                     # written by the newest round's sweep, so it matches
                     # only that round
-                    detail_round = max((r for r, _ in rounds), default=None)
+                    detail_round = max(
+                        (
+                            int(m.group(1))
+                            for fn in os.listdir(here)
+                            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+                        ),
+                        default=None,
+                    )
                 if detail_round != selected_round:
                     continue
             try:
@@ -505,6 +545,21 @@ def main() -> None:
         "n_reruns": len(reruns),
     }
     here = os.path.dirname(os.path.abspath(__file__))
+    # Phantom-drop annotations (VERDICT r14 next-round #6): every rotation
+    # round the driver's differ reported 5 "dropped" correctness queries and
+    # ~9 "dropped_from_bench" heads that were policy artifacts. Say so on the
+    # line itself. `rotated_out` = still-registered heads behind the window
+    # that the previous round's correctness gate checked; `packed_out` =
+    # heads on the previous round's stdout line that ARE measured this sweep
+    # but no longer fit the budget-packed subset (usually because they got
+    # fast — full map in BENCH_DETAIL). Lists are bounded: rotation policy
+    # moves ≤5/round and packing churn is ~10; `packed_out` is capped with
+    # an explicit count so the line can never outgrow the driver tail.
+    all_specs = plans.all_queries()
+    rotated = _rotated_out(here, set(list(all_specs)[:50]), set(all_specs))
+    if rotated:
+        base["rotated_out"] = rotated
+    _, prior_stdout = _prior_stdout_queries(here)
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     # Stamp which round's sweep wrote this detail file: the driver lands
     # BENCH_r{N}.json AFTER bench runs, so the artifacts on disk now are
@@ -558,7 +613,24 @@ def main() -> None:
                 json.dump(detail, fh, indent=1)
         except OSError:
             pass  # diagnosis file is best-effort; the stdout line is the artifact
-    line = json.dumps(_pack_stdout_queries(timings, base))
+    # Pack to a fixpoint: adding `packed_out` names shrinks the query budget,
+    # which can push more prior-line heads out of the subset. The set grows
+    # monotonically and is bounded by the prior line's ~47 names, so this
+    # converges in 2-3 iterations; the cap keeps the worst case line-safe.
+    doc = _pack_stdout_queries(timings, base)
+    for _ in range(6):
+        packed_out = sorted(
+            n for n in prior_stdout if n in timings and n not in doc["queries"]
+        )
+        if not packed_out or (
+            base.get("packed_out") == packed_out[:12]
+            and base.get("packed_out_n") == len(packed_out)
+        ):
+            break
+        base["packed_out"] = packed_out[:12]
+        base["packed_out_n"] = len(packed_out)
+        doc = _pack_stdout_queries(timings, base)
+    line = json.dumps(doc)
     # Hard gate: an oversized line is a FAILED bench run locally, never a
     # silently-decapitated driver artifact.
     assert len(line) <= STDOUT_LINE_BUDGET, (

@@ -296,3 +296,43 @@ def test_prior_round_ref_skips_self_comparison(tmp_path):
     # r2's code == working tree and r1's artifact is gone
     sha3, note3 = bench_ab.prior_round_ref(str(repo))
     assert sha3 is None and "no distinct prior tree" in note3
+
+
+def test_rotated_out_annotation_separates_policy_from_drops(tmp_path):
+    """VERDICT r14 #6: every rotation round the driver reports the rotated
+    window heads as "dropped"; the bench line must name them as policy.
+    A head missing from the registry entirely is a REAL drop and must NOT
+    be listed (masking it would hide breakage)."""
+    prev_window = {
+        "stays_in": {"hash_match": True},
+        "rotated_behind": {"hash_match": True},
+        "really_gone": {"hash_match": True},
+    }
+    (tmp_path / "CORRECTNESS_r14.json").write_text(json.dumps(prev_window))
+    # an older, different window must be ignored (latest round wins)
+    (tmp_path / "CORRECTNESS_r13.json").write_text(json.dumps({"ancient": {}}))
+    window = {"stays_in", "newly_promoted"}
+    registered = {"stays_in", "newly_promoted", "rotated_behind"}
+    assert bench._rotated_out(str(tmp_path), window, registered) == [
+        "rotated_behind"
+    ]
+    # no correctness artifact at all: empty, never a crash
+    assert bench._rotated_out(str(tmp_path / "nowhere"), window, registered) == []
+
+
+def test_prior_stdout_queries_is_the_driver_visible_subset(tmp_path):
+    """`packed_out` must be computed against the stdout subset the driver
+    actually saw (NOT the detail-filled full map): a head in the prior
+    stdout line but missing from this one is exactly what trips the
+    driver's dropped_from_bench differ."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_slow": 3.0, "q_fast": 1.0}}})
+    )
+    (tmp_path / "BENCH_DETAIL_r09.json").write_text(
+        json.dumps({"round": 9, "queries": {"q_slow": 3.0, "q_fast": 1.0, "q_tiny": 0.1}})
+    )
+    rnum, stdout_q = bench._prior_stdout_queries(str(tmp_path))
+    assert rnum == 9 and set(stdout_q) == {"q_slow", "q_fast"}
+    # while _prior_round_times still gap-fills from the detail artifact
+    full = bench._prior_round_times(str(tmp_path))
+    assert set(full) == {"q_slow", "q_fast", "q_tiny"}
