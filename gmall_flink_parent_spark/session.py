@@ -33,6 +33,19 @@ def get_spark(app_name: str = "gmall_flink_parent_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan INSIDE cached plans (off by default): without it
+        # every scoped_persist freezes its subtree at the static shuffle
+        # partition count, so a 3.5k-row cached graph frame carries 32
+        # partitions and every downstream map stage over it schedules 32+
+        # near-empty tasks — the graph tier ran ~23 sequential stage-jobs
+        # of pure dispatch overhead at sf0.1 (measured: clustering_coeff
+        # 1.91→1.50 s, LPA 2.93→1.97 s interleaved min-of-3). Scale-safe:
+        # AQE merges only small ADJACENT partitions (order-preserving for
+        # range exchanges, so __mid position stamps are unchanged) and
+        # leaves large cached frames fully partitioned.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
