@@ -596,6 +596,22 @@ def region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 5
 _PR_SCALE = 10**12  # fixed-point denominator
 
+# Truncate fixed-point-loop lineage with an eager localCheckpoint each
+# round (guide §3.3/§5): the unrolled logical plan otherwise grows by a
+# join+aggregate subtree per round, and the optimizer + AQE re-walk the
+# WHOLE tree at every shuffle stage — driver-serial planning cost that
+# scales with iterations, not data. A checkpointed round collapses to a
+# LogicalRDD leaf, keeping per-round plan size constant. Values are
+# unchanged (checkpointing only materializes the same rows). Measured
+# at sf0.1 (interleaved min-of-4): wall-flat (pagerank 2.23→2.17 s,
+# LPA 2.47→2.46 s) but final-plan size drops 3089→14 lines / 320→0
+# Exchange entries (pagerank) and 933→72 / 85→4 (LPA) — the win is
+# driver-serial planning cost that grows per iteration. The loop
+# frames are vertex-grain (thousands of rows), so the pinned blocks
+# are negligible and freed by the ContextCleaner when the query's
+# frames are dropped.
+_FIXPOINT_LOCAL_CKPT = True
+
 
 def _pagerank_oracle() -> str:
     """5 unrolled PageRank iterations in fixed-point BIGINT arithmetic
@@ -696,6 +712,8 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             (F.lit(base) + F.expr("85 * coalesce(c, 0) div 100")).alias("r"),
         )
+        if _FIXPOINT_LOCAL_CKPT:
+            ranks = ranks.localCheckpoint()
     return ranks.select(F.col("node").alias("part"), F.col("r").alias("rank_fp"))
 
 
@@ -2037,12 +2055,15 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (guide §2.3 "aggregate before you shuffle"); the ordering
         # struct is unique per (node, label) row, so the argmax is
         # deterministic and value-identical to the rn = 1 filter.
-        labels = scoped_persist(
-            votes.groupBy("node").agg(
-                F.max_by(
-                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("label")
-            )
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        labels = (
+            labels.localCheckpoint()
+            if _FIXPOINT_LOCAL_CKPT
+            else scoped_persist(labels)
         )
     sizes = labels.groupBy(F.col("label").alias("sz_label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")

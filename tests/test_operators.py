@@ -4781,3 +4781,28 @@ def test_pmi_decimal_bound_guard_trips_before_silent_null(spark):
     ok2 = spark.createDataFrame([("a", "b", 5)], "w1 string, w2 string, n_pair long")
     rows = pmi_from_counts(ok1, ok2).collect()
     assert len(rows) == 1 and rows[0]["pmi"] is not None
+
+
+def test_fixpoint_loops_truncate_lineage(spark, sf_dir):
+    """The fixed-point loop heads (pagerank 5 rounds, LPA 4 rounds) must
+    checkpoint each round so the final plan stays constant-size instead
+    of growing a join+aggregate subtree per iteration (guide §3.3/§5 —
+    planning is driver-serial and was ~3k plan lines / 320 Exchange
+    entries for pagerank without truncation). With the eager
+    localCheckpoint cadence the final plan reads from a LogicalRDD scan
+    (``Scan ExistingRDD``) and carries at most a handful of exchanges."""
+    import contextlib
+    import io
+
+    from gmall_flink_parent_spark.operators import analytics
+
+    assert analytics._FIXPOINT_LOCAL_CKPT is True
+    for name, max_lines in [("part_pagerank", 40), ("part_label_propagation", 120)]:
+        df = plans.query_map()[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Scan ExistingRDD" in plan, f"{name}: loop not checkpointed\n{plan}"
+        n_lines = len(plan.splitlines())
+        assert n_lines <= max_lines, f"{name}: plan grew to {n_lines} lines\n{plan}"
