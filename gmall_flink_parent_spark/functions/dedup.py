@@ -65,7 +65,7 @@ GROUP BY md5(lower(trim(text)))
 """
 
 
-@register("dedup_exact", oracle=DEDUP_EXACT_ORACLE, tags=("dedup",))
+@register("dedup_exact", oracle=DEDUP_EXACT_ORACLE, tags=("dedup",), past_window=True)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep the lowest doc_id per content fingerprint.
 

@@ -127,8 +127,12 @@ def _mid_local_offset() -> Column:
     return F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
 
 
+_PERSIST_PRESORT_INPUT = False
+
+
 def _range_sorted_positions(
-    df: DataFrame, sort_cols: list[str], eager: bool = False
+    df: DataFrame, sort_cols: list[str], eager: bool = False,
+    persist_input: bool = False,
 ) -> DataFrame:
     """The shared global-position core of ``training_order`` and
     ``pack_sequences``: range-partition on the sort key (Spark samples
@@ -141,6 +145,15 @@ def _range_sorted_positions(
     branches could re-execute the range exchange with different sampled
     bounds and disagree on partition membership."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if persist_input or _PERSIST_PRESORT_INPUT:
+        # repartitionByRange runs a SEPARATE bounds-sampling job over the
+        # child plan before the exchange, so an expensive upstream (the
+        # text-filter pipeline) executes twice. Persisting the input lets
+        # the sampling pass fill the cache and the exchange read it: one
+        # upstream execution instead of two (guide §2.4/§5). Only opted
+        # into by callers with an expensive upstream — for cheap inputs
+        # the cache write costs more than the second pass saves.
+        df = scoped_persist(df)
     return scoped_persist(
         df.repartitionByRange(n_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)

@@ -345,7 +345,6 @@ def hash_classifier_frame(
     "doc_hash_classifier_score",
     oracle=CLASSIFIER_ORACLE,
     tags=("text", "quality", "classifier"),
-    past_window=True,
 )
 def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed linear quality classifier over the token stream.

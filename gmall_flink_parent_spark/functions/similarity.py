@@ -234,6 +234,7 @@ def cosine_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine_topk_bruteforce",
     oracle=_cosine_oracle(TOP_K, same_label=False),
     tags=("similarity", "ann"),
+    past_window=True,
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for each query vector (vec_id < 8).

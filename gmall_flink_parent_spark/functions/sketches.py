@@ -98,7 +98,6 @@ SELECT g, CAST(cms_df AS BIGINT) AS cms_df FROM est
     "gram_df_cms_estimate",
     oracle=GRAM_CMS_ORACLE,
     tags=("text", "sketch", "approx"),
-    past_window=True,
 )
 def gram_df_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch document-frequency estimates for a probe set of

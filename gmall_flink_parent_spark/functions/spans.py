@@ -215,7 +215,6 @@ FROM pairs WHERE shared >= {_WIN_SHARED}
     "winnow_near_dup",
     oracle=WINNOW_NEAR_DUP_ORACLE,
     tags=("text", "dedup", "fingerprint"),
-    past_window=True,
 )
 def winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint overlap: documents

@@ -69,7 +69,7 @@ FROM h
 """
 
 
-@register("doc_text_profile", oracle=TEXT_PROFILE_ORACLE, tags=("text", "tokenize", "simhash"))
+@register("doc_text_profile", oracle=TEXT_PROFILE_ORACLE, tags=("text", "tokenize", "simhash"), past_window=True)
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile in one scan: whitespace-token stats,
     BPE-style piece counts, content fingerprint, SimHash signature.
@@ -239,7 +239,6 @@ GROUP BY source, n
     "source_ngram_diversity",
     oracle=NGRAM_DIVERSITY_ORACLE,
     tags=("text", "stats", "quality"),
-    past_window=True,
 )
 def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n diversity per source: for n ∈ {1, 2, 3}, the gram

@@ -42,7 +42,7 @@ WHERE (prev_gap_us IS NULL OR prev_gap_us > {BOUNCE_WINDOW_US})
 """
 
 
-@register("bounce_detect", oracle=BOUNCE_ORACLE, tags=("W3", "X4", "W4"))
+@register("bounce_detect", oracle=BOUNCE_ORACLE, tags=("W3", "X4", "W4"), past_window=True)
 def bounce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landing events with no strictly-next event inside the window.
 

@@ -122,7 +122,7 @@ FROM q
 """
 
 
-@register("rfm_segments", oracle=RFM_ORACLE, tags=("dws", "lifecycle"), past_window=True)
+@register("rfm_segments", oracle=RFM_ORACLE, tags=("dws", "lifecycle"))
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation of purchasers: per-user recency / frequency /
     monetary quartiles (4 = best) and the composed segment label.

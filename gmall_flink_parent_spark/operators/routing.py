@@ -164,6 +164,7 @@ def routing_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "routing_dims",
     oracle=_ROUTING_ORACLE_TEMPLATE.format(sink_type="hbase"),
     tags=("X3", "J4", "P5", "K3"),
+    past_window=True,
 )
 def routing_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dim branch: config rows with sink_type='hbase' (side-output analog).
