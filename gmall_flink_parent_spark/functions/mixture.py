@@ -127,9 +127,6 @@ def _mid_local_offset() -> Column:
     return F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
 
 
-_PERSIST_PRESORT_INPUT = False
-
-
 def _range_sorted_positions(
     df: DataFrame, sort_cols: list[str], eager: bool = False,
     persist_input: bool = False,
@@ -145,14 +142,17 @@ def _range_sorted_positions(
     branches could re-execute the range exchange with different sampled
     bounds and disagree on partition membership."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if persist_input or _PERSIST_PRESORT_INPUT:
+    if persist_input:
         # repartitionByRange runs a SEPARATE bounds-sampling job over the
         # child plan before the exchange, so an expensive upstream (the
         # text-filter pipeline) executes twice. Persisting the input lets
         # the sampling pass fill the cache and the exchange read it: one
-        # upstream execution instead of two (guide §2.4/§5). Only opted
-        # into by callers with an expensive upstream — for cheap inputs
-        # the cache write costs more than the second pass saves.
+        # upstream execution instead of two (guide §2.4/§5). Measured
+        # FLAT on packed_training_stream at sf0.1 (interleaved 2×2
+        # min-of-4: 3.18 s off vs 3.27 s on; repeat 3.15 vs 3.15) — the
+        # cache write costs what the second pass saves there — so no
+        # caller opts in today; the knob exists for upstreams whose
+        # recompute provably dominates a mixture-sized cache fill.
         df = scoped_persist(df)
     return scoped_persist(
         df.repartitionByRange(n_parts, *sort_cols)
