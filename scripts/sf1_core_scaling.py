@@ -48,6 +48,9 @@ HEADS = [
 ]
 
 REPS = int(os.environ.get("SF1_SCALING_REPS", "2"))
+# optional head-subset override for the deeper (100-copy) probe
+if os.environ.get("SF1_SCALING_HEADS"):
+    HEADS = os.environ["SF1_SCALING_HEADS"].split(",")
 
 _RUNNER = r"""
 import json, os, sys, time
@@ -115,9 +118,13 @@ def main() -> None:
         k: (round(t8[k] / t32[k], 2) if t32.get(k) and t8.get(k) else None)
         for k in HEADS
     }
+    from scripts.sf1_scale_run import COPIES
+
     doc = {
         "metric": "sf1_core_scaling",
-        "sf": 1.0,
+        "sf": COPIES / 10.0,
+        "copies": COPIES,
+        "sf_dir": SF1_DIR,
         "cpus_main": 32,
         "cpus_low": 8,
         "reps": REPS,

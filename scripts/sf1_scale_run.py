@@ -41,7 +41,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC_SF_DIR = "/root/testdata/sf0.1"
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
-COPIES = 10
+# copies=10 is the canonical sf1 run; the r15 core-scaling probe reuses
+# the same disjoint-shard construction at copies=100 (sf10) where compute
+# dominates the per-head floor. All shard invariants hold at any copy
+# count: key offsets stay disjoint (10^9 apart), token suffixes "_i" are
+# vocabulary-disjoint per shard, embedding shifts i < dims.
+COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
 KEY_OFF = 10**9
 
 # the 10 most expensive r9 bench heads + the broadcast-gate heads
