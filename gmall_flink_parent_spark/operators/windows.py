@@ -679,12 +679,24 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _overlap_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _overlap_pair_rows(
+    spark: SparkSession, sf_dir: str, prepartition: bool = False
+) -> DataFrame:
     """One row per overlapping cross-user session pair (user_a <
     user_b), deduped by the first-shared-bucket filter — the bucketed
     interval-join core shared by ``session_overlap_pairs`` and
     ``session_allen_relations``. Columns: user_a, user_b, a_start,
-    a_end, b_start, b_end."""
+    a_end, b_start, b_end.
+
+    ``prepartition``: persist the exploded frame already hash-
+    partitioned on the join key so the self-join reuses the cached
+    layout (guide §2.4) and the per-bucket density² work keeps
+    defaultParallelism tasks regardless of AQE's byte-based coalescing
+    of the (tiny) cached frame. Measured per consumer at sf0.1
+    (interleaved min-of-6, both orders): allen_relations 0.92 → 0.75 s
+    with it, overlap_pairs 0.99 → 1.16 s against it (its downstream
+    re-exchanges by user pair anyway, so the extra exchange is pure
+    cost there) — hence a caller flag, not a global."""
     bucket_us = _overlap_bucket_us(spark)
     s = session_bounds_frame(load_table(spark, sf_dir, "events"))
     bucketed = s.select(
@@ -695,14 +707,19 @@ def _overlap_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("session_start") / bucket_us).alias("b_start"),
         F.floor(F.unix_micros("session_end") / bucket_us).alias("b_end"),
     )
+    exploded = bucketed.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "b_start",
+        F.explode(F.sequence("b_start", "b_end")).alias("bucket"),
+    )
+    if prepartition:
+        exploded = exploded.repartition(
+            spark.sparkContext.defaultParallelism, "bucket"
+        )
     exploded = scoped_persist(
-        bucketed.select(
-            "user_id",
-            "session_start",
-            "session_end",
-            "b_start",
-            F.explode(F.sequence("b_start", "b_end")).alias("bucket"),
-        ),
+        exploded,
         eager=True,  # self-joined below: fill once, don't race the block locks
     )
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -771,7 +788,7 @@ def session_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket work bounded by true concurrency²) followed by a
     6-group aggregate.
     """
-    pairs = _overlap_pair_rows(spark, sf_dir)
+    pairs = _overlap_pair_rows(spark, sf_dir, prepartition=True)
     relation = F.expr("""CASE
     WHEN a_start = b_start AND a_end = b_end THEN 'equals'
     WHEN a_start = b_start THEN 'starts'
